@@ -1,0 +1,193 @@
+"""Catalog: table → DataFrame resolution plus PK / FK metadata.
+
+The reference reflects physical schemas and FK constraints from the
+database catalog (ref: pgsync/base.py:306-345, FK discovery
+pgsync/querybuilder.py:161-296). Parquet datasets carry no FK catalog,
+so the engine keeps an explicit relationship registry with the same
+precedence rule as the reference: an explicit ``foreign_key`` block in
+the node config wins; otherwise the registry is consulted in both
+directions (parent→child and child→parent).
+
+A default registry for the driver's TPC-H-ish testdata ships here so
+configs stay terse.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import exc
+from .node import ForeignKey, Node
+
+
+@dataclass(frozen=True)
+class TableMeta:
+    name: str
+    primary_key: tuple[str, ...]
+    # foreign keys declared on THIS table: {local_col_tuple: (ref_table, ref_col_tuple)}
+    foreign_keys: dict[tuple[str, ...], tuple[str, tuple[str, ...]]] = field(
+        default_factory=dict
+    )
+
+
+def _fk(cols, ref_table, ref_cols):
+    return (tuple(cols), (ref_table, tuple(ref_cols)))
+
+
+# Default registry for /root/testdata tables (see TESTDATA.md).
+TPCH_TABLES: dict[str, TableMeta] = {
+    "region": TableMeta("region", ("r_regionkey",)),
+    "nation": TableMeta(
+        "nation",
+        ("n_nationkey",),
+        dict([_fk(["n_regionkey"], "region", ["r_regionkey"])]),
+    ),
+    "customer": TableMeta(
+        "customer",
+        ("c_custkey",),
+        dict([_fk(["c_nationkey"], "nation", ["n_nationkey"])]),
+    ),
+    "supplier": TableMeta(
+        "supplier",
+        ("s_suppkey",),
+        dict([_fk(["s_nationkey"], "nation", ["n_nationkey"])]),
+    ),
+    "part": TableMeta("part", ("p_partkey",)),
+    "orders": TableMeta(
+        "orders",
+        ("o_orderkey",),
+        dict([_fk(["o_custkey"], "customer", ["c_custkey"])]),
+    ),
+    "lineitem": TableMeta(
+        "lineitem",
+        ("l_orderkey", "l_linenumber"),
+        dict(
+            [
+                _fk(["l_orderkey"], "orders", ["o_orderkey"]),
+                _fk(["l_partkey"], "part", ["p_partkey"]),
+                _fk(["l_suppkey"], "supplier", ["s_suppkey"]),
+            ]
+        ),
+    ),
+    "events": TableMeta("events", ("event_id",)),
+    "documents": TableMeta("documents", ("doc_id",)),
+    "embeddings": TableMeta("embeddings", ("vec_id",)),
+}
+
+
+def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns are read as long (see session.py
+    nanosAsLong); convert back to microsecond timestamps. Integer `div`
+    keeps full precision (ns-since-epoch exceeds double's 2^53)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    schema = pq.read_schema(path)
+    for fld in schema:
+        if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+            df = df.withColumn(
+                fld.name, F.timestamp_micros(F.expr(f"`{fld.name}` div 1000"))
+            )
+    return df
+
+
+def find_fk(
+    tables: dict[str, TableMeta], parent_table: str, child_table: str
+) -> ForeignKey:
+    """Bidirectional FK discovery over a metadata registry.
+
+    Mirrors the reference (ref: pgsync/querybuilder.py:161-296): first an
+    FK on the child referencing the parent, then FK-on-parent.
+    """
+    child_meta = tables.get(child_table)
+    if child_meta:
+        for local_cols, (ref_table, ref_cols) in child_meta.foreign_keys.items():
+            if ref_table == parent_table:
+                return ForeignKey(parent=ref_cols, child=local_cols)
+    parent_meta = tables.get(parent_table)
+    if parent_meta:
+        for local_cols, (ref_table, ref_cols) in parent_meta.foreign_keys.items():
+            if ref_table == child_table:
+                return ForeignKey(parent=local_cols, child=ref_cols)
+    raise exc.ForeignKeyError(
+        f"no foreign key path between {parent_table!r} and {child_table!r}; "
+        "declare relationship.foreign_key in the node config"
+    )
+
+
+class Catalog:
+    """Resolves tables to DataFrames and answers PK/FK questions.
+
+    ``base_dir`` is a directory of ``<table>.parquet`` files (the driver's
+    sf dirs). Registered DataFrames (``register_df``) take precedence —
+    used by tests and the incremental engine to overlay updated snapshots.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str | None = None,
+        tables: dict[str, TableMeta] | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.tables = dict(tables if tables is not None else TPCH_TABLES)
+        self._dfs: dict[str, DataFrame] = {}
+
+    # --- table resolution -------------------------------------------------
+    def register_df(self, name: str, df: DataFrame, meta: TableMeta | None = None):
+        self._dfs[name] = df
+        if meta is not None:
+            self.tables[name] = meta
+
+    def register_meta(self, meta: TableMeta):
+        self.tables[meta.name] = meta
+
+    def df(self, name: str) -> DataFrame:
+        if name in self._dfs:
+            return self._dfs[name]
+        if self.base_dir is None:
+            raise exc.TableNotFoundError(f"no base_dir and {name!r} not registered")
+        path = os.path.join(self.base_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            raise exc.TableNotFoundError(f"{path} does not exist")
+        df = self.spark.read.parquet(path)
+        df = _restore_nano_timestamps(df, path)
+        self._dfs[name] = df
+        return df
+
+    def columns(self, name: str) -> list[str]:
+        return self.df(name).columns
+
+    # --- keys -------------------------------------------------------------
+    def primary_key(self, name: str, node: Node | None = None) -> tuple[str, ...]:
+        if node is not None and node.primary_key:
+            return tuple(node.primary_key)
+        meta = self.tables.get(name)
+        if meta is None or not meta.primary_key:
+            raise exc.PrimaryKeyNotFoundError(f"no primary key registered for {name!r}")
+        return meta.primary_key
+
+    def foreign_key(self, parent_table: str, child_table: str) -> ForeignKey:
+        """Resolve FK pairs between parent and child as (parent_cols, child_cols).
+
+        Mirrors the reference's bidirectional discovery
+        (ref: pgsync/querybuilder.py:161-296): first look for an FK on the
+        child referencing the parent, then for an FK on the parent
+        referencing the child (FK-on-parent, e.g. orders→customer).
+        """
+        return find_fk(self.tables, parent_table, child_table)
+
+    def resolve_fk(self, parent_node: Node, child_node: Node) -> ForeignKey:
+        """Explicit config FK wins over registry discovery.
+
+        ref precedence: pgsync/querybuilder.py:326-362 — explicit
+        ``foreign_key`` honored only relative to the tree parent.
+        """
+        if child_node.relationship.foreign_key is not None:
+            return child_node.relationship.foreign_key
+        return self.foreign_key(parent_node.table, child_node.table)

@@ -1,0 +1,70 @@
+"""Document assembly: ``_id``, ``_meta`` lineage squash, canonical JSON.
+
+- ``_id`` = root PK values joined with "|" (ref: pgsync/sync.py:527-535,
+  1556-1579).
+- ``_meta`` = {table: {pk_col: [sorted distinct values]}} — the squash of
+  the bubbled-up ``_keys`` lineage (ref: pgsync/transform.py:230-288);
+  entries with no rows render as null (the reference omits them; a static
+  struct schema cannot omit per-row, and null is equivalent for the
+  reverse-lookup use).
+- ``doc`` = compact JSON of struct(_meta, *fields) with explicit nulls
+  (the reference's documents include null columns,
+  ref: tests/test_sync_root.py test_doc_includes_nulls).
+
+Everything is a Column expression — JSON serialization happens JVM-side
+in codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compiler import CompiledDoc
+
+
+def id_column(root_pks: list[str]) -> F.Column:
+    return F.concat_ws("|", *[F.col(pk).cast("string") for pk in root_pks])
+
+
+def meta_column(compiled: CompiledDoc) -> F.Column:
+    """Static-schema _meta struct, sorted table → sorted pk fields."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for (tbl, pk), colname in sorted(compiled.keys_cols.items()):
+        by_table.setdefault(tbl, []).append((pk, colname))
+    meta_fields = []
+    for tbl in sorted(by_table):
+        pk_fields = []
+        for pk, colname in by_table[tbl]:
+            arr = F.col(colname)
+            sorted_arr = F.array_sort(F.array_distinct(arr))
+            # empty (all child-of-child rows missing) → null, matching the
+            # oracle's aggregate-over-empty-set semantics
+            pk_fields.append(
+                F.when(F.size(arr) > 0, sorted_arr).otherwise(F.lit(None)).alias(pk)
+            )
+        meta_fields.append(F.struct(*pk_fields).alias(tbl))
+    return F.struct(*meta_fields).alias("_meta")
+
+
+def assemble_docs(compiled: CompiledDoc, include_meta: bool = True) -> DataFrame:
+    """Final (_id, doc) DataFrame with canonical compact JSON docs."""
+    source_fields = [F.col(f"__f_{n}").alias(n) for n in compiled.field_names]
+    parts = []
+    if include_meta:
+        parts.append(meta_column(compiled))
+    parts.extend(source_fields)
+    doc = F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
+    return compiled.df.select(
+        id_column(compiled.root_pks).alias("_id"), doc.alias("doc")
+    )
+
+
+def assemble_structured(compiled: CompiledDoc, include_meta: bool = True) -> DataFrame:
+    """Typed (non-JSON) form: _id plus native nested columns — the shape a
+    search sink (e.g. elasticsearch-spark) would consume."""
+    cols = [id_column(compiled.root_pks).alias("_id")]
+    if include_meta:
+        cols.append(meta_column(compiled))
+    cols.extend(F.col(f"__f_{n}").alias(n) for n in compiled.field_names)
+    return compiled.df.select(*cols)

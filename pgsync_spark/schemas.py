@@ -1,0 +1,262 @@
+"""Predefined node-tree configs over the driver's TPC-H-ish testdata.
+
+Each entry reproduces one relationship topology from the reference's
+e2e golden tests (see FIXTURES.md §2 / reference tests/test_sync_*.py),
+mapped onto the tables in TESTDATA.md:
+
+- root-only                    → orders
+- one_to_one object FK-on-parent chain → customer → nation → region
+- one_to_many object FK-on-child       → orders → lineitem
+- one_to_many scalar                   → orders → lineitem(l_linenumber)
+- through-table object/scalar          → supplier ↔ part via lineitem
+- two children + nesting (flagship)    → orders → customer→nation, lineitem
+- transforms (rename/replace/concat)   → on the customer chain
+- JSON path columns                    → events.props->k
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow.parquet as pq
+
+from .node import Tree, parse_tree
+
+SCHEMA_SAMPLE_DIR = "/root/testdata/sf0.001"
+
+
+@functools.lru_cache(maxsize=None)
+def _arrow_schema(table: str):
+    return pq.read_schema(f"{SCHEMA_SAMPLE_DIR}/{table}.parquet")
+
+
+def columns_of(table: str) -> list[str]:
+    return list(_arrow_schema(table).names)
+
+
+def column_type_of(table: str, col: str) -> str:
+    import pyarrow as pa
+
+    t = _arrow_schema(table).field(col).type
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    return "other"
+
+
+TREE_CONFIGS: dict[str, dict] = {
+    # reference topology 1: root only (tests/test_sync_root.py)
+    "root_only": {
+        "index": "orders",
+        "nodes": {
+            "table": "orders",
+            "columns": [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ],
+        },
+    },
+    # topology 3 + 5 analog: one_to_one object chain, FK on parent
+    # (customer.c_nationkey → nation, nation.n_regionkey → region)
+    "customer_nation_region": {
+        "index": "customer",
+        "nodes": {
+            "table": "customer",
+            "columns": ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+            "children": [
+                {
+                    "table": "nation",
+                    "label": "nation",
+                    "columns": ["n_nationkey", "n_name"],
+                    "relationship": {"type": "one_to_one", "variant": "object"},
+                    "children": [
+                        {
+                            "table": "region",
+                            "label": "region",
+                            "columns": ["r_regionkey", "r_name"],
+                            "relationship": {"type": "one_to_one", "variant": "object"},
+                        }
+                    ],
+                }
+            ],
+        },
+    },
+    # topology 4: direct one_to_many object child, FK on child
+    "orders_lineitems": {
+        "index": "orders",
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+            "children": [
+                {
+                    "table": "lineitem",
+                    "label": "lineitems",
+                    "columns": [
+                        "l_linenumber",
+                        "l_quantity",
+                        "l_extendedprice",
+                        "l_returnflag",
+                        "l_shipdate",
+                    ],
+                    "relationship": {"type": "one_to_many", "variant": "object"},
+                }
+            ],
+        },
+    },
+    # one_to_many scalar variant (reference: book → languages codes)
+    "orders_linenumbers_scalar": {
+        "index": "orders",
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderstatus"],
+            "children": [
+                {
+                    "table": "lineitem",
+                    "label": "linenumbers",
+                    "columns": ["l_linenumber"],
+                    "relationship": {"type": "one_to_many", "variant": "scalar"},
+                }
+            ],
+        },
+    },
+    # topology 5/6: through table — supplier's parts via lineitem
+    # (supplier ↔ lineitem ↔ part), object variant
+    "supplier_parts_through": {
+        "index": "supplier",
+        "nodes": {
+            "table": "supplier",
+            "columns": ["s_suppkey", "s_name", "s_acctbal"],
+            "children": [
+                {
+                    "table": "part",
+                    "label": "parts",
+                    "columns": ["p_partkey", "p_name", "p_brand"],
+                    "relationship": {
+                        "type": "one_to_many",
+                        "variant": "object",
+                        "through_tables": ["lineitem"],
+                    },
+                }
+            ],
+        },
+    },
+    # through table, scalar variant (reference: book → subjects names)
+    "supplier_part_names_through_scalar": {
+        "index": "supplier",
+        "nodes": {
+            "table": "supplier",
+            "columns": ["s_suppkey", "s_name"],
+            "children": [
+                {
+                    "table": "part",
+                    "label": "part_names",
+                    "columns": ["p_name"],
+                    "relationship": {
+                        "type": "one_to_many",
+                        "variant": "scalar",
+                        "through_tables": ["lineitem"],
+                    },
+                }
+            ],
+        },
+    },
+    # flagship: two children, one nested one_to_one chain + one_to_many
+    "orders_full": {
+        "index": "orders",
+        "nodes": {
+            "table": "orders",
+            "columns": [
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ],
+            "children": [
+                {
+                    "table": "customer",
+                    "label": "customer",
+                    "columns": ["c_custkey", "c_name", "c_mktsegment"],
+                    "relationship": {"type": "one_to_one", "variant": "object"},
+                    "children": [
+                        {
+                            "table": "nation",
+                            "label": "nation",
+                            "columns": ["n_nationkey", "n_name"],
+                            "relationship": {"type": "one_to_one", "variant": "object"},
+                        }
+                    ],
+                },
+                {
+                    "table": "lineitem",
+                    "label": "lineitems",
+                    "columns": [
+                        "l_linenumber",
+                        "l_quantity",
+                        "l_extendedprice",
+                        "l_discount",
+                        "l_returnflag",
+                        "l_linestatus",
+                    ],
+                    "relationship": {"type": "one_to_many", "variant": "object"},
+                },
+            ],
+        },
+    },
+    # one_to_one scalar variant: customer's nation name inlined
+    "customer_nation_scalar": {
+        "index": "customer",
+        "nodes": {
+            "table": "customer",
+            "columns": ["c_custkey", "c_name"],
+            "children": [
+                {
+                    "table": "nation",
+                    "label": "nation_name",
+                    "columns": ["n_name"],
+                    "relationship": {"type": "one_to_one", "variant": "scalar"},
+                }
+            ],
+        },
+    },
+    # transforms: replace → rename → concat (ref: pgsync/transform.py:211-216)
+    "customer_transforms": {
+        "index": "customer",
+        "nodes": {
+            "table": "customer",
+            "columns": ["c_custkey", "c_name", "c_mktsegment"],
+            "transform": {
+                "replace": {"c_mktsegment": {"AUTOMOBILE": "AUTO"}},
+                "rename": {"c_name": "customer_name"},
+                "concat": {
+                    "columns": ["c_custkey", "customer_name"],
+                    "destination": "customer_slug",
+                    "delimiter": "-",
+                },
+            },
+        },
+    },
+    # JSON path projection on a JSON string column
+    # (ref: pgsync/node.py:197-303 '->' operators)
+    "events_json_path": {
+        "index": "events",
+        "nodes": {
+            "table": "events",
+            "columns": ["event_id", "event_type", "props->k"],
+        },
+    },
+}
+
+
+@functools.lru_cache(maxsize=None)
+def tree(name: str) -> Tree:
+    return parse_tree(TREE_CONFIGS[name])
+
+
+def tree_names() -> list[str]:
+    return list(TREE_CONFIGS)
