@@ -1,0 +1,55 @@
+"""Root-filter construction: pgsync's filter spec → Spark Column / SQL.
+
+Reference semantics (ref: pgsync/querybuilder.py:100-132 _build_filters):
+``filters = {table: [ {col: val, ...}, {col: val, ...} ]}`` — each dict
+is an AND over its items (supports composite keys), the list is an OR
+across dicts. Filters apply only at the root node; child-level filters
+fold into join onclauses (ref: pgsync/querybuilder.py:469-471) — in the
+Spark plan that placement falls out of Catalyst predicate pushdown.
+
+At 100 TB the preferred form for LARGE key sets is a semi-join against a
+keys DataFrame (see streaming/incremental.py) — an `OR` of thousands of
+literals doesn't prune parquet row-groups and bloats the plan; a
+broadcast semi-join does. `build_filters` is the literal small-set form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def build_filters(clauses: list[dict]) -> Column:
+    """[{a: 1, b: 2}, {a: 3}] → (a=1 AND b=2) OR (a=3)."""
+    if not clauses:
+        return F.lit(True)
+    ors = []
+    for clause in clauses:
+        ands = [F.col(k).eqNullSafe(F.lit(v)) for k, v in clause.items()]
+        ors.append(functools.reduce(lambda a, b: a & b, ands))
+    return functools.reduce(lambda a, b: a | b, ors)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def filters_to_sql(clauses: list[dict]) -> str:
+    """Same spec rendered as a SQL predicate (for the DuckDB oracle)."""
+    if not clauses:
+        return "TRUE"
+    ors = []
+    for clause in clauses:
+        ands = [
+            f'"{k}" IS NOT DISTINCT FROM {_sql_lit(v)}' for k, v in clause.items()
+        ]
+        ors.append("(" + " AND ".join(ands) + ")")
+    return " OR ".join(ors)

@@ -1,0 +1,339 @@
+"""Query registry: every implemented operator exposed as a named query
+with a DuckDB oracle — the driver contract (see __spark_entry__.py).
+
+Numeric canonicalization: money aggregates are summed as DECIMAL(18,2)
+(exact, associative — deterministic across engines and partitionings,
+unlike float sums whose result depends on reduction order) and emitted
+as strings; averages divide the exact decimal sum (as double) by the
+exact count, both IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .catalog import Catalog, TPCH_TABLES
+from .operators.filters import build_filters, filters_to_sql
+from .plans.compiler import TreeCompiler
+from .plans.oracle import oracle_doc_sql
+from . import schemas
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def catalog_for(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Denormalization queries: one per relationship topology (SURVEY §2.3/§2.4)
+# ---------------------------------------------------------------------------
+
+def _denorm_fn(tree_name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = Catalog(spark, sf_dir)
+        return TreeCompiler(cat).compile_docs(schemas.tree(tree_name))
+
+    fn.__name__ = f"denorm_{tree_name}"
+    return fn
+
+
+for _name in schemas.tree_names():
+    REGISTRY[f"denorm_{_name}"] = QueryDef(
+        fn=_denorm_fn(_name),
+        oracle=oracle_doc_sql(
+            schemas.tree(_name),
+            TPCH_TABLES,
+            schemas.columns_of,
+            schemas.column_type_of,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / predicate operators (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+_ROOT_FILTERS = [
+    {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+    {"o_orderstatus": "P"},
+]
+
+
+@register(
+    "filter_root_or_and",
+    f"""SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE {filters_to_sql(_ROOT_FILTERS)}""",
+)
+def filter_root_or_and(spark, sf_dir):
+    """pgsync root-filter semantics: list=OR of dict=AND clauses
+    (ref: pgsync/querybuilder.py:100-132)."""
+    df = Catalog(spark, sf_dir).df("orders")
+    return df.filter(build_filters(_ROOT_FILTERS)).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@register(
+    "projection_pushdown",
+    """SELECT l_orderkey, l_extendedprice FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""",
+)
+def projection_pushdown(spark, sf_dir):
+    """Projection+filter that must reach the parquet scan (checked in
+    tests via explain: PushedFilters + 4-column ReadSchema)."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    return df.filter(
+        (F.col("l_shipdate") < "1996-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_extendedprice")
+
+
+@register("count_scan", "SELECT COUNT(*) AS cnt FROM lineitem")
+def count_scan(spark, sf_dir):
+    """Count scan (ref: pgsync/base.py:1246-1252 fetchcount)."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    return df.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_values(spark, sf_dir):
+    df = Catalog(spark, sf_dir).df("customer")
+    return df.select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3) — incl. the semi/anti forms the incremental engine uses
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fk_broadcast",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)
+def join_fk_broadcast(spark, sf_dir):
+    """Dimension joins; customer/nation broadcast under the session
+    threshold → no shuffle of the fact table."""
+    cat = Catalog(spark, sf_dir)
+    o, c, n = cat.df("orders"), cat.df("customer"), cat.df("nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+@register(
+    "semi_join_affected_roots",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'P')""",
+)
+def semi_join_affected_roots(spark, sf_dir):
+    """left_semi against a key set — the scale-path form of the
+    reference's affected-root re-sync filters (ref: pgsync/sync.py:835-1011)."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.df("customer")
+    keys = cat.df("orders").filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return c.join(
+        F.broadcast(keys), c.c_custkey == keys.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def anti_join(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    c = cat.df("customer")
+    o = cat.df("orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "self_join_pairs",
+    """SELECT a.n_nationkey AS n1, b.n_nationkey AS n2
+       FROM nation a JOIN nation b
+         ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""",
+)
+def self_join_pairs(spark, sf_dir):
+    """Self-join with distinct aliases (reference self-referential node
+    support, ref: pgsync/querybuilder.py:575-577)."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.df("nation").alias("a")
+    b = cat.df("nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(F.col("a.n_nationkey").alias("n1"), F.col("b.n_nationkey").alias("n2"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) + classic OLAP shapes for the benchmark
+# ---------------------------------------------------------------------------
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_price() -> F.Column:
+    """price * (1 - discount) computed entirely in decimal arithmetic —
+    exact and engine-independent (a double product rounds its 2dp ties
+    differently across engines)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS sum_disc_price,
+              COUNT(*) AS count_order,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: grouped multi-aggregate with map-side partial agg.
+    Decimal sums are exact → partition-order independent."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    return (
+        df.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("string").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("string").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("string").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "agg_revenue_by_order",
+    """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS revenue
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, o.o_orderdate""",
+)
+def agg_revenue_by_order(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → broadcast semi-ish join →
+    grouped revenue."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.df("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.df("orders")
+    li = cat.df("lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("string").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "grouped_array_agg",
+    """SELECT o_custkey,
+              to_json(list(o_orderkey ORDER BY o_orderkey)) AS orderkeys
+       FROM orders GROUP BY o_custkey""",
+)
+def grouped_array_agg(spark, sf_dir):
+    """The reference's JSON_AGG grouped by FK (ref:
+    pgsync/querybuilder.py:936-961) as a standalone operator."""
+    df = Catalog(spark, sf_dir).df("orders")
+    return df.groupBy("o_custkey").agg(
+        F.to_json(F.array_sort(F.collect_list("o_orderkey"))).alias("orderkeys")
+    )
+
+
+@register(
+    "topk_per_group",
+    """SELECT * FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group via window row_number with a deterministic
+    tiebreak (beyond-reference: the reference has no window functions)."""
+    df = Catalog(spark, sf_dir).df("orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "rn"
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream table — the
+    batch shape of the streaming windowed agg (SURVEY §2.7)."""
+    df = Catalog(spark, sf_dir).df("events")
+    return (
+        df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("string").alias("total"),
+        )
+    )
