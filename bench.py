@@ -31,6 +31,9 @@ def main() -> None:
     from pgsync_spark.queries import REGISTRY
 
     spark = get_spark("bench")
+    # warm up the JVM / codegen / parquet footer cache so the first timed
+    # query doesn't absorb session startup cost
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
