@@ -22,6 +22,12 @@ HEADLINE = [
     "join_fk_broadcast",
     "topk_per_group",
     "events_hourly_rollup",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "multimodal_extract",
 ]
 
 

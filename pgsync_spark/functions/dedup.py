@@ -1,0 +1,304 @@
+"""Deduplication operators over the `documents` table.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup: single hash-groupBy — map-side partial agg, one shuffle
+  on a uniformly distributed hash key (no skew by construction).
+- MinHash+LSH: signatures are computed scan-side (one md5 per shingle,
+  16 linear permutations); candidate generation explodes only
+  (doc × n_bands) rows and shuffles on band-hash buckets, never the
+  O(n²) pair space. Exact Jaccard verification touches only bucket
+  collisions. This is the standard shingle→minhash→band→bucket-join
+  pipeline (Broder; Leskovec et al., Mining of Massive Datasets ch.3).
+- SimHash: per-doc 32-bit signature via bitwise majority vote of token
+  hashes, computed with higher-order array functions — no explode, no
+  shuffle at all for signature computation.
+- n-gram Jaccard: 1-permutation min-shingle blocking, exact verify
+  within blocks.
+- embedding near-dup: label-blocked cosine (see similarity.py for the
+  general ANN path).
+
+Every operator has a DuckDB oracle built on the same md5-derived
+hashing (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    MERSENNE_P,
+    combine_shingles,
+    combine_shingles_sql,
+    round6,
+    round6_sql,
+    h32,
+    h32_sql,
+    perm,
+    perm_sql,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+# shared oracle CTE: documents → hashed 3-gram shingle sets (bigint)
+def _shingle_cte() -> str:
+    tok = tokens_sql("text")
+    comb = combine_shingles_sql("th", 3)
+    return f"""
+        toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+        th_t AS (SELECT doc_id, list_transform(tok, t -> {h32_sql('t')}) AS th FROM toks),
+        shs AS (SELECT doc_id, list_distinct({comb}) AS sh FROM th_t)"""
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+JACCARD_THRESHOLD = 0.2
+
+
+def dedup_exact(df: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5(lower(text)) → group, keep the min
+    doc_id as canonical, report the sorted duplicate id list."""
+    return (
+        df.select("doc_id", F.md5(F.lower(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.to_json(F.array_sort(F.collect_list("doc_id"))).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """
+        SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id,
+               to_json(list(doc_id ORDER BY doc_id)) AS doc_ids
+        FROM (SELECT doc_id, md5(lower(text)) AS content_hash FROM documents)
+        GROUP BY content_hash HAVING COUNT(*) > 1
+    """
+
+
+def _signatures(df: DataFrame) -> DataFrame:
+    """doc_id + 16-permutation minhash signature + distinct hashed
+    shingle set (bigint). Staged: tokens → per-token md5 (the only
+    string hashing) → rolling 3-gram combine → distinct → 16 linear
+    permutations. Everything stays in whole-stage codegen."""
+    tok = tokens(F.col("text"))
+
+    def _perm_fn(i):
+        return lambda h: perm(h, i)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), _perm_fn(i))) for i in range(N_PERMS)]
+    )
+    # persist the shingle sets before fanning out into 16 permutation
+    # scans: the conditional (when-guarded) shingle expression defeats
+    # Spark's per-operator subexpression elimination, so without a
+    # materialization barrier the whole tokenize+hash pipeline would
+    # re-run once per permutation (measured 18× slowdown)
+    shs = (
+        df.select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 3)  # combine_shingles precondition
+        .withColumn("th", F.transform(F.col("tok"), lambda t: h32(t)))
+        .withColumn("sh", F.array_distinct(combine_shingles(F.col("th"), 3)))
+        .select("doc_id", "sh")
+        .persist()
+    )
+    return shs.select("doc_id", "sh", sig.alias("sig"))
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """Expose signatures (doc_id, sig array) — useful on its own and the
+    first stage of the LSH pipeline."""
+    return _signatures(df).select(
+        "doc_id", F.to_json(F.col("sig")).alias("minhash_sig")
+    )
+
+
+def minhash_signatures_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
+        for i in range(N_PERMS)
+    )
+    return f"""
+        WITH {_shingle_cte()}
+        SELECT doc_id, to_json([{perms}]) AS minhash_sig
+        FROM shs WHERE len(sh) > 0
+    """
+
+
+def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
+    """Near-duplicate pairs: banded LSH candidates + exact Jaccard ≥ θ.
+
+    Candidates = docs sharing any band bucket; shuffle volume is
+    O(n · n_bands), and the pair join happens per-bucket. AQE's skew
+    handling covers pathological buckets (e.g. boilerplate-heavy
+    corpora); a production run would also cap bucket width.
+    """
+    # the signature stage feeds two consumers (bands + verify); persist so
+    # it computes once (at 100 TB you would checkpoint signatures to
+    # storage instead — same idea, durable)
+    sigs = _signatures(df).persist()
+    # bands table carries ONLY (doc_id, band, bucket) — the heavy shingle
+    # arrays must not ride through the self-join / dedup shuffles
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    # shingle sets join back by id for the exact verify (two cheap
+    # id-keyed joins instead of shuffling arrays with every candidate)
+    shs = sigs.select("doc_id", "sh")
+    cand = (
+        cand.join(shs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(shs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    jac = inter / union
+    return (
+        cand.select("id1", "id2", round6(jac).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_lsh_pairs_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
+        for i in range(N_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+               md5(concat_ws(',', {', '.join(f'CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)' for r in range(ROWS_PER_BAND))})) AS bucket
+            FROM sigs"""
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH {_shingle_cte()},
+        sigs AS (SELECT doc_id, sh, [{perms}] AS sig FROM shs WHERE len(sh) > 0),
+        bands AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT id1, id2,
+               {round6_sql('CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE)')} AS jaccard
+        FROM cand JOIN shs s1 ON s1.doc_id = cand.id1
+                  JOIN shs s2 ON s2.doc_id = cand.id2
+        WHERE {round6_sql('CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE)')} >= {JACCARD_THRESHOLD}
+    """
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: majority vote per bit over distinct-token
+    hashes (Charikar). Pure array expressions — no explode, no shuffle."""
+    tok = F.array_distinct(tokens(F.col("text")))
+    hashed = F.transform(tok, lambda t: h32(t))
+    base = df.select("doc_id", hashed.alias("h")).filter(F.size("h") > 0)
+    n = F.size("h")
+    def _bit_fn(b):
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
+    bits = [
+        F.when(
+            F.lit(2) * F.size(F.filter(F.col("h"), _bit_fn(b))) > n,
+            F.lit(2 ** b).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(32)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return base.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    tok = f"list_distinct({tokens_sql('text')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> ((x >> {b}) & 1) = 1)) > len(h) "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return f"""
+        SELECT doc_id, {bit_terms} AS simhash
+        FROM (SELECT doc_id, list_transform(toks, t -> {h32_sql('t')}) AS h
+              FROM (SELECT doc_id, {tok} AS toks FROM documents)
+              WHERE len(toks) > 0)
+    """
+
+
+def ngram_jaccard_pairs(df: DataFrame) -> DataFrame:
+    """Blocked n-gram Jaccard: block on the 1-perm min-shingle hash
+    (docs sharing their rarest shingle), verify exact Jaccard within
+    blocks. Blocking keys are uniformly distributed hash values."""
+    tok = tokens(F.col("text"))
+    base = (
+        df.select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 3)  # combine_shingles precondition
+        .withColumn("th", F.transform(F.col("tok"), lambda t: h32(t)))
+        .withColumn("sh", F.array_distinct(combine_shingles(F.col("th"), 3)))
+        .withColumn(
+            "block", F.array_min(F.transform(F.col("sh"), lambda h: perm(h, 0)))
+        )
+        .select("doc_id", "sh", "block")
+        .persist()  # consumed by both sides of the block self-join
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return cand.select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        round6(inter / union).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    return f"""
+        WITH {_shingle_cte()},
+        base AS (
+          SELECT doc_id, sh,
+                 list_min(list_transform(sh, h -> {perm_sql('h', 0)})) AS block
+          FROM shs WHERE len(sh) > 0
+        )
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               {round6_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)')} AS jaccard
+        FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+    """

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed in Arrow batches via mapInPandas.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake (`_fake_decode`) — but the Spark-side
+plumbing is real and is what matters at scale: binary columns stay
+opaque bytes end-to-end, per-batch Python processing over Arrow (no
+per-row serde), explicit output schema, and partition-count preserved
+(no shuffle introduced by the UDF).
+
+A real deployment would swap `_fake_decode` for PIL/ffmpeg calls with
+the identical signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = (
+    "doc_id bigint, byte_len int, sha256 string, width int, height int, decoded boolean"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """STUB: stands in for an image decode (no codec libs in this
+    container). Returns deterministic fake (width, height) derived from
+    the payload hash. Replace with e.g. PIL.Image.open for real data."""
+    h = hashlib.sha256(payload).digest()
+    return 1 + h[0] % 64, 1 + h[1] % 64
+
+
+def attach_binary(df: DataFrame) -> DataFrame:
+    """Model an opaque media payload: encode text as the binary column
+    (the testdata ships no true media blobs)."""
+    return df.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch in → metadata batch out."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        dims = [_fake_decode(bytes(p)) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": [len(bytes(p)) for p in payloads],
+                "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "decoded": True,
+            }
+        )
+
+
+def multimodal_extract(df: DataFrame) -> DataFrame:
+    """binary payload → (byte_len, sha256, fake-decoded dims)."""
+    return attach_binary(df).mapInPandas(decode_batches, OUT_SCHEMA)
+
+
+def multimodal_extract_sql() -> str:
+    """Oracle for the engine-checkable part (byte length + sha256; the
+    fake dims are reproduced from the same sha bytes)."""
+    return """
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha256,
+               1 + (('0x' || substring(sha256(text), 1, 2))::INT % 64) AS width,
+               1 + (('0x' || substring(sha256(text), 3, 2))::INT % 64) AS height,
+               TRUE AS decoded
+        FROM documents
+    """

@@ -1,0 +1,202 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine top-k: the exact baseline. The query set broadcasts
+  (it is small by construction); the corpus never shuffles — each
+  partition scores its slice and a single top-k agg reduces. At 100 TB
+  this is the classic map-side-topk + tree-reduce shape.
+- LSH-bucketed ANN (sign-random-projection family, here deterministic
+  sign-of-leading-dims planes): corpus is bucketed once; a query probes
+  only its bucket → candidate set shrinks by ~2^n_planes. The scale
+  path when brute force is too expensive.
+- label-blocked near-duplicate pairs: cosine ≥ θ within blocks.
+
+Float determinism for the oracle: dot products fold left-to-right in
+DOUBLE on both engines (Spark `aggregate`, DuckDB `list_reduce`), so
+scores are bit-identical and rounded compares never flip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .hashing import round6, round6_sql
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+N_PLANES = 8
+NEARDUP_COS = 0.75
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def ann_bruteforce_topk(df: DataFrame) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector, deterministic
+    tiebreak (score desc, neighbor id asc)."""
+    q = df.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = df.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_bruteforce_topk_sql() -> str:
+    cos = f"{round6_sql(_dot_sql('q.embedding', 'c.embedding') + ' / (' + _norm_sql('q.embedding') + ' * ' + _norm_sql('c.embedding') + ')')}"
+    return f"""
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {cos} DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+def _bucket(col) -> F.Column:
+    """Sign-of-leading-dims LSH bucket: bit i = (v[i] >= 0)."""
+    b = F.lit(0)
+    for i in range(N_PLANES):
+        b = b + F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return b
+
+
+def _bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+
+
+def ann_lsh_topk(df: DataFrame) -> DataFrame:
+    """LSH-bucketed approximate top-k: queries probe only their own
+    bucket (~1/2^planes of the corpus). Recall < 1 by design; the
+    oracle reproduces the same approximation exactly."""
+    bucketed = df.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk_sql() -> str:
+    cos = f"{round6_sql(_dot_sql('q.embedding', 'c.embedding') + ' / (' + _norm_sql('q.embedding') + ' * ' + _norm_sql('c.embedding') + ')')}"
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+          FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {cos} DESC, c.vec_id) AS rank
+          FROM bucketed q JOIN bucketed c
+            ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+def embedding_neardup_pairs(df: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by `label` (the
+    cheap pre-cluster); cosine ≥ θ within blocks."""
+    a = df.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("v1"),
+        F.col("label").alias("l1"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"),
+        F.col("label").alias("l2"),
+    )
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("id1") < F.col("id2")))
+    cos = round6(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    )
+    return pairs.select("id1", "id2", cos.alias("cosine")).filter(
+        F.col("cosine") >= NEARDUP_COS
+    )
+
+
+def embedding_neardup_pairs_sql() -> str:
+    cos = f"{round6_sql(_dot_sql('a.embedding', 'b.embedding') + ' / (' + _norm_sql('a.embedding') + ' * ' + _norm_sql('b.embedding') + ')')}"
+    return f"""
+        SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cos} >= {NEARDUP_COS}
+    """

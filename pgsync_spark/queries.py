@@ -337,3 +337,44 @@ def events_hourly_rollup(spark, sf_dir):
             F.sum(_dec("value")).cast("string").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data pipeline operators (BASELINE.json north star):
+# dedup / similarity / text analysis / multimodal — see functions/*.py
+# ---------------------------------------------------------------------------
+
+from .functions import dedup as _dd  # noqa: E402
+from .functions import multimodal as _mm  # noqa: E402
+from .functions import similarity as _sim  # noqa: E402
+from .functions import text as _tx  # noqa: E402
+
+
+def _doc_query(fn, oracle, name):
+    def q(spark, sf_dir, _fn=fn):
+        return _fn(Catalog(spark, sf_dir).df("documents"))
+
+    q.__name__ = name
+    REGISTRY[name] = QueryDef(fn=q, oracle=oracle)
+
+
+def _emb_query(fn, oracle, name):
+    def q(spark, sf_dir, _fn=fn):
+        return _fn(Catalog(spark, sf_dir).df("embeddings"))
+
+    q.__name__ = name
+    REGISTRY[name] = QueryDef(fn=q, oracle=oracle)
+
+
+_doc_query(_tx.text_stats, _tx.text_stats_sql(), "text_stats")
+_doc_query(_tx.lang_id, _tx.lang_id_sql(), "text_lang_id")
+_doc_query(_tx.fingerprint, _tx.fingerprint_sql(), "text_fingerprint")
+_doc_query(_dd.dedup_exact, _dd.dedup_exact_sql(), "dedup_exact")
+_doc_query(_dd.minhash_signatures, _dd.minhash_signatures_sql(), "dedup_minhash_signatures")
+_doc_query(_dd.minhash_lsh_pairs, _dd.minhash_lsh_pairs_sql(), "dedup_minhash_lsh_pairs")
+_doc_query(_dd.simhash, _dd.simhash_sql(), "dedup_simhash")
+_doc_query(_dd.ngram_jaccard_pairs, _dd.ngram_jaccard_pairs_sql(), "dedup_ngram_jaccard_pairs")
+_doc_query(_mm.multimodal_extract, _mm.multimodal_extract_sql(), "multimodal_extract")
+_emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_bruteforce_topk")
+_emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
+_emb_query(_sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), "embedding_neardup_pairs")
