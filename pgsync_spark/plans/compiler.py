@@ -106,8 +106,15 @@ class CompiledDoc:
 
 
 class TreeCompiler:
-    def __init__(self, catalog: Catalog):
+    def __init__(self, catalog: Catalog, root_keys: DataFrame | None = None):
+        """``root_keys``: optional DataFrame of root PK values — the root
+        scan is left_semi-joined against it immediately, so the whole
+        tree recomputes only for those keys (the incremental engine's
+        recompute-by-key path, ref: pgsync/sync.py:1345-1493 re-entering
+        sync(filters=...)). A broadcast semi-join replaces the
+        reference's chunked IN-list filters — the scale-correct form."""
         self.catalog = catalog
+        self.root_keys = root_keys
         self._ids = itertools.count()
 
     # ------------------------------------------------------------------
@@ -223,6 +230,10 @@ class TreeCompiler:
             child_plans.append((ch, fk, parent_cols))
 
         df, specs = self._base_df(node, extra | child_extra)
+        if node.parent is None and self.root_keys is not None:
+            pks = list(self.catalog.primary_key(node.table, node))
+            keys = self.root_keys.toDF(*pks).dropDuplicates()
+            df = df.join(F.broadcast(keys), on=pks, how="left_semi")
         fields = self._payload_fields(node, specs)
 
         # own key lineage: one single-element array per PK column

@@ -42,11 +42,18 @@ class OracleCompiler:
         tables: dict[str, TableMeta],
         columns_of: Callable[[str], list[str]],
         column_type_of: Callable[[str, str], str],
+        table_names: dict[str, str] | None = None,
     ):
         self.tables = tables
         self.columns_of = columns_of
         self.column_type_of = column_type_of  # returns 'timestamp'|'date'|other
+        # physical-name remapping (e.g. mutated CTEs for incremental
+        # oracles); document labels / _meta keys keep the logical name
+        self.table_names = table_names or {}
         self._ids = itertools.count()
+
+    def _t(self, table: str) -> str:
+        return _q(self.table_names.get(table, table))
 
     # -- helpers -------------------------------------------------------
     def _pks(self, node: Node) -> list[str]:
@@ -155,7 +162,7 @@ class OracleCompiler:
             f"{a}.{_q(cc)} = {parent_alias}.{_q(pc)}"
             for pc, cc in zip(fk.parent, fk.child)
         )
-        tbl = _q(node.table)
+        tbl = self._t(node.table)
         if node.relationship.type == ONE_TO_MANY:
             if node.relationship.variant == SCALAR and len(node.columns) == 1 and not node.children:
                 value = fields[0][1]
@@ -194,12 +201,12 @@ class OracleCompiler:
             value = fields[0][1]
             return (
                 f"(SELECT to_json(list({value} ORDER BY {value} ASC NULLS LAST))"
-                f" FROM {_q(through)} {t} JOIN {_q(node.table)} {a} ON {join} WHERE {where})"
+                f" FROM {self._t(through)} {t} JOIN {self._t(node.table)} {a} ON {join} WHERE {where})"
             )
         order = f"CAST({self._json_object(fields)} AS VARCHAR)"
         return (
             f"(SELECT to_json(list({self._json_object(fields)} ORDER BY {order}))"
-            f" FROM {_q(through)} {t} JOIN {_q(node.table)} {a} ON {join} WHERE {where})"
+            f" FROM {self._t(through)} {t} JOIN {self._t(node.table)} {a} ON {join} WHERE {where})"
         )
 
     # -- _meta ---------------------------------------------------------
@@ -219,9 +226,9 @@ class OracleCompiler:
             parts = []
             for i, (tbl, al, cond) in enumerate(chain):
                 if i == 0:
-                    parts.append(f"{_q(tbl)} {al}")
+                    parts.append(f"{self._t(tbl)} {al}")
                 else:
-                    parts.append(f"JOIN {_q(tbl)} {al} ON {cond}")
+                    parts.append(f"JOIN {self._t(tbl)} {al} ON {cond}")
             return " ".join(parts)
 
         def walk(node: Node, chain: list[tuple[str, str, str]]):
@@ -308,7 +315,7 @@ class OracleCompiler:
         parts.extend(fields)
         doc = f"CAST({self._json_object(parts)} AS VARCHAR)"
         return (
-            f"SELECT {id_expr} AS _id, {doc} AS doc FROM {_q(root.table)} r"
+            f"SELECT {id_expr} AS _id, {doc} AS doc FROM {self._t(root.table)} r"
         )
 
 
@@ -318,7 +325,8 @@ def oracle_doc_sql(
     columns_of: Callable[[str], list[str]],
     column_type_of: Callable[[str, str], str],
     include_meta: bool = True,
+    table_names: dict[str, str] | None = None,
 ) -> str:
-    return OracleCompiler(tables, columns_of, column_type_of).compile(
+    return OracleCompiler(tables, columns_of, column_type_of, table_names).compile(
         tree, include_meta=include_meta
     )

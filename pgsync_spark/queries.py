@@ -378,3 +378,130 @@ _doc_query(_mm.multimodal_extract, _mm.multimodal_extract_sql(), "multimodal_ext
 _emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_bruteforce_topk")
 _emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
 _emb_query(_sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), "embedding_neardup_pairs")
+
+
+# ---------------------------------------------------------------------------
+# Incremental engine + plugin chain, hash-verified (SURVEY §2.7/§2.8):
+# the oracle recomputes docs from MUTATED table views (CTEs), proving the
+# event-driven path converges to the batch answer.
+# ---------------------------------------------------------------------------
+
+NEW_ORDER_KEY = 10_000_000
+
+_INCR_ORACLE_CTES = """
+WITH orders_mut AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 101 = 0 THEN '9-INC' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT 10000000, 1, 'N', 123.45, TIMESTAMP '2025-01-01 00:00:00', '1-URGENT'
+),
+customer_mut AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 50 = 0 THEN 'INC_' || c_name ELSE c_name END AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+)
+"""
+
+
+def _incremental_events(spark, cat: Catalog) -> list[dict]:
+    """Deterministic CDC batch derived from the snapshot itself (the
+    driver-side collects here only BUILD test events; the engine itself
+    never collects)."""
+    orders = cat.df("orders")
+    upd = (
+        orders.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0))
+        .collect()
+    )
+    dele = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey").collect()
+    cust = cat.df("customer").filter(F.col("c_custkey") % 50 == 0).collect()
+    events: list[dict] = []
+    for r in upd:
+        d = r.asDict()
+        new = dict(d, o_orderpriority="9-INC")
+        events.append(
+            {"op": "UPDATE", "table": "orders", "old": {"o_orderkey": d["o_orderkey"]},
+             "new": new, "txid": 1}
+        )
+    for r in dele:
+        events.append(
+            {"op": "DELETE", "table": "orders", "old": {"o_orderkey": r["o_orderkey"]},
+             "txid": 2}
+        )
+    events.append(
+        {"op": "INSERT", "table": "orders",
+         "new": {"o_orderkey": NEW_ORDER_KEY, "o_custkey": 1, "o_orderstatus": "N",
+                 "o_totalprice": 123.45, "o_orderdate": "2025-01-01 00:00:00",
+                 "o_orderpriority": "1-URGENT"}, "txid": 3}
+    )
+    for r in cust:
+        d = r.asDict()
+        events.append(
+            {"op": "UPDATE", "table": "customer", "old": {"c_custkey": d["c_custkey"]},
+             "new": dict(d, c_name="INC_" + d["c_name"]), "txid": 4}
+        )
+    return events
+
+
+def incremental_orders_docs(spark, sf_dir):
+    """Full sync + one mixed CDC batch (updates, deletes, insert, deep
+    child rename) through the incremental engine; returns the maintained
+    doc store. The oracle is the batch recompute over mutated views."""
+    from .streaming import IncrementalEngine, payloads_from_rows
+
+    cat = Catalog(spark, sf_dir)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    eng.process_batch(payloads_from_rows(spark, _incremental_events(spark, cat)))
+    return eng.docs.select("_id", "doc")
+
+
+REGISTRY["incremental_orders_docs"] = QueryDef(
+    fn=incremental_orders_docs,
+    oracle=_INCR_ORACLE_CTES
+    + oracle_doc_sql(
+        schemas.tree("orders_full"),
+        TPCH_TABLES,
+        schemas.columns_of,
+        schemas.column_type_of,
+        table_names={"orders": "orders_mut", "customer": "customer_mut"},
+    ),
+)
+
+
+# plugin chain over the flagship docs (ref: pgsync/plugin.py) — adds a
+# computed field and drops every 500th doc, reproduced in SQL by string
+# splicing the denorm oracle's JSON
+class _PriorityFlagPlugin:
+    name = "priority_flag"
+
+    def transform(self, doc, _id, _index):
+        if int(_id) % 500 == 0:
+            return None  # falsy → drop (ref plugin contract)
+        doc["priority_flag"] = doc["o_orderpriority"].startswith("1")
+        return doc
+
+
+def plugin_chain_docs(spark, sf_dir):
+    from .plugin import apply_plugins
+
+    docs = REGISTRY["denorm_orders_full"].fn(spark, sf_dir)
+    return apply_plugins(docs, [_PriorityFlagPlugin()], index="orders")
+
+
+_plugin_oracle_inner = oracle_doc_sql(
+    schemas.tree("orders_full"), TPCH_TABLES, schemas.columns_of, schemas.column_type_of
+)
+REGISTRY["plugin_chain_docs"] = QueryDef(
+    fn=plugin_chain_docs,
+    oracle=f"""
+        SELECT _id,
+               substring(doc, 1, length(doc) - 1) || ',"priority_flag":' ||
+               CASE WHEN json_extract_string(doc, '$.o_orderpriority') LIKE '1%'
+                    THEN 'true' ELSE 'false' END || '}}' AS doc
+        FROM ({_plugin_oracle_inner})
+        WHERE CAST(_id AS BIGINT) % 500 <> 0
+    """,
+)

@@ -1,0 +1,2 @@
+from .cdc import CDC_SCHEMA, TableMaterializer, payloads_from_rows  # noqa: F401
+from .incremental import IncrementalEngine  # noqa: F401

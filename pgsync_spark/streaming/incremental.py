@@ -1,0 +1,251 @@
+"""Incremental view maintenance: CDC events → recompute affected docs.
+
+This is the reference's one genuinely novel engine piece (SURVEY §4 #5):
+a child-table event does not patch documents in place — it resolves the
+set of AFFECTED ROOT keys and re-runs the full tree query restricted to
+those keys, then upserts/deletes in the sink
+(ref: pgsync/sync.py:1345-1493 _payloads → op handlers → sync(filters)).
+
+Spark-first shape of each reference mechanism:
+
+- reverse ``_meta`` search of the sink (ref: pgsync/search_client.py:
+  218-251, sync.py:835-1011) → a maintained **lineage DataFrame**
+  ``(table, pk_col, pk_value, _id)`` exploded from the compiled docs'
+  key arrays; old-image lookups are joins against it. Composite keys
+  match per-column — a superset of the true affected set, safe because
+  recompute is idempotent.
+- FK-math resolvers for new images (ref: _root_foreign_key_resolver,
+  _through_node_resolver) → precomputed join chains from each node's
+  table up to the root, executed against the current snapshots.
+- chunked IN-list re-sync filters (FILTER_CHUNK_SIZE=5000,
+  ref: pgsync/sync.py:1464-1493) → one broadcast left_semi join
+  (TreeCompiler root_keys) — no chunking needed at any scale.
+- op decision table (ref: _insert_op/_update_op/_delete_op/_truncate_op
+  pgsync/sync.py:1116-1343): INSERT/UPDATE/DELETE resolve old images via
+  lineage and new images via FK chains (covers root PK change: old doc
+  id drops out, new id recomputes — ref: sync.py:1194-1225); TRUNCATE of
+  a child marks every doc referencing the table, TRUNCATE of the root
+  empties the store.
+
+Each batch ends with ``localCheckpoint`` on the stores: across many
+micro-batches the lineage of union-of-unions plans grows without bound
+otherwise. On a cluster this is a checkpoint dir / Delta table; the
+semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..node import Node, Tree
+from ..plans.compiler import TreeCompiler
+from ..plans.docs import assemble_docs, id_column
+from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
+
+
+def lineage_df(compiled) -> DataFrame:
+    """(table, pk_col, pk_value, _id) — the reverse index that replaces
+    the reference's ES ``_meta`` terms search."""
+    parts = []
+    idc = id_column(compiled.root_pks).alias("_id")
+    for (table, pk), colname in sorted(compiled.keys_cols.items()):
+        parts.append(
+            compiled.df.select(
+                F.lit(table).alias("table"),
+                F.lit(pk).alias("pk_col"),
+                F.explode(F.col(colname)).alias("pk_value_raw"),
+                idc,
+            ).select(
+                "table",
+                "pk_col",
+                F.col("pk_value_raw").cast("string").alias("pk_value"),
+                "_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+class IncrementalEngine:
+    """Maintains (docs, lineage) for one Tree against a mutable Catalog."""
+
+    def __init__(self, spark, tree: Tree, catalog: Catalog):
+        self.spark = spark
+        self.tree = tree
+        self.catalog = catalog
+        self.materializer = TableMaterializer(catalog)
+        self.root_pks = list(catalog.primary_key(tree.root.table, tree.root))
+        self._chains = self._build_chains(tree)
+        self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
+        self.lineage: DataFrame | None = None
+
+    # -- full (initial) sync ------------------------------------------
+    def full_sync(self) -> DataFrame:
+        compiled = TreeCompiler(self.catalog).compile(self.tree)
+        docs = assemble_docs(compiled)
+        keys = compiled.df.select(
+            id_column(compiled.root_pks).alias("_id"), *self.root_pks
+        )
+        self.docs = docs.join(keys, "_id").localCheckpoint(eager=True)
+        self.lineage = lineage_df(compiled).localCheckpoint(eager=True)
+        return self.docs
+
+    # -- resolution chains --------------------------------------------
+    def _build_chains(self, tree: Tree):
+        """table → list of join chains. A chain is a list of hops
+        (child_cols, parent_table, parent_cols) walking up to the root;
+        the event's own table contributes the first hop's child cols.
+        Tables appearing at several tree positions get several chains."""
+        chains: dict[str, list[list[tuple]]] = {}
+
+        def add(table: str, chain: list[tuple]):
+            chains.setdefault(table, []).append(chain)
+
+        def walk(node: Node, up: list[tuple]):
+            # `up` = hops from node's PARENT to root
+            for ch in node.children:
+                if ch.relationship.through_tables:
+                    through = ch.relationship.through_tables[0]
+                    fk_p = self.catalog.foreign_key(node.table, through)
+                    fk_c = self.catalog.foreign_key(ch.table, through)
+                    through_hop = [(tuple(fk_p.child), node.table, tuple(fk_p.parent))] + up
+                    add(through, through_hop)
+                    add(
+                        ch.table,
+                        [(tuple(fk_c.parent), through, tuple(fk_c.child))] + through_hop,
+                    )
+                    walk(ch, [(tuple(fk_c.parent), through, tuple(fk_c.child))] + through_hop)
+                else:
+                    fk = self.catalog.resolve_fk(node, ch)
+                    hop = [(tuple(fk.child), node.table, tuple(fk.parent))] + up
+                    add(ch.table, hop)
+                    walk(ch, hop)
+
+        add(tree.root.table, [])
+        walk(tree.root, [])
+        return chains
+
+    def _resolve_new_images(self, events: DataFrame) -> DataFrame | None:
+        """Affected root keys from INSERT/UPDATE new images, by joining
+        up the FK chains against the current snapshots."""
+        outs = []
+        for table, chains in self._chains.items():
+            ev = events.filter(
+                (F.col("table") == table) & F.col("op").isin(INSERT, UPDATE)
+            )
+            snap = self.catalog.df(table)
+            for chain in chains:
+                if not chain:  # root events: pks straight from the image
+                    vals = _typed_image(ev, "new", snap, self.root_pks)
+                    outs.append(vals)
+                    continue
+                first_child_cols = list(chain[0][0])
+                cur = _typed_image(ev, "new", snap, first_child_cols).dropDuplicates()
+                for idx, (child_cols, parent_table, parent_cols) in enumerate(chain):
+                    psnap = self.catalog.df(parent_table)
+                    cond = None
+                    for cc, pc in zip(child_cols, parent_cols):
+                        c = cur[cc] == psnap[pc]
+                        cond = c if cond is None else (cond & c)
+                    joined = psnap.join(F.broadcast(cur), cond, "inner")
+                    if idx + 1 == len(chain):  # reached the root table
+                        cur = joined.select(
+                            *[psnap[c] for c in self.root_pks]
+                        ).dropDuplicates()
+                    else:  # next hop's child cols live on this parent
+                        cur = joined.select(
+                            *[psnap[c] for c in chain[idx + 1][0]]
+                        ).dropDuplicates()
+                outs.append(cur.toDF(*self.root_pks))
+        if not outs:
+            return None
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.dropDuplicates()
+
+    def _resolve_old_images(self, events: DataFrame) -> DataFrame:
+        """Affected doc _ids from old images / deletes / truncates via the
+        lineage reverse index."""
+        ev = events.filter(F.col("op").isin(UPDATE, DELETE))
+        pairs = ev.select(
+            F.col("table"), F.explode(F.col("old")).alias("pk_col", "pk_value")
+        )
+        trunc_tables = events.filter(F.col("op") == TRUNCATE).select("table")
+        by_keys = self.lineage.join(
+            F.broadcast(pairs), on=["table", "pk_col", "pk_value"], how="left_semi"
+        ).select("_id")
+        by_trunc = self.lineage.join(
+            F.broadcast(trunc_tables), on=["table"], how="left_semi"
+        ).select("_id")
+        return by_keys.unionByName(by_trunc).dropDuplicates()
+
+    # -- one batch -----------------------------------------------------
+    def process_batch(self, events: DataFrame) -> None:
+        """foreachBatch body: filter → materialize → resolve → recompute
+        → upsert/delete → maintain lineage."""
+        tree_tables = self.tree.tables()
+        events = events.filter(F.col("table").isin(*tree_tables))
+        if events.limit(1).count() == 0:
+            return
+
+        # TRUNCATE of the root empties everything (ref: _truncate_op)
+        root_trunc = (
+            events.filter(
+                (F.col("op") == TRUNCATE) & (F.col("table") == self.tree.root.table)
+            ).limit(1).count()
+            > 0
+        )
+
+        affected_ids = self._resolve_old_images(events)
+        self.materializer.apply(events)
+        new_keys = self._resolve_new_images(events)
+
+        if root_trunc:
+            self.docs = self.docs.limit(0).localCheckpoint(eager=True)
+            self.lineage = self.lineage.limit(0).localCheckpoint(eager=True)
+            return
+
+        # ids for recompute = old-image matches ∪ ids of new-image keys
+        key_ids = None
+        if new_keys is not None:
+            key_ids = new_keys.select(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
+                    "_id"
+                )
+            )
+            affected_ids = affected_ids.unionByName(key_ids).dropDuplicates()
+
+        # recompute those roots from the CURRENT snapshots
+        affected_keys = (
+            self.docs.join(F.broadcast(affected_ids), "_id", "left_semi")
+            .select(*self.root_pks)
+        )
+        if new_keys is not None:
+            affected_keys = affected_keys.unionByName(new_keys).dropDuplicates()
+
+        compiled = TreeCompiler(self.catalog, root_keys=affected_keys).compile(self.tree)
+        new_docs = assemble_docs(compiled).join(
+            compiled.df.select(
+                id_column(compiled.root_pks).alias("_id"), *self.root_pks
+            ),
+            "_id",
+        )
+        new_lineage = lineage_df(compiled)
+
+        # upsert + implicit delete: affected docs that did not recompute
+        # (root row gone) simply don't come back (ref: _delete_op)
+        self.docs = (
+            self.docs.join(F.broadcast(affected_ids), "_id", "left_anti")
+            .unionByName(new_docs)
+            .localCheckpoint(eager=True)
+        )
+        self.lineage = (
+            self.lineage.join(F.broadcast(affected_ids), "_id", "left_anti")
+            .unionByName(new_lineage)
+            .localCheckpoint(eager=True)
+        )

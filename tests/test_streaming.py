@@ -1,0 +1,120 @@
+"""Structured Streaming wrapper + plugin + sink tests."""
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pgsync_spark import Catalog, TreeCompiler, schemas
+from pgsync_spark.plugin import Plugin, apply_plugins
+from pgsync_spark.sinks import build_index_mapping, write_jsonl
+from pgsync_spark.plans.docs import assemble_structured
+from pgsync_spark.streaming import IncrementalEngine
+from pgsync_spark.streaming.stream import start_cdc_stream
+
+from conftest import SF_DIR
+
+
+def test_cdc_stream_files(spark):
+    """JSON files → readStream → foreachBatch(process_batch): docs
+    converge to full recompute, offsets checkpointed."""
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    with tempfile.TemporaryDirectory() as tmp:
+        events_dir = os.path.join(tmp, "events")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(events_dir)
+        # two event files = at least two micro-batches (maxFilesPerTrigger=1)
+        with open(os.path.join(events_dir, "b1.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "op": "UPDATE",
+                        "schema": "public",
+                        "table": "orders",
+                        "old": {"o_orderkey": "7"},
+                        "new": {
+                            "o_orderkey": "7",
+                            "o_custkey": "85",
+                            "o_orderstatus": "F",
+                            "o_totalprice": "1.25",
+                            "o_orderdate": "1997-01-15 00:00:00",
+                            "o_orderpriority": "STREAMED",
+                        },
+                        "txid": 1,
+                    }
+                )
+            )
+        with open(os.path.join(events_dir, "b2.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "op": "DELETE",
+                        "schema": "public",
+                        "table": "orders",
+                        "old": {"o_orderkey": "8"},
+                        "new": {},
+                        "txid": 2,
+                    }
+                )
+            )
+        q = start_cdc_stream(spark, eng, events_dir, ckpt, max_files_per_trigger=1)
+        q.processAllAvailable()
+        q.stop()
+    assert "STREAMED" in eng.docs.filter(F.col("_id") == "7").collect()[0]["doc"]
+    assert eng.docs.filter(F.col("_id") == "8").count() == 0
+    full = TreeCompiler(eng.catalog).compile_docs(schemas.tree("orders_full"))
+    assert eng.docs.select("_id", "doc").subtract(full).count() == 0
+
+
+class _Upper(Plugin):
+    name = "upper"
+
+    def transform(self, doc, _id, _index):
+        doc["o_orderstatus"] = doc["o_orderstatus"].upper()
+        return doc
+
+
+class _DropAll(Plugin):
+    name = "drop"
+
+    def transform(self, doc, _id, _index):
+        return None
+
+
+def test_plugin_chain_order_and_drop(spark):
+    docs = TreeCompiler(Catalog(spark, SF_DIR)).compile_docs(
+        schemas.tree("root_only")
+    )
+    out = apply_plugins(docs, [_Upper()], index="orders")
+    assert out.count() == docs.count()
+    assert apply_plugins(docs, [_Upper(), _DropAll()], index="orders").count() == 0
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    docs = TreeCompiler(Catalog(spark, SF_DIR)).compile_docs(
+        schemas.tree("root_only")
+    )
+    path = str(tmp_path / "out")
+    write_jsonl(docs, path)
+    back = spark.read.text(path)
+    assert back.count() == docs.count()
+    row = json.loads(back.limit(1).collect()[0]["value"])
+    assert "_id" in row and "_source" in row and "_meta" in row["_source"]
+
+
+def test_index_mapping_generation(spark):
+    tree = schemas.tree("orders_full")
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(tree)
+    structured = assemble_structured(compiled)
+    mapping = build_index_mapping(tree, structured.schema)
+    props = mapping["mappings"]["properties"]
+    assert props["o_totalprice"] == {"type": "double"}
+    assert props["o_orderdate"] == {"type": "text"}  # canonicalized string
+    assert "properties" in props["customer"]
+    assert props["customer"]["properties"]["nation"]["properties"]["n_name"] == {
+        "type": "text"
+    }
+    assert props["lineitems"]["properties"]["l_quantity"] == {"type": "double"}
