@@ -28,6 +28,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "multimodal_extract",
+    "events_sessionize",
+    "incremental_orders_docs",
 ]
 
 

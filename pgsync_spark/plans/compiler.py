@@ -106,15 +106,27 @@ class CompiledDoc:
 
 
 class TreeCompiler:
-    def __init__(self, catalog: Catalog, root_keys: DataFrame | None = None):
+    def __init__(
+        self,
+        catalog: Catalog,
+        root_keys: DataFrame | None = None,
+        root_filters: list[dict] | None = None,
+    ):
         """``root_keys``: optional DataFrame of root PK values — the root
         scan is left_semi-joined against it immediately, so the whole
         tree recomputes only for those keys (the incremental engine's
         recompute-by-key path, ref: pgsync/sync.py:1345-1493 re-entering
         sync(filters=...)). A broadcast semi-join replaces the
-        reference's chunked IN-list filters — the scale-correct form."""
+        reference's chunked IN-list filters — the scale-correct form.
+
+        ``root_filters``: literal filter clauses in the reference's spec
+        (list=OR of dict=AND, ref: pgsync/querybuilder.py:100-132),
+        applied at the root scan only — the reference's filter-placement
+        rule (ref: querybuilder.py:469-471); Catalyst pushes the
+        predicate into the parquet scan."""
         self.catalog = catalog
         self.root_keys = root_keys
+        self.root_filters = root_filters
         self._ids = itertools.count()
 
     # ------------------------------------------------------------------
@@ -234,6 +246,10 @@ class TreeCompiler:
             pks = list(self.catalog.primary_key(node.table, node))
             keys = self.root_keys.toDF(*pks).dropDuplicates()
             df = df.join(F.broadcast(keys), on=pks, how="left_semi")
+        if node.parent is None and self.root_filters:
+            from ..operators.filters import build_filters
+
+            df = df.filter(build_filters(self.root_filters))
         fields = self._payload_fields(node, specs)
 
         # own key lineage: one single-element array per PK column

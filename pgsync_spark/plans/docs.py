@@ -47,17 +47,24 @@ def meta_column(compiled: CompiledDoc) -> F.Column:
     return F.struct(*meta_fields).alias("_meta")
 
 
-def assemble_docs(compiled: CompiledDoc, include_meta: bool = True) -> DataFrame:
-    """Final (_id, doc) DataFrame with canonical compact JSON docs."""
+def assemble_docs(
+    compiled: CompiledDoc,
+    include_meta: bool = True,
+    include_pks: bool = False,
+) -> DataFrame:
+    """Final (_id, doc[, *root_pks]) DataFrame with canonical compact
+    JSON docs. ``include_pks`` rides the typed root keys along in the
+    same projection (the incremental engine's doc store) — no re-join."""
     source_fields = [F.col(f"__f_{n}").alias(n) for n in compiled.field_names]
     parts = []
     if include_meta:
         parts.append(meta_column(compiled))
     parts.extend(source_fields)
     doc = F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
-    return compiled.df.select(
-        id_column(compiled.root_pks).alias("_id"), doc.alias("doc")
-    )
+    cols = [id_column(compiled.root_pks).alias("_id"), doc.alias("doc")]
+    if include_pks:
+        cols.extend(F.col(pk) for pk in compiled.root_pks)
+    return compiled.df.select(*cols)
 
 
 def assemble_structured(compiled: CompiledDoc, include_meta: bool = True) -> DataFrame:

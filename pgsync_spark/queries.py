@@ -505,3 +505,74 @@ REGISTRY["plugin_chain_docs"] = QueryDef(
         WHERE CAST(_id AS BIGINT) % 500 <> 0
     """,
 )
+
+
+# filtered denormalization: the reference's root-filter placement rule
+# (filters only at the root subquery, ref: pgsync/querybuilder.py:469-471)
+_DENORM_FILTERS = [
+    {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+    {"o_orderstatus": "P"},
+]
+
+
+def denorm_orders_filtered(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    return TreeCompiler(cat, root_filters=_DENORM_FILTERS).compile_docs(
+        schemas.tree("orders_lineitems")
+    )
+
+
+REGISTRY["denorm_orders_filtered"] = QueryDef(
+    fn=denorm_orders_filtered,
+    oracle=oracle_doc_sql(
+        schemas.tree("orders_lineitems"),
+        TPCH_TABLES,
+        schemas.columns_of,
+        schemas.column_type_of,
+    )
+    + " WHERE "
+    + filters_to_sql(_DENORM_FILTERS),
+)
+
+
+@register(
+    "events_sessionize",
+    """WITH gaps AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       sess AS (
+         SELECT user_id, event_id,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM gaps
+       )
+       SELECT user_id, session_no, COUNT(*) AS n_events,
+              MIN(event_id) AS first_event, MAX(event_id) AS last_event
+       FROM sess GROUP BY user_id, session_no""",
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch shape of streaming session_window; deterministic tiebreak
+    on event_id. Beyond-reference operator for the event stream table."""
+    df = Catalog(spark, sf_dir).df("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        1,
+    ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    return (
+        df.withColumn("is_new", gap)
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )

@@ -241,6 +241,31 @@ TREE_CONFIGS: dict[str, dict] = {
             },
         },
     },
+    # self-referential tree (reference: examples/node/schema.json) —
+    # nation's n_regionkey treated as a parent pointer via explicit FK;
+    # exercises same-table alias handling and dual lineage-key merging
+    "nation_selfref": {
+        "index": "nation",
+        "nodes": {
+            "table": "nation",
+            "columns": ["n_nationkey", "n_name"],
+            "children": [
+                {
+                    "table": "nation",
+                    "label": "sub_nations",
+                    "columns": ["n_nationkey", "n_name", "n_regionkey"],
+                    "relationship": {
+                        "type": "one_to_many",
+                        "variant": "object",
+                        "foreign_key": {
+                            "parent": ["n_nationkey"],
+                            "child": ["n_regionkey"],
+                        },
+                    },
+                }
+            ],
+        },
+    },
     # JSON path projection on a JSON string column
     # (ref: pgsync/node.py:197-303 '->' operators)
     "events_json_path": {

@@ -86,12 +86,14 @@ class IncrementalEngine:
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
         compiled = TreeCompiler(self.catalog).compile(self.tree)
-        docs = assemble_docs(compiled)
-        keys = compiled.df.select(
-            id_column(compiled.root_pks).alias("_id"), *self.root_pks
+        # the compiled frame fans out into docs + keys + one lineage
+        # select per (table, pk) — persist so the denorm plan runs once
+        compiled.df.persist()
+        self.docs = assemble_docs(compiled, include_pks=True).localCheckpoint(
+            eager=True
         )
-        self.docs = docs.join(keys, "_id").localCheckpoint(eager=True)
         self.lineage = lineage_df(compiled).localCheckpoint(eager=True)
+        compiled.df.unpersist()
         return self.docs
 
     # -- resolution chains --------------------------------------------
@@ -210,6 +212,10 @@ class IncrementalEngine:
             self.lineage = self.lineage.limit(0).localCheckpoint(eager=True)
             return
 
+        affected_ids = affected_ids.localCheckpoint(eager=True)  # 3 consumers
+        if new_keys is not None:
+            new_keys = new_keys.localCheckpoint(eager=True)
+
         # ids for recompute = old-image matches ∪ ids of new-image keys
         key_ids = None
         if new_keys is not None:
@@ -227,14 +233,11 @@ class IncrementalEngine:
         )
         if new_keys is not None:
             affected_keys = affected_keys.unionByName(new_keys).dropDuplicates()
+        affected_keys = affected_keys.localCheckpoint(eager=True)
 
         compiled = TreeCompiler(self.catalog, root_keys=affected_keys).compile(self.tree)
-        new_docs = assemble_docs(compiled).join(
-            compiled.df.select(
-                id_column(compiled.root_pks).alias("_id"), *self.root_pks
-            ),
-            "_id",
-        )
+        compiled.df.persist()  # fans out into docs + lineage selects
+        new_docs = assemble_docs(compiled, include_pks=True)
         new_lineage = lineage_df(compiled)
 
         # upsert + implicit delete: affected docs that did not recompute
@@ -249,3 +252,4 @@ class IncrementalEngine:
             .unionByName(new_lineage)
             .localCheckpoint(eager=True)
         )
+        compiled.df.unpersist()
