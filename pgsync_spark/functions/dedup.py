@@ -27,17 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import (
-    MERSENNE_P,
     combine_shingles,
     combine_shingles_sql,
-    round6,
-    round6_sql,
     h32,
     h32_sql,
     perm,
     perm_sql,
-    shingles,
-    shingles_sql,
+    round6,
+    round6_sql,
     tokens,
     tokens_sql,
 )

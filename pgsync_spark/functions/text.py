@@ -96,13 +96,7 @@ def lang_id(df: DataFrame) -> DataFrame:
 
 def lang_id_sql() -> str:
     tok = f"list_distinct({tokens_sql('text')})"
-    score_cols = ", ".join(
-        f"len(list_intersect(toks, {[w for w in ws]!r}[]::VARCHAR[])) AS score_{lang}".replace(
-            "'", "'"
-        )
-        for lang, ws in STOPWORDS.items()
-    )
-    # build literal lists: ['the','and',...]
+    # literal lists: ['the','and',...]
     score_cols = ", ".join(
         "len(list_intersect(toks, ["
         + ", ".join("'" + w.replace("'", "''") + "'" for w in ws)

@@ -576,3 +576,25 @@ def events_sessionize(spark, sf_dir):
             F.max("event_id").alias("last_event"),
         )
     )
+
+
+@register(
+    "text_token_bpe",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+              len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_uniq_bpe
+       FROM documents""",
+)
+def text_token_bpe(spark, sf_dir):
+    """BPE-ish subword token counting: alpha runs, digit runs, and
+    single punctuation as separate tokens (regex identical in both
+    engines — plain character classes only)."""
+    df = Catalog(spark, sf_dir).df("documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_bpe"),
+    )

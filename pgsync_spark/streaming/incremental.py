@@ -82,6 +82,10 @@ class IncrementalEngine:
         self._chains = self._build_chains(tree)
         self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
         self.lineage: DataFrame | None = None
+        # ops counters (the reference's status loop analog,
+        # ref: pgsync/sync.py:2084-2112)
+        self.stats = {"batches": 0, "events": 0, "recomputed_docs": 0}
+        self.checkpoint: int | None = None  # highest txid applied
 
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
@@ -187,13 +191,36 @@ class IncrementalEngine:
         return by_keys.unionByName(by_trunc).dropDuplicates()
 
     # -- one batch -----------------------------------------------------
-    def process_batch(self, events: DataFrame) -> None:
+    def process_batch(
+        self,
+        events: DataFrame,
+        txmin: int | None = None,
+        txmax: int | None = None,
+    ) -> None:
         """foreachBatch body: filter → materialize → resolve → recompute
-        → upsert/delete → maintain lineage."""
+        → upsert/delete → maintain lineage.
+
+        ``txmin``/``txmax`` bound the transaction window: only events
+        with ``txmin <= txid < txmax`` apply — the reference's snapshot
+        window predicate (ref: pgsync/querybuilder.py:446-467,
+        base.py:734-749) expressed on the CDC log. The engine checkpoint
+        advances to the highest applied txid
+        (ref: pgsync/sync.py:1890-1893)."""
         tree_tables = self.tree.tables()
         events = events.filter(F.col("table").isin(*tree_tables))
-        if events.limit(1).count() == 0:
+        if txmin is not None:
+            events = events.filter(F.col("txid") >= txmin)
+        if txmax is not None:
+            events = events.filter(F.col("txid") < txmax)
+        agg = events.agg(
+            F.count(F.lit(1)).alias("n"), F.max("txid").alias("mx")
+        ).collect()[0]
+        if agg["n"] == 0:
             return
+        self.stats["batches"] += 1
+        self.stats["events"] += agg["n"]
+        if agg["mx"] is not None:
+            self.checkpoint = max(self.checkpoint or 0, agg["mx"])
 
         # TRUNCATE of the root empties everything (ref: _truncate_op)
         root_trunc = (
@@ -239,6 +266,7 @@ class IncrementalEngine:
         compiled.df.persist()  # fans out into docs + lineage selects
         new_docs = assemble_docs(compiled, include_pks=True)
         new_lineage = lineage_df(compiled)
+        self.stats["recomputed_docs"] += new_docs.count()
 
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op)

@@ -35,11 +35,15 @@ def start_cdc_stream(
     events_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
+    poll_interval: str | None = None,
 ) -> StreamingQuery:
     """Stream JSON CDC events from a directory into the engine.
 
     ``maxFilesPerTrigger`` bounds micro-batch size — the analog of the
     reference's LOGICAL_SLOT_CHUNK_SIZE paging (ref: settings.py:40).
+    ``poll_interval`` (e.g. "5 seconds") switches to a ProcessingTime
+    trigger — the reference's polling mode for read-only sources
+    (ref: pgsync/sync.py:2368-2382).
     """
     events = (
         spark.readStream.schema(CDC_SCHEMA)
@@ -50,8 +54,9 @@ def start_cdc_stream(
     def on_batch(batch_df, epoch_id: int):
         engine.process_batch(batch_df)
 
-    return (
-        events.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = events.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if poll_interval is not None:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()
