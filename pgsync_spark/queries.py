@@ -598,3 +598,121 @@ def text_token_bpe(spark, sf_dir):
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_bpe"),
     )
+
+
+@register(
+    "window_suite",
+    """SELECT o_custkey, o_orderkey,
+              ROW_NUMBER() OVER w AS rn,
+              RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS running_spend,
+              LAG(o_orderkey) OVER w AS prev_order
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def window_suite(spark, sf_dir):
+    """Analytic window functions (beyond-reference §2.5): row_number,
+    rank, exact running decimal sum, lag — deterministic tiebreaks."""
+    df = Catalog(spark, sf_dir).df("orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wr).alias("status_rank"),
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("string")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+              coalesce(l_linestatus, '<all>') AS linestatus,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (beyond-reference §2.4) with exact decimal
+    totals; null grouping keys coalesced for a stable hash."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("string").alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    """SELECT c_mktsegment,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c_mktsegment""",
+)
+def pivot_status_by_segment(spark, sf_dir):
+    """Pivot (beyond-reference): order-status counts per market segment.
+    Explicit pivot values keep the output schema static — required both
+    for the oracle and for plan stability at scale."""
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.df("orders"), cat.df("customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@register(
+    "salted_skew_join",
+    """SELECT l.l_orderkey, o.o_orderstatus,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS price_sum
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY l.l_orderkey, o.o_orderstatus""",
+)
+def salted_skew_join(spark, sf_dir):
+    """Skew-mitigation pattern: the fact side salts its join key
+    deterministically (pmod of a row hash), the dim side explodes into
+    all salt buckets; join on (key, salt) splits any hot key across
+    N_SALT reducers. Result is provably identical to the plain join (the
+    oracle IS the plain join). At 100 TB this is the manual fallback
+    when AQE skew handling isn't enough (e.g. one giant order)."""
+    N_SALT = 8
+    cat = Catalog(spark, sf_dir)
+    li = cat.df("lineitem").withColumn(
+        "__salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(N_SALT))
+    )
+    o = (
+        cat.df("orders")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+        .select("o_orderkey", "o_orderstatus", "__salt")
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li["__salt"] == o["__salt"]))
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(F.sum(_dec("l_extendedprice")).cast("string").alias("price_sum"))
+    )

@@ -1,0 +1,69 @@
+"""Persistent doc-store: parquet-backed state for the incremental engine.
+
+The reference persists its checkpoint (txid / binlog pos) to a file or
+Redis and the documents to the search index (ref: pgsync/sync.py:
+1581-1656). Here the engine's three state pieces — doc store, lineage
+reverse index, checkpoint — write to a versioned parquet layout:
+
+    <path>/v<N>/docs/ , <path>/v<N>/lineage/ , <path>/v<N>/state.json
+    <path>/CURRENT  ← atomic pointer file naming the live version
+
+A writer prepares v<N+1> completely, then swaps CURRENT (a one-line
+file write — atomic on POSIX). Readers resolve CURRENT first, so a
+crash mid-write never exposes a torn version. On a cluster the same
+layout works on any object store; Delta/Iceberg would subsume this with
+MERGE + time travel, but the engine semantics are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+
+class DocStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _current(self) -> int | None:
+        p = os.path.join(self.path, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def save(self, engine) -> int:
+        """Persist the engine's state as the next version and swap."""
+        version = (self._current() or 0) + 1
+        vdir = os.path.join(self.path, f"v{version}")
+        engine.docs.write.mode("overwrite").parquet(os.path.join(vdir, "docs"))
+        engine.lineage.write.mode("overwrite").parquet(
+            os.path.join(vdir, "lineage")
+        )
+        with open(os.path.join(vdir, "state.json"), "w") as f:
+            json.dump(
+                {"checkpoint": engine.checkpoint, "stats": engine.stats}, f
+            )
+        tmp = os.path.join(self.path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.path, "CURRENT"))
+        return version
+
+    def load(self, engine) -> bool:
+        """Restore state into an engine; returns False if nothing saved."""
+        version = self._current()
+        if version is None:
+            return False
+        vdir = os.path.join(self.path, f"v{version}")
+        engine.docs = self.spark.read.parquet(os.path.join(vdir, "docs"))
+        engine.lineage = self.spark.read.parquet(os.path.join(vdir, "lineage"))
+        with open(os.path.join(vdir, "state.json")) as f:
+            state = json.load(f)
+        engine.checkpoint = state.get("checkpoint")
+        engine.stats = state.get("stats", engine.stats)
+        return True

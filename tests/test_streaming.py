@@ -118,3 +118,41 @@ def test_index_mapping_generation(spark):
         "type": "text"
     }
     assert props["lineitems"]["properties"]["l_quantity"] == {"type": "double"}
+
+
+def test_docstore_save_restore_resume(spark, tmp_path):
+    """Persist engine state, restore into a fresh engine, resume with a
+    new batch — result equals a full recompute (restart durability)."""
+    from pgsync_spark.sinks.store import DocStore
+    from pgsync_spark.streaming import payloads_from_rows
+
+    tree = schemas.tree("orders_full")
+    cat = Catalog(spark, SF_DIR)
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    eng.process_batch(
+        payloads_from_rows(
+            spark,
+            [{"op": "DELETE", "table": "orders", "old": {"o_orderkey": 4}, "txid": 7}],
+        )
+    )
+    store = DocStore(spark, str(tmp_path / "store"))
+    v1 = store.save(eng)
+    assert v1 == 1
+
+    # fresh engine, restored state, SAME catalog (snapshots) — resume
+    eng2 = IncrementalEngine(spark, tree, cat)
+    assert store.load(eng2)
+    assert eng2.checkpoint == 7
+    assert eng2.docs.filter(F.col("_id") == "4").count() == 0
+    eng2.process_batch(
+        payloads_from_rows(
+            spark,
+            [{"op": "DELETE", "table": "orders", "old": {"o_orderkey": 6}, "txid": 8}],
+        )
+    )
+    full = TreeCompiler(eng2.catalog).compile_docs(tree)
+    assert eng2.docs.select("_id", "doc").subtract(full).count() == 0
+    assert full.subtract(eng2.docs.select("_id", "doc")).count() == 0
+    assert store.save(eng2) == 2
+    assert store._current() == 2
