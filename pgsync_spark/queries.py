@@ -716,3 +716,6 @@ def salted_skew_join(spark, sf_dir):
         .groupBy("l_orderkey", "o_orderstatus")
         .agg(F.sum(_dec("l_extendedprice")).cast("string").alias("price_sum"))
     )
+
+
+_doc_query(_dd.dedup_clusters, _dd.dedup_clusters_sql(), "dedup_clusters")

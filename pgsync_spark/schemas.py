@@ -275,6 +275,25 @@ TREE_CONFIGS: dict[str, dict] = {
             "columns": ["event_id", "event_type", "props->k"],
         },
     },
+    # '->>' / '#>' text-extraction variants of the JSON path operators
+    "events_json_text_path": {
+        "index": "events",
+        "nodes": {
+            "table": "events",
+            "columns": ["event_id", "props->>k"],
+            "label": "events_text",
+        },
+    },
+    # composite-PK root: _id = pks joined with '|'
+    # (ref: pgsync/sync.py:527-535; composite iteration
+    #  querybuilder.py:506-510)
+    "lineitem_composite_root": {
+        "index": "lineitem",
+        "nodes": {
+            "table": "lineitem",
+            "columns": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        },
+    },
 }
 
 

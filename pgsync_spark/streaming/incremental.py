@@ -86,6 +86,12 @@ class IncrementalEngine:
         # ref: pgsync/sync.py:2084-2112)
         self.stats = {"batches": 0, "events": 0, "recomputed_docs": 0}
         self.checkpoint: int | None = None  # highest txid applied
+        # delta-fragment maintenance: per batch only the (small) new
+        # fragments materialize; the anti-join∪union plan over the base
+        # store stays lazy and is compacted every N batches so plan
+        # depth stays bounded (Delta/Iceberg MERGE + OPTIMIZE analog)
+        self.compact_every = 8
+        self._since_compact = 0
 
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
@@ -266,18 +272,21 @@ class IncrementalEngine:
         compiled.df.persist()  # fans out into docs + lineage selects
         new_docs = assemble_docs(compiled, include_pks=True)
         new_lineage = lineage_df(compiled)
-        self.stats["recomputed_docs"] += new_docs.count()
 
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op)
-        self.docs = (
-            self.docs.join(F.broadcast(affected_ids), "_id", "left_anti")
-            .unionByName(new_docs)
-            .localCheckpoint(eager=True)
-        )
-        self.lineage = (
-            self.lineage.join(F.broadcast(affected_ids), "_id", "left_anti")
-            .unionByName(new_lineage)
-            .localCheckpoint(eager=True)
-        )
+        new_docs = new_docs.localCheckpoint(eager=True)
+        new_lineage = new_lineage.localCheckpoint(eager=True)
+        self.stats["recomputed_docs"] += new_docs.count()
         compiled.df.unpersist()
+        self.docs = self.docs.join(
+            F.broadcast(affected_ids), "_id", "left_anti"
+        ).unionByName(new_docs)
+        self.lineage = self.lineage.join(
+            F.broadcast(affected_ids), "_id", "left_anti"
+        ).unionByName(new_lineage)
+        self._since_compact += 1
+        if self._since_compact >= self.compact_every:
+            self.docs = self.docs.localCheckpoint(eager=True)
+            self.lineage = self.lineage.localCheckpoint(eager=True)
+            self._since_compact = 0
