@@ -719,3 +719,33 @@ def salted_skew_join(spark, sf_dir):
 
 
 _doc_query(_dd.dedup_clusters, _dd.dedup_clusters_sql(), "dedup_clusters")
+
+
+@register(
+    "median_price_by_segment",
+    """WITH ranked AS (
+         SELECT c_mktsegment, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       )
+       SELECT c_mktsegment, o_totalprice AS median_price
+       FROM ranked WHERE rn = (n + 1) // 2""",
+)
+def median_price_by_segment(spark, sf_dir):
+    """Exact DISCRETE median per group (lower median): the element at
+    position (n+1)//2 in sorted order with a deterministic tiebreak.
+    Interpolated percentiles are engine-specific; the discrete form is a
+    pure pick — reproducible everywhere."""
+    cat = Catalog(spark, sf_dir)
+    o, c = cat.df("orders"), cat.df("customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("c_mktsegment")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("int"))
+        .select("c_mktsegment", F.col("o_totalprice").alias("median_price"))
+    )

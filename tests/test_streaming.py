@@ -156,3 +156,88 @@ def test_docstore_save_restore_resume(spark, tmp_path):
     assert full.subtract(eng2.docs.select("_id", "doc")).count() == 0
     assert store.save(eng2) == 2
     assert store._current() == 2
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the events table
+    driven as a stream — the §2.7 'available for free' window semantics,
+    exercised end-to-end (readStream → watermark → window → memory sink)."""
+    batch = Catalog(spark, SF_DIR).df("events")
+    # stream the same rows via a parquet dir copy
+    src = str(tmp_path / "events_stream")
+    batch.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_win")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT window.start AS h, event_type, n AS got_n FROM ev_win"
+    )
+    expect = batch.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("exp_n"))
+    # append mode with watermark may hold back the final (open) window;
+    # everything emitted must match the batch answer exactly
+    emitted = got.join(expect, ["h", "event_type"], "left")
+    mismatches = emitted.filter(
+        F.col("exp_n").isNull() | (F.col("got_n") != F.col("exp_n"))
+    ).count()
+    assert mismatches == 0
+    assert got.count() > 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate ACROSS
+    micro-batches (state persists between epochs)."""
+    from pgsync_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev")
+    # two files → with maxFilesPerTrigger=1, two micro-batches
+    full = Catalog(spark, SF_DIR).df("events")
+    full.filter(F.col("event_id") % 2 == 0).select("user_id", "value", "ts")\
+        .coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    full.filter(F.col("event_id") % 2 == 1).select("user_id", "value", "ts")\
+        .coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(
+            full.select("user_id", "value", "ts").schema
+        ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user must equal the batch aggregate
+    got = spark.sql(
+        """SELECT user_id, events_total FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY events_total DESC) AS r FROM user_totals)
+           WHERE r = 1"""
+    )
+    expect = full.groupBy("user_id").agg(F.count(F.lit(1)).alias("exp"))
+    bad = (
+        got.join(expect, "user_id")
+        .filter(F.col("events_total") != F.col("exp"))
+        .count()
+    )
+    assert bad == 0
+    assert got.count() == expect.count()
