@@ -749,3 +749,46 @@ def median_price_by_segment(spark, sf_dir):
         .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("int"))
         .select("c_mktsegment", F.col("o_totalprice").alias("median_price"))
     )
+
+
+@register(
+    "set_ops_buyers",
+    """SELECT c_custkey, 'both' AS bucket FROM (
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       UNION ALL
+       SELECT c_custkey, 'f_only' AS bucket FROM (
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+)
+def set_ops_buyers(spark, sf_dir):
+    """Set operations (beyond-reference §2.5): customers with both F and
+    O orders vs F-only, via INTERSECT / EXCEPT / UNION ALL."""
+    o = Catalog(spark, sf_dir).df("orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f.intersect(op).withColumn("bucket", F.lit("both"))
+    # subtract = SQL EXCEPT (set semantics); exceptAll would leave
+    # per-occurrence leftovers for keys present on both sides
+    f_only = f.subtract(op).withColumn("bucket", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@register("approx_distinct_parts", None)  # rows-only: HLL sketches are
+# engine-specific by design — no cross-engine oracle exists
+def approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the cardinality-sketch
+    path for 100 TB counts where exact distinct is a full shuffle. The
+    driver records a rows-only check (sketch estimates differ across
+    engines by construction)."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
