@@ -537,16 +537,21 @@ REGISTRY["denorm_orders_filtered"] = QueryDef(
 
 @register(
     "events_sessionize",
-    """WITH gaps AS (
-         SELECT user_id, event_id, ts,
-                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
-                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """WITH e AS (
+         SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         FROM events
+       ),
+       gaps AS (
+         SELECT user_id, event_id, us,
+                CASE WHEN us - LAG(us) OVER w > 1800000000
+                     OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
        ),
        sess AS (
          SELECT user_id, event_id,
-                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
+                CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
          FROM gaps
        )
        SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -556,13 +561,20 @@ REGISTRY["denorm_orders_filtered"] = QueryDef(
 def events_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via lag + running sum —
     the batch shape of streaming session_window; deterministic tiebreak
-    on event_id. Beyond-reference operator for the event stream table."""
+    on event_id. Beyond-reference operator for the event stream table.
+
+    Gap compare is exact microseconds on both sides: Spark ts is
+    micros (Catalog restores TIMESTAMP(NANOS) via div-1000 truncation)
+    and the oracle applies the same truncation with
+    epoch_us(CAST(ts AS TIMESTAMP)), so a gap whose true value and
+    whole-second value straddle 1800s cannot flip session assignment."""
     df = Catalog(spark, sf_dir).df("events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    df = df.withColumn("us", F.unix_micros(F.col("ts")))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
-        1,
-    ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+        (F.col("us") - lag_us > 1_800_000_000) | lag_us.isNull(), 1
+    ).otherwise(0)
     return (
         df.withColumn("is_new", gap)
         .withColumn(
