@@ -35,6 +35,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pgsync_spark import get_spark
+    from pgsync_spark import caching
     from pgsync_spark.queries import REGISTRY
 
     spark = get_spark("bench")
@@ -53,11 +54,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # release intermediates the query persisted for multi-consumer
+        # stages (dedup signatures etc.) now that the action is done
+        caching.release(df)
 
-    # drop caches persisted by earlier queries (dedup signature stages
-    # persist and stay referenced) so the incremental phase is measured
-    # against a clean executor memory profile
-    spark.catalog.clearCache()
+    caching.release_all()
+    spark.catalog.clearCache()  # safety net for anything unregistered
 
     # incremental engine, timed per phase (initial load vs one CDC batch)
     from pgsync_spark import Catalog, schemas

@@ -1,0 +1,56 @@
+"""Scoped cache ownership for multi-consumer query pipelines.
+
+Several operators (minhash/ngram dedup, clusters) persist intermediate
+frames because one stage feeds multiple consumers — without the persist
+the whole upstream DAG recomputes per consumer (measured 18× on the
+signature stage). The frames must stay cached until the *caller* has
+run its action on the returned result, so the operator cannot unpersist
+them itself.
+
+This registry makes the ownership explicit instead of leaking: an
+operator registers the frames it persisted against the result it
+returns; the caller releases them with ``release(result)`` (or
+``release_all()`` between queries, as bench.py does) once it has
+materialized what it needs.
+
+At 100 TB the same seam is where a production pipeline would swap
+``persist()`` for a durable checkpoint (write signatures to
+Parquet/Delta and read back) — the scope object is the handle either
+way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# result-frame id -> list of persisted intermediate frames
+_SCOPES: dict[int, list[DataFrame]] = {}
+
+
+def owned(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Register `cached` (persisted intermediates) as owned by `result`."""
+    if cached:
+        _SCOPES.setdefault(id(result), []).extend(cached)
+    return result
+
+
+def adopt(new_result: DataFrame, old_result: DataFrame) -> DataFrame:
+    """Transfer cache ownership when a result frame is derived from
+    another operator's result (e.g. clusters building on LSH pairs)."""
+    cached = _SCOPES.pop(id(old_result), [])
+    return owned(new_result, cached)
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist every intermediate owned by `result`. Safe to call on
+    frames that own nothing."""
+    for df in _SCOPES.pop(id(result), []):
+        df.unpersist()
+
+
+def release_all() -> None:
+    """Unpersist every registered intermediate (between bench queries)."""
+    for cached in _SCOPES.values():
+        for df in cached:
+            df.unpersist()
+    _SCOPES.clear()

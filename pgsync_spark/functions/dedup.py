@@ -14,8 +14,11 @@ Scale design (the part that matters at 100 TB):
   shuffle at all for signature computation.
 - n-gram Jaccard: 1-permutation min-shingle blocking, exact verify
   within blocks.
-- embedding near-dup: label-blocked cosine (see similarity.py for the
-  general ANN path).
+- embedding near-dup: banded sign-LSH blocked cosine (similarity.py).
+
+Multi-consumer stages persist() and register their caches with
+caching.owned(result, ...) — callers release them with
+caching.release(result) / release_all() after materializing.
 
 Every operator has a DuckDB oracle built on the same md5-derived
 hashing (functions/hashing.py).
@@ -23,9 +26,12 @@ hashing (functions/hashing.py).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import adopt, owned, release
 from .hashing import (
     combine_shingles,
     combine_shingles_sql,
@@ -52,6 +58,13 @@ N_PERMS = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 JACCARD_THRESHOLD = 0.2
+# Hot-bucket guard: an LSH bucket wider than this is dropped from
+# candidate generation (boilerplate-heavy corpora otherwise go
+# quadratic inside a single bucket). Docs in a dropped bucket can still
+# pair through their other N_BANDS-1 bands.
+MAX_BUCKET_WIDTH = 200
+
+log = logging.getLogger(__name__)
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
@@ -78,11 +91,14 @@ def dedup_exact_sql() -> str:
     """
 
 
-def _signatures(df: DataFrame) -> DataFrame:
+def _signatures(df: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     """doc_id + 16-permutation minhash signature + distinct hashed
     shingle set (bigint). Staged: tokens → per-token md5 (the only
     string hashing) → rolling 3-gram combine → distinct → 16 linear
-    permutations. Everything stays in whole-stage codegen."""
+    permutations. Everything stays in whole-stage codegen.
+
+    Returns (frame, persisted_intermediates) — the caller owns the
+    persisted frames and must register them via caching.owned()."""
     tok = tokens(F.col("text"))
 
     def _perm_fn(i):
@@ -104,15 +120,15 @@ def _signatures(df: DataFrame) -> DataFrame:
         .select("doc_id", "sh")
         .persist()
     )
-    return shs.select("doc_id", "sh", sig.alias("sig"))
+    return shs.select("doc_id", "sh", sig.alias("sig")), [shs]
 
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
     """Expose signatures (doc_id, sig array) — useful on its own and the
     first stage of the LSH pipeline."""
-    return _signatures(df).select(
-        "doc_id", F.to_json(F.col("sig")).alias("minhash_sig")
-    )
+    sigs, cached = _signatures(df)
+    out = sigs.select("doc_id", F.to_json(F.col("sig")).alias("minhash_sig"))
+    return owned(out, cached)
 
 
 def minhash_signatures_sql() -> str:
@@ -127,18 +143,21 @@ def minhash_signatures_sql() -> str:
     """
 
 
-def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, log_drops: bool = False) -> DataFrame:
     """Near-duplicate pairs: banded LSH candidates + exact Jaccard ≥ θ.
 
     Candidates = docs sharing any band bucket; shuffle volume is
-    O(n · n_bands), and the pair join happens per-bucket. AQE's skew
-    handling covers pathological buckets (e.g. boilerplate-heavy
-    corpora); a production run would also cap bucket width.
+    O(n · n_bands), and the pair join happens per-bucket. Buckets wider
+    than MAX_BUCKET_WIDTH are dropped before the self-join (quadratic
+    hot-bucket guard); pass log_drops=True to count and log them (one
+    extra small aggregation action).
     """
     # the signature stage feeds two consumers (bands + verify); persist so
     # it computes once (at 100 TB you would checkpoint signatures to
     # storage instead — same idea, durable)
-    sigs = _signatures(df).persist()
+    sigs, cached = _signatures(df)
+    sigs = sigs.persist()
+    cached = cached + [sigs]
     # bands table carries ONLY (doc_id, band, bucket) — the heavy shingle
     # arrays must not ride through the self-join / dedup shuffles
     bands = sigs.select(
@@ -164,6 +183,22 @@ def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # hot-bucket guard: the over-wide bucket set is tiny by construction
+    # (≤ n / MAX_BUCKET_WIDTH buckets), so it broadcasts; docs in dropped
+    # buckets keep their other bands
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") > MAX_BUCKET_WIDTH)
+        .select("band", "bucket")
+    )
+    if log_drops:
+        n_hot = hot.count()
+        if n_hot:
+            log.warning("minhash_lsh_pairs: dropped %d hot buckets (width > %d)",
+                        n_hot, MAX_BUCKET_WIDTH)
+    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
     cand = (
         bands.alias("a")
         .join(
@@ -185,10 +220,11 @@ def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
     jac = inter / union
-    return (
+    out = (
         cand.select("id1", "id2", round6(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return owned(out, cached)
 
 
 def minhash_lsh_pairs_sql() -> str:
@@ -205,7 +241,14 @@ def minhash_lsh_pairs_sql() -> str:
     return f"""
         WITH {_shingle_cte()},
         sigs AS (SELECT doc_id, sh, [{perms}] AS sig FROM shs WHERE len(sh) > 0),
-        bands AS ({band_rows}),
+        bands_raw AS ({band_rows}),
+        bands AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS w
+            FROM bands_raw
+          ) WHERE w <= {MAX_BUCKET_WIDTH}
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM bands a JOIN bands b
@@ -280,11 +323,12 @@ def ngram_jaccard_pairs(df: DataFrame) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    return cand.select(
+    out = cand.select(
         F.col("a.doc_id").alias("id1"),
         F.col("b.doc_id").alias("id2"),
         round6(inter / union).alias("jaccard"),
     )
+    return owned(out, [base])
 
 
 def ngram_jaccard_pairs_sql() -> str:
@@ -316,8 +360,20 @@ def dedup_clusters(df: DataFrame) -> DataFrame:
     transitive closure — agreeing outputs prove the iteration converged
     to the true component labeling. Returns only docs that belong to a
     cluster of size ≥ 2.
+
+    Driver actions are batched: CHECK_EVERY propagation rounds run
+    lazily, then one localCheckpoint materializes them all and
+    truncates lineage (the logical plan would otherwise deepen by a
+    union+groupBy per round), and one small join checks convergence.
+    Min-label propagation is monotone, so "unchanged over a whole
+    check window" proves the fixpoint. The final labels frame is
+    lineage-free, so every upstream cache (LSH signatures, edges) is
+    released before returning.
     """
-    pairs = minhash_lsh_pairs(df).select("id1", "id2")
+    CHECK_EVERY = 3
+    MAX_ROUNDS = 21  # diameter bound; testdata clusters are tiny
+    lsh = minhash_lsh_pairs(df)
+    pairs = lsh.select("id1", "id2")
     edges = pairs.unionByName(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).persist()
@@ -325,33 +381,36 @@ def dedup_clusters(df: DataFrame) -> DataFrame:
         edges.select(F.col("id1").alias("id"))
         .dropDuplicates()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; testdata clusters are tiny
-        neighbor = (
-            edges.join(labels, edges.id2 == labels.id, "inner")
-            .select(F.col("id1").alias("id"), F.col("label"))
-        )
-        new_labels = (
-            labels.select("id", "label")
-            .unionByName(neighbor)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
+    rounds = 0
+    while rounds < MAX_ROUNDS:
+        snapshot = labels
+        for _ in range(CHECK_EVERY):  # lazy — no action per round
+            neighbor = (
+                edges.join(labels, edges.id2 == labels.id, "inner")
+                .select(F.col("id1").alias("id"), F.col("label"))
+            )
+            labels = (
+                labels.select("id", "label")
+                .unionByName(neighbor)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            rounds += 1
+        labels = labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.select("id", F.col("label").alias("__new_l"))
-            .join(labels.select("id", F.col("label").alias("__old_l")), "id")
+            labels.select("id", F.col("label").alias("__new_l"))
+            .join(snapshot.select("id", F.col("label").alias("__old_l")), "id")
             .filter(F.col("__new_l") != F.col("__old_l"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
         if changed == 0:
             break
-    out = labels.select("id", F.col("label").alias("cluster_id"))
     edges.unpersist()
+    release(lsh)  # signature/shingle caches — labels no longer need them
+    out = labels.select("id", F.col("label").alias("cluster_id"))
     return out.orderBy("id").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -44,15 +44,18 @@ def attach_binary(df: DataFrame) -> DataFrame:
 
 
 def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in → metadata batch out."""
+    """mapInPandas worker: Arrow batch in → decode metadata out.
+
+    Only the decode itself runs here; byte_len/sha256 arrive
+    precomputed from JVM built-ins (F.length / F.sha2) and pass
+    through untouched — Python never re-hashes the payload bytes."""
     for pdf in it:
-        payloads = pdf["payload"]
-        dims = [_fake_decode(bytes(p)) for p in payloads]
+        dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": [len(bytes(p)) for p in payloads],
-                "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                "byte_len": pdf["byte_len"],
+                "sha256": pdf["sha256"],
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
                 "decoded": True,
@@ -61,8 +64,18 @@ def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def multimodal_extract(df: DataFrame) -> DataFrame:
-    """binary payload → (byte_len, sha256, fake-decoded dims)."""
-    return attach_binary(df).mapInPandas(decode_batches, OUT_SCHEMA)
+    """binary payload → (byte_len, sha256, fake-decoded dims).
+
+    Cheap metadata (length, sha256) is computed JVM-side in whole-stage
+    codegen; the payload crosses to Python exactly once, for the decode
+    step that genuinely needs the bytes."""
+    with_meta = attach_binary(df).select(
+        "doc_id",
+        "payload",
+        F.length("payload").alias("byte_len"),
+        F.lower(F.sha2("payload", 256)).alias("sha256"),
+    )
+    return with_meta.mapInPandas(decode_batches, OUT_SCHEMA)
 
 
 def multimodal_extract_sql() -> str:

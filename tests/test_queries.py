@@ -33,3 +33,44 @@ def test_broadcast_join_is_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_caches_released(spark):
+    """Multi-consumer dedup stages persist intermediates; after
+    caching.release(result) nothing stays pinned in executor memory.
+    (dedup_clusters is excluded: its localCheckpoint label frames are
+    owned by the returned result and freed by the ContextCleaner.)"""
+    from pgsync_spark import caching
+
+    caching.release_all()
+    spark.catalog.clearCache()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for name in (
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard_pairs",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.count()
+        caching.release(df)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """A corpus where every doc shares one band bucket (identical text)
+    must not go quadratic: the hot bucket is dropped and the pair set
+    is capped, while small buckets still pair."""
+    from pgsync_spark.functions import dedup
+
+    n = dedup.MAX_BUCKET_WIDTH + 10
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # identical text -> identical signature -> one bucket per band,
+        # every bucket width n > MAX_BUCKET_WIDTH
+        "'the same boilerplate text repeated across every document' AS text",
+    )
+    from pgsync_spark import caching
+
+    pairs = dedup.minhash_lsh_pairs(docs, log_drops=True)
+    assert pairs.count() == 0  # all buckets hot -> all dropped
+    caching.release(pairs)
