@@ -226,6 +226,7 @@ class Tree:
     database: str | None = None
     setting: dict = field(default_factory=dict)
     routing: str | None = None
+    pipeline: str | None = None  # ES ingest pipeline (ref: sync.py:121)
 
     def tables(self) -> set[str]:
         out: set[str] = set()
@@ -291,5 +292,6 @@ def parse_tree(raw: dict) -> Tree:
             database=raw.get("database"),
             setting=raw.get("setting", {}),
             routing=raw.get("routing"),
+            pipeline=raw.get("pipeline"),
         )
     return Tree(root=_parse_node(raw))

@@ -111,13 +111,16 @@ class TreeCompiler:
         catalog: Catalog,
         root_keys: DataFrame | None = None,
         root_filters: list[dict] | None = None,
+        root_keys_rows: int | None = None,
     ):
         """``root_keys``: optional DataFrame of root PK values — the root
         scan is left_semi-joined against it immediately, so the whole
         tree recomputes only for those keys (the incremental engine's
         recompute-by-key path, ref: pgsync/sync.py:1345-1493 re-entering
-        sync(filters=...)). A broadcast semi-join replaces the
-        reference's chunked IN-list filters — the scale-correct form.
+        sync(filters=...)). A size-guarded semi-join replaces the
+        reference's chunked IN-list filters: broadcast when the key set
+        is provably small (``root_keys_rows`` — callers that already
+        counted pass it), else the planner/AQE picks the strategy.
 
         ``root_filters``: literal filter clauses in the reference's spec
         (list=OR of dict=AND, ref: pgsync/querybuilder.py:100-132),
@@ -127,6 +130,7 @@ class TreeCompiler:
         self.catalog = catalog
         self.root_keys = root_keys
         self.root_filters = root_filters
+        self.root_keys_rows = root_keys_rows
         self._ids = itertools.count()
 
     # ------------------------------------------------------------------
@@ -198,6 +202,7 @@ class TreeCompiler:
         child_fk_cols = list(fk.child)
 
         df, specs, fields, keys_cols = self._node_body(node, extra=set(child_fk_cols))
+        df = self._prefilter_child(df, child_fk_cols, list(fk.parent), parent)
 
         jk_names = [f"__jk_{nid}_{i}" for i in range(len(child_fk_cols))]
         renames = dict(zip(child_fk_cols, jk_names))
@@ -243,9 +248,15 @@ class TreeCompiler:
 
         df, specs = self._base_df(node, extra | child_extra)
         if node.parent is None and self.root_keys is not None:
+            from ..operators.joins import maybe_broadcast
+
             pks = list(self.catalog.primary_key(node.table, node))
             keys = self.root_keys.toDF(*pks).dropDuplicates()
-            df = df.join(F.broadcast(keys), on=pks, how="left_semi")
+            df = df.join(
+                maybe_broadcast(keys, known_rows=self.root_keys_rows),
+                on=pks,
+                how="left_semi",
+            )
         if node.parent is None and self.root_filters:
             from ..operators.filters import build_filters
 
@@ -336,6 +347,42 @@ class TreeCompiler:
         )
         return NodePlan(grouped, jk_names, payload_name, out_keys)
 
+    def _prefilter_child(
+        self,
+        df: DataFrame,
+        child_cols: list[str],
+        parent_cols: list[str],
+        parent: Node,
+    ) -> DataFrame:
+        """Key pushdown into child scans during restricted recompute.
+
+        When compiling with ``root_keys`` (the incremental engine's
+        recompute-by-key path), a direct child of the root whose join
+        parent columns are root PKs can be pre-filtered: the child rows
+        joinable to the restricted roots are exactly those whose FK
+        values appear in the projected key set. Without this, a
+        4k-root recompute still aggregates the WHOLE child table (the
+        groupBy runs below the root join); with it, the semi-join
+        reaches the child's parquet/snapshot scan. Safe for any
+        parent-col subset of the PKs — projection of the key set can
+        only over-approximate, and extra rows fall out at the join."""
+        if self.root_keys is None or parent.parent is not None:
+            return df
+        pks = list(self.catalog.primary_key(parent.table, parent))
+        if not set(parent_cols).issubset(set(pks)):
+            return df
+        from ..operators.joins import maybe_broadcast
+
+        keys = self.root_keys.toDF(*pks)
+        keys = keys.select(
+            *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
+        ).dropDuplicates()
+        return df.join(
+            maybe_broadcast(keys, known_rows=self.root_keys_rows),
+            on=list(child_cols),
+            how="left_semi",
+        )
+
     # ------------------------------------------------------------------
     def _through_parent_fk(self, parent: Node, through: str, node: Node):
         """FK pairs parent↔through (parent side of the two-hop m2m)."""
@@ -358,6 +405,9 @@ class TreeCompiler:
         tpks = self.catalog.primary_key(through)
         tneeded.update(tpks)
         tdf = self.catalog.df(through).select(*sorted(tneeded))
+        tdf = self._prefilter_child(
+            tdf, list(fk_parent.child), list(fk_parent.parent), parent
+        )
         talias = f"__t_{nid}"
         tdf = tdf.select(
             *[F.col(c).alias(f"{talias}_{c}") for c in sorted(tneeded)]

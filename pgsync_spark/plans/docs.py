@@ -62,15 +62,37 @@ def assemble_docs(
     parts.extend(source_fields)
     doc = F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
     cols = [id_column(compiled.root_pks).alias("_id"), doc.alias("doc")]
+    routing = routing_column(compiled)
+    if routing is not None:
+        cols.append(routing)
     if include_pks:
         cols.extend(F.col(pk) for pk in compiled.root_pks)
     return compiled.df.select(*cols)
+
+
+def routing_column(compiled: CompiledDoc) -> F.Column | None:
+    """``_routing`` = the root row's value of ``Tree.routing`` (ref:
+    pgsync/sync.py:1562-1563 ``doc["_routing"] = row[self.routing]``) —
+    emitted only when the tree declares routing."""
+    routing = compiled.tree.routing
+    if not routing:
+        return None
+    if routing not in compiled.field_names:
+        from .. import exc
+
+        raise exc.ColumnNotFoundError(
+            f"routing field {routing!r} is not a document field"
+        )
+    return F.col(f"__f_{routing}").cast("string").alias("_routing")
 
 
 def assemble_structured(compiled: CompiledDoc, include_meta: bool = True) -> DataFrame:
     """Typed (non-JSON) form: _id plus native nested columns — the shape a
     search sink (e.g. elasticsearch-spark) would consume."""
     cols = [id_column(compiled.root_pks).alias("_id")]
+    routing = routing_column(compiled)
+    if routing is not None:
+        cols.append(routing)
     if include_meta:
         cols.append(meta_column(compiled))
     cols.extend(F.col(f"__f_{n}").alias(n) for n in compiled.field_names)

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from .. import exc
 from ..catalog import Catalog
+from ..operators.joins import maybe_broadcast
 
 INSERT, UPDATE, DELETE, TRUNCATE = "INSERT", "UPDATE", "DELETE", "TRUNCATE"
 TG_OPS = (INSERT, UPDATE, DELETE, TRUNCATE)
@@ -72,47 +73,68 @@ def _typed_image(events: DataFrame, image: str, snapshot: DataFrame, cols: list[
 class TableMaterializer:
     """Keeps per-table snapshots current by applying CDC batches.
 
-    The batch's images always materialize eagerly (they reference
-    micro-batch source files that disappear after the epoch).
-    ``compact_every`` controls how often the merged snapshot itself is
-    checkpointed: the default 1 (every apply) measured FASTER than lazy
-    anti-join∪union chains because snapshots are read several times per
-    batch (tree recompute + resolvers) and each lazy read re-executes
-    the chain. Raise it only for tables that are written often but read
-    rarely. Production analog: Delta MERGE + OPTIMIZE cadence.
+    The events frame materializes eagerly once per batch (it references
+    micro-batch source files that disappear after the epoch); the
+    per-table merged snapshots stay LAZY anti-join∪union chains and are
+    compacted (checkpointed) every ``compact_every`` applies. Round-1
+    measured eager-per-apply faster, but that predated recompute key
+    pushdown — snapshots are now read about once per batch, so paying a
+    full big-table rewrite per batch (600k-row lineitem at sf0.1) costs
+    more than re-executing a bounded-depth merge chain on read.
+    Production analog: Delta MERGE with an OPTIMIZE cadence.
     """
 
-    def __init__(self, catalog: Catalog, compact_every: int = 1):
+    def __init__(self, catalog: Catalog, compact_every: int = 3):
         self.catalog = catalog
         self.compact_every = compact_every
         self._applies: dict[str, int] = {}
 
-    def apply(self, events: DataFrame) -> None:
+    def apply(self, events: DataFrame, materialized: bool = False) -> None:
         """Apply one batch. Events are folded per table: delete rows
         matching old-image PKs of UPDATE/DELETE, append new images of
-        INSERT/UPDATE, TRUNCATE empties the table."""
-        tables = [r["table"] for r in events.select("table").distinct().collect()]
-        for table in tables:
+        INSERT/UPDATE, TRUNCATE empties the table.
+
+        ``materialized``: the caller already eagerly checkpointed the
+        events frame (process_batch does, once per batch) — skip the
+        local one. One grouped aggregation replaces the old per-table
+        driver actions (distinct-tables collect + per-table TRUNCATE
+        probes + per-table image checkpoints): per table only the
+        merged-snapshot checkpoint remains."""
+        if not materialized:
+            # decouple from micro-batch source files that vanish after
+            # the epoch
+            events = events.localCheckpoint(eager=True)
+        stats = events.groupBy("table").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
+        ).collect()
+        for r in stats:
+            table, n_ev = r["table"], r["n"]
             snap = self.catalog.df(table)
             pks = list(self.catalog.primary_key(table))
             ev = events.filter(F.col("table") == table)
-            if ev.filter(F.col("op") == TRUNCATE).limit(1).count() > 0:
+            if r["has_trunc"]:
                 self.catalog.register_df(table, snap.limit(0))
                 continue
-            old_keys = _typed_image(
-                ev.filter(F.col("op").isin(UPDATE, DELETE)), "old", snap, pks
-            ).dropDuplicates().localCheckpoint(eager=True)
             # new images win over both old versions and earlier new images
             # with the same key (last-write-wins within a batch by txid
-            # would need ordering; test batches carry one image per key).
-            # Eager checkpoint decouples from the micro-batch source files.
+            # would need ordering; test batches carry one image per key)
+            old_keys = _typed_image(
+                ev.filter(F.col("op").isin(UPDATE, DELETE)), "old", snap, pks
+            ).dropDuplicates()
             new_rows = _typed_image(
                 ev.filter(F.col("op").isin(INSERT, UPDATE)), "new", snap, snap.columns
-            ).localCheckpoint(eager=True)
+            )
             updated = (
-                snap.join(F.broadcast(old_keys), on=pks, how="left_anti")
+                snap.join(
+                    maybe_broadcast(old_keys, known_rows=n_ev),
+                    on=pks,
+                    how="left_anti",
+                )
                 .join(
-                    F.broadcast(new_rows.select(*pks).dropDuplicates()),
+                    maybe_broadcast(
+                        new_rows.select(*pks).dropDuplicates(), known_rows=n_ev
+                    ),
                     on=pks,
                     how="left_anti",
                 )

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..node import Node, Tree
+from ..node import SYSTEM_COLUMNS, Node, Tree
+from ..operators.joins import maybe_broadcast
 from ..plans.compiler import TreeCompiler
 from ..plans.docs import assemble_docs, id_column
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
@@ -47,7 +48,13 @@ from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_ima
 
 def lineage_df(compiled) -> DataFrame:
     """(table, pk_col, pk_value, _id) — the reverse index that replaces
-    the reference's ES ``_meta`` terms search."""
+    the reference's ES ``_meta`` terms search.
+
+    Rows are deduped per doc with ``array_distinct`` (map-side, free)
+    but NOT globally: the only consumers are left_semi joins, for which
+    duplicates are harmless — a global dropDuplicates here would
+    shuffle the widest frame in the engine (every key of every doc) on
+    every full sync and every batch."""
     parts = []
     idc = id_column(compiled.root_pks).alias("_id")
     for (table, pk), colname in sorted(compiled.keys_cols.items()):
@@ -55,7 +62,7 @@ def lineage_df(compiled) -> DataFrame:
             compiled.df.select(
                 F.lit(table).alias("table"),
                 F.lit(pk).alias("pk_col"),
-                F.explode(F.col(colname)).alias("pk_value_raw"),
+                F.explode(F.array_distinct(F.col(colname))).alias("pk_value_raw"),
                 idc,
             ).select(
                 "table",
@@ -67,7 +74,7 @@ def lineage_df(compiled) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates()
+    return out
 
 
 class IncrementalEngine:
@@ -80,11 +87,18 @@ class IncrementalEngine:
         self.materializer = TableMaterializer(catalog)
         self.root_pks = list(catalog.primary_key(tree.root.table, tree.root))
         self._chains = self._build_chains(tree)
+        self._watched = self._watched_columns(tree)
+        self._schemas = self._declared_schemas(tree)
         self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
         self.lineage: DataFrame | None = None
         # ops counters (the reference's status loop analog,
         # ref: pgsync/sync.py:2084-2112)
-        self.stats = {"batches": 0, "events": 0, "recomputed_docs": 0}
+        self.stats = {
+            "batches": 0,
+            "events": 0,
+            "recomputed_docs": 0,
+            "suppressed_updates": 0,
+        }
         self.checkpoint: int | None = None  # highest txid applied
         # delta-fragment maintenance: per batch only the (small) new
         # fragments materialize; the anti-join∪union plan over the base
@@ -105,6 +119,88 @@ class IncrementalEngine:
         self.lineage = lineage_df(compiled).localCheckpoint(eager=True)
         compiled.df.unpersist()
         return self.docs
+
+    # -- event scoping -------------------------------------------------
+    def _watched_columns(self, tree: Tree) -> dict[str, list[str]]:
+        """Per-table columns whose change can affect any document: the
+        node's projected columns (all non-system columns when none are
+        declared), every FK column touching the table, and its PKs —
+        the reference's trigger UPDATE_OF set
+        (ref: pgsync/trigger.py:58-71: UPDATE fires only when a watched
+        column IS DISTINCT FROM its old value)."""
+        watched: dict[str, set[str]] = {}
+
+        def add(table: str, cols):
+            watched.setdefault(table, set()).update(cols)
+
+        for node in tree.root.traverse_post_order():
+            if node.columns:
+                add(node.table, {s.name for s in node.columns})
+            else:
+                add(
+                    node.table,
+                    set(self.catalog.columns(node.table)) - SYSTEM_COLUMNS,
+                )
+            add(node.table, self.catalog.primary_key(node.table, node))
+            if node.parent is None:
+                continue
+            rel = node.relationship
+            if rel.through_tables:
+                through = rel.through_tables[0]
+                fk_p = self.catalog.foreign_key(node.parent.table, through)
+                fk_c = self.catalog.foreign_key(node.table, through)
+                add(node.parent.table, fk_p.parent)
+                add(through, fk_p.child)
+                add(node.table, fk_c.parent)
+                add(through, fk_c.child)
+                add(through, self.catalog.primary_key(through))
+            else:
+                fk = self.catalog.resolve_fk(node.parent, node)
+                add(node.parent.table, fk.parent)
+                add(node.table, fk.child)
+        return {t: sorted(c) for t, c in watched.items()}
+
+    def _declared_schemas(self, tree: Tree) -> dict[str, set[str]]:
+        """table → declared schema names (empty set = accept any)."""
+        out: dict[str, set[str]] = {}
+        for node in tree.root.traverse_post_order():
+            out.setdefault(node.table, set())
+            if node.schema:
+                out[node.table].add(node.schema)
+            for through in node.relationship.through_tables:
+                out.setdefault(through, set())
+                if node.schema:
+                    out[through].add(node.schema)
+        return out
+
+    def _event_scope(self) -> F.Column:
+        """Events this tree consumes: table in the tree AND, when the
+        node declares a schema, payload.schema must match — two tables
+        with the same name in different schemas must not
+        cross-contaminate (ref: pgsync/sync.py:622-623)."""
+        cond = None
+        for table, schemas in self._schemas.items():
+            c = F.col("table") == table
+            if schemas:
+                c = c & F.col("schema").isin(*sorted(schemas))
+            cond = c if cond is None else (cond | c)
+        return cond if cond is not None else F.lit(False)
+
+    def _keep_event(self) -> F.Column:
+        """False only for UPDATE events whose old/new images agree
+        (null-safe) on every watched column of their table — those
+        cannot change any document. Conservative by construction: an
+        old image that omits a watched column keeps the event."""
+        suppress = None
+        for table, cols in self._watched.items():
+            unchanged = F.lit(True)
+            for c in cols:
+                unchanged = unchanged & F.col("old").getItem(c).eqNullSafe(
+                    F.col("new").getItem(c)
+                )
+            s = (F.col("op") == UPDATE) & (F.col("table") == table) & unchanged
+            suppress = s if suppress is None else (suppress | s)
+        return ~suppress if suppress is not None else F.lit(True)
 
     # -- resolution chains --------------------------------------------
     def _build_chains(self, tree: Tree):
@@ -141,9 +237,16 @@ class IncrementalEngine:
         walk(tree.root, [])
         return chains
 
-    def _resolve_new_images(self, events: DataFrame) -> DataFrame | None:
+    def _resolve_new_images(
+        self, events: DataFrame, n_events: int
+    ) -> DataFrame | None:
         """Affected root keys from INSERT/UPDATE new images, by joining
-        up the FK chains against the current snapshots."""
+        up the FK chains against the current snapshots.
+
+        Every frame in a chain is bounded by the batch's event count
+        (first hop distinct-selects from events; child→parent hops are
+        many-to-one), so ``n_events`` guards each broadcast: small batch
+        → broadcast hint, bulk backfill → the planner/AQE decides."""
         outs = []
         for table, chains in self._chains.items():
             ev = events.filter(
@@ -163,7 +266,9 @@ class IncrementalEngine:
                     for cc, pc in zip(child_cols, parent_cols):
                         c = cur[cc] == psnap[pc]
                         cond = c if cond is None else (cond & c)
-                    joined = psnap.join(F.broadcast(cur), cond, "inner")
+                    joined = psnap.join(
+                        maybe_broadcast(cur, known_rows=n_events), cond, "inner"
+                    )
                     if idx + 1 == len(chain):  # reached the root table
                         cur = joined.select(
                             *[psnap[c] for c in self.root_pks]
@@ -180,19 +285,30 @@ class IncrementalEngine:
             out = out.unionByName(o)
         return out.dropDuplicates()
 
-    def _resolve_old_images(self, events: DataFrame) -> DataFrame:
+    def _resolve_old_images(
+        self, events: DataFrame, n_events: int, has_truncate: bool = True
+    ) -> DataFrame:
         """Affected doc _ids from old images / deletes / truncates via the
-        lineage reverse index."""
+        lineage reverse index. The exploded old-image pair set is bounded
+        by n_events × pk-width; a loose ×8 bound guards the broadcast.
+        ``has_truncate=False`` (known from the batch stats aggregation)
+        skips the second full lineage scan entirely."""
         ev = events.filter(F.col("op").isin(UPDATE, DELETE))
         pairs = ev.select(
             F.col("table"), F.explode(F.col("old")).alias("pk_col", "pk_value")
         )
-        trunc_tables = events.filter(F.col("op") == TRUNCATE).select("table")
         by_keys = self.lineage.join(
-            F.broadcast(pairs), on=["table", "pk_col", "pk_value"], how="left_semi"
+            maybe_broadcast(pairs, known_rows=n_events * 8),
+            on=["table", "pk_col", "pk_value"],
+            how="left_semi",
         ).select("_id")
+        if not has_truncate:
+            return by_keys.dropDuplicates()
+        trunc_tables = events.filter(F.col("op") == TRUNCATE).select("table")
         by_trunc = self.lineage.join(
-            F.broadcast(trunc_tables), on=["table"], how="left_semi"
+            maybe_broadcast(trunc_tables, known_rows=n_events),
+            on=["table"],
+            how="left_semi",
         ).select("_id")
         return by_keys.unionByName(by_trunc).dropDuplicates()
 
@@ -212,45 +328,66 @@ class IncrementalEngine:
         base.py:734-749) expressed on the CDC log. The engine checkpoint
         advances to the highest applied txid
         (ref: pgsync/sync.py:1890-1893)."""
-        tree_tables = self.tree.tables()
-        events = events.filter(F.col("table").isin(*tree_tables))
+        events = events.filter(self._event_scope())
         if txmin is not None:
             events = events.filter(F.col("txid") >= txmin)
         if txmax is not None:
             events = events.filter(F.col("txid") < txmax)
+        # one eager checkpoint decouples the whole batch from the
+        # micro-batch source files (which vanish after the epoch) —
+        # downstream frames derive from it lazily
+        events = events.localCheckpoint(eager=True)
+        # single action for every batch statistic
+        keep = self._keep_event()
         agg = events.agg(
-            F.count(F.lit(1)).alias("n"), F.max("txid").alias("mx")
+            F.count(F.lit(1)).alias("n"),
+            F.max("txid").alias("mx"),
+            F.sum(keep.cast("int")).alias("n_active"),
+            F.max((F.col("op") == TRUNCATE).cast("int")).alias("any_trunc"),
+            F.max(
+                (
+                    (F.col("op") == TRUNCATE)
+                    & (F.col("table") == self.tree.root.table)
+                ).cast("int")
+            ).alias("root_trunc"),
         ).collect()[0]
         if agg["n"] == 0:
             return
+        n_active = int(agg["n_active"] or 0)
         self.stats["batches"] += 1
-        self.stats["events"] += agg["n"]
+        self.stats["events"] += n_active
+        self.stats["suppressed_updates"] += agg["n"] - n_active
         if agg["mx"] is not None:
             self.checkpoint = max(self.checkpoint or 0, agg["mx"])
 
-        # TRUNCATE of the root empties everything (ref: _truncate_op)
-        root_trunc = (
-            events.filter(
-                (F.col("op") == TRUNCATE) & (F.col("table") == self.tree.root.table)
-            ).limit(1).count()
-            > 0
-        )
-
-        affected_ids = self._resolve_old_images(events)
-        self.materializer.apply(events)
-        new_keys = self._resolve_new_images(events)
-
-        if root_trunc:
+        if agg["root_trunc"]:
+            # TRUNCATE of the root empties everything (ref: _truncate_op)
+            self.materializer.apply(events, materialized=True)
             self.docs = self.docs.limit(0).localCheckpoint(eager=True)
             self.lineage = self.lineage.limit(0).localCheckpoint(eager=True)
             return
+        if n_active == 0:
+            # only suppressed no-op UPDATEs: keep snapshots exact (their
+            # unwatched columns may have changed) but skip all doc work
+            self.materializer.apply(events, materialized=True)
+            return
+
+        # suppressed events never resolve or recompute (ref:
+        # pgsync/trigger.py:58-71), but they DO reach the materializer
+        # so snapshots stay exact on unwatched columns
+        active = events if agg["n"] == n_active else events.filter(keep)
+
+        affected_ids = self._resolve_old_images(
+            active, n_active, has_truncate=bool(agg["any_trunc"])
+        )
+        self.materializer.apply(events, materialized=True)
+        new_keys = self._resolve_new_images(active, n_active)
 
         affected_ids = affected_ids.localCheckpoint(eager=True)  # 3 consumers
         if new_keys is not None:
             new_keys = new_keys.localCheckpoint(eager=True)
 
         # ids for recompute = old-image matches ∪ ids of new-image keys
-        key_ids = None
         if new_keys is not None:
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
@@ -258,17 +395,26 @@ class IncrementalEngine:
                 )
             )
             affected_ids = affected_ids.unionByName(key_ids).dropDuplicates()
+            affected_ids = affected_ids.localCheckpoint(eager=True)
+        n_affected = affected_ids.count()  # cheap: checkpointed
 
         # recompute those roots from the CURRENT snapshots
         affected_keys = (
-            self.docs.join(F.broadcast(affected_ids), "_id", "left_semi")
+            self.docs.join(
+                maybe_broadcast(affected_ids, known_rows=n_affected),
+                "_id",
+                "left_semi",
+            )
             .select(*self.root_pks)
         )
         if new_keys is not None:
             affected_keys = affected_keys.unionByName(new_keys).dropDuplicates()
         affected_keys = affected_keys.localCheckpoint(eager=True)
+        n_keys = affected_keys.count()  # cheap: checkpointed
 
-        compiled = TreeCompiler(self.catalog, root_keys=affected_keys).compile(self.tree)
+        compiled = TreeCompiler(
+            self.catalog, root_keys=affected_keys, root_keys_rows=n_keys
+        ).compile(self.tree)
         compiled.df.persist()  # fans out into docs + lineage selects
         new_docs = assemble_docs(compiled, include_pks=True)
         new_lineage = lineage_df(compiled)
@@ -280,10 +426,10 @@ class IncrementalEngine:
         self.stats["recomputed_docs"] += new_docs.count()
         compiled.df.unpersist()
         self.docs = self.docs.join(
-            F.broadcast(affected_ids), "_id", "left_anti"
+            maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
         ).unionByName(new_docs)
         self.lineage = self.lineage.join(
-            F.broadcast(affected_ids), "_id", "left_anti"
+            maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
         ).unionByName(new_lineage)
         self._since_compact += 1
         if self._since_compact >= self.compact_every:

@@ -227,3 +227,136 @@ def test_mixed_batch_resync_idempotent(spark, engine):
     # re-processing an empty batch is a no-op
     engine.process_batch(payloads_from_rows(spark, []))
     assert _docs_equal(engine.docs, full)
+
+
+def test_noop_update_suppressed(spark, engine):
+    """UPDATE whose old/new agree on every watched column must not
+    recompute any doc (ref: pgsync/trigger.py:58-71 UPDATE_OF +
+    IS DISTINCT FROM guard) — but the snapshot still applies it, so
+    unwatched columns stay exact. c_acctbal is the only column in the
+    testdata not projected/keyed by the orders_full tree."""
+    r = engine.catalog.df("customer").filter(F.col("c_custkey") == 10).collect()[0]
+    row = {k: r[k] for k in r.asDict()}
+    new = dict(row, c_acctbal=12345.67)  # c_acctbal not in the tree
+    ev = payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "customer", "old": row, "new": new, "txid": 50}],
+    )
+    before = dict(engine.stats)
+    engine.process_batch(ev)
+    assert engine.stats["recomputed_docs"] == before["recomputed_docs"]
+    assert engine.stats["suppressed_updates"] == before["suppressed_updates"] + 1
+    assert engine.checkpoint == 50  # checkpoint still advances
+    snap = engine.catalog.df("customer").filter(F.col("c_custkey") == 10)
+    assert snap.filter(F.col("c_acctbal") == 12345.67).count() == 1
+    assert _docs_equal(
+        engine.docs, _full_recompute(spark, engine, schemas.tree("orders_full"))
+    )
+
+
+def test_watched_update_still_recomputes(spark, engine):
+    """Same full-image UPDATE shape, but a watched column changes."""
+    row = _order_row(engine.catalog, 7)
+    new = dict(row, o_orderpriority="WATCHED-CHANGE")
+    ev = payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "orders", "old": row, "new": new, "txid": 51}],
+    )
+    before = dict(engine.stats)
+    engine.process_batch(ev)
+    assert engine.stats["recomputed_docs"] > before["recomputed_docs"]
+    assert engine.stats["suppressed_updates"] == before["suppressed_updates"]
+    assert "WATCHED-CHANGE" in engine.docs.filter(F.col("_id") == "7").collect()[0]["doc"]
+
+
+def test_schema_qualification(spark):
+    """Events from a foreign schema must not touch this tree's docs
+    (ref: pgsync/sync.py:622-623)."""
+    from pgsync_spark.node import parse_tree
+
+    tree = parse_tree(
+        {"table": "orders", "schema": "public",
+         "columns": ["o_orderkey", "o_orderpriority"]}
+    )
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    row = _order_row(eng.catalog, 7)
+    foreign = payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "orders", "schema": "other",
+          "old": {"o_orderkey": 7},
+          "new": dict(row, o_orderpriority="OTHER-SCHEMA"), "txid": 60}],
+    )
+    eng.process_batch(foreign)
+    assert eng.stats["batches"] == 0  # filtered before counting
+    assert eng.docs.filter(F.col("doc").contains("OTHER-SCHEMA")).count() == 0
+    matching = payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "orders", "schema": "public",
+          "old": {"o_orderkey": 7},
+          "new": dict(row, o_orderpriority="OTHER-SCHEMA"), "txid": 61}],
+    )
+    eng.process_batch(matching)
+    assert eng.docs.filter(F.col("doc").contains("OTHER-SCHEMA")).count() == 1
+
+
+def test_routing_emitted(spark):
+    """Tree.routing -> _routing column = root row's field value
+    (ref: pgsync/sync.py:1562-1563)."""
+    from pgsync_spark.node import parse_tree
+    from pgsync_spark.plans.docs import assemble_docs, assemble_structured
+
+    raw = {
+        "index": "orders",
+        "routing": "o_custkey",
+        "nodes": {"table": "orders", "columns": ["o_orderkey", "o_custkey"]},
+    }
+    tree = parse_tree(raw)
+    cat = Catalog(spark, SF_DIR)
+    compiled = TreeCompiler(cat).compile(tree)
+    df = assemble_docs(compiled)
+    assert "_routing" in df.columns
+    r = df.filter(F.col("_id") == "7").collect()[0]
+    expected = cat.df("orders").filter(F.col("o_orderkey") == 7).collect()[0]["o_custkey"]
+    assert r["_routing"] == str(expected)
+    assert "_routing" in assemble_structured(compiled).columns
+
+
+def test_maybe_broadcast_guard(spark):
+    """Broadcast hint only below the row limit."""
+    from pgsync_spark.operators.joins import maybe_broadcast
+
+    small = spark.range(10)
+    big = spark.range(200_000)
+    assert "hint" in maybe_broadcast(small)._jdf.queryExecution().logical().toString().lower()
+    assert "hint" not in maybe_broadcast(big)._jdf.queryExecution().logical().toString().lower()
+    # known_rows short-circuits the count
+    assert "hint" not in maybe_broadcast(small, known_rows=10**6)._jdf.queryExecution().logical().toString().lower()
+
+
+def test_bulk_batch_no_broadcast(spark, monkeypatch):
+    """A batch touching most roots must not broadcast the affected-key
+    set: with the limit forced low, the compiled recompute plan keeps a
+    non-broadcast semi-join and the docs still converge to the full
+    recompute."""
+    from pgsync_spark.operators import joins
+
+    monkeypatch.setattr(joins, "BROADCAST_ROW_LIMIT", 8)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    rows = eng.catalog.df("orders").filter(F.col("o_orderkey") <= 1000).collect()
+    evs = [
+        {"op": "UPDATE", "table": "orders", "old": {"o_orderkey": r["o_orderkey"]},
+         "new": dict(r.asDict(), o_orderpriority="BULK"), "txid": 70 + i}
+        for i, r in enumerate(rows)
+    ]
+    assert len(evs) > 8
+    eng.process_batch(payloads_from_rows(spark, evs))
+    assert _docs_equal(eng.docs, _full_recompute(spark, eng, tree))
+    # direct plan check: a root_keys semi-join above the limit is not
+    # broadcast (the logical plan carries no broadcast hint)
+    keys = eng.docs.select(*eng.root_pks)
+    compiled = TreeCompiler(eng.catalog, root_keys=keys, root_keys_rows=10**6).compile(tree)
+    logical = compiled.df._jdf.queryExecution().logical().toString().lower()
+    assert "strategy=broadcast" not in logical
