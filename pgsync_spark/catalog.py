@@ -119,6 +119,39 @@ def find_fk(
     )
 
 
+def self_join_pairs(
+    tables: dict[str, TableMeta], parent_node: Node, child_node: Node
+) -> list[tuple[str, str]]:
+    """Column-level (parent_col, child_col) join pairs for a self-join
+    child (child.table == parent.table). The reference OR-combines the
+    onclause for self-joins (ref: pgsync/querybuilder.py:575-577), so
+    callers join on ANY pair matching:
+
+    - declared ``relationship.foreign_key``: its column pairs as
+      declared (explicit config wins, one direction);
+    - discovered self-FK in the registry: BOTH directions — the
+      reference's reflected FK map merges parent and child sides for
+      same-table joins, yielding e.g. parent.id = child.node_id OR
+      parent.node_id = child.id.
+    """
+    rel_fk = child_node.relationship.foreign_key
+    if rel_fk is not None:
+        return list(zip(rel_fk.parent, rel_fk.child))
+    meta = tables.get(child_node.table)
+    pairs: list[tuple[str, str]] = []
+    if meta:
+        for local_cols, (ref_table, ref_cols) in meta.foreign_keys.items():
+            if ref_table == child_node.table:
+                pairs.extend(zip(ref_cols, local_cols))
+                pairs.extend(zip(local_cols, ref_cols))
+    if not pairs:
+        raise exc.ForeignKeyError(
+            f"no self-referential foreign key on {child_node.table!r}; "
+            "declare relationship.foreign_key in the node config"
+        )
+    return list(dict.fromkeys(pairs))
+
+
 class Catalog:
     """Resolves tables to DataFrames and answers PK/FK questions.
 

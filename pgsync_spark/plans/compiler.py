@@ -234,12 +234,27 @@ class TreeCompiler:
         keys_cols)."""
         # columns children need from us (their parent-side FK cols)
         child_extra: set[str] = set()
-        child_plans: list[tuple[Node, NodePlan, list[str]]] = []
+        child_plans: list[tuple[Node, object, list[str]]] = []
         for ch in node.children:
             if ch.relationship.through_tables:
                 through = ch.relationship.through_tables[0]
                 fk = self._through_parent_fk(node, through, ch)
                 parent_cols = list(fk.parent)
+            elif ch.table == node.table:
+                # self-join: the reference OR-combines the onclause
+                # (ref: pgsync/querybuilder.py:575-577); a single pair is
+                # equivalent to AND and takes the generic path
+                from ..catalog import self_join_pairs
+                from ..node import ForeignKey
+
+                pairs = self_join_pairs(self.catalog.tables, node, ch)
+                if len(pairs) == 1:
+                    fk = ForeignKey(parent=(pairs[0][0],), child=(pairs[0][1],))
+                    parent_cols = [pairs[0][0]]
+                else:
+                    fk = pairs  # list marker → OR-join decomposition
+                    parent_cols = [p for p, _ in pairs]
+                child_extra.update(self.catalog.primary_key(node.table, node))
             else:
                 fk = self.catalog.resolve_fk(node, ch)
                 parent_cols = list(fk.parent)
@@ -273,7 +288,11 @@ class TreeCompiler:
 
         # join each child's plan
         for ch, fk, parent_cols in child_plans:
-            plan = self._child_plan(ch, node)
+            if isinstance(fk, list):  # multi-pair self-join (OR rule)
+                plan = self._self_or_child_plan(ch, node, df, fk)
+                parent_cols = list(pks)
+            else:
+                plan = self._child_plan(ch, node)
             cond = None
             for pc, jk in zip(parent_cols, plan.join_keys):
                 c = df[pc] == plan.df[jk]
@@ -346,6 +365,64 @@ class TreeCompiler:
             .agg(*aggs)
         )
         return NodePlan(grouped, jk_names, payload_name, out_keys)
+
+    def _self_or_child_plan(
+        self,
+        node: Node,
+        parent: Node,
+        parent_df: DataFrame,
+        pairs: list[tuple[str, str]],
+    ) -> NodePlan:
+        """Self-join child with multiple FK column pairs — the reference
+        OR-combines the onclause (ref: pgsync/querybuilder.py:575-577).
+
+        A literal OR join is a nested loop at scale, so the Spark-first
+        decomposition is: one equi-join per pair against a slim parent
+        key frame, UNION ALL, then dedup on (parent PK, child PK) — a
+        child matching through several pairs lands once, exactly the OR
+        semantics — and finally the usual grouped aggregation keyed by
+        the parent PKs. Every join stays hashable."""
+        nid = next(self._ids)
+        rel = node.relationship
+        ppks = list(self.catalog.primary_key(parent.table, parent))
+        cpks = list(self.catalog.primary_key(node.table, node))
+        cdf, specs, cfields, ckeys = self._node_body(
+            node, extra={c for _, c in pairs} | set(cpks)
+        )
+        parent_keep = list(dict.fromkeys(ppks + [p for p, _ in pairs]))
+        sp = {c: f"__sp_{nid}_{c}" for c in parent_keep}
+        P = (
+            parent_df.select(*parent_keep)
+            .dropDuplicates(ppks)
+            .select(*[F.col(c).alias(a) for c, a in sp.items()])
+        )
+        branches = [
+            P.join(cdf, F.col(sp[p]) == cdf[c], "inner") for p, c in pairs
+        ]
+        E = branches[0]
+        for b in branches[1:]:
+            E = E.unionByName(b)
+        E = E.dropDuplicates([sp[k] for k in ppks] + cpks)
+        group_cols = [sp[k] for k in ppks]
+        jk_names = [f"__jk_{nid}_{i}" for i in range(len(ppks))]
+        if rel.type == ONE_TO_MANY:
+            return self._aggregate_many(
+                node, nid, E, cfields, ckeys, group_cols, jk_names
+            )
+        # one_to_one: keep per-match rows (multiple OR matches duplicate
+        # the parent row — the reference's join does the same)
+        payload_name = f"__p_{nid}"
+        if rel.variant == SCALAR and len(specs) == 1 and not node.children:
+            payload = cfields[0][1]
+        else:
+            payload = F.struct(*[c.alias(lbl) for lbl, c in cfields])
+        sel = [F.col(g).alias(jk) for g, jk in zip(group_cols, jk_names)]
+        sel.append(payload.alias(payload_name))
+        out_keys: dict[tuple[str, str], str] = {}
+        for key, colname in ckeys.items():
+            sel.append(F.col(colname))
+            out_keys[key] = colname
+        return NodePlan(E.select(*sel), jk_names, payload_name, out_keys)
 
     def _prefilter_child(
         self,

@@ -18,7 +18,7 @@ from __future__ import annotations
 import itertools
 from collections.abc import Callable
 
-from ..catalog import TableMeta, find_fk
+from ..catalog import TableMeta, find_fk, self_join_pairs
 from ..node import (
     ONE_TO_MANY,
     SCALAR,
@@ -148,19 +148,26 @@ class OracleCompiler:
         return f"json_object({args})"
 
     # -- children ------------------------------------------------------
-    def _child_sql(self, node: Node, parent: Node, parent_alias: str) -> str:
-        if node.relationship.through_tables:
-            return self._through_sql(node, parent, parent_alias)
+    def _join_pairs(self, node: Node, parent: Node) -> tuple[list, str]:
+        """(column pairs, combinator). Self-joins OR-combine the
+        onclause (ref: pgsync/querybuilder.py:575-577)."""
+        if node.table == parent.table:
+            return self_join_pairs(self.tables, parent, node), " OR "
         fk = (
             node.relationship.foreign_key
             if node.relationship.foreign_key is not None
             else find_fk(self.tables, parent.table, node.table)
         )
+        return list(zip(fk.parent, fk.child)), " AND "
+
+    def _child_sql(self, node: Node, parent: Node, parent_alias: str) -> str:
+        if node.relationship.through_tables:
+            return self._through_sql(node, parent, parent_alias)
+        pairs, combinator = self._join_pairs(node, parent)
         a = f"c{next(self._ids)}"
         fields = self._fields_sql(node, a)
-        where = " AND ".join(
-            f"{a}.{_q(cc)} = {parent_alias}.{_q(pc)}"
-            for pc, cc in zip(fk.parent, fk.child)
+        where = combinator.join(
+            f"{a}.{_q(cc)} = {parent_alias}.{_q(pc)}" for pc, cc in pairs
         )
         tbl = self._t(node.table)
         if node.relationship.type == ONE_TO_MANY:
@@ -263,16 +270,12 @@ class OracleCompiler:
                     )
                     walk(ch, t_chain + [(ch.table, c_alias, c_cond)])
                 else:
-                    fk = (
-                        ch.relationship.foreign_key
-                        if ch.relationship.foreign_key is not None
-                        else find_fk(self.tables, node.table, ch.table)
-                    )
+                    pairs, combinator = self._join_pairs(ch, node)
                     c_alias = f"m{next(self._ids)}"
-                    cond = " AND ".join(
+                    cond = "(" + combinator.join(
                         f"{c_alias}.{_q(cc)} = {my_alias}.{_q(pc)}"
-                        for pc, cc in zip(fk.parent, fk.child)
-                    )
+                        for pc, cc in pairs
+                    ) + ")"
                     walk(ch, chain + [(ch.table, c_alias, cond)])
 
         walk(tree.root, [])

@@ -266,6 +266,59 @@ TREE_CONFIGS: dict[str, dict] = {
             ],
         },
     },
+    # multi-pair self-join: the reference's AND→OR onclause rule for
+    # child.table == parent.table (ref: pgsync/querybuilder.py:575-577,
+    # exercised by examples/node/schema.json). A nation is "related" if
+    # it points at the parent (sub-nation: child.n_regionkey =
+    # parent.n_nationkey) OR shares its region (child.n_regionkey =
+    # parent.n_regionkey) — compiles to union-of-equi-joins, not a
+    # nested-loop OR join
+    "nation_related": {
+        "index": "nation",
+        "nodes": {
+            "table": "nation",
+            "columns": ["n_nationkey", "n_name"],
+            "children": [
+                {
+                    "table": "nation",
+                    "label": "related",
+                    "columns": ["n_nationkey", "n_name"],
+                    "relationship": {
+                        "type": "one_to_many",
+                        "variant": "object",
+                        "foreign_key": {
+                            "parent": ["n_nationkey", "n_regionkey"],
+                            "child": ["n_regionkey", "n_regionkey"],
+                        },
+                    },
+                }
+            ],
+        },
+    },
+    # two children on the SAME table under one parent — exercises
+    # per-node aliasing and dual lineage-key merging for sibling nodes
+    # (the reference supports repeated tables via node labels)
+    "orders_dual_lineitems": {
+        "index": "orders",
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderstatus"],
+            "children": [
+                {
+                    "table": "lineitem",
+                    "label": "item_quantities",
+                    "columns": ["l_quantity"],
+                    "relationship": {"type": "one_to_many", "variant": "scalar"},
+                },
+                {
+                    "table": "lineitem",
+                    "label": "item_flags",
+                    "columns": ["l_linenumber", "l_returnflag", "l_linestatus"],
+                    "relationship": {"type": "one_to_many", "variant": "object"},
+                },
+            ],
+        },
+    },
     # JSON path projection on a JSON string column
     # (ref: pgsync/node.py:197-303 '->' operators)
     "events_json_path": {

@@ -1,29 +1,38 @@
 """Elasticsearch/OpenSearch sink.
 
-Two layers, mirroring the reference's SearchClient:
+Three layers, mirroring the reference's SearchClient:
 
 - ``build_index_mapping``: derive the index mapping from the node tree's
   declared transform/mapping blocks + inferred field types
   (ref: pgsync/search_client.py:261-354 _create_setting/_build_mapping;
-  type vocabulary ref: pgsync/constants.py:83-162).
-- ``SearchSink``: bulk upsert/delete. In an environment with the
-  elasticsearch-spark connector on the classpath it writes via
-  ``df.write.format("org.elasticsearch.spark.sql")`` (executor-parallel
-  bulk, the connector handles chunking/retries — the analog of the
-  reference's streaming/parallel_bulk with chunk size 5000 / 100 MB,
-  ref: pgsync/search_client.py:100-212, settings.py:145-167). This
-  container has no ES jar and no cluster, so the network path is gated
-  behind an import/config check and tests use the JSONL dry-run.
+  type vocabulary ref: pgsync/constants.py:83-162). ``tree.routing``
+  adds ``_routing: {required: true}`` (ref: search_client.py:345-346).
+- ``BulkHttpWriter``: the reference's operational heart re-expressed
+  Spark-first — executor-parallel ``_bulk`` NDJSON over plain HTTP via
+  ``foreachPartition`` (stdlib urllib, no connector jar needed), with
+  the reference's chunking (5000 docs / 100 MB,
+  ref: pgsync/settings.py:145-167) and retry/backoff on 429/5xx
+  (ref: pgsync/search_client.py:100-212). Each partition streams its
+  own chunks, so bulk throughput scales with executors exactly like
+  the reference's multi-threaded parallel_bulk scales with threads.
+- ``SearchSink``: optional elasticsearch-spark connector path when the
+  jar is on the classpath, JSONL dry-run otherwise.
 """
 
 from __future__ import annotations
 
 import json
+import logging
+import time
+import urllib.error
+import urllib.request
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..node import Node, Tree
+
+log = logging.getLogger(__name__)
 
 # ES core types the mapping generator emits (subset of the reference's
 # vocabulary, ref: pgsync/constants.py:83-129)
@@ -69,10 +78,172 @@ def build_index_mapping(tree: Tree, doc_schema: T.StructType) -> dict:
     _declared_mappings(tree.root, declared)
     props = {}
     for f in doc_schema.fields:
-        if f.name in ("_id", "_meta"):
+        if f.name in ("_id", "_meta", "_routing"):
             continue
         props[f.name] = _field_mapping(f.dataType, declared.get(f.name))
-    return {"mappings": {"properties": props}}
+    mappings: dict = {"properties": props}
+    if tree.routing:
+        # ref: pgsync/search_client.py:345-346
+        mappings["_routing"] = {"required": True}
+    return {"mappings": mappings}
+
+
+# ---------------------------------------------------------------------------
+# Executor-side bulk HTTP transport (stdlib only, pickled to workers)
+# ---------------------------------------------------------------------------
+
+def _http_json(url: str, data: bytes, method: str, content_type: str,
+               max_retries: int, backoff: float) -> dict:
+    """POST/PUT with retry+exponential backoff on 429/5xx/connection
+    errors (ref: pgsync/search_client.py retry/backoff settings)."""
+    attempt = 0
+    while True:
+        req = urllib.request.Request(
+            url, data=data, method=method,
+            headers={"Content-Type": content_type},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            transient = e.code == 429 or e.code >= 500
+            if not transient or attempt >= max_retries:
+                raise
+        except urllib.error.URLError:
+            if attempt >= max_retries:
+                raise
+        time.sleep(backoff * (2 ** attempt))
+        attempt += 1
+
+
+def _send_bulk_partition(
+    rows, url: str, index: str, pipeline: str | None,
+    chunk_docs: int, chunk_bytes: int, max_retries: int, backoff: float,
+):
+    """foreachPartition body: stream this partition's rows as _bulk
+    NDJSON chunks. Rows are (op, _id, doc_json, _routing)."""
+    buf: list[bytes] = []
+    n_docs = 0
+    n_bytes = 0
+
+    def flush():
+        nonlocal buf, n_docs, n_bytes
+        if not buf:
+            return
+        body = b"".join(buf)
+        result = _http_json(
+            url, body, "POST", "application/x-ndjson", max_retries, backoff
+        )
+        if result.get("errors"):
+            bad = [
+                it for it in result.get("items", [])
+                if list(it.values())[0].get("status", 200) >= 300
+            ][:5]
+            raise RuntimeError(f"bulk request reported item errors: {bad}")
+        buf, n_docs, n_bytes = [], 0, 0
+
+    for row in rows:
+        meta: dict = {"_index": index, "_id": row["_id"]}
+        if row["_routing"] is not None:
+            meta["routing"] = row["_routing"]
+        if row["op"] == "delete":
+            action = json.dumps({"delete": meta}).encode() + b"\n"
+            lines = action
+        else:
+            if pipeline:
+                meta["pipeline"] = pipeline
+            action = json.dumps({"index": meta}).encode() + b"\n"
+            lines = action + row["doc"].encode() + b"\n"
+        buf.append(lines)
+        n_docs += 1
+        n_bytes += len(lines)
+        if n_docs >= chunk_docs or n_bytes >= chunk_bytes:
+            flush()
+    flush()
+
+
+class BulkHttpWriter:
+    """Executor-parallel ``_bulk`` writer over plain HTTP.
+
+    Input contract: a DataFrame with ``_id`` and ``doc`` (JSON string)
+    columns, optionally ``_routing`` — exactly the incremental engine's
+    doc store / ``assemble_docs`` output. Deletes take an ``_id``-only
+    frame. Chunk and retry defaults mirror the reference
+    (ref: pgsync/settings.py:145-167 ELASTICSEARCH_CHUNK_SIZE=2000,
+    MAX_CHUNK_BYTES=100MB, MAX_RETRIES/RETRY semantics).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        index: str,
+        pipeline: str | None = None,
+        chunk_docs: int = 2000,
+        chunk_bytes: int = 100 * 1024 * 1024,
+        max_retries: int = 4,
+        backoff: float = 0.2,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.index = index
+        self.pipeline = pipeline
+        self.chunk_docs = chunk_docs
+        self.chunk_bytes = chunk_bytes
+        self.max_retries = max_retries
+        self.backoff = backoff
+
+    def create_index(self, tree: Tree, doc_schema: T.StructType) -> dict:
+        """PUT the index with the generated mapping (driver-side)."""
+        body = json.dumps(build_index_mapping(tree, doc_schema)).encode()
+        return _http_json(
+            f"{self.base_url}/{self.index}", body, "PUT", "application/json",
+            self.max_retries, self.backoff,
+        )
+
+    def _run(self, rows_df: DataFrame) -> None:
+        url = f"{self.base_url}/_bulk"
+        index, pipeline = self.index, self.pipeline
+        chunk_docs, chunk_bytes = self.chunk_docs, self.chunk_bytes
+        max_retries, backoff = self.max_retries, self.backoff
+
+        def body(it):
+            _send_bulk_partition(
+                it, url, index, pipeline, chunk_docs, chunk_bytes,
+                max_retries, backoff,
+            )
+
+        rows_df.foreachPartition(body)
+
+    def upsert(self, docs: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        routing = (
+            F.col("_routing") if "_routing" in docs.columns
+            else F.lit(None).cast("string")
+        )
+        self._run(
+            docs.select(
+                F.lit("index").alias("op"),
+                F.col("_id").cast("string").alias("_id"),
+                F.col("doc"),
+                routing.alias("_routing"),
+            )
+        )
+
+    def delete(self, ids: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        routing = (
+            F.col("_routing") if "_routing" in ids.columns
+            else F.lit(None).cast("string")
+        )
+        self._run(
+            ids.select(
+                F.lit("delete").alias("op"),
+                F.col("_id").cast("string").alias("_id"),
+                F.lit(None).cast("string").alias("doc"),
+                routing.alias("_routing"),
+            )
+        )
 
 
 class SearchSink:

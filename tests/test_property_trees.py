@@ -28,11 +28,21 @@ TABLE_COLS = {
     "part": ["p_partkey", "p_name", "p_brand", "p_size"],
     "lineitem": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
 }
-# child edges: parent → (child, rel type options, through)
+# child edges: parent → (child, rel type options, through). orders gets
+# lineitem twice (two same-table siblings under one parent); nation gets
+# itself (self-join → the reference's OR onclause rule).
 EDGES = {
-    "orders": [("customer", "one_to_one", None), ("lineitem", "one_to_many", None)],
+    "orders": [
+        ("customer", "one_to_one", None),
+        ("lineitem", "one_to_many", None),
+        ("lineitem", "one_to_many", None),
+    ],
     "customer": [("nation", "one_to_one", None), ("orders", "one_to_many", None)],
-    "nation": [("region", "one_to_one", None), ("customer", "one_to_many", None)],
+    "nation": [
+        ("region", "one_to_one", None),
+        ("customer", "one_to_many", None),
+        ("nation", "one_to_many", None),
+    ],
     "supplier": [
         ("nation", "one_to_one", None),
         ("lineitem", "one_to_many", None),
@@ -67,6 +77,23 @@ def tree_configs(draw, depth=2):
                 rel = {"type": rtype, "variant": variant}
                 if through:
                     rel["through_tables"] = [through]
+                if child == table:
+                    # self-join needs a declared FK (the registry has no
+                    # self-FK); single pair and OR'd multi-pair shapes
+                    rel["foreign_key"] = draw(
+                        st.sampled_from(
+                            [
+                                {
+                                    "parent": ["n_nationkey"],
+                                    "child": ["n_regionkey"],
+                                },
+                                {
+                                    "parent": ["n_nationkey", "n_regionkey"],
+                                    "child": ["n_regionkey", "n_regionkey"],
+                                },
+                            ]
+                        )
+                    )
                 ccfg["relationship"] = rel
                 ccfg["label"] = f"{child}_{level}_{len(children)}"
                 children.append(ccfg)

@@ -1,0 +1,157 @@
+"""Search-sink contract tests against a local in-process bulk endpoint
+stub — exercises the real write path (executor-side HTTP, NDJSON bulk
+format, chunking, retries, routing, mapping PUT) without a cluster.
+ref: pgsync/search_client.py:100-212 (bulk), 261-354 (mapping)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pgsync_spark import Catalog, TreeCompiler
+from pgsync_spark.node import parse_tree
+from pgsync_spark.plans.docs import assemble_docs, assemble_structured
+from pgsync_spark.sinks.search import BulkHttpWriter, build_index_mapping
+
+from conftest import SF_DIR
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def _respond(self, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        with self.server.lock:
+            if self.server.fail_first > 0:
+                self.server.fail_first -= 1
+                self.send_response(429)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+                return
+            self.server.requests.append(("POST", self.path, body))
+        self._respond({"errors": False, "items": []})
+
+    def do_PUT(self):
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        with self.server.lock:
+            self.server.requests.append(("PUT", self.path, body))
+        self._respond({"acknowledged": True})
+
+    def log_message(self, *args):  # silence test output
+        pass
+
+
+@pytest.fixture()
+def stub():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    server.requests = []
+    server.lock = threading.Lock()
+    server.fail_first = 0
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+
+
+def _url(server):
+    return f"http://127.0.0.1:{server.server_address[1]}"
+
+
+def _bulk_lines(server):
+    lines = []
+    for method, path, body in server.requests:
+        if path == "/_bulk":
+            lines.extend(json.loads(ln) for ln in body.splitlines() if ln)
+    return lines
+
+
+def test_upsert_bulk_bodies(spark, stub):
+    docs = spark.createDataFrame(
+        [(str(i), json.dumps({"v": i})) for i in range(5)], "_id string, doc string"
+    ).repartition(1)
+    w = BulkHttpWriter(_url(stub), "idx", chunk_docs=2)
+    w.upsert(docs)
+    # chunking: 5 docs / chunk of 2 on one partition -> 3 requests
+    posts = [r for r in stub.requests if r[0] == "POST"]
+    assert len(posts) == 3
+    lines = _bulk_lines(stub)
+    actions = [ln for ln in lines if "index" in ln]
+    sources = [ln for ln in lines if "index" not in ln]
+    assert len(actions) == 5 and len(sources) == 5
+    assert {a["index"]["_id"] for a in actions} == {str(i) for i in range(5)}
+    assert all(a["index"]["_index"] == "idx" for a in actions)
+    assert sorted(s["v"] for s in sources) == list(range(5))
+
+
+def test_upsert_routing_and_pipeline(spark, stub):
+    docs = spark.createDataFrame(
+        [("1", '{"v": 1}', "route-a")], "_id string, doc string, _routing string"
+    )
+    w = BulkHttpWriter(_url(stub), "idx", pipeline="my-pipe")
+    w.upsert(docs)
+    actions = [ln for ln in _bulk_lines(stub) if "index" in ln]
+    assert actions[0]["index"]["routing"] == "route-a"
+    assert actions[0]["index"]["pipeline"] == "my-pipe"
+
+
+def test_delete_bulk_bodies(spark, stub):
+    ids = spark.createDataFrame([("7",), ("8",)], "_id string")
+    BulkHttpWriter(_url(stub), "idx").delete(ids)
+    lines = _bulk_lines(stub)
+    assert all("delete" in ln for ln in lines)
+    assert {ln["delete"]["_id"] for ln in lines} == {"7", "8"}
+
+
+def test_retry_on_429(spark, stub):
+    stub.fail_first = 1
+    docs = spark.createDataFrame([("1", '{"v": 1}')], "_id string, doc string")
+    BulkHttpWriter(_url(stub), "idx", backoff=0.01).upsert(docs)
+    assert len(_bulk_lines(stub)) == 2  # retried and landed
+
+
+def test_mapping_roundtrip_with_routing(spark, stub):
+    raw = {
+        "index": "orders",
+        "routing": "o_custkey",
+        "nodes": {"table": "orders", "columns": ["o_orderkey", "o_custkey"]},
+    }
+    tree = parse_tree(raw)
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(tree)
+    schema = assemble_structured(compiled).schema
+    mapping = build_index_mapping(tree, schema)
+    assert mapping["mappings"]["_routing"] == {"required": True}
+    assert "_routing" not in mapping["mappings"]["properties"]
+    assert mapping["mappings"]["properties"]["o_orderkey"] == {"type": "long"}
+    w = BulkHttpWriter(_url(stub), "orders")
+    w.create_index(tree, schema)
+    puts = [r for r in stub.requests if r[0] == "PUT"]
+    assert puts and puts[0][1] == "/orders"
+    assert json.loads(puts[0][2]) == mapping
+
+
+def test_engine_docs_flow_to_bulk(spark, stub):
+    """assemble_docs output (with _routing) flows through upsert
+    unchanged — the doc-store -> sink contract end to end."""
+    raw = {
+        "index": "orders",
+        "routing": "o_custkey",
+        "nodes": {"table": "orders", "columns": ["o_orderkey", "o_custkey"]},
+    }
+    tree = parse_tree(raw)
+    cat = Catalog(spark, SF_DIR)
+    docs = assemble_docs(TreeCompiler(cat).compile(tree))
+    n = docs.count()
+    BulkHttpWriter(_url(stub), "orders").upsert(docs)
+    actions = [ln for ln in _bulk_lines(stub) if "index" in ln]
+    assert len(actions) == n
+    assert all("routing" in a["index"] for a in actions)
