@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import abc
 import json
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 
 class Plugin(abc.ABC):
@@ -33,6 +36,21 @@ class Plugin(abc.ABC):
     @abc.abstractmethod
     def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
         ...
+
+
+def auth_value(plugins: list[Plugin], key: str) -> str | None:
+    """The reference's plugin ``auth`` hook (ref: pgsync/plugin.py:106-115):
+    the first plugin exposing an ``auth`` method answers the key lookup
+    (used for credential indirection, e.g. ES passwords); exceptions are
+    logged and yield None, matching the reference exactly."""
+    for plugin in plugins:
+        if hasattr(plugin, "auth"):
+            try:
+                return plugin.auth(key)
+            except Exception as e:  # noqa: BLE001 — parity with reference
+                log.exception("Error calling auth: %s", e)
+                return None
+    return None
 
 
 def apply_plugins(

@@ -1,0 +1,184 @@
+"""Advisor, plugin auth hook, config-from-URL, and the streaming
+metrics listener (SURVEY §2.9 status loop + analyze)."""
+
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pgsync_spark import Catalog, schemas
+from pgsync_spark import exc
+from pgsync_spark.advisor import analyze, analyze_report
+from pgsync_spark.config import config_loader
+from pgsync_spark.plugin import Plugin, auth_value
+
+from conftest import SF_DIR
+
+
+# -- advisor ----------------------------------------------------------
+
+
+def test_advisor_orders_full(spark):
+    cat = Catalog(spark, SF_DIR)
+    advice = analyze(cat, schemas.tree("orders_full"))
+    by_child = {a.child_table: a for a in advice}
+    # every non-root node produced advice for its join edge
+    assert set(by_child) == {"customer", "nation", "lineitem"}
+    # small testdata: everything broadcastable; keys match the FKs the
+    # reference would index
+    assert by_child["lineitem"].join_keys == ["l_orderkey"]
+    assert "BROADCAST" in by_child["lineitem"].recommendation
+    report = analyze_report(cat, schemas.tree("orders_full"))
+    assert "lineitem" in report and "skew=" in report
+
+
+def test_advisor_through_and_bucket_ddl(spark):
+    cat = Catalog(spark, SF_DIR)
+    advice = analyze(cat, schemas.tree("supplier_parts_through"))
+    # through join contributes two edges (parent->through, through->child)
+    assert len(advice) == 2
+    # force the bucket branch to check DDL rendering
+    import pgsync_spark.advisor as adv
+
+    old = adv.BROADCAST_MAX_ROWS
+    adv.BROADCAST_MAX_ROWS = 0
+    try:
+        bucketed = analyze(cat, schemas.tree("orders_lineitems"))
+        assert any(a.ddl and "bucketBy" in a.ddl for a in bucketed)
+    finally:
+        adv.BROADCAST_MAX_ROWS = old
+
+
+# -- plugin auth hook -------------------------------------------------
+
+
+class _AuthPlugin(Plugin):
+    name = "auth"
+
+    def transform(self, doc, _id, _index):
+        return doc
+
+    def auth(self, key):
+        return {"es_password": "sekrit"}.get(key)
+
+
+class _BrokenAuth(Plugin):
+    name = "broken"
+
+    def transform(self, doc, _id, _index):
+        return doc
+
+    def auth(self, key):
+        raise RuntimeError("boom")
+
+
+class _NoAuth(Plugin):
+    name = "plain"
+
+    def transform(self, doc, _id, _index):
+        return doc
+
+
+def test_plugin_auth_hook():
+    assert auth_value([_NoAuth(), _AuthPlugin()], "es_password") == "sekrit"
+    assert auth_value([_AuthPlugin()], "missing") is None
+    # first plugin with an auth attr answers; exceptions -> None
+    assert auth_value([_BrokenAuth(), _AuthPlugin()], "es_password") is None
+    assert auth_value([_NoAuth()], "es_password") is None
+
+
+# -- config from URL --------------------------------------------------
+
+
+class _CfgHandler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        body = json.dumps(
+            {"index": "orders", "nodes": {"table": "orders"}}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_config_from_http_url():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _CfgHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        trees = config_loader(
+            f"http://127.0.0.1:{server.server_address[1]}/schema.json"
+        )
+        assert len(trees) == 1 and trees[0].index == "orders"
+    finally:
+        server.shutdown()
+
+
+def test_config_s3_url_validation():
+    # malformed S3 URL is rejected before any client call; a well-formed
+    # one proceeds to boto3 (fails fast without credentials here)
+    with pytest.raises(exc.SchemaError, match="invalid S3"):
+        config_loader("s3://bucket-only")
+    with pytest.raises(Exception):  # noqa: B017 — no AWS creds in env
+        config_loader("s3://bucket/key.json")
+
+
+def test_config_missing_local():
+    with pytest.raises(exc.SchemaError, match="not found"):
+        config_loader("/nonexistent/schema.json")
+
+
+# -- streaming metrics listener ---------------------------------------
+
+
+def test_metrics_listener_captures_progress(spark):
+    from pyspark.sql import functions as F
+
+    from pgsync_spark.streaming import EngineMetricsListener
+
+    listener = EngineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "in")
+            os.makedirs(src)
+            with open(os.path.join(src, "a.json"), "w") as f:
+                f.write('{"v": 1}\n{"v": 2}\n')
+            q = (
+                spark.readStream.schema("v long")
+                .json(src)
+                .groupBy()
+                .agg(F.sum("v").alias("s"))
+                .writeStream.format("memory")
+                .queryName("metrics_probe")
+                .outputMode("complete")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+        # listener events arrive on an async bus — poll briefly
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            c = listener.counters.get(str(q.id), {})
+            if c.get("batches", 0) >= 1 and c.get("running") is False:
+                break
+            time.sleep(0.2)
+        counters = listener.counters[str(q.id)]
+        assert counters["batches"] >= 1
+        assert counters["input_rows"] == 2
+        assert counters["running"] is False
+        status = json.loads(listener.status({"events": 2}))
+        assert status["engine"]["events"] == 2
+        assert str(q.id) in status["streams"]
+    finally:
+        spark.streams.removeListener(listener)
