@@ -117,6 +117,179 @@ def lang_id_sql() -> str:
     """
 
 
+# Gopher-style quality-rule thresholds (Rae et al. 2021 §A1.1, public),
+# scaled to the synthetic corpus (short word-soup documents)
+QF_MIN_WORDS = 10
+QF_MAX_WORDS = 100_000
+QF_MEAN_LEN_LO = 2.0
+QF_MEAN_LEN_HI = 12.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MIN_STOP_HITS = 1
+
+
+def quality_filter(df: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: word-count bounds, mean
+    word length band, symbol ratio cap, minimum stopword hits. Pure
+    columnar expressions; emits the measured features plus the keep
+    decision so downstream pipelines can re-threshold without re-scan."""
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    nd = n.cast("double")
+    mean_len = F.aggregate(
+        tok, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / F.nullif(nd, F.lit(0.0))
+    lowered = F.lower(F.col("text"))
+    symbols = F.length(lowered) - F.length(
+        F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    )
+    symbol_ratio = symbols.cast("double") / F.nullif(
+        F.length(lowered).cast("double"), F.lit(0.0)
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tok), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    )
+    keep = (
+        (n >= QF_MIN_WORDS)
+        & (n <= QF_MAX_WORDS)
+        & (mean_len >= QF_MEAN_LEN_LO)
+        & (mean_len <= QF_MEAN_LEN_HI)
+        & (symbol_ratio <= QF_MAX_SYMBOL_RATIO)
+        & (stop_hits >= QF_MIN_STOP_HITS)
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_words"),
+        round6(mean_len).alias("mean_word_len"),
+        round6(symbol_ratio).alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def quality_filter_sql() -> str:
+    tok = tokens_sql("text")
+    n = "len(toks)"
+    nd = f"CAST({n} AS DOUBLE)"
+    mean_len = (
+        "list_reduce(list_prepend(0.0, list_transform(toks, "
+        f"x -> CAST(length(x) AS DOUBLE))), (a, b) -> a + b) / nullif({nd}, 0.0)"
+    )
+    symbol_ratio = (
+        "CAST(length(lower(text)) - length(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g')) AS DOUBLE) "
+        "/ nullif(CAST(length(lower(text)) AS DOUBLE), 0.0)"
+    )
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = f"len(list_intersect(list_distinct(toks), [{stops}]))"
+    keep = (
+        f"{n} >= {QF_MIN_WORDS} AND {n} <= {QF_MAX_WORDS} "
+        f"AND ({mean_len}) >= {QF_MEAN_LEN_LO} AND ({mean_len}) <= {QF_MEAN_LEN_HI} "
+        f"AND ({symbol_ratio}) <= {QF_MAX_SYMBOL_RATIO} "
+        f"AND {stop_hits} >= {QF_MIN_STOP_HITS}"
+    )
+    return f"""
+        SELECT doc_id, {n} AS n_words,
+               {round6_sql(mean_len)} AS mean_word_len,
+               {round6_sql(symbol_ratio)} AS symbol_ratio,
+               {stop_hits} AS stop_hits,
+               ({keep}) AS keep
+        FROM (SELECT doc_id, text, {tok} AS toks FROM documents)
+    """
+
+
+NGRAM_TOPK = 20
+
+
+def ngram_topk(df: DataFrame) -> DataFrame:
+    """Corpus-level top-K word trigrams by occurrence count. Plan shape:
+    explode → hash-agg with map-side partials → distributed top-K
+    (TakeOrderedAndProject via orderBy+limit — no global sort of the
+    full n-gram space). Deterministic tiebreak (count desc, ngram asc)
+    makes the LIMIT boundary engine-independent."""
+    sh = shingles(tokens(F.col("text")), 3)
+    return (
+        df.select(F.explode(sh).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+def ngram_topk_sql() -> str:
+    tok = tokens_sql("text")
+    sh = shingles_sql("toks", 3)
+    return f"""
+        SELECT ngram, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({sh}) AS ngram
+              FROM (SELECT {tok} AS toks FROM documents))
+        GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT {NGRAM_TOPK}
+    """
+
+
+# redaction patterns — conservative RE2/Java-regex common subset
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+_PHONE_RE = r"\+1-555-[0-9]+"
+
+
+def pii_redact(df: DataFrame) -> DataFrame:
+    """PII scrubbing: email / URL / phone patterns replaced by typed
+    placeholders, with per-doc match counts. The synthetic corpus
+    contains no PII, so both engines first augment the text with
+    deterministic doc_id-derived contact strings — the redaction is
+    then verified non-vacuously on identical inputs."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" via https://docs.example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    n_emails = F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(aug, F.lit(_URL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_phones.alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_redact_sql() -> str:
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or +1-555-' || CAST(doc_id AS VARCHAR) || "
+        "' via https://docs.example.com/d/' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all({aug}, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all({aug}, '{_URL_RE}')) AS n_urls,
+               len(regexp_extract_all({aug}, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace({aug},
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_URL_RE}', '<URL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """
+
+
 def fingerprint(df: DataFrame) -> DataFrame:
     """Document fingerprints: exact content hash (md5 of lowercased
     text), and a 1-permutation min-shingle hash — the rolling-hash

@@ -1,3 +1,8 @@
-from .cdc import CDC_SCHEMA, TableMaterializer, payloads_from_rows  # noqa: F401
+from .cdc import (  # noqa: F401
+    CDC_SCHEMA,
+    TableMaterializer,
+    debezium_to_cdc,
+    payloads_from_rows,
+)
 from .incremental import IncrementalEngine  # noqa: F401
 from .metrics import EngineMetricsListener  # noqa: F401

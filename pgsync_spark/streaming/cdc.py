@@ -59,6 +59,51 @@ def payloads_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(norm, CDC_SCHEMA)
 
 
+# Debezium change-event envelope (public CDC standard emitted for BOTH
+# PostgreSQL WAL and MySQL binlog sources — the engine's analog of the
+# reference's two decoders, ref: pgsync/base.py:1115-1176 test_decoding
+# parse and the MySQL binlog path). Scalar values coerce to strings in
+# the map fields, matching logical decoding's stringly images.
+DEBEZIUM_ENVELOPE = (
+    "op string, before map<string,string>, after map<string,string>, "
+    "source struct<table:string, db:string, schema:string, txId:string>, "
+    "ts_ms long"
+)
+
+
+def debezium_to_cdc(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Map a raw Debezium JSON envelope column to CDC_SCHEMA rows.
+
+    op: c/r → INSERT (r = snapshot read), u → UPDATE, d → DELETE,
+    t → TRUNCATE. ``source.schema`` (PostgreSQL) falls back to
+    ``source.db`` (MySQL). ``txId`` is used when numeric, else the
+    event timestamp orders the stream (MySQL GTIDs are not integers).
+    Rows with unknown ops are dropped. Pure column expressions — safe
+    inside readStream without leaving whole-stage codegen.
+    """
+    e = F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE)
+    op = (
+        F.when(e["op"].isin("c", "r"), F.lit(INSERT))
+        .when(e["op"] == "u", F.lit(UPDATE))
+        .when(e["op"] == "d", F.lit(DELETE))
+        .when(e["op"] == "t", F.lit(TRUNCATE))
+    )
+    empty = F.expr("map()").cast("map<string,string>")
+    return (
+        df.select(
+            op.alias("op"),
+            F.coalesce(e["source"]["schema"], e["source"]["db"]).alias("schema"),
+            e["source"]["table"].alias("table"),
+            F.coalesce(e["before"], empty).alias("old"),
+            F.coalesce(e["after"], empty).alias("new"),
+            F.coalesce(
+                e["source"]["txId"].try_cast("long"), e["ts_ms"]
+            ).alias("txid"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
 def _typed_image(events: DataFrame, image: str, snapshot: DataFrame, cols: list[str]) -> DataFrame:
     """Extract ``cols`` from the old/new map, cast to the snapshot's
     column types (logical-decoding images are strings,

@@ -241,3 +241,39 @@ def test_stateful_running_totals(spark, tmp_path):
     )
     assert bad == 0
     assert got.count() == expect.count()
+
+
+def test_debezium_envelope_to_cdc(spark):
+    """Debezium JSON (PG schema field or MySQL db field) maps onto the
+    CDC schema and drives process_batch end to end."""
+    from pgsync_spark.streaming import debezium_to_cdc
+
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    row = eng.catalog.df("orders").filter(F.col("o_orderkey") == 7).collect()[0]
+    after = {k: row[k] for k in row.asDict()}
+    after["o_orderpriority"] = "DEBEZIUM"
+    after = {k: str(v) for k, v in after.items()}
+    raw = [
+        # PostgreSQL-style: source.schema + numeric txId
+        json.dumps({"op": "u", "before": {"o_orderkey": "7"}, "after": after,
+                    "source": {"table": "orders", "schema": "public", "txId": "41"},
+                    "ts_ms": 1}),
+        # MySQL-style: db only, GTID txId (non-numeric -> ts_ms ordering)
+        json.dumps({"op": "d", "before": {"o_orderkey": "9"},
+                    "source": {"table": "orders", "db": "public",
+                               "txId": "uuid:1-5"}, "ts_ms": 42}),
+        # snapshot read + unknown op (dropped)
+        json.dumps({"op": "x", "source": {"table": "orders", "db": "public"},
+                    "ts_ms": 3}),
+    ]
+    events = debezium_to_cdc(spark.createDataFrame([(v,) for v in raw], "value string"))
+    rows = {(r["op"], r["txid"]) for r in events.collect()}
+    assert rows == {("UPDATE", 41), ("DELETE", 42)}
+    eng.process_batch(events)
+    assert "DEBEZIUM" in eng.docs.filter(F.col("_id") == "7").collect()[0]["doc"]
+    assert eng.docs.filter(F.col("_id") == "9").count() == 0
+    assert eng.checkpoint == 42
+    full = TreeCompiler(eng.catalog).compile_docs(schemas.tree("orders_full"))
+    assert eng.docs.select("_id", "doc").subtract(full).count() == 0
