@@ -179,6 +179,118 @@ def ann_lsh_topk_sql() -> str:
     """
 
 
+# IVF codebook: a deterministic mini-codebook (the IVF_CELLS vectors
+# after the query range, by vec_id) instead of trained k-means
+# centroids — k-means float iteration isn't bit-reproducible across
+# engines, and IVF's plan shape (assign → probe nprobe cells → exact
+# re-rank) is identical either way. A production run would swap the
+# codebook for trained centroids; every operator below is unchanged.
+IVF_CELLS = 10
+IVF_NPROBE = 3
+
+
+def _cell_scores(df: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, cos) for every vector × codebook centroid."""
+    cent = df.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv"))
+    return df.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell_id",
+        round6(
+            _dot(F.col("embedding"), F.col("cv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cv")))
+        ).alias("cos"),
+    )
+
+
+def ann_ivf_topk(df: DataFrame) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    codebook cell once; a query probes only its IVF_NPROBE nearest
+    cells and exact-ranks the candidates. At 100 TB the corpus scan is
+    one broadcast-codebook pass (no shuffle), candidates shrink to
+    ~nprobe/cells of the corpus, and the exact re-rank uses the same
+    map-side top-k as the brute-force path. Rounded-cosine ties break
+    by cell_id, so the approximation itself is engine-deterministic
+    and the DuckDB oracle reproduces it exactly."""
+    scores = _cell_scores(df)
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    qprobe = ranked.filter(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    cand = qprobe.join(assign, "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id")
+    e1 = df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    e2 = df.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = cand.join(F.broadcast(e1.filter(F.col("query_id") < N_QUERIES)), "query_id").join(
+        e2, "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        round6(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("cosine"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_topk_sql() -> str:
+    cell_cos = round6_sql(
+        _dot_sql("e.embedding", "c.cv")
+        + " / ("
+        + _norm_sql("e.embedding")
+        + " * "
+        + _norm_sql("c.cv")
+        + ")"
+    )
+    cos = round6_sql(
+        _dot_sql("q.embedding", "n.embedding")
+        + " / ("
+        + _norm_sql("q.embedding")
+        + " * "
+        + _norm_sql("n.embedding")
+        + ")"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.cell_id, {cell_cos} AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, cell_id FROM ranked
+                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM qprobe p JOIN assign a ON a.cell_id = p.cell_id
+          WHERE a.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                    ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+          FROM cand
+          JOIN embeddings q ON q.vec_id = cand.query_id
+          JOIN embeddings n ON n.vec_id = cand.neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 def _band_bucket(col, band: int) -> F.Column:
     """Sign bucket over the band's PLANES_PER_BAND leading dims."""
     b = F.lit(0)

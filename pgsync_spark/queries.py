@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .catalog import Catalog, TPCH_TABLES
+from .functions import hashing
+from .functions.hashing import h32_sql, round6_sql
 from .operators.filters import build_filters, filters_to_sql
 from .plans.compiler import TreeCompiler
 from .plans.oracle import oracle_doc_sql
@@ -380,6 +382,7 @@ _doc_query(_dd.ngram_jaccard_pairs, _dd.ngram_jaccard_pairs_sql(), "dedup_ngram_
 _doc_query(_mm.multimodal_extract, _mm.multimodal_extract_sql(), "multimodal_extract")
 _emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_bruteforce_topk")
 _emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
+_emb_query(_sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), "ann_ivf_topk")
 _emb_query(_sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), "embedding_neardup_pairs")
 
 
@@ -806,4 +809,51 @@ def approx_distinct_parts(spark, sf_dir):
     return df.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+KMV_K = 64
+_KMV_SCALE = 4294967296.0  # 2^32 — h32 normalization to (0, 1)
+
+
+@register(
+    "kmv_distinct_parts",
+    f"""WITH hashes AS (
+          SELECT DISTINCT {h32_sql("CAST(l_partkey AS VARCHAR)")} AS h
+          FROM lineitem
+        ),
+        k_smallest AS (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}),
+        s AS (SELECT COUNT(*) AS k_found, MAX(h) AS h_k FROM k_smallest),
+        exact AS (SELECT COUNT(DISTINCT l_partkey) AS n_exact FROM lineitem)
+        SELECT n_exact,
+               {round6_sql(f"CASE WHEN k_found < {KMV_K} THEN CAST(k_found AS DOUBLE) "
+                           f"ELSE ({KMV_K} - 1) / (CAST(h_k AS DOUBLE) / {_KMV_SCALE}) END")}
+                 AS kmv_estimate
+        FROM s CROSS JOIN exact""",
+)
+def kmv_distinct_parts(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch — unlike HLL, the
+    estimator is a pure function of the k smallest md5-derived hashes,
+    so both engines compute the IDENTICAL estimate and the oracle is a
+    full hash check, not rows-only (Bar-Yossef et al. 2002, public).
+    Scale shape: one distinct-shuffle of 8-byte hashes + a k-row
+    top-k — the 100 TB form keeps only k values per partition before
+    the merge."""
+    df = Catalog(spark, sf_dir).df("lineitem")
+    hashes = df.select(
+        hashing.h32(F.col("l_partkey").cast("string")).alias("h")
+    ).dropDuplicates()
+    s = (
+        hashes.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.count(F.lit(1)).alias("k_found"), F.max("h").alias("h_k"))
+    )
+    exact = df.agg(F.count_distinct("l_partkey").alias("n_exact"))
+    est = F.when(
+        F.col("k_found") < KMV_K, F.col("k_found").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("h_k").cast("double") / F.lit(_KMV_SCALE))
+    )
+    return s.crossJoin(exact).select(
+        "n_exact", hashing.round6(est).alias("kmv_estimate")
     )
