@@ -51,10 +51,15 @@ def assemble_docs(
     compiled: CompiledDoc,
     include_meta: bool = True,
     include_pks: bool = False,
+    include_keys: bool = False,
 ) -> DataFrame:
     """Final (_id, doc[, *root_pks]) DataFrame with canonical compact
     JSON docs. ``include_pks`` rides the typed root keys along in the
-    same projection (the incremental engine's doc store) — no re-join."""
+    same projection (the incremental engine's doc store) — no re-join.
+    ``include_keys`` additionally carries each lineage key array
+    (distinct, stringified) under its ``__k_*`` name, so one
+    materialization of this projection serves both the doc store and
+    the lineage index."""
     source_fields = [F.col(f"__f_{n}").alias(n) for n in compiled.field_names]
     parts = []
     if include_meta:
@@ -67,6 +72,13 @@ def assemble_docs(
         cols.append(routing)
     if include_pks:
         cols.extend(F.col(pk) for pk in compiled.root_pks)
+    if include_keys:
+        for (_tbl, _pk), colname in sorted(compiled.keys_cols.items()):
+            cols.append(
+                F.transform(
+                    F.array_distinct(F.col(colname)), lambda x: x.cast("string")
+                ).alias(colname)
+            )
     return compiled.df.select(*cols)
 
 

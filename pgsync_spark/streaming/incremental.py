@@ -42,39 +42,60 @@ from ..catalog import Catalog
 from ..node import SYSTEM_COLUMNS, Node, Tree
 from ..operators.joins import maybe_broadcast
 from ..plans.compiler import TreeCompiler
-from ..plans.docs import assemble_docs, id_column
+from ..plans.docs import assemble_docs
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
 
 
-def lineage_df(compiled) -> DataFrame:
+def lineage_df(combined: DataFrame, keys_cols: dict) -> DataFrame:
     """(table, pk_col, pk_value, _id) — the reverse index that replaces
-    the reference's ES ``_meta`` terms search.
+    the reference's ES ``_meta`` terms search — as ONE pass over the
+    materialized combined frame.
 
-    Rows are deduped per doc with ``array_distinct`` (map-side, free)
-    but NOT globally: the only consumers are left_semi joins, for which
+    The per-(table, pk) key arrays ride along in ``combined`` (already
+    distinct + stringified, see ``assemble_docs(include_keys=True)``);
+    packing them into an array of structs and exploding twice emits
+    every lineage row in a single scan — the earlier union of one
+    select per key column re-scanned the widest frame in the engine
+    len(keys_cols) times per sync. Rows are deduped per doc but NOT
+    globally: the only consumers are left_semi/anti joins, for which
     duplicates are harmless — a global dropDuplicates here would
-    shuffle the widest frame in the engine (every key of every doc) on
-    every full sync and every batch."""
-    parts = []
-    idc = id_column(compiled.root_pks).alias("_id")
-    for (table, pk), colname in sorted(compiled.keys_cols.items()):
-        parts.append(
-            compiled.df.select(
-                F.lit(table).alias("table"),
-                F.lit(pk).alias("pk_col"),
-                F.explode(F.array_distinct(F.col(colname))).alias("pk_value_raw"),
-                idc,
-            ).select(
-                "table",
-                "pk_col",
-                F.col("pk_value_raw").cast("string").alias("pk_value"),
-                "_id",
-            )
+    shuffle every key of every doc on every full sync and batch."""
+    entries = [
+        F.struct(
+            F.lit(table).alias("table"),
+            F.lit(pk).alias("pk_col"),
+            F.col(colname).alias("vals"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for (table, pk), colname in sorted(keys_cols.items())
+    ]
+    return (
+        combined.select(F.col("_id"), F.explode(F.array(*entries)).alias("e"))
+        .select(
+            F.col("e.table").alias("table"),
+            F.col("e.pk_col").alias("pk_col"),
+            F.explode("e.vals").alias("pk_value"),
+            F.col("_id"),
+        )
+    )
+
+
+def materialize_tree(compiled) -> tuple[DataFrame, DataFrame]:
+    """One-pass materialization of a compiled tree → (docs, lineage).
+
+    A single combined projection (doc JSON + typed root PKs + slim key
+    arrays) is localCheckpoint-ed eagerly, so the denormalization plan
+    runs exactly once; the doc store and the lineage index are lazy
+    projections over the checkpointed rows. Replaces a persist of the
+    wide pre-JSON frame + one eager checkpoint per store + one cache
+    scan per key column (measured ~2× on full_sync at sf0.1). On a
+    cluster the checkpoint is a Delta/parquet write; same shape."""
+    combined = assemble_docs(
+        compiled, include_pks=True, include_keys=True
+    ).localCheckpoint(eager=True)
+    doc_cols = [c for c in combined.columns if not c.startswith("__k_")]
+    docs = combined.select(*doc_cols)
+    lineage = lineage_df(combined, compiled.keys_cols)
+    return docs, lineage
 
 
 class IncrementalEngine:
@@ -110,14 +131,7 @@ class IncrementalEngine:
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
         compiled = TreeCompiler(self.catalog).compile(self.tree)
-        # the compiled frame fans out into docs + keys + one lineage
-        # select per (table, pk) — persist so the denorm plan runs once
-        compiled.df.persist()
-        self.docs = assemble_docs(compiled, include_pks=True).localCheckpoint(
-            eager=True
-        )
-        self.lineage = lineage_df(compiled).localCheckpoint(eager=True)
-        compiled.df.unpersist()
+        self.docs, self.lineage = materialize_tree(compiled)
         return self.docs
 
     # -- event scoping -------------------------------------------------
@@ -415,16 +429,10 @@ class IncrementalEngine:
         compiled = TreeCompiler(
             self.catalog, root_keys=affected_keys, root_keys_rows=n_keys
         ).compile(self.tree)
-        compiled.df.persist()  # fans out into docs + lineage selects
-        new_docs = assemble_docs(compiled, include_pks=True)
-        new_lineage = lineage_df(compiled)
-
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op)
-        new_docs = new_docs.localCheckpoint(eager=True)
-        new_lineage = new_lineage.localCheckpoint(eager=True)
+        new_docs, new_lineage = materialize_tree(compiled)
         self.stats["recomputed_docs"] += new_docs.count()
-        compiled.df.unpersist()
         self.docs = self.docs.join(
             maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
         ).unionByName(new_docs)
