@@ -121,11 +121,15 @@ class IncrementalEngine:
             "suppressed_updates": 0,
         }
         self.checkpoint: int | None = None  # highest txid applied
-        # delta-fragment maintenance: per batch only the (small) new
-        # fragments materialize; the anti-join∪union plan over the base
-        # store stays lazy and is compacted every N batches so plan
-        # depth stays bounded (Delta/Iceberg MERGE + OPTIMIZE analog)
-        self.compact_every = 8
+        # store maintenance: the anti-join∪union plan over the base store
+        # re-checkpoints every batch by default — measured (5-batch loop,
+        # sf0.1): eager compaction holds ~7s/batch, while letting the
+        # fragment chain grow (compact_every=8) re-evaluates the store
+        # chain per consumer and spiked one batch to 51s at depth 2.
+        # On a cluster this maps to a Delta/Iceberg MERGE per batch with
+        # OPTIMIZE folded in; raise compact_every only with a store that
+        # persists fragments externally.
+        self.compact_every = 1
         self._since_compact = 0
 
     # -- full (initial) sync ------------------------------------------
@@ -316,15 +320,17 @@ class IncrementalEngine:
             on=["table", "pk_col", "pk_value"],
             how="left_semi",
         ).select("_id")
+        # no dropDuplicates: the only consumer is a left_semi join, which
+        # dedups inherently — an explicit distinct here is a pure shuffle
         if not has_truncate:
-            return by_keys.dropDuplicates()
+            return by_keys
         trunc_tables = events.filter(F.col("op") == TRUNCATE).select("table")
         by_trunc = self.lineage.join(
             maybe_broadcast(trunc_tables, known_rows=n_events),
             on=["table"],
             how="left_semi",
         ).select("_id")
-        return by_keys.unionByName(by_trunc).dropDuplicates()
+        return by_keys.unionByName(by_trunc)
 
     # -- one batch -----------------------------------------------------
     def process_batch(
@@ -391,43 +397,52 @@ class IncrementalEngine:
         # so snapshots stay exact on unwatched columns
         active = events if agg["n"] == n_active else events.filter(keep)
 
-        affected_ids = self._resolve_old_images(
+        ids = self._resolve_old_images(
             active, n_active, has_truncate=bool(agg["any_trunc"])
         )
         self.materializer.apply(events, materialized=True)
         new_keys = self._resolve_new_images(active, n_active)
-
-        affected_ids = affected_ids.localCheckpoint(eager=True)  # 3 consumers
+        n_new = 0
         if new_keys is not None:
             new_keys = new_keys.localCheckpoint(eager=True)
-
-        # ids for recompute = old-image matches ∪ ids of new-image keys
-        if new_keys is not None:
+            n_new = new_keys.count()  # cheap: checkpointed
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
                     "_id"
                 )
             )
-            affected_ids = affected_ids.unionByName(key_ids).dropDuplicates()
-            affected_ids = affected_ids.localCheckpoint(eager=True)
-        n_affected = affected_ids.count()  # cheap: checkpointed
+            ids = ids.unionByName(key_ids)  # semi-join side: dupes harmless
 
-        # recompute those roots from the CURRENT snapshots
-        affected_keys = (
-            self.docs.join(
-                maybe_broadcast(affected_ids, known_rows=n_affected),
-                "_id",
-                "left_semi",
-            )
-            .select(*self.root_pks)
+        # materialize the candidate id set once (one pass over lineage —
+        # the union's semi-joins broadcast the tiny event-derived sides),
+        # so its size is known and the store joins below can broadcast it
+        # when it is provably small (a child TRUNCATE makes it the whole
+        # store → shuffle path)
+        ids = ids.localCheckpoint(eager=True)
+        n_ids = ids.count()  # cheap: checkpointed
+
+        # ONE store materialization covers every downstream need: the
+        # affected ids that exist in the store, with their typed root PKs
+        # riding along. Ids absent from the store (new inserts)
+        # anti-remove nothing, so restricting the anti-join side to this
+        # subset is exact; recompute keys for them come from new_keys.
+        affected = (
+            self.docs.join(maybe_broadcast(ids, known_rows=n_ids), "_id", "left_semi")
+            .select("_id", *self.root_pks)
+            .localCheckpoint(eager=True)
         )
+        n_affected = affected.count()  # cheap: checkpointed
+        affected_ids = affected.select("_id")
+
+        # recompute those roots from the CURRENT snapshots (both inputs
+        # checkpointed → the compiler's fan-out re-reads, never recomputes;
+        # it dedups root_keys itself)
+        affected_keys = affected.select(*self.root_pks)
         if new_keys is not None:
-            affected_keys = affected_keys.unionByName(new_keys).dropDuplicates()
-        affected_keys = affected_keys.localCheckpoint(eager=True)
-        n_keys = affected_keys.count()  # cheap: checkpointed
+            affected_keys = affected_keys.unionByName(new_keys)
 
         compiled = TreeCompiler(
-            self.catalog, root_keys=affected_keys, root_keys_rows=n_keys
+            self.catalog, root_keys=affected_keys, root_keys_rows=n_affected + n_new
         ).compile(self.tree)
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op)
