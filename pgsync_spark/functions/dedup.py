@@ -183,31 +183,44 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = False) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # hot-bucket guard: the over-wide bucket set is tiny by construction
-    # (≤ n / MAX_BUCKET_WIDTH buckets), so it broadcasts; docs in dropped
-    # buckets keep their other bands
-    hot = (
-        bands.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") > MAX_BUCKET_WIDTH)
-        .select("band", "bucket")
+    # ONE shuffle does candidate generation AND the hot-bucket guard:
+    # group docs per (band, bucket), drop buckets wider than
+    # MAX_BUCKET_WIDTH with a free size filter (docs in dropped buckets
+    # keep their other bands), and expand i<j pairs inline with
+    # higher-order functions — no self-join, no second exchange, no
+    # broadcast anti-join. Pair arrays are bounded by the cap
+    # (≤ MAX_BUCKET_WIDTH²/2 structs per bucket row before explode).
+    grouped = bands.groupBy("band", "bucket").agg(
+        F.collect_list("doc_id").alias("ids")
     )
     if log_drops:
-        n_hot = hot.count()
+        n_hot = grouped.filter(F.size("ids") > MAX_BUCKET_WIDTH).count()
         if n_hot:
             log.warning("minhash_lsh_pairs: dropped %d hot buckets (width > %d)",
                         n_hot, MAX_BUCKET_WIDTH)
-    bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-
+    buckets = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET_WIDTH)
+    ).select(F.array_sort("ids").alias("ids"))
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        # 2-arg higher-order lambda: arg 2 is the element index
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + 2, F.size("ids") - i - 1
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id1"), y.alias("id2")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
     # shingle sets join back by id for the exact verify (two cheap
