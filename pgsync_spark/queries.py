@@ -857,3 +857,136 @@ def kmv_distinct_parts(spark, sf_dir):
     return s.crossJoin(exact).select(
         "n_exact", hashing.round6(est).alias("kmv_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators: chunking, as-of join, dataset split
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "doc_chunks",
+    f"""SELECT doc_id, chunk_id,
+               substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})
+                 AS chunk_text,
+               length(substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+                 AS chunk_len
+        FROM (
+          SELECT doc_id, text,
+                 unnest(generate_series(0,
+                   CAST(greatest(0, ceil((length(text) - {CHUNK_SIZE})
+                        / CAST({CHUNK_STRIDE} AS DOUBLE))) AS BIGINT))) AS chunk_id
+          FROM documents
+        )""",
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping fixed-window chunking (size {CHUNK_SIZE}, stride
+    {CHUNK_STRIDE}) — the standard pre-tokenization split for long
+    documents in a training pipeline. Pure generator + substring
+    expressions: the explode pipelines inside the scan stage with NO
+    shuffle at any scale; chunk boundaries are arithmetic, so the
+    operation is embarrassingly parallel and deterministic."""
+    df = Catalog(spark, sf_dir).df("documents")
+    n_last = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))),
+    ).cast("long")
+    chunks = df.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("chunk_id"),
+    )
+    chunk_text = F.col("text").substr(
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_SIZE)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_len"),
+    )
+
+
+@register(
+    "asof_user_orders",
+    """WITH u AS (
+          SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+                 0 AS is_ev, o_orderkey AS okey, CAST(NULL AS BIGINT) AS event_id
+          FROM orders
+          UNION ALL
+          SELECT user_id, CAST(ts AS TIMESTAMP), 1, CAST(NULL AS BIGINT), event_id
+          FROM events
+        ),
+        f AS (
+          SELECT event_id, user_id, is_ev,
+                 LAST_VALUE(okey IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_ev, okey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+          FROM u
+        )
+        SELECT event_id, user_id, asof_orderkey FROM f WHERE is_ev = 1""",
+)
+def asof_user_orders(spark, sf_dir):
+    """As-of join: each event picks the user's most recent order with
+    o_orderdate <= ts (an operator Spark lacks natively; Flink/kdb
+    temporal join semantics). Spark-first decomposition: tag and UNION
+    the two streams, one window per user ordered by (time, tag, key)
+    with a forward-fill of the last non-null order key — exactly ONE
+    shuffle + sort, no range-join candidate explosion, and partition-
+    pruned scans on both inputs. Scales linearly: the window state is
+    one value per user partition. Ties: an order dated exactly at the
+    event time sorts before the event (tag 0 < 1) so it IS visible;
+    same-date orders resolve to the max o_orderkey deterministically."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.df("orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_ev"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = cat.df("events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_ev"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+    )
+    u = orders.unionByName(events)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "is_ev", "okey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+    return filled.filter(F.col("is_ev") == 1).select(
+        "event_id", "user_id", "asof_orderkey"
+    )
+
+
+@register(
+    "dataset_split",
+    f"""SELECT doc_id,
+               CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                    WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable doc_id (NOT random() — reproducible across runs, engines,
+    and re-partitioning; adding documents never reassigns existing
+    ones). Pure projection: no shuffle, fully scan-parallel at any
+    scale."""
+    df = Catalog(spark, sf_dir).df("documents")
+    bucket = hashing.h32(F.col("doc_id").cast("string")) % 100
+    return df.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
