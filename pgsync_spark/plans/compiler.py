@@ -285,6 +285,21 @@ class TreeCompiler:
             kname = f"__k_{node.table}__{pk}__{next(self._ids)}"
             df = df.withColumn(kname, F.array(F.col(pk)))
             keys_cols[(node.table, pk)] = kname
+        if len(pks) > 1:
+            # composite-pk tuple key ("pk1|pk2" → "v1|v2"), built at ROW
+            # level so values stay paired. The lineage index matches old
+            # images against this single entry — per-column matching
+            # would be a massive superset (every doc sharing ONE pk
+            # component, e.g. all docs with a linenumber-1 lineitem).
+            # Excluded from _meta (reference parity) by plans/docs.py.
+            kname = f"__k_{node.table}__tuple__{next(self._ids)}"
+            df = df.withColumn(
+                kname,
+                F.array(
+                    F.concat_ws("|", *[F.col(p).cast("string") for p in pks])
+                ),
+            )
+            keys_cols[(node.table, "|".join(pks))] = kname
 
         # join each child's plan
         for ch, fk, parent_cols in child_plans:
@@ -501,6 +516,10 @@ class TreeCompiler:
         extra_keys = {
             (through, pk): F.col(f"{talias}_{pk}") for pk in tpks
         }
+        if len(tpks) > 1:
+            extra_keys[(through, "|".join(tpks))] = F.concat_ws(
+                "|", *[F.col(f"{talias}_{pk}").cast("string") for pk in tpks]
+            )
         return self._aggregate_many(
             node, nid, joined, fields, keys_cols, group_cols, jk_names,
             extra_key_collect=extra_keys,

@@ -28,9 +28,13 @@ def id_column(root_pks: list[str]) -> F.Column:
 
 
 def meta_column(compiled: CompiledDoc) -> F.Column:
-    """Static-schema _meta struct, sorted table → sorted pk fields."""
+    """Static-schema _meta struct, sorted table → sorted pk fields.
+    Composite-pk tuple keys ("pk1|pk2") are internal to the lineage
+    index and never surface in _meta (reference parity)."""
     by_table: dict[str, list[tuple[str, str]]] = {}
     for (tbl, pk), colname in sorted(compiled.keys_cols.items()):
+        if "|" in pk:
+            continue
         by_table.setdefault(tbl, []).append((pk, colname))
     meta_fields = []
     for tbl in sorted(by_table):

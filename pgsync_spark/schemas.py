@@ -319,6 +319,37 @@ TREE_CONFIGS: dict[str, dict] = {
             ],
         },
     },
+    # THREE-level nesting with one_to_many inside one_to_many: each
+    # customer doc carries its orders array, each order carrying its
+    # own lineitems array — the reference's canonical deep-tree shape
+    # (ref: examples/airbnb/schema.json user→booking→... chains,
+    # pgsync/querybuilder.py recursive _children walk)
+    "customer_orders_lineitems": {
+        "index": "customer",
+        "nodes": {
+            "table": "customer",
+            "columns": ["c_custkey", "c_name", "c_mktsegment"],
+            "children": [
+                {
+                    "table": "orders",
+                    "label": "orders",
+                    "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                    "relationship": {"type": "one_to_many", "variant": "object"},
+                    "children": [
+                        {
+                            "table": "lineitem",
+                            "label": "lineitems",
+                            "columns": ["l_linenumber", "l_quantity", "l_returnflag"],
+                            "relationship": {
+                                "type": "one_to_many",
+                                "variant": "object",
+                            },
+                        }
+                    ],
+                }
+            ],
+        },
+    },
     # JSON path projection on a JSON string column
     # (ref: pgsync/node.py:197-303 '->' operators)
     "events_json_path": {

@@ -110,6 +110,7 @@ class IncrementalEngine:
         self._chains = self._build_chains(tree)
         self._watched = self._watched_columns(tree)
         self._schemas = self._declared_schemas(tree)
+        self._keys_by_table = self._lineage_keys(tree)
         self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
         self.lineage: DataFrame | None = None
         # ops counters (the reference's status loop analog,
@@ -135,8 +136,33 @@ class IncrementalEngine:
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
         compiled = TreeCompiler(self.catalog).compile(self.tree)
+        expected = set()
+        for table, tuples in self._keys_by_table.items():
+            for pks in tuples:
+                expected.update((table, pk) for pk in pks)
+                if len(pks) > 1:
+                    expected.add((table, "|".join(pks)))
+        assert set(compiled.keys_cols) == expected, (
+            "lineage key inventory diverged from compiled keys: "
+            f"{sorted(set(compiled.keys_cols) ^ expected)}"
+        )
         self.docs, self.lineage = materialize_tree(compiled)
         return self.docs
+
+    def _lineage_keys(self, tree: Tree) -> dict[str, list[tuple[str, ...]]]:
+        """table → distinct pk tuples (catalog/declared order, matching
+        the compiler's key + tuple-key columns — every node's pks plus
+        through-table pks), so old-image resolution works on engines
+        restored from a DocStore without a full_sync in this session."""
+        out: dict[str, list[tuple[str, ...]]] = {}
+        def add(table: str, pks: tuple[str, ...]) -> None:
+            if pks not in out.setdefault(table, []):
+                out[table].append(pks)
+        for node in tree.root.traverse_post_order():
+            add(node.table, tuple(self.catalog.primary_key(node.table, node)))
+            for through in node.relationship.through_tables:
+                add(through, tuple(self.catalog.primary_key(through)))
+        return out
 
     # -- event scoping -------------------------------------------------
     def _watched_columns(self, tree: Tree) -> dict[str, list[str]]:
@@ -307,16 +333,59 @@ class IncrementalEngine:
         self, events: DataFrame, n_events: int, has_truncate: bool = True
     ) -> DataFrame:
         """Affected doc _ids from old images / deletes / truncates via the
-        lineage reverse index. The exploded old-image pair set is bounded
-        by n_events × pk-width; a loose ×8 bound guards the broadcast.
+        lineage reverse index.
+
+        Matching is AND-across-pk-columns per table (the reference's
+        reverse search builds one terms filter per ``_meta.<table>.<pk>``
+        and the filters conjoin, ref: pgsync/search_client.py:218-251):
+        a doc is affected only if, for EVERY pk column of the table, it
+        references one of the batch's old values. Per-column-union
+        matching would be quadratically wrong for composite keys — a
+        single lineitem event would match every doc sharing
+        l_linenumber=1 (~1/7 of ALL docs) and recompute them. The value
+        sets are event-bounded (broadcast); each pk column is one
+        filter+semi pass over the checkpointed lineage (pk_col is a
+        partition-prunable column in a production store), and the
+        id-set intersection joins shrink monotonically.
+
+        Contract: old images carry ALL pk columns of their table (the
+        reference trigger always emits them, ref: pgsync/trigger.py
+        primary_keys payload; Debezium before-images likewise).
         ``has_truncate=False`` (known from the batch stats aggregation)
-        skips the second full lineage scan entirely."""
+        skips the truncate lineage pass entirely."""
         ev = events.filter(F.col("op").isin(UPDATE, DELETE))
-        pairs = ev.select(
-            F.col("table"), F.explode(F.col("old")).alias("pk_col", "pk_value")
-        )
+        branches = []
+        for table, tuples in sorted(self._keys_by_table.items()):
+            for pks in tuples:
+                if len(pks) == 1:
+                    name = pks[0]
+                    val = F.col("old").getItem(pks[0])
+                else:
+                    # composite pk → tuple lineage entry; require every
+                    # pk component present (concat_ws skips nulls)
+                    name = "|".join(pks)
+                    present = F.lit(True)
+                    for p in pks:
+                        present = present & F.col("old").getItem(p).isNotNull()
+                    val = F.when(
+                        present,
+                        F.concat_ws(
+                            "|", *[F.col("old").getItem(p) for p in pks]
+                        ),
+                    )
+                branches.append(
+                    ev.filter(F.col("table") == table).select(
+                        F.lit(table).alias("table"),
+                        F.lit(name).alias("pk_col"),
+                        val.cast("string").alias("pk_value"),
+                    )
+                )
+        pairs = branches[0]
+        for b in branches[1:]:
+            pairs = pairs.unionByName(b)
+        pairs = pairs.filter(F.col("pk_value").isNotNull())
         by_keys = self.lineage.join(
-            maybe_broadcast(pairs, known_rows=n_events * 8),
+            maybe_broadcast(pairs, known_rows=n_events),
             on=["table", "pk_col", "pk_value"],
             how="left_semi",
         ).select("_id")

@@ -360,3 +360,28 @@ def test_bulk_batch_no_broadcast(spark, monkeypatch):
     compiled = TreeCompiler(eng.catalog, root_keys=keys, root_keys_rows=10**6).compile(tree)
     logical = compiled.df._jdf.queryExecution().logical().toString().lower()
     assert "strategy=broadcast" not in logical
+
+
+def test_grandchild_event_three_level_tree(spark):
+    """lineitem UPDATE must propagate two FK hops (lineitem→orders→
+    customer) and rebuild the nested orders[].lineitems[] arrays in the
+    affected customer doc only (3-level o2m-in-o2m topology)."""
+    tree = schemas.tree("customer_orders_lineitems")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    cat = eng.catalog
+    li = cat.df("lineitem").limit(1).collect()[0]
+    old = {"l_orderkey": li["l_orderkey"], "l_linenumber": li["l_linenumber"]}
+    new = {**{k: li[k] for k in li.asDict()}, "l_quantity": 999}
+    ev = payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "lineitem", "old": old, "new": new, "txid": 5}],
+    )
+    before = eng.stats["recomputed_docs"]
+    eng.process_batch(ev)
+    # exactly the one owning customer recomputes
+    assert eng.stats["recomputed_docs"] - before == 1
+    assert eng.docs.filter(F.col("doc").contains('"l_quantity":999')).count() == 1
+    assert _docs_equal(
+        eng.docs, _full_recompute(spark, eng, schemas.tree("customer_orders_lineitems"))
+    )
