@@ -990,3 +990,173 @@ def dataset_split(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    f"""WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+                 {round6_sql("CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (dfreq.doc_freq + 1)")} AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, doc_freq, score,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored
+        ) WHERE rn <= 5""",
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (training-data relevance /
+    keyword extraction). The idf is the RATIONAL surrogate
+    (n_docs+1)/(doc_freq+1) — no log: ln() is a transcendental whose
+    last-ulp differs across engines, while int64 products + one IEEE
+    double division are bit-identical everywhere (and the ranking it
+    induces is the same — log is monotone).
+
+    Scale shape: tokens explode inside the scan stage; tf is one
+    hash-shuffle on (doc_id, term) with map-side partial counts;
+    doc_freq is a second aggregation whose OUTPUT is vocabulary-sized
+    (bounded by natural language, ~10^6 rows at any corpus size) so the
+    score join broadcasts it; n_docs is a 1-row broadcast cross join.
+    The final top-5 is row_number over doc_id — Spark's
+    WindowGroupLimit pushes a partial per-partition top-5 below the
+    exchange, so the window shuffle carries ≤5·docs rows, not the full
+    tf table."""
+    df = Catalog(spark, sf_dir).df("documents")
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            hashing.round6(
+                (F.col("tf") * (F.col("n_docs") + F.lit(1))).cast("double")
+                / (F.col("doc_freq") + F.lit(1))
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "rn")
+    )
+
+
+@register(
+    "stratified_sample",
+    """SELECT doc_id, lang, source, CAST(sample_rank AS INT) AS sample_rank
+       FROM (
+         SELECT doc_id, lang, source,
+                ROW_NUMBER() OVER (
+                  PARTITION BY lang, source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+         FROM documents
+       ) WHERE sample_rank <= 20""",
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 20 docs per (lang, source)
+    stratum, selected by md5(doc_id) order — a reproducible
+    uniform-within-stratum draw (same engine-portable trick as
+    dataset_split: the hash IS the random number, so re-runs,
+    re-partitioning, and engine choice cannot change the sample).
+
+    Scale shape: one shuffle on the stratum key; WindowGroupLimit
+    keeps a per-partition top-20 heap below the exchange, so the
+    shuffle moves ≤20·strata·partitions rows — effectively nothing at
+    100 TB. A skewed stratum never materializes its full sort."""
+    df = Catalog(spark, sf_dir).df("documents")
+    w = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        df.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+@register(
+    "range_join_orders",
+    """SELECT a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+              CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                             CAST(b.o_orderdate AS DATE)) AS BIGINT) AS day_gap
+       FROM orders a JOIN orders b
+         ON a.o_custkey = b.o_custkey
+        AND abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE))) <= 30
+        AND a.o_orderkey <> b.o_orderkey""",
+)
+def range_join_orders(spark, sf_dir):
+    """Range (interval) join: pairs of orders by the same customer
+    within ±30 days — the window-context primitive behind burst
+    detection and near-duplicate-order analysis. Spark has no native
+    range-join optimization (the naive plan is an equi-join on custkey
+    with a residual date filter, which degenerates to a per-customer
+    cross product), so this uses the BINNED range join: bucket dates
+    into bins of width == the range radius (30 d); the left side
+    replicates each row to its 3 adjacent bins (explode), the right
+    keeps its single home bin, and the join is a pure equi-join on
+    (custkey, bin) + residual |gap| <= 30. Each qualifying pair meets
+    in exactly one bin (the right row's home bin), so no dedup pass is
+    needed. Cost: 3x left-side shuffle volume buys an equi-join whose
+    per-key fan-out is bounded by one bin's population — the standard
+    trick Databricks ships as the RANGE_JOIN hint, expressed in open
+    Spark."""
+    o = (
+        Catalog(spark, sf_dir)
+        .df("orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("d"),
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("okey_a"),
+        "o_custkey",
+        F.col("d").alias("da"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).withColumn("bin", F.floor(F.col("da") / 30) + F.col("off"))
+    b = o.select(
+        F.col("o_orderkey").alias("okey_b"),
+        "o_custkey",
+        F.col("d").alias("db"),
+        F.floor(F.col("d") / 30).alias("bin"),
+    )
+    return (
+        a.join(b, ["o_custkey", "bin"])
+        .filter(
+            (F.abs(F.col("db") - F.col("da")) <= 30)
+            & (F.col("okey_a") != F.col("okey_b"))
+        )
+        .select(
+            "okey_a",
+            "okey_b",
+            (F.col("db") - F.col("da")).cast("bigint").alias("day_gap"),
+        )
+    )
