@@ -54,3 +54,34 @@ def release_all() -> None:
         for df in cached:
             df.unpersist()
     _SCOPES.clear()
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the executor block storage behind an eager localCheckpoint.
+
+    ``localCheckpoint`` persists the physical RDD; dropping the Python
+    reference does NOT free the blocks until the JVM ContextCleaner
+    happens to collect the RDD — an incremental engine that
+    re-checkpoints its stores every batch therefore accumulates
+    superseded store-sized blocks and pays the churn in GC pauses
+    (observed as 10s→45s batch-time outliers at sf0.1).
+
+    ``df`` must be the exact frame localCheckpoint returned (its
+    analyzed plan is the LogicalRDD — projections over it don't match
+    and return False). Releasing is safe for frames whose every
+    consumer was itself eagerly checkpointed; re-reading ``df`` itself
+    afterwards fails, so only release superseded frames.
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        node.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def release_local_checkpoints(frames) -> int:
+    """release_local_checkpoint over an iterable; returns #released."""
+    return sum(1 for df in frames if release_local_checkpoint(df))

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import caching
 from ..catalog import Catalog
 from ..node import SYSTEM_COLUMNS, Node, Tree
 from ..operators.joins import maybe_broadcast
@@ -79,8 +80,9 @@ def lineage_df(combined: DataFrame, keys_cols: dict) -> DataFrame:
     )
 
 
-def materialize_tree(compiled) -> tuple[DataFrame, DataFrame]:
-    """One-pass materialization of a compiled tree → (docs, lineage).
+def materialize_tree(compiled) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-pass materialization of a compiled tree →
+    (docs, lineage, combined).
 
     A single combined projection (doc JSON + typed root PKs + slim key
     arrays) is localCheckpoint-ed eagerly, so the denormalization plan
@@ -88,14 +90,18 @@ def materialize_tree(compiled) -> tuple[DataFrame, DataFrame]:
     projections over the checkpointed rows. Replaces a persist of the
     wide pre-JSON frame + one eager checkpoint per store + one cache
     scan per key column (measured ~2× on full_sync at sf0.1). On a
-    cluster the checkpoint is a Delta/parquet write; same shape."""
+    cluster the checkpoint is a Delta/parquet write; same shape.
+
+    ``combined`` is returned so the caller can release its blocks
+    (caching.release_local_checkpoint) once both views have been
+    superseded by a newer store checkpoint."""
     combined = assemble_docs(
         compiled, include_pks=True, include_keys=True
     ).localCheckpoint(eager=True)
     doc_cols = [c for c in combined.columns if not c.startswith("__k_")]
     docs = combined.select(*doc_cols)
     lineage = lineage_df(combined, compiled.keys_cols)
-    return docs, lineage
+    return docs, lineage, combined
 
 
 class IncrementalEngine:
@@ -132,6 +138,11 @@ class IncrementalEngine:
         # persists fragments externally.
         self.compact_every = 1
         self._since_compact = 0
+        # checkpointed frames backing the CURRENT stores, and frames a
+        # still-lazy store chain may reference; both released the next
+        # time the stores compact (see _compact_stores)
+        self._store_frames: list[DataFrame] = []
+        self._pending_release: list[DataFrame] = []
 
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
@@ -146,8 +157,22 @@ class IncrementalEngine:
             "lineage key inventory diverged from compiled keys: "
             f"{sorted(set(compiled.keys_cols) ^ expected)}"
         )
-        self.docs, self.lineage = materialize_tree(compiled)
+        self.docs, self.lineage, combined = materialize_tree(compiled)
+        self._release_superseded(next_store_frames=[combined])
         return self.docs
+
+    def _release_superseded(self, next_store_frames: list[DataFrame]) -> None:
+        """Swap the store-backing checkpoint set: everything backing the
+        PREVIOUS stores, plus any batch temporaries parked while the
+        store chains were lazy, is now fully superseded (the new frames
+        in ``next_store_frames`` are eager) — free the blocks instead of
+        waiting on JVM GC (measured: leaked store-sized checkpoints per
+        batch → GC-pause batch-time outliers)."""
+        caching.release_local_checkpoints(
+            self._store_frames + self._pending_release
+        )
+        self._store_frames = list(next_store_frames)
+        self._pending_release = []
 
     def _lineage_keys(self, tree: Tree) -> dict[str, list[tuple[str, ...]]]:
         """table → distinct pk tuples (catalog/declared order, matching
@@ -282,17 +307,25 @@ class IncrementalEngine:
         return chains
 
     def _resolve_new_images(
-        self, events: DataFrame, n_events: int
+        self, events: DataFrame, new_counts: dict[str, int]
     ) -> DataFrame | None:
         """Affected root keys from INSERT/UPDATE new images, by joining
         up the FK chains against the current snapshots.
 
-        Every frame in a chain is bounded by the batch's event count
-        (first hop distinct-selects from events; child→parent hops are
-        many-to-one), so ``n_events`` guards each broadcast: small batch
-        → broadcast hint, bulk backfill → the planner/AQE decides."""
+        ``new_counts``: per-table INSERT/UPDATE event counts from the
+        batch stats aggregation. Tables with zero new images skip their
+        chains entirely — a batch touching only the root never scans a
+        child snapshot here (the recompute reads children anyway, but
+        resolution must not). Every frame in a chain is bounded by its
+        table's event count (first hop distinct-selects from events;
+        child→parent hops are many-to-one), so the count guards each
+        broadcast: small batch → broadcast hint, bulk backfill → the
+        planner/AQE decides."""
         outs = []
         for table, chains in self._chains.items():
+            n_events = new_counts.get(table, 0)
+            if n_events == 0:
+                continue
             ev = events.filter(
                 (F.col("table") == table) & F.col("op").isin(INSERT, UPDATE)
             )
@@ -330,7 +363,11 @@ class IncrementalEngine:
         return out.dropDuplicates()
 
     def _resolve_old_images(
-        self, events: DataFrame, n_events: int, has_truncate: bool = True
+        self,
+        events: DataFrame,
+        n_events: int,
+        has_truncate: bool = True,
+        old_tables: set[str] | None = None,
     ) -> DataFrame:
         """Affected doc _ids from old images / deletes / truncates via the
         lineage reverse index.
@@ -356,6 +393,8 @@ class IncrementalEngine:
         ev = events.filter(F.col("op").isin(UPDATE, DELETE))
         branches = []
         for table, tuples in sorted(self._keys_by_table.items()):
+            if old_tables is not None and table not in old_tables:
+                continue  # no old images for this table in the batch
             for pks in tuples:
                 if len(pks) == 1:
                     name = pks[0]
@@ -380,15 +419,18 @@ class IncrementalEngine:
                         val.cast("string").alias("pk_value"),
                     )
                 )
-        pairs = branches[0]
-        for b in branches[1:]:
-            pairs = pairs.unionByName(b)
-        pairs = pairs.filter(F.col("pk_value").isNotNull())
-        by_keys = self.lineage.join(
-            maybe_broadcast(pairs, known_rows=n_events),
-            on=["table", "pk_col", "pk_value"],
-            how="left_semi",
-        ).select("_id")
+        if branches:
+            pairs = branches[0]
+            for b in branches[1:]:
+                pairs = pairs.unionByName(b)
+            pairs = pairs.filter(F.col("pk_value").isNotNull())
+            by_keys = self.lineage.join(
+                maybe_broadcast(pairs, known_rows=n_events),
+                on=["table", "pk_col", "pk_value"],
+                how="left_semi",
+            ).select("_id")
+        else:  # INSERT-only batch: no old images at all
+            by_keys = self.lineage.select("_id").limit(0)
         # no dropDuplicates: the only consumer is a left_semi join, which
         # dedups inherently — an explicit distinct here is a pure shuffle
         if not has_truncate:
@@ -426,54 +468,82 @@ class IncrementalEngine:
         # micro-batch source files (which vanish after the epoch) —
         # downstream frames derive from it lazily
         events = events.localCheckpoint(eager=True)
-        # single action for every batch statistic
+        # single action for every batch statistic, grouped per table so
+        # resolution can skip tables the batch never touched
         keep = self._keep_event()
-        agg = events.agg(
+        per_table = events.groupBy("table").agg(
             F.count(F.lit(1)).alias("n"),
             F.max("txid").alias("mx"),
             F.sum(keep.cast("int")).alias("n_active"),
-            F.max((F.col("op") == TRUNCATE).cast("int")).alias("any_trunc"),
-            F.max(
-                (
-                    (F.col("op") == TRUNCATE)
-                    & (F.col("table") == self.tree.root.table)
-                ).cast("int")
-            ).alias("root_trunc"),
-        ).collect()[0]
-        if agg["n"] == 0:
+            F.sum(
+                (F.col("op").isin(INSERT, UPDATE) & keep).cast("int")
+            ).alias("n_new"),
+            F.sum(
+                (F.col("op").isin(UPDATE, DELETE) & keep).cast("int")
+            ).alias("n_old"),
+            F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
+        ).collect()
+        n_total = sum(r["n"] for r in per_table)
+        if n_total == 0:
             return
-        n_active = int(agg["n_active"] or 0)
+        n_active = sum(int(r["n_active"] or 0) for r in per_table)
+        new_counts = {r["table"]: int(r["n_new"] or 0) for r in per_table}
+        old_tables = {r["table"] for r in per_table if int(r["n_old"] or 0) > 0}
+        any_trunc = any(r["has_trunc"] for r in per_table)
+        root_trunc = any(
+            r["has_trunc"] and r["table"] == self.tree.root.table
+            for r in per_table
+        )
+        mxs = [r["mx"] for r in per_table if r["mx"] is not None]
         self.stats["batches"] += 1
         self.stats["events"] += n_active
-        self.stats["suppressed_updates"] += agg["n"] - n_active
-        if agg["mx"] is not None:
-            self.checkpoint = max(self.checkpoint or 0, agg["mx"])
+        self.stats["suppressed_updates"] += n_total - n_active
+        if mxs:
+            self.checkpoint = max(self.checkpoint or 0, max(mxs))
 
-        if agg["root_trunc"]:
+        # frames whose blocks this batch owns; released once the store
+        # chains that (may) reference them have been compacted. The
+        # events checkpoint joins the set only when the materializer is
+        # eager (compact_every=1, the default) — lazy snapshot chains
+        # keep referencing it.
+        batch_tmp: list[DataFrame] = (
+            [events] if self.materializer.compact_every == 1 else []
+        )
+
+        if root_trunc:
             # TRUNCATE of the root empties everything (ref: _truncate_op)
             self.materializer.apply(events, materialized=True)
-            self.docs = self.docs.limit(0).localCheckpoint(eager=True)
-            self.lineage = self.lineage.limit(0).localCheckpoint(eager=True)
+            docs_ck = self.docs.limit(0).localCheckpoint(eager=True)
+            lin_ck = self.lineage.limit(0).localCheckpoint(eager=True)
+            self.docs, self.lineage = docs_ck, lin_ck
+            self._pending_release.extend(batch_tmp)
+            self._release_superseded([docs_ck, lin_ck])
+            self._since_compact = 0
             return
         if n_active == 0:
             # only suppressed no-op UPDATEs: keep snapshots exact (their
             # unwatched columns may have changed) but skip all doc work
             self.materializer.apply(events, materialized=True)
+            self._pending_release.extend(batch_tmp)
             return
 
         # suppressed events never resolve or recompute (ref:
         # pgsync/trigger.py:58-71), but they DO reach the materializer
         # so snapshots stay exact on unwatched columns
-        active = events if agg["n"] == n_active else events.filter(keep)
+        active = events if n_total == n_active else events.filter(keep)
 
         ids = self._resolve_old_images(
-            active, n_active, has_truncate=bool(agg["any_trunc"])
+            active,
+            n_active,
+            has_truncate=any_trunc,
+            old_tables=old_tables,
         )
         self.materializer.apply(events, materialized=True)
-        new_keys = self._resolve_new_images(active, n_active)
+        new_keys = self._resolve_new_images(active, new_counts)
         n_new = 0
         if new_keys is not None:
             new_keys = new_keys.localCheckpoint(eager=True)
+            batch_tmp.append(new_keys)
             n_new = new_keys.count()  # cheap: checkpointed
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
@@ -488,6 +558,7 @@ class IncrementalEngine:
         # when it is provably small (a child TRUNCATE makes it the whole
         # store → shuffle path)
         ids = ids.localCheckpoint(eager=True)
+        batch_tmp.append(ids)
         n_ids = ids.count()  # cheap: checkpointed
 
         # ONE store materialization covers every downstream need: the
@@ -500,6 +571,7 @@ class IncrementalEngine:
             .select("_id", *self.root_pks)
             .localCheckpoint(eager=True)
         )
+        batch_tmp.append(affected)
         n_affected = affected.count()  # cheap: checkpointed
         affected_ids = affected.select("_id")
 
@@ -515,7 +587,8 @@ class IncrementalEngine:
         ).compile(self.tree)
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op)
-        new_docs, new_lineage = materialize_tree(compiled)
+        new_docs, new_lineage, new_combined = materialize_tree(compiled)
+        batch_tmp.append(new_combined)
         self.stats["recomputed_docs"] += new_docs.count()
         self.docs = self.docs.join(
             maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
@@ -524,7 +597,12 @@ class IncrementalEngine:
             maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
         ).unionByName(new_lineage)
         self._since_compact += 1
+        self._pending_release.extend(batch_tmp)
         if self._since_compact >= self.compact_every:
-            self.docs = self.docs.localCheckpoint(eager=True)
-            self.lineage = self.lineage.localCheckpoint(eager=True)
+            docs_ck = self.docs.localCheckpoint(eager=True)
+            lin_ck = self.lineage.localCheckpoint(eager=True)
+            self.docs, self.lineage = docs_ck, lin_ck
             self._since_compact = 0
+            # the new store checkpoints subsume every frame the old lazy
+            # chains referenced — free old stores + parked temporaries
+            self._release_superseded([docs_ck, lin_ck])
