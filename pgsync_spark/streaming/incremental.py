@@ -503,12 +503,10 @@ class IncrementalEngine:
 
         # frames whose blocks this batch owns; released once the store
         # chains that (may) reference them have been compacted. The
-        # events checkpoint joins the set only when the materializer is
-        # eager (compact_every=1, the default) — lazy snapshot chains
-        # keep referencing it.
-        batch_tmp: list[DataFrame] = (
-            [events] if self.materializer.compact_every == 1 else []
-        )
+        # events checkpoint is always releasable: the materializer's
+        # overlay checkpoint (eager, per apply) decouples the registered
+        # snapshot views from the events frame.
+        batch_tmp: list[DataFrame] = [events]
 
         if root_trunc:
             # TRUNCATE of the root empties everything (ref: _truncate_op)
