@@ -538,26 +538,35 @@ class IncrementalEngine:
         )
         self.materializer.apply(events, materialized=True)
         new_keys = self._resolve_new_images(active, new_counts)
-        n_new = 0
+        # broadcast guards below use event-derived UPPER BOUNDS instead
+        # of exact counts — each exact count is a driver sync point (a
+        # full Spark job), and an upper bound decides the broadcast the
+        # same way where it matters: a bulk backfill / child TRUNCATE
+        # makes the bound huge → shuffle path, a normal batch keeps it
+        # tiny → broadcast. n_new bound: every resolved root key traces
+        # to at least one INSERT/UPDATE event.
+        n_new = sum(new_counts.values())
         if new_keys is not None:
             new_keys = new_keys.localCheckpoint(eager=True)
             batch_tmp.append(new_keys)
-            n_new = new_keys.count()  # cheap: checkpointed
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
                     "_id"
                 )
             )
             ids = ids.unionByName(key_ids)  # semi-join side: dupes harmless
+        else:
+            n_new = 0
 
         # materialize the candidate id set once (one pass over lineage —
-        # the union's semi-joins broadcast the tiny event-derived sides),
-        # so its size is known and the store joins below can broadcast it
-        # when it is provably small (a child TRUNCATE makes it the whole
-        # store → shuffle path)
+        # the union's semi-joins broadcast the tiny event-derived sides)
+        # so every downstream join re-reads instead of re-resolving.
+        # Bound: old-image ids ≤ n_active events ... except a child
+        # TRUNCATE, whose lineage sweep can return the whole store — no
+        # bound is knowable without counting, so count only then.
         ids = ids.localCheckpoint(eager=True)
         batch_tmp.append(ids)
-        n_ids = ids.count()  # cheap: checkpointed
+        n_ids = ids.count() if any_trunc else n_active + n_new
 
         # ONE store materialization covers every downstream need: the
         # affected ids that exist in the store, with their typed root PKs
@@ -570,7 +579,7 @@ class IncrementalEngine:
             .localCheckpoint(eager=True)
         )
         batch_tmp.append(affected)
-        n_affected = affected.count()  # cheap: checkpointed
+        n_affected = n_ids  # affected ⊆ ids: same broadcast decision
         affected_ids = affected.select("_id")
 
         # recompute those roots from the CURRENT snapshots (both inputs
