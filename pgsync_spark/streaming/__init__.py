@@ -6,3 +6,4 @@ from .cdc import (  # noqa: F401
 )
 from .incremental import IncrementalEngine  # noqa: F401
 from .metrics import EngineMetricsListener  # noqa: F401
+from .runner import SyncRunner  # noqa: F401

@@ -107,11 +107,21 @@ def materialize_tree(compiled) -> tuple[DataFrame, DataFrame, DataFrame]:
 class IncrementalEngine:
     """Maintains (docs, lineage) for one Tree against a mutable Catalog."""
 
-    def __init__(self, spark, tree: Tree, catalog: Catalog):
+    def __init__(
+        self,
+        spark,
+        tree: Tree,
+        catalog: Catalog,
+        materializer: TableMaterializer | None = None,
+    ):
+        """``materializer``: pass a shared one when several engines run
+        different trees over the SAME catalog (multi-index sync) — the
+        orchestrator then applies each batch to the snapshots exactly
+        once and calls ``process_batch(..., apply_snapshots=False)``."""
         self.spark = spark
         self.tree = tree
         self.catalog = catalog
-        self.materializer = TableMaterializer(catalog)
+        self.materializer = materializer or TableMaterializer(catalog)
         self.root_pks = list(catalog.primary_key(tree.root.table, tree.root))
         self._chains = self._build_chains(tree)
         self._watched = self._watched_columns(tree)
@@ -449,6 +459,7 @@ class IncrementalEngine:
         events: DataFrame,
         txmin: int | None = None,
         txmax: int | None = None,
+        apply_snapshots: bool = True,
     ) -> None:
         """foreachBatch body: filter → materialize → resolve → recompute
         → upsert/delete → maintain lineage.
@@ -458,7 +469,15 @@ class IncrementalEngine:
         window predicate (ref: pgsync/querybuilder.py:446-467,
         base.py:734-749) expressed on the CDC log. The engine checkpoint
         advances to the highest applied txid
-        (ref: pgsync/sync.py:1890-1893)."""
+        (ref: pgsync/sync.py:1890-1893).
+
+        ``apply_snapshots=False``: a multi-index orchestrator
+        (SyncRunner) already applied this batch to the shared catalog's
+        snapshots; skip the materializer and only resolve/recompute.
+        NOTE the resolvers then see post-batch snapshots for old images
+        too — exact all the same, because old-image resolution reads the
+        LINEAGE index (pre-batch by construction), never the table
+        snapshots."""
         events = events.filter(self._event_scope())
         if txmin is not None:
             events = events.filter(F.col("txid") >= txmin)
@@ -510,7 +529,8 @@ class IncrementalEngine:
 
         if root_trunc:
             # TRUNCATE of the root empties everything (ref: _truncate_op)
-            self.materializer.apply(events, materialized=True)
+            if apply_snapshots:
+                self.materializer.apply(events, materialized=True)
             docs_ck = self.docs.limit(0).localCheckpoint(eager=True)
             lin_ck = self.lineage.limit(0).localCheckpoint(eager=True)
             self.docs, self.lineage = docs_ck, lin_ck
@@ -521,7 +541,8 @@ class IncrementalEngine:
         if n_active == 0:
             # only suppressed no-op UPDATEs: keep snapshots exact (their
             # unwatched columns may have changed) but skip all doc work
-            self.materializer.apply(events, materialized=True)
+            if apply_snapshots:
+                self.materializer.apply(events, materialized=True)
             self._pending_release.extend(batch_tmp)
             return
 
@@ -536,7 +557,8 @@ class IncrementalEngine:
             has_truncate=any_trunc,
             old_tables=old_tables,
         )
-        self.materializer.apply(events, materialized=True)
+        if apply_snapshots:
+                self.materializer.apply(events, materialized=True)
         new_keys = self._resolve_new_images(active, new_counts)
         # broadcast guards below use event-derived UPPER BOUNDS instead
         # of exact counts — each exact count is a driver sync point (a
