@@ -1160,3 +1160,97 @@ def range_join_orders(spark, sf_dir):
             (F.col("db") - F.col("da")).cast("bigint").alias("day_gap"),
         )
     )
+
+
+@register(
+    "contamination_check",
+    f"""WITH split AS (
+          SELECT doc_id, lower(text) AS txt,
+                 CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                      WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        toks AS (
+          SELECT doc_id, split, regexp_extract_all(txt, '[a-z0-9]+') AS t
+          FROM split),
+        sh AS (
+          SELECT DISTINCT doc_id, split, md5(shingle) AS sh_key
+          FROM (
+            SELECT doc_id, split,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           FOR i IN generate_series(1, len(t) - 7)]) AS shingle
+            FROM toks WHERE len(t) >= 8)),
+        train_keys AS (
+          SELECT sh_key FROM sh WHERE split = 'train'
+          GROUP BY sh_key HAVING COUNT(DISTINCT doc_id) <= 256),
+        train_pairs AS (
+          SELECT s.sh_key, s.doc_id AS train_doc
+          FROM sh s JOIN train_keys USING (sh_key) WHERE s.split = 'train')
+        SELECT e.doc_id, e.split,
+               CAST(COUNT(DISTINCT e.sh_key) AS BIGINT) AS n_shingles,
+               CAST(COUNT(DISTINCT t.train_doc) AS BIGINT) AS n_train_docs
+        FROM sh e JOIN train_pairs t USING (sh_key)
+        WHERE e.split <> 'train'
+        GROUP BY e.doc_id, e.split""",
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: eval (val/test) documents sharing any
+    8-token shingle with a train document, with overlap counts — the
+    step every serious training-data pipeline runs before publishing a
+    split (the n-gram method GPT-3/PaLM-style reports describe).
+
+    Spark-first shape: tokenization and shingling are pure column
+    expressions (regexp_extract_all + explode(sequence) + slice —
+    prefiltered to docs with >= 8 tokens so the sequence is unguarded
+    and stays in codegen); shingles join on their md5 (fixed 32-char
+    key keeps shuffle width independent of shingle length, collision
+    odds ~0 at any corpus size). The one scale hazard — boilerplate
+    shingles present in thousands of train docs fanning out the join —
+    is capped exactly like the LSH hot-bucket rule: shingles with train
+    doc-frequency > 256 are dropped as uninformative (HAVING twin in
+    the oracle). Cost: one shuffle to dedup shingles, one for the
+    train-frequency cap, one broadcast-or-shuffle join, one final
+    aggregate; all partial-aggregated map-side."""
+    docs = Catalog(spark, sf_dir).df("documents")
+    bucket = hashing.h32(F.col("doc_id").cast("string")) % 100
+    base = docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    ).filter(F.size("t") >= 8)
+    sh = (
+        base.select(
+            "doc_id",
+            "split",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), 8))).alias(
+                "sh_key"
+            ),
+        )
+        .distinct()
+    )
+    train = sh.filter(F.col("split") == "train").select("sh_key", "doc_id")
+    train_keys = (
+        train.groupBy("sh_key")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 256)
+        .select("sh_key")
+    )
+    train_pairs = train.join(train_keys, "sh_key").withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    hits = sh.filter(F.col("split") != "train").join(train_pairs, "sh_key")
+    return hits.groupBy("doc_id", "split").agg(
+        F.countDistinct("sh_key").cast("bigint").alias("n_shingles"),
+        F.countDistinct("train_doc").cast("bigint").alias("n_train_docs"),
+    )
