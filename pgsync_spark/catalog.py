@@ -17,7 +17,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import exc
 from .node import ForeignKey, Node
@@ -76,6 +78,46 @@ TPCH_TABLES: dict[str, TableMeta] = {
     "documents": TableMeta("documents", ("doc_id",)),
     "embeddings": TableMeta("embeddings", ("vec_id",)),
 }
+
+
+def event_time(df: DataFrame, name: str) -> Column:
+    """THE event-time normalizer: a session-zone TIMESTAMP expression for
+    ``df[name]`` regardless of how the source encoded it.
+
+    Driver parquet carries tz-less ``timestamp[us]`` columns, which Spark 4
+    reads as TIMESTAMP_NTZ — a type ``unix_micros`` and ``withWatermark``
+    both reject. Under the engine's fixed UTC session timezone
+    (session.py:34) the NTZ→LTZ cast is instant-preserving and identical
+    to DuckDB's ``CAST(col AS TIMESTAMP)``, so oracle comparisons stay
+    exact. Handled encodings:
+
+    - TIMESTAMP        → unchanged
+    - TIMESTAMP_NTZ    → cast (same instant under UTC session)
+    - long nanos-since-epoch (TIMESTAMP(NANOS) parquet read with
+      nanosAsLong) → integer div 1000 then timestamp_micros; ``div``
+      keeps full precision where a double round-trip would not
+    - DATE             → midnight UTC
+
+    Every query/stream that needs epoch arithmetic or a watermark goes
+    through here (or :func:`time_micros`) — never call
+    ``unix_micros(F.col(...))`` on a raw column.
+    """
+    dtype = df.schema[name].dataType
+    if isinstance(dtype, T.LongType):
+        return F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+    return F.col(name).cast("timestamp")
+
+
+def time_micros(df: DataFrame, name: str) -> Column:
+    """Micros-since-epoch BIGINT for an event-time column; comparable
+    with DuckDB ``epoch_us(CAST(col AS TIMESTAMP))`` under a UTC session."""
+    return F.unix_micros(event_time(df, name))
+
+
+def with_event_time(df: DataFrame, name: str) -> DataFrame:
+    """Replace ``name`` with its normalized session-zone TIMESTAMP — the
+    form ``withWatermark``/``window`` require on streaming DataFrames."""
+    return df.withColumn(name, event_time(df, name))
 
 
 def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .catalog import Catalog, TPCH_TABLES
+from .catalog import Catalog, TPCH_TABLES, time_micros
 from .functions import hashing
 from .functions.hashing import h32_sql, round6_sql
 from .operators.filters import build_filters, filters_to_sql
@@ -569,13 +569,14 @@ def events_sessionize(spark, sf_dir):
     the batch shape of streaming session_window; deterministic tiebreak
     on event_id. Beyond-reference operator for the event stream table.
 
-    Gap compare is exact microseconds on both sides: Spark ts is
-    micros (Catalog restores TIMESTAMP(NANOS) via div-1000 truncation)
-    and the oracle applies the same truncation with
-    epoch_us(CAST(ts AS TIMESTAMP)), so a gap whose true value and
-    whole-second value straddle 1800s cannot flip session assignment."""
+    Gap compare is exact microseconds on both sides: ``time_micros``
+    normalizes whatever the parquet encoding is (here TIMESTAMP_NTZ,
+    instant-preserving NTZ→LTZ cast under the UTC session) and the
+    oracle mirrors it with epoch_us(CAST(ts AS TIMESTAMP)), so a gap
+    whose true value and whole-second value straddle 1800s cannot flip
+    session assignment."""
     df = Catalog(spark, sf_dir).df("events")
-    df = df.withColumn("us", F.unix_micros(F.col("ts")))
+    df = df.withColumn("us", time_micros(df, "ts"))
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     lag_us = F.lag("us").over(w)
     gap = F.when(

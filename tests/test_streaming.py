@@ -7,6 +7,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from pgsync_spark import Catalog, TreeCompiler, schemas
+from pgsync_spark.catalog import with_event_time
 from pgsync_spark.plugin import Plugin, apply_plugins
 from pgsync_spark.sinks import build_index_mapping, write_jsonl
 from pgsync_spark.plans.docs import assemble_structured
@@ -171,6 +172,9 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         .option("maxFilesPerTrigger", 4)
         .parquet(src)
     )
+    # event-time ops (withWatermark/window) require TIMESTAMP, not the
+    # TIMESTAMP_NTZ the tz-less parquet reads as — normalize first
+    stream = with_event_time(stream, "ts")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -187,7 +191,7 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     got = spark.sql(
         "SELECT window.start AS h, event_type, n AS got_n FROM ev_win"
     )
-    expect = batch.groupBy(
+    expect = with_event_time(batch, "ts").groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("exp_n"))
     # append mode with watermark may hold back the final (open) window;
