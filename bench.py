@@ -3,12 +3,17 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}. Each query is executed to completion
 with a count-style action (no driver-side collect of full results).
+
+Every section is fault-isolated: a broken query records
+{"errors": {name: msg}} instead of aborting the run, and the JSON line
+is ALWAYS printed (a crash may void one number, never the artifact).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,6 +36,9 @@ HEADLINE = [
     "events_sessionize",
 ]
 
+# steady-state = median of this many batches applied after the cold one
+STEADY_BATCHES = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,64 +47,87 @@ def main() -> None:
     from pgsync_spark.queries import REGISTRY
 
     spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # warm up the JVM / codegen / parquet footer cache so the first timed
     # query doesn't absorb session startup cost
-    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
-    timings: dict[str, float] = {}
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    except Exception as e:  # noqa: BLE001 — artifact must still print
+        errors["warmup"] = f"{type(e).__name__}: {e}"
+
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        # warm the input cache path once so timings measure compute, and
-        # run the real measurement on a fresh plan
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # release intermediates the query persisted for multi-consumer
-        # stages (dedup signatures etc.) now that the action is done
-        caching.release(df)
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            # release intermediates the query persisted for multi-consumer
+            # stages (dedup signatures etc.) now that the action is done
+            caching.release(df)
+        except Exception as e:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(e).__name__}: {str(e)[:500]}"
+            print(f"# {name}: ERROR {errors[name][:200]}", file=sys.stderr)
 
-    caching.release_all()
-    spark.catalog.clearCache()  # safety net for anything unregistered
+    try:
+        caching.release_all()
+        spark.catalog.clearCache()  # safety net for anything unregistered
+    except Exception as e:  # noqa: BLE001
+        errors["cache_cleanup"] = f"{type(e).__name__}: {e}"
 
-    # incremental engine, timed per phase (initial load vs one CDC batch)
-    from pgsync_spark import Catalog, schemas
-    from pgsync_spark.queries import _incremental_events
-    from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
+    # incremental engine, timed per phase: initial load, cold first CDC
+    # batch, then steady-state (median of STEADY_BATCHES re-applies — the
+    # long-run cost once overlays/checkpoints are warm)
+    try:
+        from pgsync_spark import Catalog, schemas
+        from pgsync_spark.queries import _incremental_events
+        from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
 
-    cat = Catalog(spark, sf_dir)
-    eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
-    t0 = time.perf_counter()
-    eng.full_sync()
-    timings["incremental_full_sync"] = round(time.perf_counter() - t0, 3)
-    events = payloads_from_rows(spark, _incremental_events(spark, cat))
-    t0 = time.perf_counter()
-    eng.process_batch(events)
-    timings["incremental_cdc_batch"] = round(time.perf_counter() - t0, 3)
-    print(
-        f"# incremental: full_sync {timings['incremental_full_sync']}s, "
-        f"batch {timings['incremental_cdc_batch']}s ({eng.stats})",
-        file=sys.stderr,
-    )
+        cat = Catalog(spark, sf_dir)
+        eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
+        t0 = time.perf_counter()
+        eng.full_sync()
+        timings["incremental_full_sync"] = round(time.perf_counter() - t0, 3)
+        events = payloads_from_rows(spark, _incremental_events(spark, cat))
+        t0 = time.perf_counter()
+        eng.process_batch(events)
+        timings["incremental_cdc_batch"] = round(time.perf_counter() - t0, 3)
+        steady: list[float] = []
+        for _ in range(STEADY_BATCHES):
+            t0 = time.perf_counter()
+            eng.process_batch(events)
+            steady.append(time.perf_counter() - t0)
+        timings["incremental_steady_batch"] = round(statistics.median(steady), 3)
+        print(
+            f"# incremental: full_sync {timings['incremental_full_sync']}s, "
+            f"cold batch {timings['incremental_cdc_batch']}s, steady "
+            f"{timings['incremental_steady_batch']}s (all: "
+            f"{[round(s, 2) for s in steady]}; {eng.stats})",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — isolate the incremental section
+        errors["incremental"] = f"{type(e).__name__}: {str(e)[:500]}"
+        print(f"# incremental: ERROR {errors['incremental'][:200]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
