@@ -16,7 +16,7 @@ deployment this is a Delta/Iceberg MERGE INTO keyed on the PK.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -104,15 +104,22 @@ def debezium_to_cdc(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def _typed_image(events: DataFrame, image: str, snapshot: DataFrame, cols: list[str]) -> DataFrame:
+def _typed_image(
+    events: DataFrame,
+    image: str,
+    snapshot: DataFrame,
+    cols: list[str],
+    extra: list | None = None,
+) -> DataFrame:
     """Extract ``cols`` from the old/new map, cast to the snapshot's
     column types (logical-decoding images are strings,
-    ref parse_value: pgsync/base.py:1089-1113)."""
+    ref parse_value: pgsync/base.py:1089-1113). ``extra`` columns pass
+    through untouched (event-order metadata for LWW folds)."""
     dtypes = dict(snapshot.dtypes)
     sel = []
     for c in cols:
         sel.append(F.col(image).getItem(c).cast(dtypes[c]).alias(c))
-    return events.select(*sel)
+    return events.select(*sel, *(extra or []))
 
 
 class TableMaterializer:
@@ -141,6 +148,9 @@ class TableMaterializer:
     """
 
     OVERLAY_FLAG = "__live"
+    # overlays larger than this always trigger compaction regardless of
+    # cadence (bounds the snapshot view's anti-join for big batches)
+    OVERLAY_ROW_CAP = 65_536
 
     def __init__(self, catalog: Catalog, compact_every: int = 8):
         self.catalog = catalog
@@ -182,9 +192,16 @@ class TableMaterializer:
         self.catalog.register_df(table, new_base)
 
     def apply(self, events: DataFrame, materialized: bool = False) -> None:
-        """Apply one batch. Events are folded per table: old-image PKs
-        of UPDATE/DELETE become tombstones, new images of INSERT/UPDATE
-        become live overlay rows (new image wins within the batch),
+        """Apply one batch. Events are folded per table with
+        LAST-WRITE-WINS semantics: each event contributes a *dead*
+        action for its old-image PK (UPDATE/DELETE) and/or a *live*
+        action carrying its new image (INSERT/UPDATE); the latest
+        action per key — ordered by txid, then arrival order within the
+        batch — decides whether that key is a live overlay row or a
+        tombstone. This matches the reference, which applies events in
+        stream order (ref: pgsync/sync.py:1855-1888 run grouping), so
+        INSERT→UPDATE→UPDATE on one key in a single micro-batch yields
+        exactly the final image and UPDATE→DELETE yields a tombstone.
         TRUNCATE empties the table.
 
         ``materialized``: the caller already eagerly checkpointed the
@@ -196,6 +213,10 @@ class TableMaterializer:
             # decouple from micro-batch source files that vanish after
             # the epoch
             events = events.localCheckpoint(eager=True)
+        # in-batch arrival order for same-txid events: stable on a
+        # checkpointed frame (partition id in the high bits preserves
+        # the original row order of the batch)
+        events = events.withColumn("_seq", F.monotonically_increasing_id())
         stats = events.groupBy("table").agg(
             F.count(F.lit(1)).alias("n"),
             F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
@@ -219,34 +240,57 @@ class TableMaterializer:
                 self.catalog.register_df(table, self._base[table])
                 continue
             base = self._base[table]
-            # new images win over both old versions and earlier new images
-            # with the same key (last-write-wins within a batch by txid
-            # would need ordering; test batches carry one image per key)
-            old_keys = _typed_image(
-                ev.filter(F.col("op").isin(UPDATE, DELETE)), "old", base, pks
-            ).dropDuplicates()
-            new_rows = _typed_image(
-                ev.filter(F.col("op").isin(INSERT, UPDATE)), "new", base, base.columns
-            )
-            new_keys = new_rows.select(*pks).dropDuplicates()
             flag = self.OVERLAY_FLAG
-            # tombstones: old-image keys not re-added by a new image
             dtypes = dict(base.dtypes)
-            tomb = old_keys.join(
-                maybe_broadcast(new_keys, known_rows=n_ev), on=pks, how="left_anti"
+            order = [F.col("txid"), F.col("_seq"), F.col("_sub")]
+            # key-action stream: dead(old pk) for UPDATE/DELETE, live(new
+            # image) for INSERT/UPDATE. _sub breaks the tie inside one
+            # UPDATE that keeps its key (the live image wins over the
+            # removal of the same key by the same event).
+            dead = _typed_image(
+                ev.filter(F.col("op").isin(UPDATE, DELETE)),
+                "old",
+                base,
+                pks,
+                extra=["txid", "_seq"],
             ).select(
                 *[
                     F.col(c) if c in pks else F.lit(None).cast(dtypes[c]).alias(c)
                     for c in base.columns
                 ],
                 F.lit(False).alias(flag),
+                F.col("txid"),
+                F.col("_seq"),
+                F.lit(0).alias("_sub"),
             )
-            delta = new_rows.withColumn(flag, F.lit(True)).unionByName(tomb)
-            batch_keys = old_keys.unionByName(new_keys).dropDuplicates()
+            live = _typed_image(
+                ev.filter(F.col("op").isin(INSERT, UPDATE)),
+                "new",
+                base,
+                base.columns,
+                extra=["txid", "_seq"],
+            ).select(
+                *base.columns,
+                F.lit(True).alias(flag),
+                F.col("txid"),
+                F.col("_seq"),
+                F.lit(1).alias("_sub"),
+            )
+            # one window shuffle over a batch-sized frame: last action
+            # per key wins (LWW)
+            w = Window.partitionBy(*pks).orderBy(*[c.desc() for c in order])
+            delta = (
+                dead.unionByName(live)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "txid", "_seq", "_sub")
+            )
+            # ≤ 2 distinct keys per event (old pk + new pk)
+            batch_keys = delta.select(*pks)
             prev = self._overlay.get(table)
             if prev is not None:
                 merged = prev.join(
-                    maybe_broadcast(batch_keys, known_rows=n_ev),
+                    maybe_broadcast(batch_keys, known_rows=2 * n_ev),
                     on=pks,
                     how="left_anti",
                 ).unionByName(delta)
@@ -256,9 +300,17 @@ class TableMaterializer:
             if prev is not None:
                 caching.release_local_checkpoint(prev)
             self._overlay[table] = overlay
-            self._overlay_rows[table] = self._overlay_rows.get(table, 0) + n_ev
+            # ≤ 2 overlay keys per event (old pk + new pk on a pk change)
+            self._overlay_rows[table] = self._overlay_rows.get(table, 0) + 2 * n_ev
             self._applies[table] = self._applies.get(table, 0) + 1
-            if self._applies[table] >= self.compact_every:
+            # compact on cadence OR when the overlay outgrows the batch —
+            # a run of large batches must not grow the per-read anti-join
+            # between cadence points (size analog of Delta's OPTIMIZE
+            # trigger; keeps steady-state read cost O(batch), not O(run))
+            if (
+                self._applies[table] >= self.compact_every
+                or self._overlay_rows[table] > max(8 * n_ev, self.OVERLAY_ROW_CAP)
+            ):
                 self.compact(table)
             else:
                 self.catalog.register_df(table, self._snapshot_view(table, pks))
