@@ -143,14 +143,15 @@ def minhash_signatures_sql() -> str:
     """
 
 
-def minhash_lsh_pairs(df: DataFrame, log_drops: bool = False) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
     """Near-duplicate pairs: banded LSH candidates + exact Jaccard ≥ θ.
 
     Candidates = docs sharing any band bucket; shuffle volume is
     O(n · n_bands), and the pair join happens per-bucket. Buckets wider
     than MAX_BUCKET_WIDTH are dropped before the self-join (quadratic
-    hot-bucket guard); pass log_drops=True to count and log them (one
-    extra small aggregation action).
+    hot-bucket guard) and the drop count is LOGGED by default — a cap
+    that fires silently reads as full coverage when it isn't; pass
+    log_drops=False to skip the (one small aggregation) counting action.
     """
     # the signature stage feeds two consumers (bands + verify); persist so
     # it computes once (at 100 TB you would checkpoint signatures to
@@ -194,6 +195,10 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = False) -> DataFrame:
         F.collect_list("doc_id").alias("ids")
     )
     if log_drops:
+        # persist the slim (band,bucket,ids) frame so the drop count and
+        # the downstream pair expansion share one computation pass
+        grouped = grouped.persist()
+        cached = cached + [grouped]
         n_hot = grouped.filter(F.size("ids") > MAX_BUCKET_WIDTH).count()
         if n_hot:
             log.warning("minhash_lsh_pairs: dropped %d hot buckets (width > %d)",
@@ -358,36 +363,37 @@ def ngram_jaccard_pairs_sql() -> str:
     """
 
 
-def dedup_clusters(df: DataFrame) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the verified
-    near-dup pair graph, labeled by the minimum reachable doc_id.
+class NonConvergenceError(RuntimeError):
+    """Label propagation hit its round budget before reaching the
+    fixpoint (graph diameter exceeds max_rounds)."""
 
-    Spark-first iterative shape (GraphX/Pregel-style label propagation
-    driven from the driver, converging in O(graph diameter) rounds —
-    each round is one distributed join+min-agg, no per-row driver work):
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 21, strict: bool = False
+) -> DataFrame:
+    """Connected components over an (id1, id2) pair graph, labeled by
+    the minimum reachable id — GraphX/Pregel-style label propagation
+    driven from the driver, converging in O(graph diameter) rounds;
+    each round is one distributed join+min-agg, no per-row driver work:
 
         labels ← id
         repeat: label(id) ← min(label(id), min over neighbors)
-
-    The DuckDB oracle computes the same fixpoint as a recursive
-    transitive closure — agreeing outputs prove the iteration converged
-    to the true component labeling. Returns only docs that belong to a
-    cluster of size ≥ 2.
 
     Driver actions are batched: CHECK_EVERY propagation rounds run
     lazily, then one localCheckpoint materializes them all and
     truncates lineage (the logical plan would otherwise deepen by a
     union+groupBy per round), and one small join checks convergence.
     Min-label propagation is monotone, so "unchanged over a whole
-    check window" proves the fixpoint. The final labels frame is
-    lineage-free, so every upstream cache (LSH signatures, edges) is
-    released before returning.
+    check window" proves the fixpoint.
+
+    NO SILENT CAPS: if the fixpoint is not reached within
+    ``max_rounds`` (graph diameter too large), the count of
+    still-changing labels is computed and either raised
+    (``strict=True``) or logged as a warning — callers always get a
+    signal that the labeling is incomplete.
     """
     CHECK_EVERY = 3
-    MAX_ROUNDS = 21  # diameter bound; testdata clusters are tiny
-    lsh = minhash_lsh_pairs(df)
-    pairs = lsh.select("id1", "id2")
-    edges = pairs.unionByName(
+    edges = pairs.select("id1", "id2").unionByName(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).persist()
     labels = (
@@ -397,7 +403,8 @@ def dedup_clusters(df: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rounds = 0
-    while rounds < MAX_ROUNDS:
+    converged = False
+    while rounds < max_rounds:
         snapshot = labels
         for _ in range(CHECK_EVERY):  # lazy — no action per round
             neighbor = (
@@ -420,8 +427,59 @@ def dedup_clusters(df: DataFrame) -> DataFrame:
             .count()
         )
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # one more lazy round, then count ids whose label would still
+        # move — the non-convergence magnitude
+        neighbor = (
+            edges.join(labels, edges.id2 == labels.id, "inner")
+            .select(F.col("id1").alias("id"), F.col("label"))
+        )
+        probe = (
+            labels.select("id", "label")
+            .unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("__new_l"))
+        )
+        n_changing = (
+            probe.join(labels.select("id", F.col("label").alias("__old_l")), "id")
+            .filter(F.col("__new_l") != F.col("__old_l"))
+            .count()
+        )
+        if n_changing:
+            msg = (
+                f"connected_components did not converge in {rounds} rounds: "
+                f"{n_changing} labels still changing (graph diameter > "
+                f"{max_rounds}); raise max_rounds or pass strict=False "
+                "to accept the partial labeling"
+            )
+            if strict:
+                edges.unpersist()
+                raise NonConvergenceError(msg)
+            log.warning(msg)
     edges.unpersist()
+    return labels.select("id", "label")
+
+
+def dedup_clusters(
+    df: DataFrame, max_rounds: int = 21, strict: bool = False
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    near-dup pair graph, labeled by the minimum reachable doc_id.
+
+    The DuckDB oracle computes the same fixpoint as a recursive
+    transitive closure — agreeing outputs prove the iteration converged
+    to the true component labeling. Non-convergence within
+    ``max_rounds`` warns (or raises with ``strict=True``) — see
+    :func:`connected_components`. The final labels frame is
+    lineage-free, so every upstream cache (LSH signatures, edges) is
+    released before returning.
+    """
+    lsh = minhash_lsh_pairs(df)
+    labels = connected_components(
+        lsh.select("id1", "id2"), max_rounds=max_rounds, strict=strict
+    )
     release(lsh)  # signature/shingle caches — labels no longer need them
     out = labels.select("id", F.col("label").alias("cluster_id"))
     return out.orderBy("id").select(

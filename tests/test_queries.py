@@ -74,3 +74,40 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     pairs = dedup.minhash_lsh_pairs(docs, log_drops=True)
     assert pairs.count() == 0  # all buckets hot -> all dropped
     caching.release(pairs)
+
+
+def test_connected_components_nonconvergence_signals(spark, caplog):
+    """A path graph with diameter > max_rounds must NOT return wrong
+    labels silently: strict=True raises, default logs a warning with
+    the count of still-changing labels (VERDICT r2 item 6)."""
+    import logging
+    import pytest
+    from pgsync_spark.functions import dedup
+
+    # path 0-1-2-...-29: diameter 29 > max_rounds=3
+    pairs = spark.range(29).selectExpr("id AS id1", "id + 1 AS id2")
+    with pytest.raises(dedup.NonConvergenceError, match="still changing"):
+        dedup.connected_components(pairs, max_rounds=3, strict=True)
+    with caplog.at_level(logging.WARNING, logger="pgsync_spark.functions.dedup"):
+        labels = dedup.connected_components(pairs, max_rounds=3)
+        labels.count()
+    assert any("did not converge" in r.message for r in caplog.records)
+
+
+def test_connected_components_converged_is_quiet(spark, caplog):
+    """A graph that fits in the round budget converges with no warning
+    and the correct min-label components."""
+    import logging
+    from pgsync_spark.functions import dedup
+
+    # two components: {0,1,2}, {10,11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id1 long, id2 long"
+    )
+    with caplog.at_level(logging.WARNING, logger="pgsync_spark.functions.dedup"):
+        got = {
+            (r["id"], r["label"])
+            for r in dedup.connected_components(pairs, max_rounds=9).collect()
+        }
+    assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)}
+    assert not any("did not converge" in r.message for r in caplog.records)
