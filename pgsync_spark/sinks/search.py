@@ -191,6 +191,22 @@ class BulkHttpWriter:
         self.max_retries = max_retries
         self.backoff = backoff
 
+    @classmethod
+    def from_tree(cls, base_url: str, tree: Tree, **kwargs) -> "BulkHttpWriter":
+        """Writer wired from the tree declaration: index name and ES
+        ingest pipeline come straight from the schema config (ref:
+        pgsync/sync.py:120-121 reads ``index``/``pipeline`` from the
+        document config; pgsync/search_client.py passes the pipeline to
+        every bulk helper). Routing needs no wiring here — when the tree
+        declares ``routing``, doc assembly emits a ``_routing`` column
+        and upsert/delete forward it per action."""
+        return cls(
+            base_url,
+            tree.index or tree.root.table,
+            pipeline=tree.pipeline,
+            **kwargs,
+        )
+
     def create_index(self, tree: Tree, doc_schema: T.StructType) -> dict:
         """PUT the index with the generated mapping (driver-side)."""
         body = json.dumps(build_index_mapping(tree, doc_schema)).encode()

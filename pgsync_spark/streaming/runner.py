@@ -95,6 +95,18 @@ class SyncRunner:
         vals = [e.checkpoint for e in self.engines.values() if e.checkpoint]
         return max(vals) if vals else None
 
+    def writers(self, base_url: str, **kwargs) -> dict:
+        """One BulkHttpWriter per index, wired from each tree's own
+        declaration (index name, ingest pipeline; routing rides in the
+        doc frames) — the runner analog of the reference constructing
+        its search client per document config."""
+        from ..sinks.search import BulkHttpWriter
+
+        return {
+            name: BulkHttpWriter.from_tree(base_url, eng.tree, **kwargs)
+            for name, eng in self.engines.items()
+        }
+
     def docs(self, name: str) -> DataFrame:
         return self.engines[name].docs
 

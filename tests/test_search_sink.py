@@ -155,3 +155,50 @@ def test_engine_docs_flow_to_bulk(spark, stub):
     actions = [ln for ln in _bulk_lines(stub) if "index" in ln]
     assert len(actions) == n
     assert all("routing" in a["index"] for a in actions)
+
+
+def test_writer_from_tree_wires_pipeline_and_routing(spark, stub):
+    """BulkHttpWriter.from_tree picks up index + pipeline from the tree
+    declaration, and a tree-declared routing column lands as per-action
+    routing metadata — no hand-plumbing (VERDICT r2 item 7)."""
+    raw = {
+        "index": "orders_idx",
+        "routing": "o_custkey",
+        "pipeline": "enrich-orders",
+        "nodes": {"table": "orders", "columns": ["o_orderkey", "o_custkey"]},
+    }
+    tree = parse_tree(raw)
+    w = BulkHttpWriter.from_tree(_url(stub), tree, chunk_docs=5)
+    assert w.index == "orders_idx"
+    assert w.pipeline == "enrich-orders"
+    docs = assemble_docs(TreeCompiler(Catalog(spark, SF_DIR)).compile(tree))
+    w.upsert(docs.limit(3))
+    actions = [ln for ln in _bulk_lines(stub) if "index" in ln]
+    assert len(actions) == 3
+    for a in actions:
+        assert a["index"]["_index"] == "orders_idx"
+        assert a["index"]["pipeline"] == "enrich-orders"
+        assert a["index"]["routing"] is not None
+
+
+def test_runner_writers_from_trees(spark, stub):
+    """SyncRunner.writers builds one wired writer per index."""
+    from pgsync_spark.streaming.runner import SyncRunner
+
+    trees = [
+        parse_tree({
+            "index": "orders_idx",
+            "pipeline": "p-orders",
+            "nodes": {"table": "orders", "columns": ["o_orderkey"]},
+        }),
+        parse_tree({
+            "index": "customers_idx",
+            "nodes": {"table": "customer", "columns": ["c_custkey"]},
+        }),
+    ]
+    runner = SyncRunner(spark, trees, Catalog(spark, SF_DIR))
+    ws = runner.writers(_url(stub), chunk_docs=7)
+    assert set(ws) == {"orders_idx", "customers_idx"}
+    assert ws["orders_idx"].pipeline == "p-orders"
+    assert ws["customers_idx"].pipeline is None
+    assert ws["orders_idx"].chunk_docs == 7
