@@ -191,6 +191,10 @@ class Node:
     children: list["Node"] = field(default_factory=list)
     parent: "Node | None" = None
     primary_key: list[str] | None = None  # catalog override
+    # physical tables underlying this node when its table is a
+    # (materialized) view — CDC events naming a base table are remapped
+    # to this node's table (ref: pgsync/node.py:138, sync.py:1843-1853)
+    base_tables: list[str] = field(default_factory=list)
 
     @property
     def name(self) -> str:
@@ -264,6 +268,7 @@ def _parse_node(raw: dict, parent: Node | None = None) -> Node:
         transform=dict(transform),
         parent=parent,
         primary_key=list(raw["primary_key"]) if raw.get("primary_key") else None,
+        base_tables=list(raw.get("base_tables", [])),
     )
     if parent is not None and node.relationship.type is None:
         raise exc.RelationshipTypeError(

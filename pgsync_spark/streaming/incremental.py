@@ -47,6 +47,47 @@ from ..plans.docs import assemble_docs
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
 
 
+def base_table_remap(tree: Tree) -> dict[str, str]:
+    """{base_table → node.table} for every node declaring
+    ``base_tables`` — CDC events naming a physical base table are
+    consumed as events on the node's (view) table, the reference's
+    view substitution (ref: pgsync/sync.py:1843-1853 builds the same
+    lookup from node.base_tables and retags payloads).
+
+    Validated for idempotence: a remap target must not itself be a
+    remap source (chained view-of-view routing would make re-applying
+    the remap — which a multi-index runner does — change the answer).
+    """
+    remap: dict[str, str] = {}
+    for node in tree.root.traverse_post_order():
+        for base in node.base_tables:
+            if base in remap and remap[base] != node.table:
+                raise ValueError(
+                    f"base table {base!r} mapped to both {remap[base]!r} "
+                    f"and {node.table!r}"
+                )
+            remap[base] = node.table
+    for base, target in remap.items():
+        if target in remap:
+            raise ValueError(
+                f"remap target {target!r} (from {base!r}) is itself a "
+                "declared base table — chained view routing is not supported"
+            )
+    return remap
+
+
+def remap_tables(events: DataFrame, remap: dict[str, str]) -> DataFrame:
+    """Retag event table names through ``remap`` (single application —
+    each row matches at most one source name). Pure column expressions;
+    no-op when the mapping is empty."""
+    if not remap:
+        return events
+    expr = F.col("table")
+    for base, target in sorted(remap.items()):
+        expr = F.when(F.col("table") == base, F.lit(target)).otherwise(expr)
+    return events.withColumn("table", expr)
+
+
 def lineage_df(combined: DataFrame, keys_cols: dict) -> DataFrame:
     """(table, pk_col, pk_value, _id) — the reverse index that replaces
     the reference's ES ``_meta`` terms search — as ONE pass over the
@@ -126,6 +167,7 @@ class IncrementalEngine:
         self._chains = self._build_chains(tree)
         self._watched = self._watched_columns(tree)
         self._schemas = self._declared_schemas(tree)
+        self._base_remap = base_table_remap(tree)
         self._keys_by_table = self._lineage_keys(tree)
         self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
         self.lineage: DataFrame | None = None
@@ -478,6 +520,7 @@ class IncrementalEngine:
         too — exact all the same, because old-image resolution reads the
         LINEAGE index (pre-batch by construction), never the table
         snapshots."""
+        events = remap_tables(events, self._base_remap)
         events = events.filter(self._event_scope())
         if txmin is not None:
             events = events.filter(F.col("txid") >= txmin)

@@ -25,7 +25,7 @@ from .. import caching
 from ..catalog import Catalog
 from ..node import Tree
 from .cdc import TableMaterializer
-from .incremental import IncrementalEngine
+from .incremental import IncrementalEngine, remap_tables
 
 
 class SyncRunner:
@@ -45,6 +45,19 @@ class SyncRunner:
             self.engines[name] = IncrementalEngine(
                 spark, tree, catalog, materializer=self.materializer
             )
+        # merged view→base remap across trees: the shared materializer
+        # must see retagged events (a base table is often not a catalog
+        # table at all); conflicting declarations are config errors
+        self._base_remap: dict[str, str] = {}
+        for eng in self.engines.values():
+            for base, target in eng._base_remap.items():
+                if self._base_remap.get(base, target) != target:
+                    raise ValueError(
+                        f"base table {base!r} remapped to both "
+                        f"{self._base_remap[base]!r} and {target!r} by "
+                        "different trees"
+                    )
+                self._base_remap[base] = target
 
     @classmethod
     def from_config(
@@ -73,6 +86,7 @@ class SyncRunner:
         the post-batch snapshots. Old-image resolution reads each
         engine's own lineage index, which is pre-batch by construction,
         so apply-order does not race resolution."""
+        events = remap_tables(events, self._base_remap)
         if txmin is not None:
             events = events.filter(F.col("txid") >= txmin)
         if txmax is not None:

@@ -530,3 +530,113 @@ def test_overlay_size_cap_triggers_compaction(spark, engine):
     assert _docs_equal(
         engine.docs, _full_recompute(spark, engine, schemas.tree("orders_full"))
     )
+
+
+def test_view_event_remaps_to_node_table(spark):
+    """A node declaring base_tables consumes CDC events that name the
+    physical base table: the event retags to the node's table, lands on
+    its snapshot, and the doc recomputes (the reference's materialized-
+    view substitution, ref: pgsync/sync.py:1843-1853)."""
+    from pgsync_spark.node import parse_tree
+
+    tree = parse_tree(
+        {
+            "index": "orders_idx",
+            "nodes": {
+                "table": "orders",
+                "base_tables": ["orders_phys"],
+                "columns": ["o_orderkey", "o_orderpriority"],
+            },
+        }
+    )
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    row = _order_row(eng.catalog, 21)
+    ev = payloads_from_rows(
+        spark,
+        [{
+            "op": "UPDATE",
+            "table": "orders_phys",  # physical name, not in any catalog
+            "old": {"o_orderkey": 21},
+            "new": dict(row, o_orderpriority="V-VIEWED"),
+            "txid": 70,
+        }],
+    )
+    eng.process_batch(ev)
+    rows = eng.catalog.df("orders").filter(F.col("o_orderkey") == 21).collect()
+    assert len(rows) == 1 and rows[0]["o_orderpriority"] == "V-VIEWED"
+    doc = eng.docs.filter(F.col("_id") == "21").collect()[0]["doc"]
+    assert "V-VIEWED" in doc
+    assert _docs_equal(eng.docs, TreeCompiler(eng.catalog).compile_docs(tree))
+
+
+def test_view_remap_in_multi_index_runner(spark):
+    """The shared materializer in SyncRunner sees retagged events — a
+    base-table event must not crash on an unknown table and must reach
+    the right tree's snapshot."""
+    from pgsync_spark.node import parse_tree
+    from pgsync_spark.streaming.runner import SyncRunner
+
+    trees = [
+        parse_tree({
+            "index": "orders_idx",
+            "nodes": {
+                "table": "orders",
+                "base_tables": ["orders_phys"],
+                "columns": ["o_orderkey", "o_orderpriority"],
+            },
+        }),
+        parse_tree({
+            "index": "customer_idx",
+            "nodes": {"table": "customer", "columns": ["c_custkey", "c_name"]},
+        }),
+    ]
+    cat = Catalog(spark, SF_DIR)
+    runner = SyncRunner(spark, trees, cat)
+    runner.full_sync()
+    row = _order_row(cat, 23)
+    runner.process_batch(payloads_from_rows(
+        spark,
+        [{
+            "op": "UPDATE",
+            "table": "orders_phys",
+            "old": {"o_orderkey": 23},
+            "new": dict(row, o_orderpriority="V-SHARED"),
+            "txid": 71,
+        }],
+    ))
+    doc = runner.docs("orders_idx").filter(F.col("_id") == "23").collect()[0]["doc"]
+    assert "V-SHARED" in doc
+
+
+def test_conflicting_base_table_remap_rejected(spark):
+    """Two trees mapping one base table to different node tables is a
+    config error, as is chained view-of-view routing."""
+    from pgsync_spark.node import parse_tree
+    from pgsync_spark.streaming.incremental import base_table_remap
+    from pgsync_spark.streaming.runner import SyncRunner
+
+    t1 = parse_tree({
+        "index": "a", "nodes": {
+            "table": "orders", "base_tables": ["phys"], "columns": ["o_orderkey"]},
+    })
+    t2 = parse_tree({
+        "index": "b", "nodes": {
+            "table": "customer", "base_tables": ["phys"], "columns": ["c_custkey"]},
+    })
+    cat = Catalog(spark, SF_DIR)
+    with pytest.raises(ValueError, match="remapped to both"):
+        SyncRunner(spark, [t1, t2], cat)
+    chained = parse_tree({
+        "index": "c", "nodes": {
+            "table": "orders", "base_tables": ["customer"],
+            "columns": ["o_orderkey"],
+            "children": [{
+                "table": "customer", "base_tables": ["cust_phys"],
+                "columns": ["c_custkey"],
+                "relationship": {"type": "one_to_one", "variant": "object"},
+            }],
+        },
+    })
+    with pytest.raises(ValueError, match="chained view routing"):
+        base_table_remap(chained)
