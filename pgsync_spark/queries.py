@@ -1255,3 +1255,259 @@ def contamination_check(spark, sf_dir):
         F.countDistinct("sh_key").cast("bigint").alias("n_shingles"),
         F.countDistinct("train_doc").cast("bigint").alias("n_train_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators round 3: corpus statistics, mixture
+# sampling, sequence packing, repetition signals, embedding quantization
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@register(
+    "token_length_quantiles",
+    f"""SELECT lang,
+               COUNT(*) AS n_docs,
+               {round6_sql('quantile_cont(n_tok, 0.5)')} AS p50_tokens,
+               {round6_sql('quantile_cont(n_tok, 0.9)')} AS p90_tokens,
+               {round6_sql('quantile_cont(n_tok, 0.99)')} AS p99_tokens
+        FROM (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents
+        )
+        GROUP BY lang""",
+)
+def token_length_quantiles(spark, sf_dir):
+    """Per-language EXACT token-length quantiles (p50/p90/p99) — the
+    length-distribution audit every pretraining mix needs before
+    choosing packing budgets. Uses exact interpolated percentile (both
+    engines implement the continuous-distribution model) rather than
+    approx_percentile, whose sketch would not oracle-match; at 100 TB
+    swap in approx_percentile(_, _, accuracy) and drop the oracle to
+    rows-only — the plan shape (one partial-agg shuffle per lang) is
+    identical."""
+    df = Catalog(spark, sf_dir).df("documents")
+    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    base = df.select("lang", n_tok.alias("n_tok"))
+    pct = F.percentile(F.col("n_tok"), F.lit(list(_QUANTILES)))
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        hashing.round6(F.get(pct, 0)).alias("p50_tokens"),
+        hashing.round6(F.get(pct, 1)).alias("p90_tokens"),
+        hashing.round6(F.get(pct, 2)).alias("p99_tokens"),
+    )
+
+
+# language → sampling rate (mixture weighting, e.g. downsample the
+# dominant language); unknown languages keep the default rate
+_MIXTURE_RATES = {"en": 1.0, "de": 0.6, "fr": 0.6}
+_MIXTURE_DEFAULT = 0.3
+_MIXTURE_MOD = 1_000_000
+
+
+def _mixture_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _MIXTURE_RATES.items()
+    )
+    return f"(CASE {whens} ELSE {_MIXTURE_DEFAULT} END)"
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""SELECT doc_id, lang
+        FROM documents
+        WHERE ({h32_sql('CAST(doc_id AS VARCHAR)')} % {_MIXTURE_MOD})
+              < {_mixture_rate_sql()} * {_MIXTURE_MOD}""",
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling: per-language keep rates applied
+    via hash-thresholding (the hash IS the RNG — partition-invariant,
+    reproducible, no seed state), the standard way to re-weight a
+    pretraining mix. One scan, zero shuffle; the filter is a pure
+    column predicate at any scale."""
+    df = Catalog(spark, sf_dir).df("documents")
+    rate = F.lit(_MIXTURE_DEFAULT)
+    for k, v in reversed(_MIXTURE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = (
+        hashing.h32(F.col("doc_id").cast("string")) % _MIXTURE_MOD
+    ) < rate * _MIXTURE_MOD
+    return df.filter(keep).select("doc_id", "lang")
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    f"""WITH d AS (
+          SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+                 CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tok,
+                 COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prior_tok
+          FROM d
+        )
+        SELECT doc_id, n_tok,
+               shard * 1000000 + CAST(floor(prior_tok / {PACK_BUDGET}) AS BIGINT)
+                 AS seq_id,
+               prior_tok % {PACK_BUDGET} AS seq_offset
+        FROM c""",
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: concatenate documents in deterministic order
+    and cut at a fixed token budget — every doc gets the training
+    sequence id and offset where its tokens begin (docs straddling a
+    boundary continue into the next sequence, the standard pretraining
+    concat-and-chunk). A GLOBAL running sum would serialize on one
+    partition, so docs are sharded by doc_id % {PACK_SHARDS} and packed
+    per shard: {PACK_SHARDS}-way parallel prefix sums, deterministic
+    output, and at 1000 executors you raise PACK_SHARDS — the shape
+    stays one window shuffle keyed by shard."""
+    df = Catalog(spark, sf_dir).df("documents")
+    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    d = df.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("shard") * 1_000_000
+            + F.floor(prior / PACK_BUDGET).cast("bigint")
+        ).alias("seq_id"),
+        (prior % PACK_BUDGET).alias("seq_offset"),
+    )
+
+
+_REP_TOP_WINDOW = 512  # unigram-mode scan bounded to the doc head
+
+
+@register(
+    "text_repetition_stats",
+    f"""WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 toks[1:{_REP_TOP_WINDOW}] AS head,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, n_tok, n_uniq,
+               {round6_sql('1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)')}
+                 AS dup_token_ratio,
+               {round6_sql('CAST(list_max(list_transform(list_distinct(head), '
+                           'x -> len(list_filter(head, y -> y = x)))) AS DOUBLE)'
+                           ' / CAST(len(head) AS DOUBLE)')}
+                 AS top_token_frac
+        FROM s""",
+)
+def text_repetition_stats(spark, sf_dir):
+    """Repetition signals (Gopher-style): duplicate-token ratio over the
+    whole doc and the most-frequent-unigram fraction over the first
+    {_REP_TOP_WINDOW} tokens. Pure array expressions — zero shuffle,
+    embarrassingly parallel. The top-unigram scan is O(n·distinct) per
+    doc, so it is bounded to the doc head; at 100 TB the unbounded
+    variant is the explode + per-doc groupBy form (one shuffle) —
+    chosen here because the bounded array form keeps the whole operator
+    inside whole-stage codegen."""
+    df = Catalog(spark, sf_dir).df("documents")
+    toks = hashing.tokens(F.col("text"))
+    base = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    head = F.slice(F.col("toks"), 1, _REP_TOP_WINDOW)
+    n_tok = F.size("toks").cast("bigint")
+    n_uniq = F.size(F.array_distinct("toks")).cast("bigint")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(head),
+            lambda x: F.size(F.filter(head, lambda y: y == x)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+        hashing.round6(
+            F.lit(1.0) - n_uniq.cast("double") / n_tok.cast("double")
+        ).alias("dup_token_ratio"),
+        hashing.round6(
+            top_cnt.cast("double") / F.size(head).cast("double")
+        ).alias("top_token_frac"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                   AS scale
+          FROM embeddings
+        )
+        SELECT vec_id,
+               {round6_sql('scale')} AS scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                     AS INTEGER))
+               END AS q
+        FROM s""",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization per vector (scale = max|x|/127,
+    q = round(x/scale)) — the storage/serving form for embedding
+    corpora; 4x smaller than float32 before ANN indexing. Pure array
+    expressions over the scan: zero shuffle at any scale. Rounding is
+    floor(v + 0.5) so both engines agree bit-for-bit (engine-native
+    round() differs on halfway cases)."""
+    df = Catalog(spark, sf_dir).df("embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    # NOTE the internal column must not share the output alias "scale":
+    # lateral column alias resolution would bind the quantizer's scale
+    # reference to the ROUNDED output in the same select, flipping
+    # halfway elements by one
+    s = df.select("vec_id", "embedding", scale.alias("_scale"))
+    q = F.when(
+        F.col("_scale") == 0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("_scale") + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return s.select(
+        "vec_id",
+        hashing.round6(F.col("_scale")).alias("scale"),
+        q.alias("q"),
+    )
