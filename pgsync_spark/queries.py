@@ -1511,3 +1511,64 @@ def embedding_quantize_int8(spark, sf_dir):
         hashing.round6(F.col("_scale")).alias("scale"),
         q.alias("q"),
     )
+
+
+_GROUP_SAMPLE_K = 20
+
+
+@register(
+    "group_sample_topk",
+    f"""SELECT doc_id, lang
+        FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {h32_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn
+          FROM documents
+        )
+        WHERE rn <= {_GROUP_SAMPLE_K}""",
+)
+def group_sample_topk(spark, sf_dir):
+    """Deterministic per-group sample: exactly {_GROUP_SAMPLE_K} docs
+    per language, chosen by hash rank (the hash is the RNG) — balanced
+    eval subsets that are reproducible across runs, partitionings, and
+    engines, unlike rand()-based sampling. One window shuffle keyed by
+    the group; at 100 TB the heavy text column is joined back AFTER
+    ranking (only ids ride the shuffle here)."""
+    df = Catalog(spark, sf_dir).df("documents")
+    w = W.partitionBy("lang").orderBy(
+        hashing.h32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        df.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GROUP_SAMPLE_K)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "source_corpus_stats",
+    f"""SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> x <> '')) AS BIGINT)) AS BIGINT)
+                 AS total_tokens,
+               {round6_sql('AVG(CAST(n_chars AS DOUBLE))')} AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM documents
+        GROUP BY source""",
+)
+def source_corpus_stats(spark, sf_dir):
+    """Per-source corpus accounting (docs, token volume, mean length,
+    language spread) — the mixture table a data curator reads before
+    weighting sources. One partial-agg shuffle keyed by source; token
+    counting stays in codegen on the scan side."""
+    df = Catalog(spark, sf_dir).df("documents")
+    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        hashing.round6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

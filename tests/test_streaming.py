@@ -281,3 +281,57 @@ def test_debezium_envelope_to_cdc(spark):
     assert eng.checkpoint == 42
     full = TreeCompiler(eng.catalog).compile_docs(schemas.tree("orders_full"))
     assert eng.docs.select("_id", "doc").subtract(full).count() == 0
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window (30-min gap) over the events stream — the
+    streaming twin of the batch events_sessionize operator: same gap
+    rule, watermarked state, append output. Emitted sessions must match
+    the batch recomputation of closed sessions."""
+    batch = Catalog(spark, SF_DIR).df("events")
+    src = str(tmp_path / "ev_sess")
+    batch.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    stream = with_event_time(stream, "ts")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_sess")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT user_id, session_window.start AS s, n AS got_n FROM ev_sess"
+    )
+    # batch recomputation with the same 30-min gap rule
+    from pyspark.sql import Window as W
+    from pgsync_spark.catalog import time_micros
+
+    b = with_event_time(batch, "ts")
+    b = b.withColumn("us", time_micros(b, "ts"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    lag_us = F.lag("us").over(w)
+    is_new = F.when((F.col("us") - lag_us > 1_800_000_000) | lag_us.isNull(), 1).otherwise(0)
+    sess = (
+        b.withColumn("is_new", is_new)
+        .withColumn("sno", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sno")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("exp_n"))
+    )
+    # append mode holds back sessions the watermark hasn't closed;
+    # everything emitted must match the batch answer exactly
+    joined = got.join(sess, ["user_id", "s"], "left")
+    assert joined.filter(
+        F.col("exp_n").isNull() | (F.col("got_n") != F.col("exp_n"))
+    ).count() == 0
+    assert got.count() > 0
