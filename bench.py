@@ -34,6 +34,11 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "multimodal_extract",
     "events_sessionize",
+    # round-3 training-pipeline operators
+    "pack_sequences",
+    "token_length_quantiles",
+    "text_repetition_stats",
+    "embedding_quantize_int8",
 ]
 
 # steady-state = median of this many batches applied after the cold one
