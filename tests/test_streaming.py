@@ -335,3 +335,49 @@ def test_streaming_session_window(spark, tmp_path):
         F.col("exp_n").isNull() | (F.col("got_n") != F.col("exp_n"))
     ).count() == 0
     assert got.count() > 0
+
+
+def test_docstore_restores_snapshots_into_fresh_catalog(spark, tmp_path):
+    """Restart durability for the BRONZE layer: after save, a fresh
+    engine over a FRESH catalog (simulating a new session) must see the
+    CDC-applied table state — docs, recomputes, and new batches all run
+    against post-CDC rows, not the original parquet."""
+    from pgsync_spark.sinks.store import DocStore
+    from pgsync_spark.streaming import payloads_from_rows
+
+    tree = schemas.tree("orders_full")
+    cat = Catalog(spark, SF_DIR)
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    row = {
+        k: r for k, r in (
+            cat.df("orders").filter(F.col("o_orderkey") == 27).collect()[0]
+            .asDict().items()
+        )
+    }
+    eng.process_batch(payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "orders", "old": {"o_orderkey": 27},
+          "new": dict(row, o_orderpriority="P-PERSISTED"), "txid": 90}],
+    ))
+    store = DocStore(spark, str(tmp_path / "store"))
+    store.save(eng)
+
+    # brand-new catalog: nothing registered, would read original parquet
+    eng2 = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    assert store.load(eng2)
+    snap = eng2.catalog.df("orders").filter(F.col("o_orderkey") == 27).collect()
+    assert len(snap) == 1 and snap[0]["o_orderpriority"] == "P-PERSISTED"
+    # incremental state equals a full recompute from the restored catalog
+    full = TreeCompiler(eng2.catalog).compile_docs(tree)
+    assert eng2.docs.select("_id", "doc").subtract(full).count() == 0
+    assert full.subtract(eng2.docs.select("_id", "doc")).count() == 0
+    # and a further batch applies on top of the restored snapshots
+    eng2.process_batch(payloads_from_rows(
+        spark,
+        [{"op": "UPDATE", "table": "orders", "old": {"o_orderkey": 27},
+          "new": dict(row, o_orderpriority="P-AGAIN"), "txid": 91}],
+    ))
+    assert eng2.checkpoint == 91
+    doc = eng2.docs.filter(F.col("_id") == "27").collect()[0]["doc"]
+    assert "P-AGAIN" in doc
