@@ -37,7 +37,14 @@ def get_spark(
         # driver testdata stores some timestamps as TIMESTAMP(NANOS) which
         # Spark's vectorized reader rejects; read as long, Catalog converts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # NOT the whole machine: paired 8-batch CDC profiles at sf0.1
+        # showed a 90g heap spiking individual batches 3-5x (7.3-34.6s,
+        # G1 pause outliers) while 24g stays flat at 5.4-6.9s — a heap
+        # sized to the working set beats a heap sized to the host, and
+        # the balance stays available to the OS page cache the parquet
+        # scans live off. On a real cluster this is executor memory
+        # sizing, same rule.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

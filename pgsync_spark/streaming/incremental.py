@@ -502,9 +502,14 @@ class IncrementalEngine:
         txmin: int | None = None,
         txmax: int | None = None,
         apply_snapshots: bool = True,
+        timings: dict | None = None,
     ) -> None:
         """foreachBatch body: filter → materialize → resolve → recompute
         → upsert/delete → maintain lineage.
+
+        ``timings``: pass a dict to accumulate per-phase wall-clock
+        seconds (keyed by phase name) — first-class profiling, so
+        benchmark/profiling harnesses never have to mirror this body.
 
         ``txmin``/``txmax`` bound the transaction window: only events
         with ``txmin <= txid < txmax`` apply — the reference's snapshot
@@ -520,6 +525,19 @@ class IncrementalEngine:
         too — exact all the same, because old-image resolution reads the
         LINEAGE index (pre-batch by construction), never the table
         snapshots."""
+        from time import perf_counter
+
+        _t = perf_counter()
+
+        def mark(label: str) -> None:
+            nonlocal _t
+            now = perf_counter()
+            if timings is not None:
+                timings[label] = round(
+                    timings.get(label, 0.0) + (now - _t), 4
+                )
+            _t = now
+
         events = remap_tables(events, self._base_remap)
         events = events.filter(self._event_scope())
         if txmin is not None:
@@ -530,6 +548,7 @@ class IncrementalEngine:
         # micro-batch source files (which vanish after the epoch) —
         # downstream frames derive from it lazily
         events = events.localCheckpoint(eager=True)
+        mark("events_ckpt")
         # single action for every batch statistic, grouped per table so
         # resolution can skip tables the batch never touched
         keep = self._keep_event()
@@ -545,6 +564,7 @@ class IncrementalEngine:
             ).alias("n_old"),
             F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
         ).collect()
+        mark("stats_agg")
         n_total = sum(r["n"] for r in per_table)
         if n_total == 0:
             return
@@ -600,8 +620,10 @@ class IncrementalEngine:
             has_truncate=any_trunc,
             old_tables=old_tables,
         )
+        mark("resolve_old_build")
         if apply_snapshots:
-                self.materializer.apply(events, materialized=True)
+            self.materializer.apply(events, materialized=True)
+        mark("materializer")
         new_keys = self._resolve_new_images(active, new_counts)
         # broadcast guards below use event-derived UPPER BOUNDS instead
         # of exact counts — each exact count is a driver sync point (a
@@ -613,6 +635,7 @@ class IncrementalEngine:
         n_new = sum(new_counts.values())
         if new_keys is not None:
             new_keys = new_keys.localCheckpoint(eager=True)
+            mark("resolve_new_ckpt")
             batch_tmp.append(new_keys)
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
@@ -632,6 +655,7 @@ class IncrementalEngine:
         ids = ids.localCheckpoint(eager=True)
         batch_tmp.append(ids)
         n_ids = ids.count() if any_trunc else n_active + n_new
+        mark("ids_ckpt")
 
         # ONE store materialization covers every downstream need: the
         # affected ids that exist in the store, with their typed root PKs
@@ -643,6 +667,7 @@ class IncrementalEngine:
             .select("_id", *self.root_pks)
             .localCheckpoint(eager=True)
         )
+        mark("affected_ckpt")
         batch_tmp.append(affected)
         n_affected = n_ids  # affected ⊆ ids: same broadcast decision
         affected_ids = affected.select("_id")
@@ -662,6 +687,7 @@ class IncrementalEngine:
         new_docs, new_lineage, new_combined = materialize_tree(compiled)
         batch_tmp.append(new_combined)
         self.stats["recomputed_docs"] += new_docs.count()
+        mark("recompute_tree")
         self.docs = self.docs.join(
             maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
         ).unionByName(new_docs)
@@ -672,7 +698,9 @@ class IncrementalEngine:
         self._pending_release.extend(batch_tmp)
         if self._since_compact >= self.compact_every:
             docs_ck = self.docs.localCheckpoint(eager=True)
+            mark("docs_compact")
             lin_ck = self.lineage.localCheckpoint(eager=True)
+            mark("lineage_compact")
             self.docs, self.lineage = docs_ck, lin_ck
             self._since_compact = 0
             # the new store checkpoints subsume every frame the old lazy
