@@ -1,0 +1,144 @@
+"""Keyed overlay frame: base + batch-sized delta, compacted on cadence.
+
+The cost shape every incrementally-maintained store in the engine
+needs: applying a batch must cost O(batch + overlay), never O(store).
+``TableMaterializer`` pioneered the pattern for bronze-layer table
+snapshots; ``KeyedOverlay`` generalizes it for any keyed store
+(the doc store and the lineage reverse index use it), including stores
+with MULTIPLE rows per key (lineage has one row per key column value
+per doc).
+
+State:
+
+- ``base``  — the big frame, checkpointed (or the initial lazy scan)
+- ``keys``  — touched key tuples since the last compaction (eager ckpt)
+- ``rows``  — current replacement rows for those keys (eager ckpt);
+              a touched key with no rows is a delete
+
+The read view is ``base ⟕anti keys ∪ rows`` — depth is ALWAYS 1, so
+consumers re-execute one broadcast-guarded anti-join over the base
+scan, never a per-batch fragment chain (the r2-measured failure mode of
+letting lazy union chains grow). Folding into a fresh base happens
+every ``compact_every`` applies or when the accumulated key bound
+passes ``max(4x this batch, row_cap)`` — the Delta/Iceberg mapping is
+MERGE writing deletion vectors + new files per batch with OPTIMIZE on a
+cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .. import caching
+from .joins import maybe_broadcast
+
+
+class KeyedOverlay:
+    def __init__(
+        self,
+        base: DataFrame,
+        key_cols: list[str],
+        compact_every: int = 8,
+        row_cap: int = 65_536,
+        owns_base: bool = False,
+    ):
+        """``owns_base``: whether compaction may release ``base``'s
+        checkpoint blocks (False for bases whose blocks are shared with
+        another store, e.g. the full-sync combined frame backing both
+        docs and lineage — the owner releases those)."""
+        self.base = base
+        self.key_cols = list(key_cols)
+        self.compact_every = compact_every
+        self.row_cap = row_cap
+        self.owns_base = owns_base
+        self.keys: DataFrame | None = None
+        self.rows: DataFrame | None = None
+        self._key_bound = 0
+        self._applies = 0
+        # bumped whenever base is replaced by a compaction/reset — lets
+        # the engine know a shared initial base has been superseded
+        self.generation = 0
+        self._view: DataFrame | None = None
+
+    def view(self) -> DataFrame:
+        """Current contents; cached so repeated reads (and identity
+        checks) between state changes get the same frame."""
+        if self._view is None:
+            if self.keys is None:
+                self._view = self.base
+            else:
+                self._view = self.base.join(
+                    maybe_broadcast(self.keys, known_rows=self._key_bound),
+                    on=self.key_cols,
+                    how="left_anti",
+                ).unionByName(self.rows)
+        return self._view
+
+    def apply(
+        self, touched_keys: DataFrame, rows: DataFrame, key_bound: int
+    ) -> None:
+        """Replace every row of ``touched_keys`` with ``rows``
+        (O(batch + overlay): merges into the eager overlay checkpoints,
+        never touches base). ``key_bound`` is an upper bound on
+        touched-key count — the broadcast guard, accumulated into the
+        overlay's own bound."""
+        if self.keys is None:
+            merged_keys, merged_rows = touched_keys, rows
+        else:
+            guard = maybe_broadcast(touched_keys, known_rows=key_bound)
+            merged_keys = self.keys.join(
+                guard, on=self.key_cols, how="left_anti"
+            ).unionByName(touched_keys)
+            merged_rows = self.rows.join(
+                guard, on=self.key_cols, how="left_anti"
+            ).unionByName(rows)
+        new_keys = merged_keys.localCheckpoint(eager=True)
+        new_rows = merged_rows.localCheckpoint(eager=True)
+        if self.keys is not None:
+            caching.release_local_checkpoint(self.keys)
+            caching.release_local_checkpoint(self.rows)
+        self.keys, self.rows = new_keys, new_rows
+        self._key_bound += key_bound
+        self._applies += 1
+        self._view = None
+        if self._applies >= self.compact_every or self._key_bound > max(
+            4 * key_bound, self.row_cap
+        ):
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold base+overlay into a fresh base checkpoint (OPTIMIZE
+        analog); the only O(store) step, amortized over the cadence."""
+        new_base = self.view().localCheckpoint(eager=True)
+        if self.owns_base:
+            caching.release_local_checkpoint(self.base)
+        if self.keys is not None:
+            caching.release_local_checkpoint(self.keys)
+            caching.release_local_checkpoint(self.rows)
+        self.base = new_base
+        self.owns_base = True
+        self.keys = self.rows = None
+        self._key_bound = 0
+        self._applies = 0
+        self.generation += 1
+        self._view = None
+
+    def reset(self, base: DataFrame, owns_base: bool = False) -> None:
+        """Swap in a new base (restore / truncate), dropping overlay
+        state and releasing owned frames."""
+        if self.owns_base:
+            caching.release_local_checkpoint(self.base)
+        if self.keys is not None:
+            caching.release_local_checkpoint(self.keys)
+            caching.release_local_checkpoint(self.rows)
+        self.base = base
+        self.owns_base = owns_base
+        self.keys = self.rows = None
+        self._key_bound = 0
+        self._applies = 0
+        self.generation += 1
+        self._view = None
+
+    def release(self) -> None:
+        """Free every owned checkpoint (store teardown)."""
+        self.reset(self.base.limit(0), owns_base=False)

@@ -27,10 +27,12 @@ Spark-first shape of each reference mechanism:
   a child marks every doc referencing the table, TRUNCATE of the root
   empties the store.
 
-Each batch ends with ``localCheckpoint`` on the stores: across many
-micro-batches the lineage of union-of-unions plans grows without bound
-otherwise. On a cluster this is a checkpoint dir / Delta table; the
-semantics are identical.
+The doc store and lineage index are ``KeyedOverlay`` frames (base +
+batch-sized overlay, depth-1 read view, compacted on a cadence), so a
+batch's store maintenance costs O(batch + overlay) — never a full
+store rewrite. On a cluster the stores are Delta/Iceberg tables:
+overlay apply ≙ MERGE, compaction ≙ OPTIMIZE; the semantics are
+identical.
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ from .. import caching
 from ..catalog import Catalog
 from ..node import SYSTEM_COLUMNS, Node, Tree
 from ..operators.joins import maybe_broadcast
+from ..operators.overlay import KeyedOverlay
 from ..plans.compiler import TreeCompiler
 from ..plans.docs import assemble_docs
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
@@ -169,8 +172,20 @@ class IncrementalEngine:
         self._schemas = self._declared_schemas(tree)
         self._base_remap = base_table_remap(tree)
         self._keys_by_table = self._lineage_keys(tree)
-        self.docs: DataFrame | None = None  # (_id, doc, *root_pks)
-        self.lineage: DataFrame | None = None
+        # doc store and lineage reverse index: base + batch-sized keyed
+        # overlay (KeyedOverlay), so a batch's store maintenance costs
+        # O(batch + overlay), never O(store). An earlier design
+        # re-checkpointed the full anti-join∪union store every batch —
+        # correct, but a 150k-doc store rewrite for a 3.3k-event batch
+        # is the wrong cost shape at scale (the read view here stays
+        # depth-1, avoiding the fragment-chain re-evaluation that made
+        # lazy store chains spike in earlier measurements). Cluster
+        # mapping: Delta/Iceberg MERGE per batch + OPTIMIZE on cadence.
+        self._docs_store: KeyedOverlay | None = None
+        self._lineage_store: KeyedOverlay | None = None
+        # the full-sync combined checkpoint backs BOTH stores' initial
+        # bases; released once each store compacts onto its own base
+        self._shared_base: DataFrame | None = None
         # ops counters (the reference's status loop analog,
         # ref: pgsync/sync.py:2084-2112)
         self.stats = {
@@ -180,21 +195,68 @@ class IncrementalEngine:
             "suppressed_updates": 0,
         }
         self.checkpoint: int | None = None  # highest txid applied
-        # store maintenance: the anti-join∪union plan over the base store
-        # re-checkpoints every batch by default — measured (5-batch loop,
-        # sf0.1): eager compaction holds ~7s/batch, while letting the
-        # fragment chain grow (compact_every=8) re-evaluates the store
-        # chain per consumer and spiked one batch to 51s at depth 2.
-        # On a cluster this maps to a Delta/Iceberg MERGE per batch with
-        # OPTIMIZE folded in; raise compact_every only with a store that
-        # persists fragments externally.
-        self.compact_every = 1
-        self._since_compact = 0
-        # checkpointed frames backing the CURRENT stores, and frames a
-        # still-lazy store chain may reference; both released the next
-        # time the stores compact (see _compact_stores)
-        self._store_frames: list[DataFrame] = []
-        self._pending_release: list[DataFrame] = []
+
+    # -- store plumbing ------------------------------------------------
+    STORE_COMPACT_EVERY = 8
+
+    @property
+    def docs(self) -> DataFrame | None:
+        """(_id, doc, *root_pks) — current contents of the doc store."""
+        return self._docs_store.view() if self._docs_store is not None else None
+
+    @docs.setter
+    def docs(self, df: DataFrame | None) -> None:
+        if df is None:
+            self._docs_store = None
+        elif self._docs_store is None:
+            self._docs_store = KeyedOverlay(
+                df, ["_id"], compact_every=self.STORE_COMPACT_EVERY
+            )
+        else:
+            self._docs_store.reset(df)
+        self._maybe_release_shared()
+
+    @property
+    def lineage(self) -> DataFrame | None:
+        return (
+            self._lineage_store.view()
+            if self._lineage_store is not None
+            else None
+        )
+
+    @lineage.setter
+    def lineage(self, df: DataFrame | None) -> None:
+        if df is None:
+            self._lineage_store = None
+        elif self._lineage_store is None:
+            self._lineage_store = KeyedOverlay(
+                df, ["_id"], compact_every=self.STORE_COMPACT_EVERY
+            )
+        else:
+            self._lineage_store.reset(df)
+        self._maybe_release_shared()
+
+    def _teardown_stores(self) -> None:
+        for store in (self._docs_store, self._lineage_store):
+            if store is not None:
+                store.release()
+        if self._shared_base is not None:
+            caching.release_local_checkpoint(self._shared_base)
+            self._shared_base = None
+
+    def _maybe_release_shared(self) -> None:
+        """Free the full-sync combined checkpoint once neither store's
+        base derives from it anymore (both have compacted or been
+        reset)."""
+        if (
+            self._shared_base is not None
+            and self._docs_store is not None
+            and self._lineage_store is not None
+            and self._docs_store.generation > 0
+            and self._lineage_store.generation > 0
+        ):
+            caching.release_local_checkpoint(self._shared_base)
+            self._shared_base = None
 
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
@@ -209,22 +271,16 @@ class IncrementalEngine:
             "lineage key inventory diverged from compiled keys: "
             f"{sorted(set(compiled.keys_cols) ^ expected)}"
         )
-        self.docs, self.lineage, combined = materialize_tree(compiled)
-        self._release_superseded(next_store_frames=[combined])
-        return self.docs
-
-    def _release_superseded(self, next_store_frames: list[DataFrame]) -> None:
-        """Swap the store-backing checkpoint set: everything backing the
-        PREVIOUS stores, plus any batch temporaries parked while the
-        store chains were lazy, is now fully superseded (the new frames
-        in ``next_store_frames`` are eager) — free the blocks instead of
-        waiting on JVM GC (measured: leaked store-sized checkpoints per
-        batch → GC-pause batch-time outliers)."""
-        caching.release_local_checkpoints(
-            self._store_frames + self._pending_release
+        docs, lineage, combined = materialize_tree(compiled)
+        self._teardown_stores()
+        self._docs_store = KeyedOverlay(
+            docs, ["_id"], compact_every=self.STORE_COMPACT_EVERY
         )
-        self._store_frames = list(next_store_frames)
-        self._pending_release = []
+        self._lineage_store = KeyedOverlay(
+            lineage, ["_id"], compact_every=self.STORE_COMPACT_EVERY
+        )
+        self._shared_base = combined
+        return self.docs
 
     def _lineage_keys(self, tree: Tree) -> dict[str, list[tuple[str, ...]]]:
         """table → distinct pk tuples (catalog/declared order, matching
@@ -583,11 +639,9 @@ class IncrementalEngine:
         if mxs:
             self.checkpoint = max(self.checkpoint or 0, max(mxs))
 
-        # frames whose blocks this batch owns; released once the store
-        # chains that (may) reference them have been compacted. The
-        # events checkpoint is always releasable: the materializer's
-        # overlay checkpoint (eager, per apply) decouples the registered
-        # snapshot views from the events frame.
+        # frames whose blocks this batch owns; everything the stores
+        # keep is copied into eager overlay checkpoints before the
+        # batch ends, so ALL temporaries release at batch end
         batch_tmp: list[DataFrame] = [events]
 
         if root_trunc:
@@ -596,17 +650,17 @@ class IncrementalEngine:
                 self.materializer.apply(events, materialized=True)
             docs_ck = self.docs.limit(0).localCheckpoint(eager=True)
             lin_ck = self.lineage.limit(0).localCheckpoint(eager=True)
-            self.docs, self.lineage = docs_ck, lin_ck
-            self._pending_release.extend(batch_tmp)
-            self._release_superseded([docs_ck, lin_ck])
-            self._since_compact = 0
+            self._docs_store.reset(docs_ck, owns_base=True)
+            self._lineage_store.reset(lin_ck, owns_base=True)
+            self._maybe_release_shared()
+            caching.release_local_checkpoints(batch_tmp)
             return
         if n_active == 0:
             # only suppressed no-op UPDATEs: keep snapshots exact (their
             # unwatched columns may have changed) but skip all doc work
             if apply_snapshots:
                 self.materializer.apply(events, materialized=True)
-            self._pending_release.extend(batch_tmp)
+            caching.release_local_checkpoints(batch_tmp)
             return
 
         # suppressed events never resolve or recompute (ref:
@@ -688,21 +742,19 @@ class IncrementalEngine:
         batch_tmp.append(new_combined)
         self.stats["recomputed_docs"] += new_docs.count()
         mark("recompute_tree")
-        self.docs = self.docs.join(
-            maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
-        ).unionByName(new_docs)
-        self.lineage = self.lineage.join(
-            maybe_broadcast(affected_ids, known_rows=n_affected), "_id", "left_anti"
-        ).unionByName(new_lineage)
-        self._since_compact += 1
-        self._pending_release.extend(batch_tmp)
-        if self._since_compact >= self.compact_every:
-            docs_ck = self.docs.localCheckpoint(eager=True)
-            mark("docs_compact")
-            lin_ck = self.lineage.localCheckpoint(eager=True)
-            mark("lineage_compact")
-            self.docs, self.lineage = docs_ck, lin_ck
-            self._since_compact = 0
-            # the new store checkpoints subsume every frame the old lazy
-            # chains referenced — free old stores + parked temporaries
-            self._release_superseded([docs_ck, lin_ck])
+        # store maintenance is O(batch + overlay): replace the affected
+        # keys' rows in each overlay store (a key whose doc did not
+        # recompute simply has no replacement rows — the implicit
+        # delete). New-insert ids ride in via the rows side; they were
+        # never in the base, so the touched-key anti-join is exact.
+        self._docs_store.apply(affected_ids, new_docs, key_bound=n_affected)
+        mark("docs_overlay")
+        self._lineage_store.apply(
+            affected_ids, new_lineage, key_bound=n_affected
+        )
+        mark("lineage_overlay")
+        self._maybe_release_shared()
+        # overlay checkpoints are eager — every batch temporary
+        # (events, resolved keys, affected set, recompute output) is
+        # fully copied out; free the blocks now
+        caching.release_local_checkpoints(batch_tmp)
