@@ -1572,3 +1572,91 @@ def source_corpus_stats(spark, sf_dir):
         hashing.round6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    """WITH enc AS (
+         SELECT user_id,
+                lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                  || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                  || '|' || event_type AS e
+         FROM events
+       ),
+       g AS (SELECT user_id, list_sort(list(e)) AS a FROM enc GROUP BY user_id),
+       s AS (
+         SELECT user_id, a,
+                a[list_position(list_transform(a, x -> ends_with(x, '|view')), true)] AS v
+         FROM g
+       ),
+       s2 AS (
+         SELECT user_id, a, v,
+                list_filter(a, x -> ends_with(x, '|click') AND x > v)[1] AS c
+         FROM s
+       ),
+       s3 AS (
+         SELECT user_id, v, c,
+                list_filter(a, x -> ends_with(x, '|purchase') AND x > c)[1] AS p
+         FROM s2
+       )
+       SELECT user_id,
+              CAST(CASE WHEN p IS NOT NULL THEN 3
+                        WHEN c IS NOT NULL THEN 2
+                        WHEN v IS NOT NULL THEN 1
+                        ELSE 0 END AS BIGINT) AS stage,
+              CAST(CASE WHEN v IS NULL THEN NULL ELSE CAST(v[1:20] AS BIGINT) END AS BIGINT) AS view_us,
+              CAST(CASE WHEN c IS NULL THEN NULL ELSE CAST(c[1:20] AS BIGINT) END AS BIGINT) AS click_us,
+              CAST(CASE WHEN p IS NULL THEN NULL ELSE CAST(p[1:20] AS BIGINT) END AS BIGINT) AS purchase_us
+       FROM s3""",
+)
+def events_funnel(spark, sf_dir):
+    """Funnel analysis: per user, the earliest strictly-ordered
+    view → click → purchase chain (each stage's first event after the
+    previous stage), plus the furthest stage reached — the classic
+    product-analytics sequence-match operator.
+
+    Engine-portable encoding: each event becomes a
+    zero-padded "micros|event_id|type" string, so ONE lexicographic
+    sort per user gives deterministic event order (event_id breaks ts
+    ties identically in both engines) and stage matching is pure array
+    filtering — one collect_list shuffle keyed by user, all matching in
+    whole-stage codegen, no joins, no UDFs. At 100 TB this is the
+    at-scale funnel shape: shuffle O(events) once, per-user state is
+    one sorted array."""
+    df = Catalog(spark, sf_dir).df("events")
+    enc = F.concat_ws(
+        "|",
+        F.lpad(time_micros(df, "ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.col("event_type"),
+    )
+    g = df.select("user_id", enc.alias("e")).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("e")).alias("a")
+    )
+
+    def first_after(arr, stage, prev):
+        cond = lambda x: x.endswith(F.lit(f"|{stage}"))  # noqa: E731
+        if prev is not None:
+            base = cond
+            cond = lambda x: base(x) & (x > prev)  # noqa: E731
+        return F.element_at(F.filter(arr, cond), 1)
+
+    s = g.withColumn("v", first_after(F.col("a"), "view", None))
+    s = s.withColumn("c", first_after(F.col("a"), "click", F.col("v")))
+    s = s.withColumn("p", first_after(F.col("a"), "purchase", F.col("c")))
+    us = lambda col: F.substring(col, 1, 20).cast("bigint")  # noqa: E731
+    return s.select(
+        "user_id",
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("stage"),
+        us(F.col("v")).alias("view_us"),
+        us(F.col("c")).alias("click_us"),
+        us(F.col("p")).alias("purchase_us"),
+    )
