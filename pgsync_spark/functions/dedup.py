@@ -503,3 +503,160 @@ def dedup_clusters_sql() -> str:
         )
         SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
     """
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame — slim keys only."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_crosscorpus_pairs(
+    df_a: DataFrame, df_b: DataFrame, log_drops: bool = True
+) -> DataFrame:
+    """Fuzzy JOIN between two corpora: near-duplicate (a_id, b_id)
+    pairs with exact Jaccard ≥ θ, candidates blocked by shared minhash
+    band buckets — the dedup-against-existing-corpus operator (filter
+    fresh crawl B against held corpus A) as opposed to self-dedup.
+
+    Same scale shape as minhash_lsh_pairs: both sides' slim
+    (id, band, bucket) keys meet in ONE grouped shuffle; per-bucket the
+    A×B pair expansion happens inline via higher-order functions with a
+    per-side hot-bucket cap (quadratic guard, drops logged by default).
+    Heavy shingle arrays only join back per-id for the exact verify.
+    """
+    sigs_a, cached_a = _signatures(df_a)
+    sigs_b, cached_b = _signatures(df_b)
+    sigs_a = sigs_a.persist()
+    sigs_b = sigs_b.persist()
+    cached = cached_a + cached_b + [sigs_a, sigs_b]
+    tagged = _band_frame(sigs_a).withColumn("side", F.lit("a")).unionByName(
+        _band_frame(sigs_b).withColumn("side", F.lit("b"))
+    )
+    grouped = tagged.groupBy("band", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "a", F.col("doc_id")))
+        ).alias("ids_a"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "b", F.col("doc_id")))
+        ).alias("ids_b"),
+    )
+    if log_drops:
+        grouped = grouped.persist()
+        cached = cached + [grouped]
+        n_hot = grouped.filter(
+            (F.size("ids_a") > MAX_BUCKET_WIDTH)
+            | (F.size("ids_b") > MAX_BUCKET_WIDTH)
+        ).count()
+        if n_hot:
+            log.warning(
+                "minhash_crosscorpus_pairs: dropped %d hot buckets "
+                "(side width > %d)",
+                n_hot,
+                MAX_BUCKET_WIDTH,
+            )
+    buckets = grouped.filter(
+        (F.size("ids_a") >= 1)
+        & (F.size("ids_b") >= 1)
+        & (F.size("ids_a") <= MAX_BUCKET_WIDTH)
+        & (F.size("ids_b") <= MAX_BUCKET_WIDTH)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids_a",
+                        lambda x: F.transform(
+                            F.col("ids_b"),
+                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        sigs_a.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh1")),
+        "a_id",
+    ).join(
+        sigs_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh2")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    jac = inter / union
+    out = cand.select("a_id", "b_id", round6(jac).alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return owned(out, cached)
+
+
+def minhash_crosscorpus_pairs_sql(pred_a: str, pred_b: str) -> str:
+    """Oracle: same banding/caps/threshold over two predicate-defined
+    corpora of the ``documents`` table."""
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
+        for i in range(N_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+               md5(concat_ws(',', {', '.join(f'CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)' for r in range(ROWS_PER_BAND))})) AS bucket
+            FROM sigs"""
+        for b in range(N_BANDS)
+    )
+    jac = round6_sql(
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE)"
+    )
+    return f"""
+        WITH {_shingle_cte()},
+        sigs AS (SELECT doc_id, sh, [{perms}] AS sig FROM shs WHERE len(sh) > 0),
+        bands_raw AS ({band_rows}),
+        ba AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS w
+            FROM bands_raw WHERE {pred_a}
+          ) WHERE w <= {MAX_BUCKET_WIDTH}
+        ),
+        bb AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS w
+            FROM bands_raw WHERE {pred_b}
+          ) WHERE w <= {MAX_BUCKET_WIDTH}
+        ),
+        cand AS (
+          SELECT DISTINCT ba.doc_id AS a_id, bb.doc_id AS b_id
+          FROM ba JOIN bb ON ba.band = bb.band AND ba.bucket = bb.bucket
+        )
+        SELECT a_id, b_id, {jac} AS jaccard
+        FROM cand JOIN shs s1 ON s1.doc_id = cand.a_id
+                  JOIN shs s2 ON s2.doc_id = cand.b_id
+        WHERE {jac} >= {JACCARD_THRESHOLD}
+    """

@@ -1660,3 +1660,24 @@ def events_funnel(spark, sf_dir):
         us(F.col("c")).alias("click_us"),
         us(F.col("p")).alias("purchase_us"),
     )
+
+
+def dedup_crosscorpus_fuzzy(spark, sf_dir):
+    """Fuzzy join between two corpora (held corpus = even doc_ids,
+    fresh candidates = odd doc_ids): near-duplicate (a_id, b_id) pairs
+    with exact Jaccard verification over banded minhash candidates —
+    dedup-against-existing-corpus, the cross-corpus sibling of
+    dedup_minhash_lsh_pairs."""
+    df = Catalog(spark, sf_dir).df("documents")
+    return _dd.minhash_crosscorpus_pairs(
+        df.filter(F.col("doc_id") % 2 == 0),
+        df.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+REGISTRY["dedup_crosscorpus_fuzzy"] = QueryDef(
+    fn=dedup_crosscorpus_fuzzy,
+    oracle=_dd.minhash_crosscorpus_pairs_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1"
+    ),
+)
