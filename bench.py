@@ -42,7 +42,9 @@ HEADLINE = [
 ]
 
 # steady-state = median of this many batches applied after the cold one
-STEADY_BATCHES = 3
+# (5, not 3: single-batch ambient outliers in this sandbox are common
+# enough that a 3-sample median still flips on one slow batch)
+STEADY_BATCHES = 5
 
 
 def main() -> None:
