@@ -640,3 +640,79 @@ def test_conflicting_base_table_remap_rejected(spark):
     })
     with pytest.raises(ValueError, match="chained view routing"):
         base_table_remap(chained)
+
+
+def test_lww_randomized_sequence_matches_serial_replay(spark):
+    """Randomized (seeded) mixed op sequence over a handful of keys —
+    including PK-changing UPDATEs — applied as ONE batch must leave the
+    snapshot exactly equal to a serial Python replay of the same
+    events. Guards the window-fold equivalence the LWW design claims."""
+    import random
+
+    from pgsync_spark.streaming.cdc import TableMaterializer
+
+    rng = random.Random(42)
+    cat = Catalog(spark, SF_DIR)
+    base_rows = {
+        r["o_orderkey"]: {k: v for k, v in r.asDict().items()}
+        for r in cat.df("orders").limit(6).collect()
+    }
+    keys = list(base_rows)
+    spare_keys = [900001, 900002, 900003]
+    # serial replay state: key -> row dict (None = absent)
+    state = {k: dict(v) for k, v in base_rows.items()}
+    events = []
+    txid = 0
+    for _ in range(40):
+        txid += 1
+        live = [k for k, v in state.items() if v is not None]
+        op = rng.choice(["INSERT", "UPDATE", "UPDATE", "DELETE", "PKCHANGE"])
+        if op == "INSERT" or not live:
+            k = rng.choice(spare_keys + [k for k in keys if state.get(k) is None])
+            row = dict(rng.choice(list(base_rows.values())),
+                       o_orderkey=k, o_orderpriority=f"T{txid}")
+            events.append({"op": "INSERT", "table": "orders", "new": row,
+                           "txid": txid})
+            state[k] = row
+        elif op == "UPDATE":
+            k = rng.choice(live)
+            row = dict(state[k], o_orderpriority=f"T{txid}")
+            events.append({"op": "UPDATE", "table": "orders",
+                           "old": {"o_orderkey": k}, "new": row, "txid": txid})
+            state[k] = row
+        elif op == "DELETE":
+            k = rng.choice(live)
+            events.append({"op": "DELETE", "table": "orders",
+                           "old": {"o_orderkey": k}, "txid": txid})
+            state[k] = None
+        else:  # PK-changing UPDATE
+            k = rng.choice(live)
+            free = [s for s in spare_keys + keys
+                    if state.get(s) is None and s != k]
+            if not free:
+                continue
+            k2 = rng.choice(free)
+            row = dict(state[k], o_orderkey=k2, o_orderpriority=f"T{txid}")
+            events.append({"op": "UPDATE", "table": "orders",
+                           "old": {"o_orderkey": k}, "new": row, "txid": txid})
+            state[k] = None
+            state[k2] = row
+
+    mat = TableMaterializer(cat)
+    mat.apply(payloads_from_rows(spark, events))
+    touched = set(state) | set(base_rows)
+    snap = {
+        r["o_orderkey"]: r.asDict()
+        for r in cat.df("orders")
+        .filter(F.col("o_orderkey").isin(*touched))
+        .collect()
+    }
+    expected = {k: v for k, v in state.items() if v is not None}
+    assert set(snap) == set(expected), (
+        f"live keys diverge: snap-only={set(snap) - set(expected)}, "
+        f"expected-only={set(expected) - set(snap)}"
+    )
+    for k, row in expected.items():
+        assert snap[k]["o_orderpriority"] == row["o_orderpriority"], (
+            k, snap[k]["o_orderpriority"], row["o_orderpriority"]
+        )
