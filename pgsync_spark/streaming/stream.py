@@ -31,13 +31,17 @@ from .incremental import IncrementalEngine
 
 def start_cdc_stream(
     spark: SparkSession,
-    engine: IncrementalEngine,
+    engine,
     events_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
     poll_interval: str | None = None,
 ) -> StreamingQuery:
     """Stream JSON CDC events from a directory into the engine.
+
+    ``engine`` is anything exposing ``process_batch(events_df)`` — a
+    single IncrementalEngine or a multi-index SyncRunner (N trees off
+    this one stream, the reference's one-consumer-per-document shape).
 
     ``maxFilesPerTrigger`` bounds micro-batch size — the analog of the
     reference's LOGICAL_SLOT_CHUNK_SIZE paging (ref: settings.py:40).

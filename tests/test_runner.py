@@ -173,3 +173,46 @@ def test_runner_from_config(spark, tmp_path):
     assert "CFG-RENAMED" in doc
     # the orders index ignored the event entirely
     assert r.engines["orders_idx"].stats["events"] == 0
+
+
+def test_runner_streams_one_feed_into_both_indices(spark, runner, tmp_path):
+    """readStream → foreachBatch(runner.process_batch): ONE JSON event
+    feed drives BOTH indices end to end; each converges to its own full
+    recompute from the final table state."""
+    import os
+
+    from pgsync_spark.streaming.stream import start_cdc_stream
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(events_dir)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); the second
+    # updates the same order again, exercising overlay-on-overlay
+    row = {
+        r["o_orderkey"]: r.asDict()
+        for r in runner.catalog.df("orders").filter(F.col("o_orderkey") == 2).collect()
+    }[2]
+    with open(os.path.join(events_dir, "b1.json"), "w") as f:
+        f.write(json.dumps({
+            "op": "UPDATE", "schema": "public", "table": "orders",
+            "old": {"o_orderkey": "2"},
+            "new": {k: str(v) for k, v in dict(row, o_orderpriority="S1").items()},
+            "txid": 101,
+        }))
+    with open(os.path.join(events_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({
+            "op": "UPDATE", "schema": "public", "table": "orders",
+            "old": {"o_orderkey": "2"},
+            "new": {k: str(v) for k, v in dict(row, o_orderpriority="S2").items()},
+            "txid": 102,
+        }))
+    q = start_cdc_stream(spark, runner, events_dir, ckpt, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert runner.checkpoint == 102
+    snap = runner.catalog.df("orders").filter(F.col("o_orderkey") == 2).collect()
+    assert len(snap) == 1 and snap[0]["o_orderpriority"] == "S2"
+    for name, schema_name in (("orders", "orders_full"),
+                              ("customer", "customer_orders_lineitems")):
+        full = TreeCompiler(runner.catalog).compile_docs(schemas.tree(schema_name))
+        assert _docs_equal(runner.docs(name), full), name
