@@ -27,8 +27,9 @@ hashing (functions/hashing.py).
 from __future__ import annotations
 
 import logging
+import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..caching import adopt, owned, release
@@ -65,6 +66,42 @@ JACCARD_THRESHOLD = 0.2
 MAX_BUCKET_WIDTH = 200
 
 log = logging.getLogger(__name__)
+
+# op-name → (Observation, logger thread) for the most recent call with
+# log_drops=True; tests join() the thread and read the observation.
+HOT_BUCKET_PROBES: dict[str, tuple[Observation, threading.Thread]] = {}
+
+
+def _observe_hot_buckets(grouped: DataFrame, hot: F.Column, opname: str) -> DataFrame:
+    """Attach the hot-bucket drop count to ``grouped``'s own
+    aggregation pass via Dataset.observe — the metric is computed by
+    the SAME job that feeds the pair expansion, so logging costs zero
+    extra actions (the pre-r4 implementation ran a separate count()
+    over a persisted copy: a full second pass per call, measured 1.49×
+    on the bench). A daemon thread blocks on Observation.get and emits
+    the warning as soon as the caller's terminal action completes; if
+    the frame is never executed the thread parks harmlessly.
+    """
+    obs = Observation()
+    out = grouped.observe(obs, F.sum(hot.cast("long")).alias("n_hot"))
+
+    def _wait_and_log() -> None:
+        try:
+            n_hot = obs.get["n_hot"]
+        except Exception:  # session torn down before any action
+            return
+        if n_hot:
+            log.warning(
+                "%s: dropped %d hot buckets (width > %d)",
+                opname, n_hot, MAX_BUCKET_WIDTH,
+            )
+
+    t = threading.Thread(
+        target=_wait_and_log, daemon=True, name=f"{opname}-hot-bucket-log"
+    )
+    t.start()
+    HOT_BUCKET_PROBES[opname] = (obs, t)
+    return out
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
@@ -150,8 +187,9 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
     O(n · n_bands), and the pair join happens per-bucket. Buckets wider
     than MAX_BUCKET_WIDTH are dropped before the self-join (quadratic
     hot-bucket guard) and the drop count is LOGGED by default — a cap
-    that fires silently reads as full coverage when it isn't; pass
-    log_drops=False to skip the (one small aggregation) counting action.
+    that fires silently reads as full coverage when it isn't. The count
+    rides the bucket aggregation itself via Dataset.observe (zero extra
+    actions); log_drops=False skips attaching the observation.
     """
     # the signature stage feeds two consumers (bands + verify); persist so
     # it computes once (at 100 TB you would checkpoint signatures to
@@ -195,14 +233,9 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
         F.collect_list("doc_id").alias("ids")
     )
     if log_drops:
-        # persist the slim (band,bucket,ids) frame so the drop count and
-        # the downstream pair expansion share one computation pass
-        grouped = grouped.persist()
-        cached = cached + [grouped]
-        n_hot = grouped.filter(F.size("ids") > MAX_BUCKET_WIDTH).count()
-        if n_hot:
-            log.warning("minhash_lsh_pairs: dropped %d hot buckets (width > %d)",
-                        n_hot, MAX_BUCKET_WIDTH)
+        grouped = _observe_hot_buckets(
+            grouped, F.size("ids") > MAX_BUCKET_WIDTH, "minhash_lsh_pairs"
+        )
     buckets = grouped.filter(
         (F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET_WIDTH)
     ).select(F.array_sort("ids").alias("ids"))
@@ -564,19 +597,12 @@ def minhash_crosscorpus_pairs(
         ).alias("ids_b"),
     )
     if log_drops:
-        grouped = grouped.persist()
-        cached = cached + [grouped]
-        n_hot = grouped.filter(
+        grouped = _observe_hot_buckets(
+            grouped,
             (F.size("ids_a") > MAX_BUCKET_WIDTH)
-            | (F.size("ids_b") > MAX_BUCKET_WIDTH)
-        ).count()
-        if n_hot:
-            log.warning(
-                "minhash_crosscorpus_pairs: dropped %d hot buckets "
-                "(side width > %d)",
-                n_hot,
-                MAX_BUCKET_WIDTH,
-            )
+            | (F.size("ids_b") > MAX_BUCKET_WIDTH),
+            "minhash_crosscorpus_pairs",
+        )
     buckets = grouped.filter(
         (F.size("ids_a") >= 1)
         & (F.size("ids_b") >= 1)
