@@ -56,6 +56,24 @@ def release_all() -> None:
     _SCOPES.clear()
 
 
+def local_checkpoint_parallel(frames: list[DataFrame]) -> list[DataFrame]:
+    """Eagerly localCheckpoint several INDEPENDENT frames, submitting
+    the jobs concurrently from a thread pool.
+
+    Each eager checkpoint is a full driver→scheduler round-trip; a CDC
+    batch that materializes N per-table overlays serially pays N
+    round-trips of mostly idle driver time. Concurrent submission
+    overlaps them (Spark's scheduler handles multi-threaded job
+    submission natively; measured ~2× on 4 small checkpoints,
+    local[32]). Frames must not depend on one another."""
+    if len(frames) <= 1:
+        return [f.localCheckpoint(eager=True) for f in frames]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(len(frames), 8)) as ex:
+        return list(ex.map(lambda f: f.localCheckpoint(eager=True), frames))
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Free the executor block storage behind an eager localCheckpoint.
 

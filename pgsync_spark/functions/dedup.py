@@ -67,29 +67,57 @@ MAX_BUCKET_WIDTH = 200
 
 log = logging.getLogger(__name__)
 
-# op-name → (Observation, logger thread) for the most recent call with
-# log_drops=True; tests join() the thread and read the observation.
-HOT_BUCKET_PROBES: dict[str, tuple[Observation, threading.Thread]] = {}
+class _HotBucketProbe:
+    """Handle on one call's hot-bucket observation: ``thread`` is the
+    logger thread (join it to wait for the metric), ``n_hot`` is the
+    observed drop count once the terminal action has run. Observation.get
+    is not re-entrant across threads, so the logger thread reads it once
+    and stashes the value here."""
+
+    def __init__(self, thread: threading.Thread | None = None):
+        self.thread = thread
+        self.n_hot: int | None = None
+
+
+# op-name → probe for the most recent call with log_drops=True
+HOT_BUCKET_PROBES: dict[str, _HotBucketProbe] = {}
 
 
 def _observe_hot_buckets(grouped: DataFrame, hot: F.Column, opname: str) -> DataFrame:
     """Attach the hot-bucket drop count to ``grouped``'s own
     aggregation pass via Dataset.observe — the metric is computed by
     the SAME job that feeds the pair expansion, so logging costs zero
-    extra actions (the pre-r4 implementation ran a separate count()
-    over a persisted copy: a full second pass per call, measured 1.49×
-    on the bench). A daemon thread blocks on Observation.get and emits
-    the warning as soon as the caller's terminal action completes; if
-    the frame is never executed the thread parks harmlessly.
+    extra actions in the normal path (the pre-r4 implementation ran a
+    separate count() over a persisted copy: a full second pass per
+    call, measured 1.49× on the bench). A daemon thread blocks on
+    Observation.get and emits the warning as soon as the caller's
+    terminal action completes; if the frame is never executed the
+    thread parks harmlessly.
+
+    Corner case (measured): when EVERY bucket is hot the query returns
+    zero rows and AQE's empty-relation propagation replans the joins
+    away, dropping the CollectMetrics node — the observation is lost in
+    exactly the situation the warning exists for. The thread detects
+    the loss (Observation.get errors after the action) and falls back
+    to one direct count over ``grouped`` — an extra pass paid only in
+    that pathological case.
     """
     obs = Observation()
     out = grouped.observe(obs, F.sum(hot.cast("long")).alias("n_hot"))
+    probe = _HotBucketProbe()
 
     def _wait_and_log() -> None:
         try:
-            n_hot = obs.get["n_hot"]
-        except Exception:  # session torn down before any action
-            return
+            n_hot = int(obs.get["n_hot"] or 0)
+        except Exception:
+            # metrics lost to AQE replanning — recount from the plan
+            # (upstream persists may already be released: correct
+            # either way, just slower, and only on the all-hot path)
+            try:
+                n_hot = grouped.filter(hot).count()
+            except Exception:  # session torn down
+                return
+        probe.n_hot = n_hot
         if n_hot:
             log.warning(
                 "%s: dropped %d hot buckets (width > %d)",
@@ -99,8 +127,9 @@ def _observe_hot_buckets(grouped: DataFrame, hot: F.Column, opname: str) -> Data
     t = threading.Thread(
         target=_wait_and_log, daemon=True, name=f"{opname}-hot-bucket-log"
     )
+    probe.thread = t
     t.start()
-    HOT_BUCKET_PROBES[opname] = (obs, t)
+    HOT_BUCKET_PROBES[opname] = probe
     return out
 
 

@@ -21,13 +21,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def build_filters(clauses: list[dict]) -> Column:
-    """[{a: 1, b: 2}, {a: 3}] → (a=1 AND b=2) OR (a=3)."""
+_STRINGY = ("string", "varchar", "char", "uuid")
+
+
+def _typed_eq(col: str, v, dtypes: dict[str, str] | None) -> Column:
+    """Null-safe equality with the reference's mixed-type guard
+    (ref: pgsync/querybuilder.py:81-98): comparing a uuid/text column
+    against a number can never match, so it collapses to literal FALSE
+    instead of comparing. Without the guard, Spark's ANSI-mode implicit
+    cast (string → bigint) RAISES on non-numeric values at runtime —
+    a filter must reject rows, not crash the job. Plan-time false also
+    keeps comparable predicates pushdown-eligible (no try_cast wrapper
+    on the column)."""
+    if (
+        dtypes is not None
+        and not isinstance(v, (str, type(None)))
+        and any(dtypes.get(col, "").startswith(s) for s in _STRINGY)
+    ):
+        return F.lit(False)
+    return F.col(col).eqNullSafe(F.lit(v))
+
+
+def build_filters(clauses: list[dict], dtypes: dict[str, str] | None = None) -> Column:
+    """[{a: 1, b: 2}, {a: 3}] → (a=1 AND b=2) OR (a=3).
+
+    ``dtypes``: the target frame's ``dict(df.dtypes)``; enables the
+    mixed-type guard (string column vs numeric literal → FALSE)."""
     if not clauses:
         return F.lit(True)
     ors = []
     for clause in clauses:
-        ands = [F.col(k).eqNullSafe(F.lit(v)) for k, v in clause.items()]
+        ands = [_typed_eq(k, v, dtypes) for k, v in clause.items()]
         ors.append(functools.reduce(lambda a, b: a & b, ands))
     return functools.reduce(lambda a, b: a | b, ors)
 

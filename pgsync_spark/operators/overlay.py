@@ -74,26 +74,29 @@ class KeyedOverlay:
                 ).unionByName(self.rows)
         return self._view
 
-    def apply(
+    def _merged(
         self, touched_keys: DataFrame, rows: DataFrame, key_bound: int
-    ) -> None:
-        """Replace every row of ``touched_keys`` with ``rows``
-        (O(batch + overlay): merges into the eager overlay checkpoints,
-        never touches base). ``key_bound`` is an upper bound on
-        touched-key count — the broadcast guard, accumulated into the
-        overlay's own bound."""
+    ) -> tuple[DataFrame, DataFrame]:
+        """LAZY merged (keys, rows) overlay frames for one apply —
+        prepare half of apply(); the caller checkpoints them (possibly
+        in one parallel wave with other stores') and hands the results
+        to :meth:`_commit`."""
         if self.keys is None:
-            merged_keys, merged_rows = touched_keys, rows
-        else:
-            guard = maybe_broadcast(touched_keys, known_rows=key_bound)
-            merged_keys = self.keys.join(
-                guard, on=self.key_cols, how="left_anti"
-            ).unionByName(touched_keys)
-            merged_rows = self.rows.join(
-                guard, on=self.key_cols, how="left_anti"
-            ).unionByName(rows)
-        new_keys = merged_keys.localCheckpoint(eager=True)
-        new_rows = merged_rows.localCheckpoint(eager=True)
+            return touched_keys, rows
+        guard = maybe_broadcast(touched_keys, known_rows=key_bound)
+        merged_keys = self.keys.join(
+            guard, on=self.key_cols, how="left_anti"
+        ).unionByName(touched_keys)
+        merged_rows = self.rows.join(
+            guard, on=self.key_cols, how="left_anti"
+        ).unionByName(rows)
+        return merged_keys, merged_rows
+
+    def _commit(
+        self, new_keys: DataFrame, new_rows: DataFrame, key_bound: int
+    ) -> None:
+        """Install checkpointed overlay frames from :meth:`_merged`,
+        release the superseded ones, and compact on cadence."""
         if self.keys is not None:
             caching.release_local_checkpoint(self.keys)
             caching.release_local_checkpoint(self.rows)
@@ -105,6 +108,20 @@ class KeyedOverlay:
             4 * key_bound, self.row_cap
         ):
             self.compact()
+
+    def apply(
+        self, touched_keys: DataFrame, rows: DataFrame, key_bound: int
+    ) -> None:
+        """Replace every row of ``touched_keys`` with ``rows``
+        (O(batch + overlay): merges into the eager overlay checkpoints,
+        never touches base). ``key_bound`` is an upper bound on
+        touched-key count — the broadcast guard, accumulated into the
+        overlay's own bound."""
+        merged_keys, merged_rows = self._merged(touched_keys, rows, key_bound)
+        new_keys, new_rows = caching.local_checkpoint_parallel(
+            [merged_keys, merged_rows]
+        )
+        self._commit(new_keys, new_rows, key_bound)
 
     def compact(self) -> None:
         """Fold base+overlay into a fresh base checkpoint (OPTIMIZE
@@ -142,3 +159,20 @@ class KeyedOverlay:
     def release(self) -> None:
         """Free every owned checkpoint (store teardown)."""
         self.reset(self.base.limit(0), owns_base=False)
+
+
+def apply_parallel(
+    applies: list[tuple["KeyedOverlay", DataFrame, DataFrame, int]],
+) -> None:
+    """Apply one batch to SEVERAL KeyedOverlay stores with all their
+    overlay checkpoints submitted in ONE concurrent wave (the engine's
+    doc + lineage stores: 4 serial driver round-trips → 1 wave). Each
+    entry is (store, touched_keys, rows, key_bound); the stores must be
+    distinct and their inputs independent."""
+    lazy: list[DataFrame] = []
+    for store, keys, rows, bound in applies:
+        mk, mr = store._merged(keys, rows, bound)
+        lazy += [mk, mr]
+    cks = caching.local_checkpoint_parallel(lazy)
+    for i, (store, _keys, _rows, bound) in enumerate(applies):
+        store._commit(cks[2 * i], cks[2 * i + 1], bound)

@@ -275,7 +275,7 @@ class TreeCompiler:
         if node.parent is None and self.root_filters:
             from ..operators.filters import build_filters
 
-            df = df.filter(build_filters(self.root_filters))
+            df = df.filter(build_filters(self.root_filters, dict(df.dtypes)))
         fields = self._payload_fields(node, specs)
 
         # own key lineage: one single-element array per PK column

@@ -91,7 +91,7 @@ def filter_root_or_and(spark, sf_dir):
     """pgsync root-filter semantics: list=OR of dict=AND clauses
     (ref: pgsync/querybuilder.py:100-132)."""
     df = Catalog(spark, sf_dir).df("orders")
-    return df.filter(build_filters(_ROOT_FILTERS)).select(
+    return df.filter(build_filters(_ROOT_FILTERS, dict(df.dtypes))).select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
 

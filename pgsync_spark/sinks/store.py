@@ -32,6 +32,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .. import caching
+
 
 class DocStore:
     def __init__(self, spark: SparkSession, path: str):
@@ -103,8 +105,17 @@ class DocStore:
             df = self.spark.read.parquet(os.path.join(vdir, "tables", table))
             engine.catalog.register_df(table, df)
             if mat is not None:
+                # release the superseded in-memory state before replacing
+                # it — restoring into a warm engine must not leak the old
+                # base/overlay checkpoint blocks (compact() and the
+                # truncate path release the same way)
+                prev_base = mat._base.get(table)
+                if prev_base is not None:
+                    caching.release_local_checkpoint(prev_base)
+                prev_overlay = mat._overlay.pop(table, None)
+                if prev_overlay is not None:
+                    caching.release_local_checkpoint(prev_overlay)
                 mat._base[table] = df
-                mat._overlay.pop(table, None)
                 mat._overlay_rows[table] = 0
                 mat._applies[table] = 0
         return True

@@ -148,6 +148,9 @@ class TableMaterializer:
     """
 
     OVERLAY_FLAG = "__live"
+    # event-order metadata riding through the LWW fold; reserved names
+    # so a synced table's own columns can never collide with them
+    META_COLS = ("__cdc_txid", "__cdc_seq", "__cdc_sub")
     # overlays larger than this always trigger compaction regardless of
     # cadence (bounds the snapshot view's anti-join for big batches)
     OVERLAY_ROW_CAP = 65_536
@@ -191,112 +194,169 @@ class TableMaterializer:
         self._applies[table] = 0
         self.catalog.register_df(table, new_base)
 
-    def apply(self, events: DataFrame, materialized: bool = False) -> None:
+    def apply(
+        self,
+        events: DataFrame,
+        materialized: bool = False,
+        stats: list | None = None,
+        seq_col: str | None = None,
+    ) -> None:
         """Apply one batch. Events are folded per table with
         LAST-WRITE-WINS semantics: each event contributes a *dead*
         action for its old-image PK (UPDATE/DELETE) and/or a *live*
         action carrying its new image (INSERT/UPDATE); the latest
-        action per key — ordered by txid, then arrival order within the
-        batch — decides whether that key is a live overlay row or a
-        tombstone. This matches the reference, which applies events in
-        stream order (ref: pgsync/sync.py:1855-1888 run grouping), so
+        action per key — ordered by txid, then in-batch sequence —
+        decides whether that key is a live overlay row or a tombstone.
+        This matches the reference, which applies events in stream
+        order (ref: pgsync/sync.py:1855-1888 run grouping), so
         INSERT→UPDATE→UPDATE on one key in a single micro-batch yields
         exactly the final image and UPDATE→DELETE yields a tombstone.
-        TRUNCATE empties the table.
+        TRUNCATE empties the table as of its stream position: events
+        ordered AFTER the last TRUNCATE still apply (a batch of
+        TRUNCATE→INSERT keeps the re-inserted rows, exactly as serial
+        replay would).
+
+        ``seq_col``: name of an explicit per-event sequence column
+        (LSN / Kafka offset) when the source provides one — the
+        authoritative same-txid order. Without it the fold falls back
+        to ``monotonically_increasing_id`` over the checkpointed batch,
+        which preserves arrival order WITHIN each source partition
+        (partition id in the high bits); for multi-partition sources
+        same-txid cross-partition order is partition order, not global
+        arrival order — provide ``seq_col`` there.
 
         ``materialized``: the caller already eagerly checkpointed the
         events frame (process_batch does, once per batch) — skip the
-        local one. One grouped aggregation (not per-table driver
-        probes) routes the batch; per touched table the only action is
-        the small overlay checkpoint."""
+        local one. ``stats``: per-table batch statistics (mappings with
+        ``table`` / ``n`` / ``has_trunc``) when the caller already
+        aggregated them (process_batch folds them into the events
+        checkpoint via observe) — skips this method's own aggregation
+        action. Per touched table the only job is the small overlay
+        checkpoint, and all touched tables' checkpoints are submitted
+        in ONE concurrent wave."""
         if not materialized:
             # decouple from micro-batch source files that vanish after
             # the epoch
             events = events.localCheckpoint(eager=True)
-        # in-batch arrival order for same-txid events: stable on a
-        # checkpointed frame (partition id in the high bits preserves
-        # the original row order of the batch)
-        events = events.withColumn("_seq", F.monotonically_increasing_id())
-        stats = events.groupBy("table").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
-        ).collect()
+        seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+        events = events.withColumn("__cdc_seq", seq.cast("long"))
+        if stats is None:
+            stats = events.groupBy("table").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
+            ).collect()
+        flag = self.OVERLAY_FLAG
+        order_cols = [F.col(c) for c in self.META_COLS]
+        # phase 1 — build every touched table's merged overlay LAZILY
+        pending: list[tuple[str, int, DataFrame, DataFrame | None]] = []
         for r in stats:
-            table, n_ev = r["table"], r["n"]
+            table, n_ev, has_trunc = r["table"], r["n"], bool(r["has_trunc"])
+            if n_ev == 0 and not has_trunc:
+                continue
             snap = self.catalog.df(table)
             if table not in self._base:
                 self._base[table] = snap
             pks = list(self.catalog.primary_key(table))
             ev = events.filter(F.col("table") == table)
-            if r["has_trunc"]:
-                # empty base, drop overlay (ref: _truncate_op)
+            prev = self._overlay.get(table)
+            if has_trunc:
+                # TRUNCATE empties base + overlay as of its stream
+                # position (ref: _truncate_op); only events ordered
+                # after the LAST truncate survive into the LWW fold
                 old_base = self._base[table]
                 self._base[table] = snap.limit(0)
                 caching.release_local_checkpoint(old_base)
-                overlay = self._overlay.pop(table, None)
-                if overlay is not None:
-                    caching.release_local_checkpoint(overlay)
+                if prev is not None:
+                    caching.release_local_checkpoint(prev)
+                    self._overlay.pop(table)
+                    prev = None
                 self._overlay_rows[table] = 0
-                self.catalog.register_df(table, self._base[table])
-                continue
+                cut = ev.filter(F.col("op") == TRUNCATE).select(
+                    F.max(
+                        F.struct(
+                            F.coalesce(F.col("txid"), F.lit(0)).alias("t"),
+                            F.col("__cdc_seq").alias("s"),
+                        )
+                    ).alias("__cut")
+                )
+                ev = ev.crossJoin(F.broadcast(cut)).filter(
+                    F.struct(
+                        F.coalesce(F.col("txid"), F.lit(0)).alias("t"),
+                        F.col("__cdc_seq").alias("s"),
+                    )
+                    > F.col("__cut")
+                ).drop("__cut")
             base = self._base[table]
-            flag = self.OVERLAY_FLAG
+            reserved = set(self.META_COLS) | {flag}
+            if reserved & set(base.columns):
+                raise exc.SchemaError(
+                    f"table {table!r} has columns colliding with CDC "
+                    f"metadata names {sorted(reserved & set(base.columns))}"
+                )
             dtypes = dict(base.dtypes)
-            order = [F.col("txid"), F.col("_seq"), F.col("_sub")]
+            meta_src = [
+                F.col("txid").alias("__cdc_txid"),
+                F.col("__cdc_seq"),
+            ]
             # key-action stream: dead(old pk) for UPDATE/DELETE, live(new
-            # image) for INSERT/UPDATE. _sub breaks the tie inside one
-            # UPDATE that keeps its key (the live image wins over the
-            # removal of the same key by the same event).
+            # image) for INSERT/UPDATE. __cdc_sub breaks the tie inside
+            # one UPDATE that keeps its key (the live image wins over
+            # the removal of the same key by the same event).
             dead = _typed_image(
                 ev.filter(F.col("op").isin(UPDATE, DELETE)),
                 "old",
                 base,
                 pks,
-                extra=["txid", "_seq"],
+                extra=meta_src,
             ).select(
                 *[
                     F.col(c) if c in pks else F.lit(None).cast(dtypes[c]).alias(c)
                     for c in base.columns
                 ],
                 F.lit(False).alias(flag),
-                F.col("txid"),
-                F.col("_seq"),
-                F.lit(0).alias("_sub"),
+                F.col("__cdc_txid"),
+                F.col("__cdc_seq"),
+                F.lit(0).alias("__cdc_sub"),
             )
             live = _typed_image(
                 ev.filter(F.col("op").isin(INSERT, UPDATE)),
                 "new",
                 base,
                 base.columns,
-                extra=["txid", "_seq"],
+                extra=meta_src,
             ).select(
                 *base.columns,
                 F.lit(True).alias(flag),
-                F.col("txid"),
-                F.col("_seq"),
-                F.lit(1).alias("_sub"),
+                F.col("__cdc_txid"),
+                F.col("__cdc_seq"),
+                F.lit(1).alias("__cdc_sub"),
             )
             # one window shuffle over a batch-sized frame: last action
             # per key wins (LWW)
-            w = Window.partitionBy(*pks).orderBy(*[c.desc() for c in order])
+            w = Window.partitionBy(*pks).orderBy(*[c.desc() for c in order_cols])
             delta = (
                 dead.unionByName(live)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "txid", "_seq", "_sub")
+                .withColumn("__cdc_rn", F.row_number().over(w))
+                .filter(F.col("__cdc_rn") == 1)
+                .drop("__cdc_rn", *self.META_COLS)
             )
             # ≤ 2 distinct keys per event (old pk + new pk)
-            batch_keys = delta.select(*pks)
-            prev = self._overlay.get(table)
             if prev is not None:
                 merged = prev.join(
-                    maybe_broadcast(batch_keys, known_rows=2 * n_ev),
+                    maybe_broadcast(delta.select(*pks), known_rows=2 * n_ev),
                     on=pks,
                     how="left_anti",
                 ).unionByName(delta)
             else:
                 merged = delta
-            overlay = merged.localCheckpoint(eager=True)
+            pending.append((table, n_ev, merged, prev))
+        if not pending:
+            return
+        # phase 2 — ONE concurrent checkpoint wave over all touched
+        # tables (serial per-table round-trips dominated batch time)
+        overlays = caching.local_checkpoint_parallel([m for _, _, m, _ in pending])
+        compact_tables = []
+        for (table, n_ev, _m, prev), overlay in zip(pending, overlays):
             if prev is not None:
                 caching.release_local_checkpoint(prev)
             self._overlay[table] = overlay
@@ -311,6 +371,9 @@ class TableMaterializer:
                 self._applies[table] >= self.compact_every
                 or self._overlay_rows[table] > max(8 * n_ev, self.OVERLAY_ROW_CAP)
             ):
-                self.compact(table)
+                compact_tables.append(table)
             else:
+                pks = list(self.catalog.primary_key(table))
                 self.catalog.register_df(table, self._snapshot_view(table, pks))
+        for table in compact_tables:
+            self.compact(table)

@@ -37,7 +37,7 @@ identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .. import caching
@@ -45,6 +45,7 @@ from ..catalog import Catalog
 from ..node import SYSTEM_COLUMNS, Node, Tree
 from ..operators.joins import maybe_broadcast
 from ..operators.overlay import KeyedOverlay
+from ..operators.overlay import apply_parallel as apply_overlays_parallel
 from ..plans.compiler import TreeCompiler
 from ..plans.docs import assemble_docs
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
@@ -70,13 +71,35 @@ def base_table_remap(tree: Tree) -> dict[str, str]:
                     f"and {node.table!r}"
                 )
             remap[base] = node.table
+    validate_remap(remap)
+    return remap
+
+
+def validate_remap(
+    remap: dict[str, str], node_tables: set[str] | None = None
+) -> None:
+    """Reject remaps that are not idempotent under re-application.
+
+    A remap target must not itself be a remap source (chained
+    view-of-view routing: base→viewX, viewX→viewY would retag already
+    retagged events on a second application). When ``node_tables`` is
+    given (the union of every tree's node tables, for a merged
+    multi-tree remap), a remap source must not be any tree's node
+    table — one tree's real table doubling as another tree's declared
+    base would silently reroute (and then drop) the first tree's
+    events instead of raising the config error this enforces."""
     for base, target in remap.items():
         if target in remap:
             raise ValueError(
                 f"remap target {target!r} (from {base!r}) is itself a "
                 "declared base table — chained view routing is not supported"
             )
-    return remap
+        if node_tables is not None and base in node_tables:
+            raise ValueError(
+                f"base table {base!r} (remapped to {target!r}) is also a "
+                "node table of another tree — its events would be "
+                "rerouted away from that tree"
+            )
 
 
 def remap_tables(events: DataFrame, remap: dict[str, str]) -> DataFrame:
@@ -124,7 +147,9 @@ def lineage_df(combined: DataFrame, keys_cols: dict) -> DataFrame:
     )
 
 
-def materialize_tree(compiled) -> tuple[DataFrame, DataFrame, DataFrame]:
+def materialize_tree(
+    compiled, count_obs: Observation | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-pass materialization of a compiled tree →
     (docs, lineage, combined).
 
@@ -138,10 +163,18 @@ def materialize_tree(compiled) -> tuple[DataFrame, DataFrame, DataFrame]:
 
     ``combined`` is returned so the caller can release its blocks
     (caching.release_local_checkpoint) once both views have been
-    superseded by a newer store checkpoint."""
-    combined = assemble_docs(
-        compiled, include_pks=True, include_keys=True
-    ).localCheckpoint(eager=True)
+    superseded by a newer store checkpoint.
+
+    ``count_obs``: an Observation to ride the checkpoint job with a
+    ``n_docs`` row count (combined has exactly one row per doc) — the
+    caller reads it after this returns, instead of running a separate
+    count() action."""
+    combined = assemble_docs(compiled, include_pks=True, include_keys=True)
+    if count_obs is not None:
+        combined = combined.observe(
+            count_obs, F.count(F.lit(1)).alias("n_docs")
+        )
+    combined = combined.localCheckpoint(eager=True)
     doc_cols = [c for c in combined.columns if not c.startswith("__k_")]
     docs = combined.select(*doc_cols)
     lineage = lineage_df(combined, compiled.keys_cols)
@@ -602,27 +635,51 @@ class IncrementalEngine:
             events = events.filter(F.col("txid") < txmax)
         # one eager checkpoint decouples the whole batch from the
         # micro-batch source files (which vanish after the epoch) —
-        # downstream frames derive from it lazily
-        events = events.localCheckpoint(eager=True)
-        mark("events_ckpt")
-        # single action for every batch statistic, grouped per table so
-        # resolution can skip tables the batch never touched
+        # downstream frames derive from it lazily. EVERY batch
+        # statistic rides the checkpoint job itself via observe (the
+        # scope filter bounds the table inventory, so the grouped
+        # aggregation unrolls into per-table conditional aggregates) —
+        # the former separate stats collect was a full extra driver
+        # round-trip per batch.
         keep = self._keep_event()
-        per_table = events.groupBy("table").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("txid").alias("mx"),
-            F.sum(keep.cast("int")).alias("n_active"),
-            F.sum(
-                (F.col("op").isin(INSERT, UPDATE) & keep).cast("int")
-            ).alias("n_new"),
-            F.sum(
-                (F.col("op").isin(UPDATE, DELETE) & keep).cast("int")
-            ).alias("n_old"),
-            F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
-        ).collect()
-        mark("stats_agg")
+        tables = sorted(self._schemas)
+        obs = Observation()
+        metrics = []
+        for i, t in enumerate(tables):
+            is_t = F.col("table") == t
+            metrics += [
+                F.sum(is_t.cast("int")).alias(f"n_{i}"),
+                F.max(F.when(is_t, F.col("txid"))).alias(f"mx_{i}"),
+                F.sum((is_t & keep).cast("int")).alias(f"na_{i}"),
+                F.sum(
+                    (is_t & F.col("op").isin(INSERT, UPDATE) & keep).cast("int")
+                ).alias(f"nn_{i}"),
+                F.sum(
+                    (is_t & F.col("op").isin(UPDATE, DELETE) & keep).cast("int")
+                ).alias(f"no_{i}"),
+                F.max(
+                    (is_t & (F.col("op") == TRUNCATE)).cast("int")
+                ).alias(f"nt_{i}"),
+            ]
+        events = events.observe(obs, *metrics).localCheckpoint(eager=True)
+        vals = obs.get  # metrics fired by the checkpoint action
+        per_table = [
+            {
+                "table": t,
+                "n": int(vals[f"n_{i}"] or 0),
+                "mx": vals[f"mx_{i}"],
+                "n_active": int(vals[f"na_{i}"] or 0),
+                "n_new": int(vals[f"nn_{i}"] or 0),
+                "n_old": int(vals[f"no_{i}"] or 0),
+                "has_trunc": int(vals[f"nt_{i}"] or 0),
+            }
+            for i, t in enumerate(tables)
+        ]
+        per_table = [r for r in per_table if r["n"] > 0]
+        mark("events_ckpt")
         n_total = sum(r["n"] for r in per_table)
         if n_total == 0:
+            caching.release_local_checkpoint(events)
             return
         n_active = sum(int(r["n_active"] or 0) for r in per_table)
         new_counts = {r["table"]: int(r["n_new"] or 0) for r in per_table}
@@ -645,21 +702,35 @@ class IncrementalEngine:
         batch_tmp: list[DataFrame] = [events]
 
         if root_trunc:
-            # TRUNCATE of the root empties everything (ref: _truncate_op)
+            # TRUNCATE of the root empties the stores as of its stream
+            # position (ref: _truncate_op). Events ordered AFTER the
+            # truncate still apply — the materializer's LWW fold keeps
+            # them in the bronze snapshots (exact (txid, seq) cut), and
+            # any INSERT/UPDATE new images re-enter the normal resolve/
+            # recompute below against the emptied stores: old images
+            # resolve against the now-empty lineage (nothing to
+            # delete), new-image keys recompute from the post-batch
+            # snapshots, where pre-truncate rows no longer exist — so
+            # only rows that survive serial replay come back.
             if apply_snapshots:
-                self.materializer.apply(events, materialized=True)
+                self.materializer.apply(events, materialized=True, stats=per_table)
+            apply_snapshots = False  # applied here; skip below
+            mark("materializer")
             docs_ck = self.docs.limit(0).localCheckpoint(eager=True)
             lin_ck = self.lineage.limit(0).localCheckpoint(eager=True)
             self._docs_store.reset(docs_ck, owns_base=True)
             self._lineage_store.reset(lin_ck, owns_base=True)
             self._maybe_release_shared()
-            caching.release_local_checkpoints(batch_tmp)
-            return
+            if sum(new_counts.values()) == 0:
+                # no new images anywhere in the batch — nothing after
+                # the truncate can materialize
+                caching.release_local_checkpoints(batch_tmp)
+                return
         if n_active == 0:
             # only suppressed no-op UPDATEs: keep snapshots exact (their
             # unwatched columns may have changed) but skip all doc work
             if apply_snapshots:
-                self.materializer.apply(events, materialized=True)
+                self.materializer.apply(events, materialized=True, stats=per_table)
             caching.release_local_checkpoints(batch_tmp)
             return
 
@@ -668,17 +739,56 @@ class IncrementalEngine:
         # so snapshots stay exact on unwatched columns
         active = events if n_total == n_active else events.filter(keep)
 
-        ids = self._resolve_old_images(
+        # ---- wave 1: bronze apply ∥ old-image ids ∥ new-image keys ---
+        # All three depend only on the events checkpoint and PRE-batch
+        # state, so they run as ONE concurrent wave of jobs instead of
+        # three serial driver round-trips:
+        #  - the materializer folds the batch into the bronze snapshots;
+        #  - old images resolve against the lineage index (pre-batch by
+        #    construction);
+        #  - new images resolve their FK chains against the PRE-batch
+        #    snapshots. Exact by induction: an event whose ancestor
+        #    chain crosses a row created in THIS batch is covered by
+        #    that row's own event, whose chain is one hop shorter and
+        #    starts from its event image (never a snapshot read), so
+        #    the affected-root union over all events is the same set
+        #    serial replay reaches — rows linked through since-updated
+        #    parents over-approximate, and recompute is idempotent.
+        #    (The runner path, apply_snapshots=False, resolves against
+        #    POST-batch snapshots — also exact, same argument.)
+        ids_old = self._resolve_old_images(
             active,
             n_active,
             has_truncate=any_trunc,
             old_tables=old_tables,
         )
-        mark("resolve_old_build")
-        if apply_snapshots:
-            self.materializer.apply(events, materialized=True)
-        mark("materializer")
         new_keys = self._resolve_new_images(active, new_counts)
+        mark("resolve_build")
+        wave: list = []
+        if apply_snapshots:
+            # per-table stats from the events checkpoint ride along —
+            # the materializer skips its own aggregation action
+            wave.append(
+                lambda: self.materializer.apply(
+                    events, materialized=True, stats=per_table
+                )
+            )
+        wave.append(lambda: ids_old.localCheckpoint(eager=True))
+        if new_keys is not None:
+            wave.append(lambda nk=new_keys: nk.localCheckpoint(eager=True))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(wave)) as ex:
+            results = [f.result() for f in [ex.submit(t) for t in wave]]
+        if apply_snapshots:
+            results = results[1:]
+        ids = results[0]
+        batch_tmp.append(ids)
+        if new_keys is not None:
+            new_keys = results[-1]
+            batch_tmp.append(new_keys)
+        mark("bronze_resolve_wave")
+
         # broadcast guards below use event-derived UPPER BOUNDS instead
         # of exact counts — each exact count is a driver sync point (a
         # full Spark job), and an upper bound decides the broadcast the
@@ -686,73 +796,80 @@ class IncrementalEngine:
         # makes the bound huge → shuffle path, a normal batch keeps it
         # tiny → broadcast. n_new bound: every resolved root key traces
         # to at least one INSERT/UPDATE event.
-        n_new = sum(new_counts.values())
+        n_new = sum(new_counts.values()) if new_keys is not None else 0
         if new_keys is not None:
-            new_keys = new_keys.localCheckpoint(eager=True)
-            mark("resolve_new_ckpt")
-            batch_tmp.append(new_keys)
             key_ids = new_keys.select(
                 F.concat_ws("|", *[F.col(c).cast("string") for c in self.root_pks]).alias(
                     "_id"
                 )
             )
             ids = ids.unionByName(key_ids)  # semi-join side: dupes harmless
-        else:
-            n_new = 0
-
-        # materialize the candidate id set once (one pass over lineage —
-        # the union's semi-joins broadcast the tiny event-derived sides)
-        # so every downstream join re-reads instead of re-resolving.
-        # Bound: old-image ids ≤ n_active events ... except a child
-        # TRUNCATE, whose lineage sweep can return the whole store — no
-        # bound is knowable without counting, so count only then.
-        ids = ids.localCheckpoint(eager=True)
-        batch_tmp.append(ids)
+        # old-image ids ≤ n_active events ... except a child TRUNCATE,
+        # whose lineage sweep can return the whole store — no bound is
+        # knowable without counting, so count only then (cheap: ids is
+        # already checkpointed).
         n_ids = ids.count() if any_trunc else n_active + n_new
-        mark("ids_ckpt")
+        mark("ids_count")
 
         # ONE store materialization covers every downstream need: the
-        # affected ids that exist in the store, with their typed root PKs
-        # riding along. Ids absent from the store (new inserts)
-        # anti-remove nothing, so restricting the anti-join side to this
-        # subset is exact; recompute keys for them come from new_keys.
-        affected = (
-            self.docs.join(maybe_broadcast(ids, known_rows=n_ids), "_id", "left_semi")
-            .select("_id", *self.root_pks)
-            .localCheckpoint(eager=True)
-        )
+        # affected ids that exist in the store, with their typed root
+        # PKs riding along, UNIONED with the new-image keys — a single
+        # checkpoint feeds both the store maintenance and the
+        # recompute. Ids absent from the store (new inserts)
+        # anti-remove nothing, so restricting the store anti-join side
+        # to the in-store subset is exact; recompute keys for new
+        # inserts ride in via the __new rows.
+        affected = self.docs.join(
+            maybe_broadcast(ids, known_rows=n_ids), "_id", "left_semi"
+        ).select("_id", *self.root_pks).withColumn("__new", F.lit(False))
+        if new_keys is not None:
+            affected = affected.unionByName(
+                new_keys.select(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in self.root_pks]
+                    ).alias("_id"),
+                    *self.root_pks,
+                ).withColumn("__new", F.lit(True))
+            )
+        affected = affected.localCheckpoint(eager=True)
         mark("affected_ckpt")
         batch_tmp.append(affected)
-        n_affected = n_ids  # affected ⊆ ids: same broadcast decision
-        affected_ids = affected.select("_id")
+        n_affected = n_ids  # affected ⊆ ids ∪ new: same broadcast decision
+        affected_ids = affected.filter(~F.col("__new")).select("_id")
 
         # recompute those roots from the CURRENT snapshots (both inputs
         # checkpointed → the compiler's fan-out re-reads, never recomputes;
         # it dedups root_keys itself)
         affected_keys = affected.select(*self.root_pks)
-        if new_keys is not None:
-            affected_keys = affected_keys.unionByName(new_keys)
 
         compiled = TreeCompiler(
             self.catalog, root_keys=affected_keys, root_keys_rows=n_affected + n_new
         ).compile(self.tree)
         # upsert + implicit delete: affected docs that did not recompute
-        # (root row gone) simply don't come back (ref: _delete_op)
-        new_docs, new_lineage, new_combined = materialize_tree(compiled)
+        # (root row gone) simply don't come back (ref: _delete_op).
+        # The recomputed-doc count rides the combined checkpoint via
+        # observe — no separate count() action.
+        count_obs = Observation()
+        new_docs, new_lineage, new_combined = materialize_tree(
+            compiled, count_obs=count_obs
+        )
         batch_tmp.append(new_combined)
-        self.stats["recomputed_docs"] += new_docs.count()
+        self.stats["recomputed_docs"] += int(count_obs.get["n_docs"])
         mark("recompute_tree")
         # store maintenance is O(batch + overlay): replace the affected
         # keys' rows in each overlay store (a key whose doc did not
         # recompute simply has no replacement rows — the implicit
         # delete). New-insert ids ride in via the rows side; they were
         # never in the base, so the touched-key anti-join is exact.
-        self._docs_store.apply(affected_ids, new_docs, key_bound=n_affected)
-        mark("docs_overlay")
-        self._lineage_store.apply(
-            affected_ids, new_lineage, key_bound=n_affected
+        # Both stores' overlay checkpoints go out in ONE concurrent wave
+        # (4 serial driver round-trips → 1).
+        apply_overlays_parallel(
+            [
+                (self._docs_store, affected_ids, new_docs, n_affected),
+                (self._lineage_store, affected_ids, new_lineage, n_affected),
+            ]
         )
-        mark("lineage_overlay")
+        mark("stores_overlay")
         self._maybe_release_shared()
         # overlay checkpoints are eager — every batch temporary
         # (events, resolved keys, affected set, recompute output) is

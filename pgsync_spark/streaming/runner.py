@@ -25,7 +25,7 @@ from .. import caching
 from ..catalog import Catalog
 from ..node import Tree
 from .cdc import TableMaterializer
-from .incremental import IncrementalEngine, remap_tables
+from .incremental import IncrementalEngine, remap_tables, validate_remap
 
 
 class SyncRunner:
@@ -47,7 +47,11 @@ class SyncRunner:
             )
         # merged view→base remap across trees: the shared materializer
         # must see retagged events (a base table is often not a catalog
-        # table at all); conflicting declarations are config errors
+        # table at all); conflicting declarations are config errors.
+        # The MERGED dict re-runs the per-tree idempotence validation
+        # plus a cross-tree check: tree A's node table declared as tree
+        # B's base table would chain (base→viewX, viewX→viewY) or
+        # silently reroute A's events — config error, not event loss.
         self._base_remap: dict[str, str] = {}
         for eng in self.engines.values():
             for base, target in eng._base_remap.items():
@@ -58,6 +62,12 @@ class SyncRunner:
                         "different trees"
                     )
                 self._base_remap[base] = target
+        node_tables = {
+            node.table
+            for eng in self.engines.values()
+            for node in eng.tree.root.traverse_post_order()
+        }
+        validate_remap(self._base_remap, node_tables=node_tables)
 
     @classmethod
     def from_config(

@@ -19,7 +19,12 @@ eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
 t0 = time.perf_counter()
 eng.full_sync()
 print("full_sync %.2f" % (time.perf_counter() - t0), flush=True)
-events = payloads_from_rows(spark, _incremental_events(spark, cat))
+# checkpoint once: a real foreachBatch micro-batch arrives JVM-resident;
+# re-serializing the Python row list every batch would profile the
+# harness, not the engine
+events = payloads_from_rows(spark, _incremental_events(spark, cat)).localCheckpoint(
+    eager=True
+)
 
 for i in range(N):
     timings: dict[str, float] = {}

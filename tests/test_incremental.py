@@ -716,3 +716,122 @@ def test_lww_randomized_sequence_matches_serial_replay(spark):
         assert snap[k]["o_orderpriority"] == row["o_orderpriority"], (
             k, snap[k]["o_orderpriority"], row["o_orderpriority"]
         )
+
+
+def test_lww_root_truncate_then_insert_same_batch(spark, engine):
+    """A batch of TRUNCATE(root) followed by INSERTs must keep the
+    re-inserted rows — serial replay would (the pre-r4 engine dropped
+    the whole table's tail events at the truncate)."""
+    row = _order_row(engine.catalog, 3)
+    new = dict(row, o_orderkey=777001, o_orderpriority="POST-TRUNC")
+    ev = payloads_from_rows(
+        spark,
+        [
+            {"op": "TRUNCATE", "table": "orders", "txid": 50},
+            {"op": "INSERT", "table": "orders", "new": new, "txid": 51},
+        ],
+    )
+    engine.process_batch(ev)
+    assert engine.catalog.df("orders").count() == 1
+    assert engine.docs.count() == 1
+    doc = engine.docs.collect()[0]
+    assert doc["_id"] == "777001" and "POST-TRUNC" in doc["doc"]
+    assert _docs_equal(
+        engine.docs, _full_recompute(spark, engine, schemas.tree("orders_full"))
+    )
+
+
+def test_lww_child_truncate_then_insert_same_batch(spark, engine):
+    """TRUNCATE(child) then INSERT(child) in one batch: the surviving
+    child row must appear in its parent's doc, all other docs lose
+    their children."""
+    ev = payloads_from_rows(
+        spark,
+        [
+            {"op": "TRUNCATE", "table": "lineitem", "txid": 60},
+            {
+                "op": "INSERT",
+                "table": "lineitem",
+                "new": {
+                    "l_orderkey": 7, "l_partkey": 1, "l_suppkey": 1,
+                    "l_linenumber": 1, "l_quantity": 2.0,
+                    "l_extendedprice": 10.0, "l_discount": 0.0,
+                    "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+                    "l_shipdate": "2025-06-01 00:00:00",
+                },
+                "txid": 61,
+            },
+        ],
+    )
+    engine.process_batch(ev)
+    assert engine.catalog.df("lineitem").count() == 1
+    assert _docs_equal(
+        engine.docs, _full_recompute(spark, engine, schemas.tree("orders_full"))
+    )
+
+
+def test_cdc_metadata_column_collision_raises(spark):
+    """A synced table whose own columns collide with the reserved CDC
+    metadata names must raise a config error, not silently misfold."""
+    from pgsync_spark import exc
+    from pgsync_spark.catalog import TableMeta
+    from pgsync_spark.streaming.cdc import TableMaterializer
+
+    cat = Catalog(spark, SF_DIR)
+    bad = spark.createDataFrame(
+        [(1, "x")], "id long, __cdc_seq string"
+    )
+    cat.register_df("badtable", bad, meta=TableMeta("badtable", ("id",)))
+    mat = TableMaterializer(cat)
+    ev = payloads_from_rows(
+        spark,
+        [{"op": "INSERT", "table": "badtable",
+          "new": {"id": 2, "__cdc_seq": "y"}, "txid": 1}],
+    )
+    with pytest.raises(exc.SchemaError, match="__cdc_seq"):
+        mat.apply(ev)
+
+
+def test_cdc_explicit_seq_col_overrides_arrival_order(spark):
+    """When the source provides an explicit sequence column (LSN /
+    offset), same-txid ordering follows it — not arrival order."""
+    from pgsync_spark.streaming.cdc import CDC_SCHEMA, TableMaterializer
+    from pyspark.sql import types as T
+
+    cat = Catalog(spark, SF_DIR)
+    # two same-txid INSERT images for key 42, delivered in REVERSE lsn
+    # order: with seq_col the lsn=2 image must win
+    img1 = {"o_orderkey": "42", "o_orderpriority": "LSN2-WINS"}
+    img2 = {"o_orderkey": "42", "o_orderpriority": "LSN1-LOSES"}
+    schema = T.StructType(CDC_SCHEMA.fields + [T.StructField("lsn", T.LongType())])
+    events = spark.createDataFrame(
+        [
+            ("INSERT", "public", "orders", {}, img1, 7, 2),
+            ("INSERT", "public", "orders", {}, img2, 7, 1),
+        ],
+        schema,
+    )
+    mat = TableMaterializer(cat)
+    mat.apply(events, seq_col="lsn")
+    got = (
+        cat.df("orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderpriority")
+        .collect()
+    )
+    assert [r[0] for r in got] == ["LSN2-WINS"]
+
+
+def test_runner_rejects_node_table_as_base(spark):
+    """Tree B declaring tree A's node table as a base_table must be a
+    config error at SyncRunner construction — the merged remap would
+    otherwise silently reroute A's events (ADVICE r3)."""
+    from pgsync_spark.node import Node, Tree
+    from pgsync_spark.streaming.runner import SyncRunner
+
+    tree_a = schemas.tree("orders_full")
+    # tree B: customer root whose node declares orders as a base table
+    root = Node(table="customer", base_tables=["orders"])
+    tree_b = Tree(root=root, index="bad_idx")
+    with pytest.raises(ValueError, match="node table"):
+        SyncRunner(spark, [tree_a, tree_b], Catalog(spark, SF_DIR))

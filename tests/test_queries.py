@@ -111,3 +111,105 @@ def test_connected_components_converged_is_quiet(spark, caplog):
         }
     assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)}
     assert not any("did not converge" in r.message for r in caplog.records)
+
+
+def test_uuid_equality_guard_empty_not_error(spark):
+    """DEVIATIONS #9 (ref pgsync/querybuilder.py:81-98): filtering a
+    uuid-typed column against an int literal must yield an EMPTY result,
+    not a runtime error. Spark's ANSI-mode implicit cast RAISES on
+    non-numeric strings (this test found that — the pre-r4 deviation
+    text assumed null-on-cast), so the guard now collapses mixed
+    string-vs-number comparisons to plan-time FALSE, exactly the
+    reference's type guard."""
+    from pgsync_spark.operators.filters import build_filters
+
+    df = spark.createDataFrame(
+        [("b74b3bb1-1b1a-4a0e-9d3e-6d2b8e1a0f00", "x"),
+         ("0e3fb4a5-7a55-4cb2-8d0f-bc7e1c6f2a11", "y")],
+        "uid string, payload string",
+    )
+    dt = dict(df.dtypes)
+    out = df.filter(build_filters([{"uid": 7}], dt))
+    assert out.count() == 0  # empty, no exception
+    # composite clause: int guard on uuid AND a matching string literal
+    out2 = df.filter(build_filters([{"uid": 123, "payload": "x"}], dt))
+    assert out2.count() == 0
+    # sanity: a real uuid literal still matches
+    out3 = df.filter(
+        build_filters([{"uid": "b74b3bb1-1b1a-4a0e-9d3e-6d2b8e1a0f00"}], dt)
+    )
+    assert out3.count() == 1
+
+
+def test_lsh_hot_bucket_drop_count_observed(spark):
+    """The hot-bucket drop count rides the bucket aggregation itself
+    (Dataset.observe, zero extra actions) and still reaches the log:
+    after the terminal action the observation must report every
+    all-hot bucket, and the warning thread must emit it."""
+    import logging
+
+    from pgsync_spark import caching
+    from pgsync_spark.functions import dedup
+
+    n = dedup.MAX_BUCKET_WIDTH + 10
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'identical boilerplate body shared by every document here' AS text",
+    )
+    with _capture_dedup_warnings() as records:
+        pairs = dedup.minhash_lsh_pairs(docs, log_drops=True)
+        assert pairs.count() == 0
+        probe = dedup.HOT_BUCKET_PROBES["minhash_lsh_pairs"]
+        probe.thread.join(timeout=30)
+        assert not probe.thread.is_alive()
+        # identical text -> identical signature -> one hot bucket per band
+        assert probe.n_hot == dedup.N_BANDS
+        caching.release(pairs)
+    assert any("hot buckets" in r.message for r in records)
+
+
+def test_lsh_hot_bucket_recall_through_other_bands(spark):
+    """Docs whose signatures collide into a hot bucket in SOME bands
+    must still pair through their other, non-hot bands: the cap drops
+    buckets, not documents."""
+    from pgsync_spark import caching
+    from pgsync_spark.functions import dedup
+
+    n = dedup.MAX_BUCKET_WIDTH + 40
+    # two families of documents sharing a long common prefix (collides
+    # some bands) with family-specific tails; the near-identical PAIR
+    # inside each family must survive via its distinctive bands
+    common = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(n):
+        rows.append((i, common + f"unique tail number {i} with filler words"))
+    # a true near-duplicate pair with ids beyond the crowd
+    rows.append((100001, common + "special shared ending that matches exactly"))
+    rows.append((100002, common + "special shared ending that matches exactly!"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, log_drops=True)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    caching.release(pairs)
+    assert (100001, 100002) in got
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _capture_dedup_warnings():
+    import logging
+
+    records = []
+
+    class _H(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    h = _H(level=logging.WARNING)
+    logger = logging.getLogger("pgsync_spark.functions.dedup")
+    logger.addHandler(h)
+    try:
+        yield records
+    finally:
+        logger.removeHandler(h)
