@@ -1,0 +1,117 @@
+"""Example enrichment plugins — the reference ships embedding/LLM doc
+enrichment as plugin samples (ref: plugins/sentence_transformer_plugin.py:
+1-69, plugins/openai_plugin.py:1-51, plugins/cohere_plugin.py); these are
+the engine-side equivalents, proving the mapInPandas plugin chain carries
+a model-in-executor workload.
+
+Executor model: the plugin OBJECT is pickled to executors by
+``apply_plugins``; anything heavy (a sentence-transformers model) must
+load lazily on first ``transform`` call so it initializes once per
+executor process, never on the driver and never per row. At scale this
+is the standard model-per-executor pattern — batch size is governed by
+Arrow batches, and the encoder amortizes across every doc the executor
+sees.
+
+The real encoder needs ``sentence-transformers`` (not in this
+container); without it a DETERMINISTIC hash encoder stands in — each
+dimension is an md5-derived value in [-1, 1), built from the same
+md5/round6 primitives as functions/hashing.py, so the DuckDB oracle
+reproduces the enriched docs byte-for-byte and the chain stays
+hash-verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from .plugin import Plugin
+
+
+def hash_embedding(text: str, dims: int) -> list[int]:
+    """Deterministic stand-in embedding in FIXED-POINT micro-units:
+    dim i is an md5-derived value in [-1, 1) scaled by 1e6 and floored
+    to an int. Integer components make the enriched doc JSON render
+    byte-identically in Python and DuckDB (tiny floats would flip
+    between ``8.3e-05`` and ``0.000083``), mirroring the quantized
+    form a production pipeline ships anyway. Matches
+    ``hash_embedding_sql`` exactly."""
+    out = []
+    for i in range(dims):
+        h = int(hashlib.md5(f"{text}|{i}".encode()).hexdigest()[:8], 16)
+        x = 2.0 * (h / 4294967296.0) - 1.0
+        out.append(math.floor(x * 1e6 + 0.5))
+    return out
+
+
+def hash_embedding_sql(text_expr: str, dims: int) -> str:
+    """DuckDB expression producing the identical embedding list."""
+    h = f"(('0x' || substring(md5({text_expr} || '|' || i), 1, 8))::BIGINT)"
+    x = f"(2.0 * ({h} / 4294967296.0) - 1.0)"
+    return (
+        f"list_transform(range(0, {dims}), "
+        f"i -> CAST(floor(({x}) * 1e6 + 0.5) AS BIGINT))"
+    )
+
+
+class EmbeddingEnrichmentPlugin(Plugin):
+    """Add an embedding of ``text_field`` to every document
+    (ref: plugins/sentence_transformer_plugin.py:28-47 transform).
+
+    Tries ``sentence_transformers`` (all-MiniLM-L6-v2, as the reference
+    sample uses) and falls back to the deterministic hash encoder when
+    the package is absent. Docs without the text field pass through
+    unchanged, matching the reference sample's empty-text early return.
+    """
+
+    name = "embedding_enrichment"
+    MODEL_NAME = "all-MiniLM-L6-v2"
+
+    def __init__(self, text_field: str = "text",
+                 target_field: str = "embedding", dims: int = 16):
+        self.text_field = text_field
+        self.target_field = target_field
+        self.dims = dims
+        self._encoder = None  # loaded lazily, once per executor process
+
+    def _load_encoder(self):
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(self.MODEL_NAME)
+            return lambda text: [
+                float(v) for v in model.encode(text.replace("\n", " "))
+            ]
+        except ImportError:
+            return lambda text: hash_embedding(text, self.dims)
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if self._encoder is None:
+            self._encoder = self._load_encoder()
+        text = doc.get(self.text_field) or ""
+        if not text:
+            return doc
+        doc[self.target_field] = self._encoder(str(text))
+        return doc
+
+
+class ShortDocDropPlugin(Plugin):
+    """Drop documents whose text is shorter than ``min_chars`` — the
+    doc-drop contract (falsy return) composed after enrichment, the
+    shape of the reference's filtering plugins."""
+
+    name = "short_doc_drop"
+
+    def __init__(self, text_field: str = "text", min_chars: int = 1):
+        self.text_field = text_field
+        self.min_chars = min_chars
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if len(doc.get(self.text_field) or "") < self.min_chars:
+            return None
+        return doc
+
+    def auth(self, key: str) -> str | None:
+        """Example auth hook (ref: pgsync/plugin.py:106-115): answers
+        credential lookups for the sink writer."""
+        return {"search_token": "example-token"}.get(key)

@@ -1681,3 +1681,48 @@ REGISTRY["dedup_crosscorpus_fuzzy"] = QueryDef(
         "doc_id % 2 = 0", "doc_id % 2 = 1"
     ),
 )
+
+
+def plugin_embedding_enrich_docs(spark, sf_dir):
+    """Embedding-enrichment plugin chain over the documents corpus —
+    the reference's vector-enrichment use-case
+    (ref: plugins/sentence_transformer_plugin.py:1-69) run through the
+    engine's mapInPandas chain: drop short docs (falsy-return
+    contract), then attach a per-doc embedding computed IN the
+    executor (deterministic hash encoder standing in for the model —
+    same lazy-load seam a sentence-transformers model uses)."""
+    from .plugin import apply_plugins
+    from .plugin_examples import EmbeddingEnrichmentPlugin, ShortDocDropPlugin
+
+    d = Catalog(spark, sf_dir).df("documents")
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("_id"),
+        F.to_json(F.struct("doc_id", "lang", "source", "text")).alias("doc"),
+    )
+    return apply_plugins(
+        docs,
+        [
+            ShortDocDropPlugin(text_field="text", min_chars=100),
+            EmbeddingEnrichmentPlugin(text_field="text", dims=16),
+        ],
+        index="documents",
+    )
+
+
+from .plugin_examples import hash_embedding_sql as _hash_emb_sql  # noqa: E402
+
+REGISTRY["plugin_embedding_enrich_docs"] = QueryDef(
+    fn=plugin_embedding_enrich_docs,
+    oracle=f"""
+        SELECT CAST(doc_id AS VARCHAR) AS _id,
+               substring(base, 1, length(base) - 1) || ',"embedding":' ||
+               to_json({_hash_emb_sql('text', 16)}) || '}}' AS doc
+        FROM (
+          SELECT doc_id, text,
+                 json_object('doc_id', doc_id, 'lang', lang,
+                             'source', source, 'text', text)::VARCHAR AS base
+          FROM documents
+          WHERE length(text) >= 100
+        )
+    """,
+)

@@ -182,3 +182,43 @@ def test_metrics_listener_captures_progress(spark):
         assert str(q.id) in status["streams"]
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_embedding_enrichment_plugin_chain(spark):
+    """Model-in-executor enrichment (ref plugins/
+    sentence_transformer_plugin.py): the encoder loads lazily inside
+    the mapInPandas workers, short docs drop via the falsy-return
+    contract, surviving docs gain a deterministic embedding, and the
+    drop plugin's auth hook answers credential lookups."""
+    import json
+
+    from pgsync_spark.plugin import apply_plugins, auth_value
+    from pgsync_spark.plugin_examples import (
+        EmbeddingEnrichmentPlugin,
+        ShortDocDropPlugin,
+        hash_embedding,
+    )
+
+    rows = [
+        ("1", json.dumps({"text": "tiny"}, separators=(",", ":"))),
+        ("2", json.dumps({"text": "a document long enough to keep and embed"},
+                         separators=(",", ":"))),
+    ]
+    docs = spark.createDataFrame(rows, "_id string, doc string")
+    enrich = EmbeddingEnrichmentPlugin(text_field="text", dims=8)
+    out = apply_plugins(
+        docs, [ShortDocDropPlugin(min_chars=10), enrich], index="docs"
+    ).collect()
+    assert [r["_id"] for r in out] == ["2"]  # short doc dropped
+    doc = json.loads(out[0]["doc"])
+    assert doc["embedding"] == hash_embedding(
+        "a document long enough to keep and embed", 8
+    )
+    assert len(doc["embedding"]) == 8
+    # the driver-side plugin object must NOT have loaded an encoder —
+    # it loads lazily in the executor processes (model-per-executor)
+    assert enrich._encoder is None
+    # auth hook rides the chain (ref: pgsync/plugin.py:106-115)
+    assert auth_value(
+        [enrich, ShortDocDropPlugin()], "search_token"
+    ) == "example-token"
