@@ -116,13 +116,33 @@ def _http_json(url: str, data: bytes, method: str, content_type: str,
         attempt += 1
 
 
+def _item_status(item: dict) -> int:
+    """Status of one bulk-response item ({"index": {...}} / {"delete":
+    {...}} envelope)."""
+    return list(item.values())[0].get("status", 200)
+
+
 def _send_bulk_partition(
     rows, url: str, index: str, pipeline: str | None,
     chunk_docs: int, chunk_bytes: int, max_retries: int, backoff: float,
 ):
     """foreachPartition body: stream this partition's rows as _bulk
-    NDJSON chunks. Rows are (op, _id, doc_json, _routing)."""
-    buf: list[bytes] = []
+    NDJSON chunks. Rows are (op, _id, doc_json, _routing).
+
+    Per-item failure semantics inside a 200 bulk response (the
+    reference raises on item errors via parallel_bulk raise_on_error,
+    ref: pgsync/search_client.py:100-212; we add the standard bulk-
+    client refinement):
+
+    - item status 429/5xx (rejected-execution, shard unavailable) →
+      RETRY just those items with exponential backoff, up to
+      ``max_retries``; still failing → raise.
+    - item status other 4xx (mapping conflict, malformed doc) →
+      permanent → raise immediately with the failing items.
+
+    Nothing is ever silently dropped: every row either lands or the
+    task (and the Spark job) fails."""
+    buf: list[bytes] = []  # one NDJSON block per doc (action [+ source])
     n_docs = 0
     n_bytes = 0
 
@@ -130,16 +150,46 @@ def _send_bulk_partition(
         nonlocal buf, n_docs, n_bytes
         if not buf:
             return
-        body = b"".join(buf)
-        result = _http_json(
-            url, body, "POST", "application/x-ndjson", max_retries, backoff
-        )
-        if result.get("errors"):
-            bad = [
-                it for it in result.get("items", [])
-                if list(it.values())[0].get("status", 200) >= 300
-            ][:5]
-            raise RuntimeError(f"bulk request reported item errors: {bad}")
+        pending = buf
+        attempt = 0
+        while True:
+            result = _http_json(
+                url, b"".join(pending), "POST", "application/x-ndjson",
+                max_retries, backoff,
+            )
+            if not result.get("errors"):
+                break
+            items = result.get("items", [])
+            if len(items) != len(pending):
+                raise RuntimeError(
+                    f"bulk response reported errors but returned "
+                    f"{len(items)} items for {len(pending)} actions"
+                )
+            fatal = [
+                it for blk, it in zip(pending, items)
+                if 300 <= _item_status(it) and not (
+                    _item_status(it) == 429 or _item_status(it) >= 500
+                )
+            ]
+            if fatal:
+                raise RuntimeError(
+                    f"bulk items failed permanently: {fatal[:5]}"
+                )
+            retry = [
+                blk for blk, it in zip(pending, items)
+                if _item_status(it) >= 300
+            ]
+            if not retry:
+                break
+            if attempt >= max_retries:
+                raise RuntimeError(
+                    f"{len(retry)} bulk items still failing after "
+                    f"{max_retries} retries (last statuses: "
+                    f"{[_item_status(it) for it in items if _item_status(it) >= 300][:5]})"
+                )
+            time.sleep(backoff * (2 ** attempt))
+            attempt += 1
+            pending = retry
         buf, n_docs, n_bytes = [], 0, 0
 
     for row in rows:

@@ -39,7 +39,27 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(b"{}")
                 return
             self.server.requests.append(("POST", self.path, body))
-        self._respond({"errors": False, "items": []})
+            # per-item response: 200 unless the id is marked to fail
+            items = []
+            errors = False
+            for ln in body.splitlines():
+                if not ln:
+                    continue
+                parsed = json.loads(ln)
+                kind = next((k for k in ("index", "delete") if k in parsed), None)
+                if kind is None:
+                    continue  # source line
+                _id = parsed[kind]["_id"]
+                status = 200
+                if _id in self.server.item_fail_permanent:
+                    status = 400
+                elif self.server.item_fail_transient.get(_id, 0) > 0:
+                    self.server.item_fail_transient[_id] -= 1
+                    status = 429
+                if status >= 300:
+                    errors = True
+                items.append({kind: {"_id": _id, "status": status}})
+        self._respond({"errors": errors, "items": items})
 
     def do_PUT(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
@@ -57,6 +77,8 @@ def stub():
     server.requests = []
     server.lock = threading.Lock()
     server.fail_first = 0
+    server.item_fail_transient = {}  # _id -> remaining 429 responses
+    server.item_fail_permanent = set()  # _ids answering 400 forever
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     yield server
@@ -202,3 +224,45 @@ def test_runner_writers_from_trees(spark, stub):
     assert ws["orders_idx"].pipeline == "p-orders"
     assert ws["customers_idx"].pipeline is None
     assert ws["orders_idx"].chunk_docs == 7
+
+
+def test_per_item_429_retries_only_failed_items(spark, stub):
+    """A 429 on ONE item inside a 200 bulk response retries just that
+    item (with backoff) until it lands — the other items are not
+    re-sent and nothing is dropped (ref: search_client raise_on_error;
+    VERDICT r3 item 6)."""
+    stub.item_fail_transient["1"] = 2  # doc 1: two 429s, then success
+    docs = spark.createDataFrame(
+        [(str(i), json.dumps({"v": i})) for i in range(3)],
+        "_id string, doc string",
+    ).repartition(1)
+    BulkHttpWriter(_url(stub), "idx", backoff=0.01).upsert(docs)
+    posts = [b for m, p, b in stub.requests if p == "/_bulk"]
+    assert len(posts) == 3  # initial + 2 item-level retries
+    # retry requests carry ONLY the failed doc
+    for body in posts[1:]:
+        actions = [json.loads(ln) for ln in body.splitlines() if ln][::2]
+        assert [a["index"]["_id"] for a in actions] == ["1"]
+
+
+def test_per_item_400_raises_not_drops(spark, stub):
+    """A permanent per-item 400 (mapping conflict / malformed doc)
+    inside a 200 bulk response must fail the job loudly — silent drops
+    are data loss."""
+    stub.item_fail_permanent.add("1")
+    docs = spark.createDataFrame(
+        [("0", '{"v": 0}'), ("1", '{"v": 1}')], "_id string, doc string"
+    ).repartition(1)
+    with pytest.raises(Exception, match="failed permanently"):
+        BulkHttpWriter(_url(stub), "idx", backoff=0.01).upsert(docs)
+
+
+def test_per_item_429_exhausts_retries_raises(spark, stub):
+    """Item-level 429s beyond the retry budget surface as an error
+    carrying the failing statuses, never a silent drop."""
+    stub.item_fail_transient["0"] = 99
+    docs = spark.createDataFrame([("0", '{"v": 0}')], "_id string, doc string")
+    with pytest.raises(Exception, match="still failing"):
+        BulkHttpWriter(
+            _url(stub), "idx", backoff=0.01, max_retries=2
+        ).upsert(docs)
