@@ -1,0 +1,209 @@
+"""Command-line entry point: ``python -m pgsync_spark``.
+
+The reference ships ``bin/pgsync`` wrapping ``pgsync/sync.py main()``
+(ref: bin/pgsync:1-8, pgsync/sync.py:2156-2447). Flag mapping:
+
+- ``--config`` — one flag covers the reference's mutually-exclusive
+  ``--config/--schema_url/--s3_schema_url`` trio: ``config_loader``
+  dispatches on the URL scheme (local path / http(s) / s3).
+- default (no mode flag) — the reference's one-shot ``pull()``: initial
+  full sync of every index in the config, docs written to the sink.
+- ``--daemon`` — keep consuming changes after the initial load (ref:
+  sync.py:2423-2426 ``sync.receive()``): a Structured Streaming query
+  over a CDC event directory drives ``SyncRunner.process_batch``.
+- ``--polling INTERVAL`` — the reference's read-only-cluster polling
+  loop (ref: sync.py:2368-2382) maps to a ProcessingTime trigger on the
+  same stream.
+- ``--analyze`` — print index advice per tree and exit (ref:
+  sync.py:2360-2366 ``sync.analyze()``).
+- ``--drain`` — daemon mode, but process everything currently available
+  and exit; what a test (or a cron-style catch-up run) wants instead of
+  a blocking ``awaitTermination``.
+
+Sinks: ``--sink-dir`` writes per-index JSONL (the test/e2e sink);
+``--search-url`` creates each index with its generated mapping and bulk
+upserts through ``BulkHttpWriter`` — both may be given.
+
+There is no singleton/pidfile analog (ref: pgsync/singleton.py:6-39
+guards one process per (database, index)): one SparkSession per driver
+already serializes the engine, and concurrent drivers against one sink
+are a deployment error Spark cannot detect portably.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .catalog import Catalog
+from .config import config_loader
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m pgsync_spark",
+        description="PySpark-native pgsync: denormalize tables into "
+        "nested JSON documents and keep a search index in sync.",
+    )
+    p.add_argument(
+        "-c", "--config", required=True,
+        help="schema config: local path, http(s) URL, or s3:// URL",
+    )
+    p.add_argument(
+        "--data-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="directory of <table>.parquet source tables",
+    )
+    p.add_argument(
+        "-d", "--daemon", action="store_true",
+        help="after the initial load, stream CDC events from --events-dir",
+    )
+    p.add_argument(
+        "--drain", action="store_true",
+        help="with --daemon: process available events, then exit",
+    )
+    p.add_argument(
+        "--polling", metavar="INTERVAL", default=None,
+        help='ProcessingTime trigger for daemon mode, e.g. "5 seconds"',
+    )
+    p.add_argument(
+        "--analyze", action="store_true",
+        help="print join-key/index advice per tree and exit",
+    )
+    p.add_argument(
+        "--events-dir", default=None,
+        help="directory of JSON CDC event files (daemon mode)",
+    )
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="Structured Streaming checkpoint location (daemon mode)",
+    )
+    p.add_argument(
+        "--sink-dir", default=None,
+        help="write per-index JSONL documents under this directory",
+    )
+    p.add_argument(
+        "--search-url", default=None,
+        help="Elasticsearch/OpenSearch base URL for bulk indexing",
+    )
+    p.add_argument(
+        "--no-create-index", action="store_true",
+        help="skip PUT of the generated index mapping (index exists)",
+    )
+    p.add_argument(
+        "--max-files-per-trigger", type=int, default=10,
+        help="micro-batch size cap (the LOGICAL_SLOT_CHUNK_SIZE analog)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _write_docs(runner, args, out=sys.stdout) -> None:
+    """Flush every index's current documents to the configured sinks."""
+    writers = (
+        runner.writers(args.search_url) if args.search_url else {}
+    )
+    for name, eng in runner.engines.items():
+        docs = eng.docs
+        if docs is None:
+            continue
+        if args.sink_dir:
+            from .sinks.jsonl import write_jsonl
+
+            path = os.path.join(args.sink_dir, name)
+            write_jsonl(docs, path)
+            if args.verbose:
+                print(f"[{name}] wrote JSONL to {path}", file=out)
+        if args.search_url:
+            writer = writers[name]
+            if not args.no_create_index:
+                from .plans.compiler import TreeCompiler
+                from .plans.docs import assemble_structured
+
+                compiled = TreeCompiler(runner.catalog).compile(eng.tree)
+                writer.create_index(
+                    eng.tree, assemble_structured(compiled).schema
+                )
+            writer.upsert(docs)
+            if args.verbose:
+                print(
+                    f"[{name}] bulk-upserted to "
+                    f"{args.search_url}/{writer.index}",
+                    file=out,
+                )
+
+
+def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
+    """Run the CLI. ``spark``/``out`` are injectable for tests; when
+    ``spark`` is None a session is built with the engine defaults."""
+    args = build_parser().parse_args(argv)
+    if args.daemon and not (args.events_dir and args.checkpoint_dir):
+        print(
+            "--daemon requires --events-dir and --checkpoint-dir",
+            file=sys.stderr,
+        )
+        return 2
+    if not (args.analyze or args.sink_dir or args.search_url):
+        print(
+            "nothing to do: pass --analyze, --sink-dir, or --search-url",
+            file=sys.stderr,
+        )
+        return 2
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_cli")
+    try:
+        trees = config_loader(args.config)
+        catalog = Catalog(spark, args.data_dir)
+
+        if args.analyze:
+            from .advisor import analyze_report
+
+            for tree in trees:
+                name = tree.index or tree.root.table
+                print(f"== {name} ==", file=out)
+                print(analyze_report(catalog, tree), file=out)
+            return 0
+
+        from .streaming.runner import SyncRunner
+
+        runner = SyncRunner(spark, trees, catalog)
+        runner.full_sync()
+        if args.verbose:
+            for name, eng in runner.engines.items():
+                print(f"[{name}] full sync: {eng.docs.count()} docs", file=out)
+
+        if args.daemon:
+            from .streaming.stream import start_cdc_stream
+
+            query = start_cdc_stream(
+                spark,
+                runner,
+                args.events_dir,
+                args.checkpoint_dir,
+                max_files_per_trigger=args.max_files_per_trigger,
+                poll_interval=args.polling,
+            )
+            try:
+                if args.drain:
+                    query.processAllAvailable()
+                else:
+                    query.awaitTermination()
+            finally:
+                query.stop()
+
+        _write_docs(runner, args, out=out)
+        if args.verbose and runner.checkpoint is not None:
+            print(f"checkpoint: txid {runner.checkpoint}", file=out)
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""CLI entry-point tests: ``python -m pgsync_spark`` (ref: bin/pgsync,
+pgsync/sync.py:2156-2447). Drives main() with an injected session so
+the suite shares one JVM."""
+
+import glob
+import io
+import json
+import os
+
+import pytest
+
+from pgsync_spark.__main__ import main
+
+from conftest import SF_DIR
+
+
+def _config(tmp_path):
+    cfg = tmp_path / "schema.json"
+    cfg.write_text(
+        json.dumps(
+            [
+                {
+                    "index": "orders_cli",
+                    "nodes": {
+                        "table": "orders",
+                        "columns": [
+                            "o_orderkey",
+                            "o_custkey",
+                            "o_orderpriority",
+                        ],
+                    },
+                }
+            ]
+        )
+    )
+    return str(cfg)
+
+
+def _read_docs(sink_dir, index):
+    docs = {}
+    for part in glob.glob(os.path.join(sink_dir, index, "part-*")):
+        with open(part) as f:
+            for line in f:
+                rec = json.loads(line)
+                docs[rec["_id"]] = rec["_source"]
+    return docs
+
+
+def test_cli_once_jsonl(spark, tmp_path):
+    """Default mode = the reference's one-shot pull(): full sync of the
+    config's indices into the JSONL sink."""
+    sink = str(tmp_path / "out")
+    rc = main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR, "--sink-dir", sink],
+        spark=spark,
+    )
+    assert rc == 0
+    docs = _read_docs(sink, "orders_cli")
+    expected = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    assert len(docs) == expected.count()
+    sample = next(iter(docs.values()))
+    assert set(sample) >= {"o_orderkey", "o_custkey", "o_orderpriority"}
+
+
+def test_cli_daemon_drain_one_batch(spark, tmp_path):
+    """--daemon --drain: initial load, then one streamed CDC batch is
+    applied before the sink flush (the testable daemon shape)."""
+    events = tmp_path / "events"
+    events.mkdir()
+    (events / "b1.json").write_text(
+        json.dumps(
+            {
+                "op": "UPDATE",
+                "schema": "public",
+                "table": "orders",
+                "old": {"o_orderkey": "7"},
+                "new": {
+                    "o_orderkey": "7",
+                    "o_custkey": "85",
+                    "o_orderpriority": "CLI-STREAMED",
+                },
+                "txid": 11,
+            }
+        )
+    )
+    sink = str(tmp_path / "out")
+    rc = main(
+        [
+            "-c", _config(tmp_path),
+            "--data-dir", SF_DIR,
+            "--sink-dir", sink,
+            "--daemon", "--drain",
+            "--events-dir", str(events),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    docs = _read_docs(sink, "orders_cli")
+    assert docs["7"]["o_orderpriority"] == "CLI-STREAMED"
+
+
+def test_cli_analyze(spark, tmp_path):
+    out = io.StringIO()
+    rc = main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR, "--analyze"],
+        spark=spark,
+        out=out,
+    )
+    assert rc == 0
+    assert "== orders_cli ==" in out.getvalue()
+
+
+def test_cli_arg_validation(spark, tmp_path):
+    # --daemon without stream dirs
+    rc = main(
+        [
+            "-c", _config(tmp_path), "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "o"), "--daemon",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+    # no sink and no --analyze
+    rc = main(["-c", _config(tmp_path), "--data-dir", SF_DIR], spark=spark)
+    assert rc == 2
+    # missing --config is an argparse error
+    with pytest.raises(SystemExit):
+        main(["--data-dir", SF_DIR], spark=spark)
