@@ -30,9 +30,32 @@ import urllib.request
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .. import exc
 from ..node import Node, Tree
 
 log = logging.getLogger(__name__)
+
+# Declarable ES field types and mapping parameters (the public ES
+# vocabulary; ref: pgsync/constants.py:83-162). The reference's
+# _build_mapping raises on anything outside these lists
+# (ref: pgsync/search_client.py:317-335); we validate identically.
+ES_TYPES = frozenset({
+    "binary", "boolean", "byte", "completion", "constant_keyword", "date",
+    "date_range", "dense_vector", "double", "double_range", "flattened",
+    "float", "float_range", "geo_point", "geo_shape", "half_float",
+    "integer", "integer_range", "ip", "keyword", "knn_vector", "long",
+    "long_range", "nested", "null", "object", "scaled_float",
+    "search_as_you_type", "shape", "short", "text",
+})
+ES_MAPPING_PARAMETERS = frozenset({
+    "analyzer", "boost", "coerce", "copy_to", "dimension", "dims",
+    "doc_values", "dynamic", "eager_global_ordinals", "enabled",
+    "fielddata", "fielddata_frequency_filter", "fields", "format",
+    "ignore_above", "ignore_malformed", "index", "index_options",
+    "index_phrases", "index_prefixes", "meta", "normalizer", "norms",
+    "null_value", "position_increment_gap", "properties",
+    "search_analyzer", "similarity", "store", "term_vector",
+})
 
 # ES core types the mapping generator emits (subset of the reference's
 # vocabulary, ref: pgsync/constants.py:83-129)
@@ -50,42 +73,83 @@ _SPARK_TO_ES = {
 }
 
 
-def _field_mapping(dt: T.DataType, declared: dict | None = None) -> dict:
-    if declared:
-        return dict(declared)
+def _field_mapping(
+    dt: T.DataType, declared: dict | None = None, path: str = ""
+) -> dict:
+    """Infer one field's mapping; a declared spec at this dotted path
+    wins (child-node declarations land on the nested field, matching
+    the reference's per-node _mapping nesting under node.label,
+    ref: pgsync/search_client.py:340-342)."""
+    spec = declared.get(path) if declared else None
+    if spec:
+        return dict(spec)
     if isinstance(dt, T.StructType):
-        return {"properties": {f.name: _field_mapping(f.dataType) for f in dt.fields}}
+        return {
+            "properties": {
+                f.name: _field_mapping(
+                    f.dataType, declared, f"{path}.{f.name}" if path else f.name
+                )
+                for f in dt.fields
+            }
+        }
     if isinstance(dt, T.ArrayType):
-        return _field_mapping(dt.elementType)  # ES arrays are implicit
+        return _field_mapping(dt.elementType, declared, path)  # arrays implicit
     for cls, es in _SPARK_TO_ES.items():
         if isinstance(dt, cls):
             return {"type": es}
     return {"type": "text"}
 
 
+def _validate_spec(field: str, spec: dict) -> None:
+    """ref: pgsync/search_client.py:317-335 — unknown type or mapping
+    parameter is a config error, raised at build time."""
+    if not isinstance(spec, dict) or "type" not in spec:
+        raise exc.SchemaError(
+            f"mapping for {field!r} must be a dict with a 'type'"
+        )
+    if spec["type"] not in ES_TYPES:
+        raise exc.SchemaError(
+            f"invalid Elasticsearch type {spec['type']!r} for {field!r}"
+        )
+    for param in spec:
+        if param != "type" and param not in ES_MAPPING_PARAMETERS:
+            raise exc.SchemaError(
+                f"invalid Elasticsearch mapping parameter {param!r} "
+                f"for {field!r}"
+            )
+
+
 def _declared_mappings(node: Node, out: dict, prefix: str = "") -> None:
     mapping = (node.transform or {}).get("mapping") or {}
     for field, spec in mapping.items():
+        _validate_spec(prefix + field, spec)
         out[prefix + field] = spec
     for ch in node.children:
         _declared_mappings(ch, out, prefix=f"{prefix}{ch.name}.")
 
 
 def build_index_mapping(tree: Tree, doc_schema: T.StructType) -> dict:
-    """Index mapping from the structured doc schema, with node-declared
-    ``transform.mapping`` entries taking precedence."""
+    """Index body from the structured doc schema: inferred field types,
+    node-declared ``transform.mapping`` entries taking precedence (at
+    any nesting depth), ``_routing`` requirement, and the tree's
+    ``setting`` block as index settings
+    (ref: pgsync/search_client.py:271-286 _create_setting)."""
     declared: dict = {}
     _declared_mappings(tree.root, declared)
     props = {}
     for f in doc_schema.fields:
         if f.name in ("_id", "_meta", "_routing"):
             continue
-        props[f.name] = _field_mapping(f.dataType, declared.get(f.name))
+        props[f.name] = _field_mapping(f.dataType, declared, f.name)
     mappings: dict = {"properties": props}
     if tree.routing:
         # ref: pgsync/search_client.py:345-346
         mappings["_routing"] = {"required": True}
-    return {"mappings": mappings}
+    body: dict = {"mappings": mappings}
+    if tree.setting:
+        # ref: pgsync/search_client.py:274-275
+        body["settings"] = {"index": dict(tree.setting)}
+    return body
 
 
 # ---------------------------------------------------------------------------

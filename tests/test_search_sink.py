@@ -266,3 +266,79 @@ def test_per_item_429_exhausts_retries_raises(spark, stub):
         BulkHttpWriter(
             _url(stub), "idx", backoff=0.01, max_retries=2
         ).upsert(docs)
+
+
+def test_mapping_nested_declared_settings_and_validation(spark):
+    """Child-node transform.mapping lands on the NESTED field, tree
+    'setting' becomes index settings, and bad types/parameters raise
+    (ref: pgsync/search_client.py:271-286, 317-335)."""
+    raw = {
+        "index": "orders_nested_map",
+        "setting": {"number_of_replicas": 0, "refresh_interval": "30s"},
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderpriority"],
+            "transform": {
+                "mapping": {
+                    "o_orderpriority": {"type": "keyword", "ignore_above": 64}
+                }
+            },
+            "children": [
+                {
+                    "table": "lineitem",
+                    "label": "lineitems",
+                    "columns": ["l_linenumber", "l_returnflag"],
+                    "relationship": {"type": "one_to_many", "variant": "object"},
+                    "transform": {
+                        "mapping": {
+                            "l_returnflag": {
+                                "type": "text",
+                                "analyzer": "standard",
+                            }
+                        }
+                    },
+                }
+            ],
+        },
+    }
+    tree = parse_tree(raw)
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(tree)
+    body = build_index_mapping(tree, assemble_structured(compiled).schema)
+    assert body["settings"] == {
+        "index": {"number_of_replicas": 0, "refresh_interval": "30s"}
+    }
+    props = body["mappings"]["properties"]
+    assert props["o_orderpriority"] == {"type": "keyword", "ignore_above": 64}
+    nested = props["lineitems"]["properties"]
+    assert nested["l_returnflag"] == {"type": "text", "analyzer": "standard"}
+    assert nested["l_linenumber"] == {"type": "integer"}
+
+    from pgsync_spark import exc
+
+    bad_type = parse_tree(
+        {
+            "index": "x",
+            "nodes": {
+                "table": "orders",
+                "columns": ["o_orderkey"],
+                "transform": {"mapping": {"o_orderkey": {"type": "nope"}}},
+            },
+        }
+    )
+    with pytest.raises(exc.SchemaError, match="invalid Elasticsearch type"):
+        build_index_mapping(bad_type, assemble_structured(compiled).schema)
+
+    bad_param = parse_tree(
+        {
+            "index": "x",
+            "nodes": {
+                "table": "orders",
+                "columns": ["o_orderkey"],
+                "transform": {
+                    "mapping": {"o_orderkey": {"type": "long", "bogus": 1}}
+                },
+            },
+        }
+    )
+    with pytest.raises(exc.SchemaError, match="mapping parameter"):
+        build_index_mapping(bad_param, assemble_structured(compiled).schema)
