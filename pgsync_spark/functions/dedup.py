@@ -567,6 +567,47 @@ def dedup_clusters_sql() -> str:
     """
 
 
+def dedup_canonical(
+    df: DataFrame, max_rounds: int = 21, strict: bool = False
+) -> DataFrame:
+    """The DEDUPLICATED corpus — what a training pipeline actually
+    feeds downstream: one canonical survivor (minimum doc_id) per
+    near-dup cluster plus every unclustered doc, each with the number
+    of corpus docs it represents.
+
+    Shape at scale: clusters is O(duplicated docs) — tiny next to the
+    corpus — so the label attach is a broadcast-able left join onto the
+    corpus scan, followed by one groupBy on the canonical id. The
+    corpus itself shuffles once, on a key that is unique per surviving
+    doc (no skew by construction).
+    """
+    labels = dedup_clusters(df, max_rounds=max_rounds, strict=strict)
+    docs = df.select("doc_id")
+    lbl = docs.join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("canonical_id")
+    )
+    out = (
+        lbl.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("canonical_id").alias("doc_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def dedup_canonical_sql() -> str:
+    clusters = dedup_clusters_sql()
+    return f"""
+        WITH labels AS ({clusters}),
+        lbl AS (
+          SELECT COALESCE(l.cluster_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        )
+        SELECT canonical_id AS doc_id, COUNT(*) AS cluster_size
+        FROM lbl GROUP BY canonical_id
+    """
+
+
 def _band_frame(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) from a signature frame — slim keys only."""
     return sigs.select(
