@@ -33,6 +33,11 @@ class TableMeta:
     foreign_keys: dict[tuple[str, ...], tuple[str, tuple[str, ...]]] = field(
         default_factory=dict
     )
+    # optional declared read schema (DDL string, e.g. "a INT, b STRING")
+    # for schemaless formats (csv/json) — at scale, inferSchema means a
+    # second full scan of the data before the first real one, so any
+    # production csv/json table should declare its schema here
+    schema: str | None = None
 
 
 def _fk(cols, ref_table, ref_cols):
@@ -124,10 +129,19 @@ def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
     """TIMESTAMP(NANOS) parquet columns are read as long (see session.py
     nanosAsLong); convert back to microsecond timestamps. Integer `div`
     keeps full precision (ns-since-epoch exceeds double's 2^53)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
     import pyarrow as pa
     from pyspark.sql import functions as F
 
+    if os.path.isdir(path):
+        # directory-style parquet (what Spark writes): all parts share
+        # one schema — read one footer, not the data
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return df
+        path = parts[0]
     schema = pq.read_schema(path)
     for fld in schema:
         if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
@@ -222,18 +236,52 @@ class Catalog:
     def register_meta(self, meta: TableMeta):
         self.tables[meta.name] = meta
 
+    # columnar formats first: parquet/orc scans get predicate pushdown,
+    # column pruning, and vectorized reads for free; json/csv are
+    # row-formats Spark must fully parse — supported for interop, with
+    # the scale caveats in the reader branches below
+    FORMATS = ("parquet", "orc", "json", "csv", "jsonl")
+
     def df(self, name: str) -> DataFrame:
         if name in self._dfs:
             return self._dfs[name]
         if self.base_dir is None:
             raise exc.TableNotFoundError(f"no base_dir and {name!r} not registered")
-        path = os.path.join(self.base_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            raise exc.TableNotFoundError(f"{path} does not exist")
-        df = self.spark.read.parquet(path)
-        df = _restore_nano_timestamps(df, path)
-        self._dfs[name] = df
-        return df
+        for fmt in self.FORMATS:
+            path = os.path.join(self.base_dir, f"{name}.{fmt}")
+            if os.path.exists(path):
+                df = self._read(path, fmt, name)
+                self._dfs[name] = df
+                return df
+        raise exc.TableNotFoundError(
+            f"no {name}.{{{','.join(self.FORMATS)}}} under {self.base_dir}"
+        )
+
+    def _read(self, path: str, fmt: str, name: str) -> DataFrame:
+        if fmt == "parquet":
+            return _restore_nano_timestamps(self.spark.read.parquet(path), path)
+        if fmt == "orc":
+            return self.spark.read.orc(path)
+        declared = (
+            self.tables[name].schema if name in self.tables else None
+        )
+        if fmt in ("json", "jsonl"):
+            reader = self.spark.read
+            # without a declared schema Spark scans the data once just
+            # to infer one — fine for dev tables, wrong at 100 TB
+            return (
+                reader.schema(declared).json(path)
+                if declared
+                else reader.json(path)
+            )
+        # csv: header row expected; declared schema avoids the inference
+        # pre-scan AND the all-strings trap
+        reader = self.spark.read.option("header", "true")
+        return (
+            reader.schema(declared).csv(path)
+            if declared
+            else reader.option("inferSchema", "true").csv(path)
+        )
 
     def columns(self, name: str) -> list[str]:
         return self.df(name).columns
