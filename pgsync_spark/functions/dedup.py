@@ -583,7 +583,12 @@ def dedup_canonical(
     """
     labels = dedup_clusters(df, max_rounds=max_rounds, strict=strict)
     docs = df.select("doc_id")
-    lbl = docs.join(labels, "doc_id", "left").select(
+    # labels is checkpointed (lineage-free) by connected_components, so
+    # the count is a cached scan; below the size guard the corpus-side
+    # join needs no shuffle at all
+    from ..operators.joins import maybe_broadcast
+
+    lbl = docs.join(maybe_broadcast(labels), "doc_id", "left").select(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("canonical_id")
     )
     out = (
