@@ -127,3 +127,45 @@ def test_cli_arg_validation(spark, tmp_path):
     # missing --config is an argparse error
     with pytest.raises(SystemExit):
         main(["--data-dir", SF_DIR], spark=spark)
+
+
+def test_cli_search_url_end_to_end(spark, tmp_path):
+    """--search-url: the CLI PUTs the generated index body then bulk-
+    upserts every doc through the executor-parallel writer."""
+    from test_search_sink import _Handler
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    server.requests = []
+    server.lock = threading.Lock()
+    server.fail_first = 0
+    server.item_fail_transient = {}
+    server.item_fail_permanent = set()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        rc = main(
+            ["-c", _config(tmp_path), "--data-dir", SF_DIR,
+             "--search-url", url],
+            spark=spark,
+        )
+        assert rc == 0
+        puts = [r for r in server.requests if r[0] == "PUT"]
+        assert puts and puts[0][1] == "/orders_cli"
+        body = json.loads(puts[0][2])
+        assert body["mappings"]["properties"]["o_orderkey"] == {"type": "long"}
+        n_actions = sum(
+            1
+            for _, path, b in server.requests
+            if path == "/_bulk"
+            for ln in b.splitlines()
+            if ln and "index" in json.loads(ln)
+        )
+        expected = spark.read.parquet(
+            os.path.join(SF_DIR, "orders.parquet")
+        ).count()
+        assert n_actions == expected
+    finally:
+        server.shutdown()
