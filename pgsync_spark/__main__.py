@@ -144,6 +144,12 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             file=sys.stderr,
         )
         return 2
+    if (args.drain or args.polling) and not args.daemon:
+        print(
+            "--drain/--polling only apply in --daemon mode",
+            file=sys.stderr,
+        )
+        return 2
     if not (args.analyze or args.sink_dir or args.search_url):
         print(
             "nothing to do: pass --analyze, --sink-dir, or --search-url",

@@ -137,8 +137,11 @@ def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
 
     if os.path.isdir(path):
         # directory-style parquet (what Spark writes): all parts share
-        # one schema — read one footer, not the data
-        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        # one schema — read one footer, not the data. recursive glob
+        # also reaches partitioned layouts (key=value/ subdirectories)
+        parts = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not parts:
             return df
         path = parts[0]

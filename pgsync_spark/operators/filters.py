@@ -33,12 +33,23 @@ def _typed_eq(col: str, v, dtypes: dict[str, str] | None) -> Column:
     a filter must reject rows, not crash the job. Plan-time false also
     keeps comparable predicates pushdown-eligible (no try_cast wrapper
     on the column)."""
-    if (
-        dtypes is not None
-        and not isinstance(v, (str, type(None)))
-        and any(dtypes.get(col, "").startswith(s) for s in _STRINGY)
-    ):
+    if dtypes is None or col not in dtypes:
+        return F.col(col).eqNullSafe(F.lit(v))
+    dt = dtypes[col]
+    stringy = any(dt.startswith(s) for s in _STRINGY)
+    if not isinstance(v, (str, type(None))) and stringy:
         return F.lit(False)
+    if isinstance(v, str) and not stringy:
+        # reverse direction of the same guard: a numeric/temporal column
+        # vs a string literal. The literal try_casts to the COLUMN's
+        # type (constant-folded at plan time): parseable → an ordinary
+        # typed equality (still pushdown-eligible — CDC images arrive
+        # stringly, '7' must match 7); unparseable → the isNotNull term
+        # folds to FALSE. Never eqNullSafe against a silently-nulled
+        # cast (that would MATCH null-keyed rows), never an ANSI cast
+        # crash.
+        typed = F.lit(v).try_cast(dt)
+        return F.col(col).eqNullSafe(typed) & typed.isNotNull()
     return F.col(col).eqNullSafe(F.lit(v))
 
 

@@ -55,6 +55,10 @@ ES_MAPPING_PARAMETERS = frozenset({
     "index_phrases", "index_prefixes", "meta", "normalizer", "norms",
     "null_value", "position_increment_gap", "properties",
     "search_analyzer", "similarity", "store", "term_vector",
+    # type-mandatory parameters: scaled_float requires scaling_factor,
+    # dense_vector takes element_type/index — a whitelist that admits a
+    # type must admit the parameters that type cannot be declared without
+    "scaling_factor", "element_type",
 })
 
 # ES core types the mapping generator emits (subset of the reference's
@@ -321,8 +325,27 @@ class BulkHttpWriter:
             **kwargs,
         )
 
+    def index_exists(self) -> bool:
+        """HEAD the index (driver-side): 200 → exists, 404 → absent."""
+        req = urllib.request.Request(
+            f"{self.base_url}/{self.index}", method="HEAD"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.status == 200
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise
+
     def create_index(self, tree: Tree, doc_schema: T.StructType) -> dict:
-        """PUT the index with the generated mapping (driver-side)."""
+        """PUT the index with the generated mapping (driver-side),
+        ONLY if it does not already exist — the reference's
+        ``_create_setting`` guards the same way (ref:
+        pgsync/search_client.py:273 ``if not indices.exists``), so a
+        re-run of a sync never 400s on resource_already_exists."""
+        if self.index_exists():
+            return {"acknowledged": False, "exists": True}
         body = json.dumps(build_index_mapping(tree, doc_schema)).encode()
         return _http_json(
             f"{self.base_url}/{self.index}", body, "PUT", "application/json",

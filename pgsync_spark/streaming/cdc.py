@@ -178,17 +178,29 @@ class TableMaterializer:
             overlay.filter(F.col(self.OVERLAY_FLAG)).drop(self.OVERLAY_FLAG)
         )
 
-    def compact(self, table: str) -> None:
+    def compact(self, table: str, defer_release: list | None = None) -> None:
         """Fold base+overlay into a fresh base checkpoint, release the
-        superseded frames (OPTIMIZE analog)."""
+        superseded frames (OPTIMIZE analog).
+
+        ``defer_release``: when the caller has OTHER jobs concurrently
+        scanning the pre-compaction snapshot view (process_batch's
+        resolve wave), superseded frames are appended there instead of
+        released — localCheckpoint blocks have no lineage, so an
+        unpersist racing an in-flight scan would lose blocks
+        unrecoverably. The caller releases after its wave completes."""
+        release = (
+            defer_release.append
+            if defer_release is not None
+            else caching.release_local_checkpoint
+        )
         pks = list(self.catalog.primary_key(table))
         new_base = self._snapshot_view(table, pks).localCheckpoint(eager=True)
         old_base = self._base.get(table)
         if old_base is not None:
-            caching.release_local_checkpoint(old_base)
+            release(old_base)
         overlay = self._overlay.pop(table, None)
         if overlay is not None:
-            caching.release_local_checkpoint(overlay)
+            release(overlay)
         self._base[table] = new_base
         self._overlay_rows[table] = 0
         self._applies[table] = 0
@@ -200,6 +212,7 @@ class TableMaterializer:
         materialized: bool = False,
         stats: list | None = None,
         seq_col: str | None = None,
+        defer_release: list | None = None,
     ) -> None:
         """Apply one batch. Events are folded per table with
         LAST-WRITE-WINS semantics: each event contributes a *dead*
@@ -245,6 +258,15 @@ class TableMaterializer:
                 F.count(F.lit(1)).alias("n"),
                 F.max((F.col("op") == TRUNCATE).cast("int")).alias("has_trunc"),
             ).collect()
+        # ``defer_release``: superseded checkpoint frames append here
+        # instead of releasing immediately — required whenever the
+        # caller runs apply() concurrently with other jobs that still
+        # scan the PRE-batch snapshot views (see compact()'s docstring).
+        release = (
+            defer_release.append
+            if defer_release is not None
+            else caching.release_local_checkpoint
+        )
         flag = self.OVERLAY_FLAG
         order_cols = [F.col(c) for c in self.META_COLS]
         # phase 1 — build every touched table's merged overlay LAZILY
@@ -265,9 +287,9 @@ class TableMaterializer:
                 # after the LAST truncate survive into the LWW fold
                 old_base = self._base[table]
                 self._base[table] = snap.limit(0)
-                caching.release_local_checkpoint(old_base)
+                release(old_base)
                 if prev is not None:
-                    caching.release_local_checkpoint(prev)
+                    release(prev)
                     self._overlay.pop(table)
                     prev = None
                 self._overlay_rows[table] = 0
@@ -358,7 +380,7 @@ class TableMaterializer:
         compact_tables = []
         for (table, n_ev, _m, prev), overlay in zip(pending, overlays):
             if prev is not None:
-                caching.release_local_checkpoint(prev)
+                release(prev)
             self._overlay[table] = overlay
             # ≤ 2 overlay keys per event (old pk + new pk on a pk change)
             self._overlay_rows[table] = self._overlay_rows.get(table, 0) + 2 * n_ev
@@ -376,4 +398,4 @@ class TableMaterializer:
                 pks = list(self.catalog.primary_key(table))
                 self.catalog.register_df(table, self._snapshot_view(table, pks))
         for table in compact_tables:
-            self.compact(table)
+            self.compact(table, defer_release=defer_release)

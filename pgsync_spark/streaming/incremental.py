@@ -765,12 +765,22 @@ class IncrementalEngine:
         new_keys = self._resolve_new_images(active, new_counts)
         mark("resolve_build")
         wave: list = []
+        # frames the materializer supersedes (prev overlays, compacted
+        # bases) must NOT unpersist mid-wave: the new_keys/ids jobs in
+        # this same wave scan the PRE-batch snapshot views, and a lost
+        # localCheckpoint block is unrecoverable (no lineage). They
+        # defer into batch_tmp and release with the other temporaries
+        # after every consumer is done.
+        deferred: list[DataFrame] = []
         if apply_snapshots:
             # per-table stats from the events checkpoint ride along —
             # the materializer skips its own aggregation action
             wave.append(
                 lambda: self.materializer.apply(
-                    events, materialized=True, stats=per_table
+                    events,
+                    materialized=True,
+                    stats=per_table,
+                    defer_release=deferred,
                 )
             )
         wave.append(lambda: ids_old.localCheckpoint(eager=True))
@@ -782,6 +792,7 @@ class IncrementalEngine:
             results = [f.result() for f in [ex.submit(t) for t in wave]]
         if apply_snapshots:
             results = results[1:]
+        batch_tmp.extend(deferred)
         ids = results[0]
         batch_tmp.append(ids)
         if new_keys is not None:

@@ -124,6 +124,16 @@ def test_cli_arg_validation(spark, tmp_path):
     # no sink and no --analyze
     rc = main(["-c", _config(tmp_path), "--data-dir", SF_DIR], spark=spark)
     assert rc == 2
+    # --drain without --daemon would silently no-op: reject instead
+    rc = main(
+        [
+            "-c", _config(tmp_path), "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "o"), "--drain",
+            "--events-dir", str(tmp_path), "--checkpoint-dir", str(tmp_path),
+        ],
+        spark=spark,
+    )
+    assert rc == 2
     # missing --config is an argparse error
     with pytest.raises(SystemExit):
         main(["--data-dir", SF_DIR], spark=spark)

@@ -495,7 +495,10 @@ def test_overlay_size_cap_triggers_compaction(spark, engine):
     mat.OVERLAY_ROW_CAP = 2  # instance override: tiny cap
     compactions = []
     orig_compact = mat.compact
-    mat.compact = lambda table: (compactions.append(table), orig_compact(table))
+    mat.compact = lambda table, **kw: (
+        compactions.append(table),
+        orig_compact(table, **kw),
+    )
     row = _order_row(engine.catalog, 17)
     ev = payloads_from_rows(
         spark,

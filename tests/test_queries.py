@@ -141,6 +141,26 @@ def test_uuid_equality_guard_empty_not_error(spark):
     assert out3.count() == 1
 
 
+def test_numeric_column_vs_string_literal_guard(spark):
+    """Reverse direction of the type guard: a NUMERIC column filtered
+    against a string literal. Parseable strings match their numeric
+    value (CDC images arrive stringly, '7' must find key 7);
+    unparseable strings yield EMPTY — not an ANSI cast crash, and NOT a
+    null-match (eqNullSafe against a silently-nulled cast would wrongly
+    match rows whose key IS NULL)."""
+    from pgsync_spark.operators.filters import build_filters
+
+    df = spark.createDataFrame(
+        [(7, "a"), (8, "b"), (None, "c")], "k long, payload string"
+    )
+    dt = dict(df.dtypes)
+    assert df.filter(build_filters([{"k": "7"}], dt)).count() == 1
+    # unparseable: empty, no exception, and the NULL-keyed row must NOT match
+    assert df.filter(build_filters([{"k": "abc"}], dt)).count() == 0
+    # int literal on numeric col: unaffected
+    assert df.filter(build_filters([{"k": 8}], dt)).count() == 1
+
+
 def test_lsh_hot_bucket_drop_count_observed(spark):
     """The hot-bucket drop count rides the bucket aggregation itself
     (Dataset.observe, zero extra actions) and still reaches the log:

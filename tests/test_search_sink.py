@@ -67,6 +67,17 @@ class _Handler(BaseHTTPRequestHandler):
             self.server.requests.append(("PUT", self.path, body))
         self._respond({"acknowledged": True})
 
+    def do_HEAD(self):
+        # index existence probe: exists iff it was PUT before
+        with self.server.lock:
+            exists = any(
+                m == "PUT" and p == self.path
+                for m, p, _ in self.server.requests
+            )
+        self.send_response(200 if exists else 404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def log_message(self, *args):  # silence test output
         pass
 
@@ -159,6 +170,11 @@ def test_mapping_roundtrip_with_routing(spark, stub):
     puts = [r for r in stub.requests if r[0] == "PUT"]
     assert puts and puts[0][1] == "/orders"
     assert json.loads(puts[0][2]) == mapping
+    # idempotent re-run (ref: search_client.py:273 exists guard): the
+    # second create HEADs, sees the index, and does NOT PUT again
+    out = w.create_index(tree, schema)
+    assert out == {"acknowledged": False, "exists": True}
+    assert len([r for r in stub.requests if r[0] == "PUT"]) == 1
 
 
 def test_engine_docs_flow_to_bulk(spark, stub):
