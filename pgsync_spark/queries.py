@@ -1399,6 +1399,119 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+QPF_CUT = 0.10  # drop the bottom decile per source
+
+@register(
+    "quality_percentile_filter",
+    f"""WITH s AS (
+          SELECT doc_id, source,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / nullif(len(toks), 0) AS score
+          FROM (SELECT doc_id, source, {hashing.tokens_sql('text')} AS toks
+                FROM documents)
+        )
+        SELECT doc_id, source, {hashing.round6_sql('score')} AS score,
+               {hashing.round6_sql(
+                   'PERCENT_RANK() OVER '
+                   '(PARTITION BY source ORDER BY score, doc_id)'
+               )} AS pr,
+               PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY score, doc_id) >= {QPF_CUT}
+                 AS keep
+        FROM s""",
+)
+def quality_percentile_filter(spark, sf_dir):
+    """RELATIVE quality filtering (the FineWeb-style cut): instead of a
+    global threshold, each doc ranks against its OWN source and the
+    bottom decile per source drops — sources with different baseline
+    quality each lose their worst tail. Score = type-token ratio
+    (distinct/total tokens), rank = percent_rank with doc_id tiebreak
+    (deterministic, no ties). One shuffle keyed by source; percent_rank
+    needs each source sorted, so at extreme per-source skew the
+    sketch-based cutoff (token_length_quantiles' percentile machinery)
+    is the fallback — for typical source cardinality this exact form
+    scales fine."""
+    df = Catalog(spark, sf_dir).df("documents")
+    tok = hashing.tokens(F.col("text"))
+    score = F.size(F.array_distinct(tok)).cast("double") / F.nullif(
+        F.size(tok), F.lit(0)
+    )
+    s = df.select("doc_id", "source", score.alias("score"))
+    w = W.partitionBy("source").orderBy("score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return s.select(
+        "doc_id",
+        "source",
+        hashing.round6(F.col("score")).alias("score"),
+        hashing.round6(pr).alias("pr"),
+        (pr >= QPF_CUT).alias("keep"),
+    )
+
+
+BUDGET_SHARDS = 4
+BUDGET_PER_SHARD = 150  # tokens per (source, shard)
+
+
+@register(
+    "token_budget_select",
+    f"""WITH d AS (
+          SELECT doc_id, source, doc_id % {BUDGET_SHARDS} AS shard,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / nullif(len(toks), 0) AS score
+          FROM (SELECT doc_id, source, {hashing.tokens_sql('text')} AS toks
+                FROM documents)
+        )
+        SELECT doc_id, source, shard, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source, shard
+                                ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_tok,
+               SUM(n_tok) OVER (PARTITION BY source, shard
+                                ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) <= {BUDGET_PER_SHARD}
+                 AS keep
+        FROM d""",
+)
+def token_budget_select(spark, sf_dir):
+    """Token-budget subsetting (data mixing under a budget): take each
+    source's best documents, by quality score, until the source's token
+    budget is spent. The budget splits across {BUDGET_SHARDS} hash
+    shards — the same sharded-prefix-sum shape as pack_sequences, so no
+    source ever serializes on one reducer; at 1000 executors raise
+    BUDGET_SHARDS and the plan stays one window shuffle keyed by
+    (source, shard). Greedy-by-score within each shard is a stratified
+    approximation of the global greedy cut, deterministic end-to-end
+    (score ties broken by doc_id, the hash IS the shard assignment)."""
+    df = Catalog(spark, sf_dir).df("documents")
+    tok = hashing.tokens(F.col("text"))
+    d = df.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % BUDGET_SHARDS).alias("shard"),
+        F.size(tok).cast("bigint").alias("n_tok"),
+        (
+            F.size(F.array_distinct(tok)).cast("double")
+            / F.nullif(F.size(tok), F.lit(0))
+        ).alias("score"),
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tok",
+        cum.alias("cum_tok"),
+        (cum <= BUDGET_PER_SHARD).alias("keep"),
+    )
+
+
 _REP_TOP_WINDOW = 512  # unigram-mode scan bounded to the doc head
 
 
