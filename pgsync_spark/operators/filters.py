@@ -37,6 +37,12 @@ def _typed_eq(col: str, v, dtypes: dict[str, str] | None) -> Column:
         return F.col(col).eqNullSafe(F.lit(v))
     dt = dtypes[col]
     stringy = any(dt.startswith(s) for s in _STRINGY)
+    if isinstance(v, bool) and dt != "boolean":
+        # Spark refuses boolean<=>numeric outright (AnalysisException,
+        # found by the filter fuzz) — same guard, plan-time FALSE
+        return F.lit(False)
+    if dt == "boolean" and not isinstance(v, (bool, str, type(None))):
+        return F.lit(False)
     if not isinstance(v, (str, type(None))) and stringy:
         return F.lit(False)
     if isinstance(v, str) and not stringy:

@@ -121,3 +121,86 @@ def test_random_tree_matches_oracle(spark, cfg):
     )
     ok, msg = compare(df, sql, SF_DIR)
     assert ok, f"{cfg}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# Filter-spec fuzz: random clauses (mixed types, composite ANDs, OR
+# lists) over orders must agree with the DuckDB rendering wherever the
+# comparison is well-typed on both engines, and NEVER raise on Spark.
+# ---------------------------------------------------------------------------
+
+_FILTER_COLS = {
+    "o_orderkey": "long",
+    "o_custkey": "long",
+    "o_orderstatus": "string",
+    "o_orderpriority": "string",
+}
+
+_values = st.one_of(
+    st.integers(min_value=-5, max_value=2000),
+    st.sampled_from(["F", "O", "P", "7", "abc", "", "1-URGENT"]),
+    st.none(),
+    st.booleans(),
+)
+
+_clauses = st.lists(
+    st.dictionaries(
+        st.sampled_from(sorted(_FILTER_COLS)), _values, min_size=1, max_size=3
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _py_eq(colname, v, row):
+    """Reference semantics of one predicate, in plain Python."""
+    actual = row[colname]
+    stringy = _FILTER_COLS[colname] == "string"
+    if v is None:
+        return actual is None
+    if isinstance(v, bool):
+        return False  # no boolean columns here → guard folds to FALSE
+    if not isinstance(v, str) and stringy:
+        return False  # the type guard
+    if isinstance(v, str) and not stringy:
+        try:
+            v = int(v)
+        except ValueError:
+            return False  # unparseable → guard folds to FALSE
+        return actual == v
+    return actual == v
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(clauses=_clauses)
+def test_filter_fuzz_matches_python_model(spark, clauses):
+    from pgsync_spark.operators.filters import build_filters
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "F", "1-URGENT"),
+            (7, 20, "O", "abc"),
+            (2000, None, None, ""),
+            (None, 7, "P", "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string",
+    )
+    rows = [r.asDict() for r in df.collect()]
+    cond = build_filters(clauses, dict(df.dtypes))
+    got = {
+        tuple(r.asDict().values()) for r in df.filter(cond).collect()
+    }
+    want = {
+        tuple(r.values())
+        for r in rows
+        if any(
+            all(_py_eq(k, v, r) for k, v in clause.items())
+            for clause in clauses
+        )
+    }
+    assert got == want, f"clauses={clauses}"
