@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="print join-key/index advice per tree and exit",
     )
     p.add_argument(
+        "--print-mapping", action="store_true",
+        help="print each index's generated settings/mappings JSON and exit",
+    )
+    p.add_argument(
         "--events-dir", default=None,
         help="directory of JSON CDC event files (daemon mode)",
     )
@@ -150,7 +154,9 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             file=sys.stderr,
         )
         return 2
-    if not (args.analyze or args.sink_dir or args.search_url):
+    if not (
+        args.analyze or args.print_mapping or args.sink_dir or args.search_url
+    ):
         print(
             "nothing to do: pass --analyze, --sink-dir, or --search-url",
             file=sys.stderr,
@@ -173,6 +179,25 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 name = tree.index or tree.root.table
                 print(f"== {name} ==", file=out)
                 print(analyze_report(catalog, tree), file=out)
+            return 0
+
+        if args.print_mapping:
+            # the bin/es_mapping analog: emit each index's generated
+            # body (settings + mappings) without touching any cluster
+            import json as _json
+
+            from .plans.compiler import TreeCompiler
+            from .plans.docs import assemble_structured
+            from .sinks.search import build_index_mapping
+
+            for tree in trees:
+                name = tree.index or tree.root.table
+                compiled = TreeCompiler(catalog).compile(tree)
+                body = build_index_mapping(
+                    tree, assemble_structured(compiled).schema
+                )
+                print(f"== {name} ==", file=out)
+                print(_json.dumps(body, indent=2, sort_keys=True), file=out)
             return 0
 
         from .streaming.runner import SyncRunner

@@ -179,3 +179,19 @@ def test_cli_search_url_end_to_end(spark, tmp_path):
         assert n_actions == expected
     finally:
         server.shutdown()
+
+
+def test_cli_print_mapping(spark, tmp_path):
+    """--print-mapping: the bin/es_mapping analog — generated index
+    body to stdout, no cluster involved."""
+    out = io.StringIO()
+    rc = main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR, "--print-mapping"],
+        spark=spark,
+        out=out,
+    )
+    assert rc == 0
+    text = out.getvalue()
+    assert "== orders_cli ==" in text
+    body = json.loads(text.split("== orders_cli ==", 1)[1])
+    assert body["mappings"]["properties"]["o_orderkey"] == {"type": "long"}
