@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Structured Streaming checkpoint location (daemon mode)",
     )
     p.add_argument(
+        "--store-dir", default=None,
+        help="persist/restore engine state (per-index versioned parquet "
+        "DocStore) — a restart resumes from the saved docs, lineage, "
+        "checkpoint, and CDC-modified snapshots instead of re-syncing",
+    )
+    p.add_argument(
         "--sink-dir", default=None,
         help="write per-index JSONL documents under this directory",
     )
@@ -203,10 +209,23 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         from .streaming.runner import SyncRunner
 
         runner = SyncRunner(spark, trees, catalog)
-        runner.full_sync()
+        stores: dict = {}
+        if args.store_dir:
+            from .sinks.store import DocStore
+
+            for name, eng in runner.engines.items():
+                store = DocStore(spark, os.path.join(args.store_dir, name))
+                stores[name] = store
+                if store.load(eng):
+                    if args.verbose:
+                        print(f"[{name}] restored saved state", file=out)
+                else:
+                    eng.full_sync()
+        else:
+            runner.full_sync()
         if args.verbose:
             for name, eng in runner.engines.items():
-                print(f"[{name}] full sync: {eng.docs.count()} docs", file=out)
+                print(f"[{name}] synced: {eng.docs.count()} docs", file=out)
 
         if args.daemon:
             from .streaming.stream import start_cdc_stream
@@ -228,6 +247,10 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 query.stop()
 
         _write_docs(runner, args, out=out)
+        for name, store in stores.items():
+            version = store.save(runner.engines[name])
+            if args.verbose:
+                print(f"[{name}] saved state v{version}", file=out)
         if args.verbose and runner.checkpoint is not None:
             print(f"checkpoint: txid {runner.checkpoint}", file=out)
         return 0

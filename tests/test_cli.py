@@ -195,3 +195,56 @@ def test_cli_print_mapping(spark, tmp_path):
     assert "== orders_cli ==" in text
     body = json.loads(text.split("== orders_cli ==", 1)[1])
     assert body["mappings"]["properties"]["o_orderkey"] == {"type": "long"}
+
+
+def test_cli_store_dir_restores_across_runs(spark, tmp_path):
+    """--store-dir: run 1 (daemon drain) applies a CDC event and saves;
+    run 2 (once mode, no events) RESTORES instead of re-syncing — its
+    output still carries run 1's change, which the source parquet does
+    not contain. That proves the restart path serves persisted state."""
+    events = tmp_path / "events"
+    events.mkdir()
+    (events / "b1.json").write_text(
+        json.dumps(
+            {
+                "op": "UPDATE",
+                "schema": "public",
+                "table": "orders",
+                "old": {"o_orderkey": "7"},
+                "new": {
+                    "o_orderkey": "7",
+                    "o_custkey": "85",
+                    "o_orderpriority": "CLI-STORED",
+                },
+                "txid": 21,
+            }
+        )
+    )
+    store = str(tmp_path / "store")
+    rc = main(
+        [
+            "-c", _config(tmp_path), "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "out1"),
+            "--store-dir", store,
+            "--daemon", "--drain",
+            "--events-dir", str(events),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    # run 2: fresh once-mode run, no events — restore only
+    sink2 = str(tmp_path / "out2")
+    rc = main(
+        [
+            "-c", _config(tmp_path), "--data-dir", SF_DIR,
+            "--sink-dir", sink2, "--store-dir", store,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    docs = _read_docs(sink2, "orders_cli")
+    assert docs["7"]["o_orderpriority"] == "CLI-STORED"
+    # and the second run versioned the store forward
+    with open(os.path.join(store, "orders_cli", "CURRENT")) as f:
+        assert f.read().strip() == "2"
