@@ -46,6 +46,10 @@ HEADLINE = [
 # enough that a 3-sample median still flips on one slow batch)
 STEADY_BATCHES = 5
 
+# headline queries: median of this many runs each (noise-burst damping;
+# recorded in the artifact as runs_per_query)
+QUERY_RUNS = 3
+
 
 def _bench_incremental(spark, sf_dir: str) -> dict:
     """full_sync / cold batch / steady-batch median at one sf dir."""
@@ -100,19 +104,32 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — artifact must still print
         errors["warmup"] = f"{type(e).__name__}: {e}"
 
+    # median of QUERY_RUNS executions per query: this sandbox shows
+    # host-level noise bursts of ±50% on single runs (four identical
+    # back-to-back bench totals spanned 34-54s) — a single-shot number
+    # grades the burst, not the engine. The artifact records the run
+    # count so the measurement protocol is explicit.
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
+        samples = []
+        n = None
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-            # release intermediates the query persisted for multi-consumer
-            # stages (dedup signatures etc.) now that the action is done
-            caching.release(df)
+            for _ in range(QUERY_RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+                # release intermediates the query persisted for
+                # multi-consumer stages (dedup signatures etc.)
+                caching.release(df)
+            timings[name] = round(statistics.median(samples), 3)
+            print(
+                f"# {name}: {timings[name]}s ({n} rows; "
+                f"runs {[round(s, 2) for s in samples]})",
+                file=sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {str(e)[:500]}"
             print(f"# {name}: ERROR {errors[name][:200]}", file=sys.stderr)
@@ -182,6 +199,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": QUERY_RUNS,
     }
     if scaling is not None:
         out["scaling"] = scaling
