@@ -39,6 +39,10 @@ HEADLINE = [
     "token_length_quantiles",
     "text_repetition_stats",
     "embedding_quantize_int8",
+    # round-4 corpus-curation operators
+    "dedup_canonical",
+    "quality_percentile_filter",
+    "token_budget_select",
 ]
 
 # steady-state = median of this many batches applied after the cold one
