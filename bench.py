@@ -92,6 +92,59 @@ def _bench_incremental(spark, sf_dir: str) -> dict:
     return {"full_sync": full_sync_s, "cold_batch": cold_s, "steady_batch": steady_s}
 
 
+def _bench_streaming_drain(spark, sf_dir: str) -> float:
+    """End-to-end streaming mode: the SAME events split across four
+    JSON files → readStream(maxFilesPerTrigger=1) → foreachBatch →
+    engine, drained with processAllAvailable. Measures the real
+    micro-batch path (source listing, offset log, epoch commits) on
+    top of the engine cost — the number a deployed low-latency sync
+    pipeline lives on."""
+    import json as _json
+    import tempfile
+
+    from pgsync_spark import Catalog, caching, schemas
+    from pgsync_spark.queries import _incremental_events
+    from pgsync_spark.streaming import IncrementalEngine
+    from pgsync_spark.streaming.stream import start_cdc_stream
+
+    cat = Catalog(spark, sf_dir)
+    eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
+    eng.full_sync()
+    rows = _incremental_events(spark, cat)
+    n_files = 4
+    with tempfile.TemporaryDirectory() as tmp:
+        events_dir = os.path.join(tmp, "events")
+        os.makedirs(events_dir)
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(os.path.join(events_dir, f"b{i}.json"), "w") as f:
+                for r in rows[i * per : (i + 1) * per]:
+                    # stringify image values exactly like logical
+                    # decoding (and payloads_from_rows) would
+                    rec = dict(r)
+                    for img in ("old", "new"):
+                        rec[img] = {
+                            k: str(v) for k, v in (rec.get(img) or {}).items()
+                        }
+                    f.write(_json.dumps(rec) + "\n")
+        t0 = time.perf_counter()
+        q = start_cdc_stream(
+            spark, eng, events_dir, os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+        drain_s = round(time.perf_counter() - t0, 3)
+    print(
+        f"# streaming_drain[{sf_dir}]: {drain_s}s for {len(rows)} events "
+        f"in {n_files} micro-batches ({eng.stats})",
+        file=sys.stderr,
+    )
+    eng._teardown_stores()
+    caching.release_all()
+    return drain_s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pgsync_spark import get_spark
@@ -155,6 +208,16 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — isolate the incremental section
         errors["incremental"] = f"{type(e).__name__}: {str(e)[:500]}"
         print(f"# incremental: ERROR {errors['incremental'][:200]}", file=sys.stderr)
+
+    # streaming mode end-to-end (readStream → foreachBatch), drained
+    try:
+        timings["streaming_drain"] = _bench_streaming_drain(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — isolate the streaming section
+        errors["streaming_drain"] = f"{type(e).__name__}: {str(e)[:500]}"
+        print(
+            f"# streaming_drain: ERROR {errors['streaming_drain'][:200]}",
+            file=sys.stderr,
+        )
 
     # O(batch)-scaling artifact: the same incremental phases at a 10×
     # SMALLER sf. full_sync should scale ~linearly with data size while
