@@ -265,9 +265,8 @@ class Catalog:
             return _restore_nano_timestamps(self.spark.read.parquet(path), path)
         if fmt == "orc":
             return self.spark.read.orc(path)
-        declared = (
-            self.tables[name].schema if name in self.tables else None
-        )
+        meta = self.tables.get(name)
+        declared = meta.schema if meta else None
         if fmt in ("json", "jsonl"):
             reader = self.spark.read
             # without a declared schema Spark scans the data once just

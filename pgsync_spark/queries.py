@@ -1401,12 +1401,24 @@ def pack_sequences(spark, sf_dir):
 
 QPF_CUT = 0.10  # drop the bottom decile per source
 
+# type-token ratio (distinct/total tokens) — the deterministic quality
+# score shared by the percentile filter and the budget selector
+def _tt_score():
+    tok = hashing.tokens(F.col("text"))
+    return F.size(F.array_distinct(tok)).cast("double") / F.nullif(
+        F.size(tok), F.lit(0)
+    )
+
+
+_TT_SCORE_SQL = (
+    "CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)"
+)
+
 @register(
     "quality_percentile_filter",
     f"""WITH s AS (
           SELECT doc_id, source,
-                 CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / nullif(len(toks), 0) AS score
+                 {_TT_SCORE_SQL} AS score
           FROM (SELECT doc_id, source, {hashing.tokens_sql('text')} AS toks
                 FROM documents)
         )
@@ -1432,11 +1444,7 @@ def quality_percentile_filter(spark, sf_dir):
     is the fallback — for typical source cardinality this exact form
     scales fine."""
     df = Catalog(spark, sf_dir).df("documents")
-    tok = hashing.tokens(F.col("text"))
-    score = F.size(F.array_distinct(tok)).cast("double") / F.nullif(
-        F.size(tok), F.lit(0)
-    )
-    s = df.select("doc_id", "source", score.alias("score"))
+    s = df.select("doc_id", "source", _tt_score().alias("score"))
     w = W.partitionBy("source").orderBy("score", "doc_id")
     pr = F.percent_rank().over(w)
     return s.select(
@@ -1457,8 +1465,7 @@ BUDGET_PER_SHARD = 150  # tokens per (source, shard)
     f"""WITH d AS (
           SELECT doc_id, source, doc_id % {BUDGET_SHARDS} AS shard,
                  CAST(len(toks) AS BIGINT) AS n_tok,
-                 CAST(len(list_distinct(toks)) AS DOUBLE)
-                   / nullif(len(toks), 0) AS score
+                 {_TT_SCORE_SQL} AS score
           FROM (SELECT doc_id, source, {hashing.tokens_sql('text')} AS toks
                 FROM documents)
         )
@@ -1485,16 +1492,12 @@ def token_budget_select(spark, sf_dir):
     approximation of the global greedy cut, deterministic end-to-end
     (score ties broken by doc_id, the hash IS the shard assignment)."""
     df = Catalog(spark, sf_dir).df("documents")
-    tok = hashing.tokens(F.col("text"))
     d = df.select(
         "doc_id",
         "source",
         (F.col("doc_id") % BUDGET_SHARDS).alias("shard"),
-        F.size(tok).cast("bigint").alias("n_tok"),
-        (
-            F.size(F.array_distinct(tok)).cast("double")
-            / F.nullif(F.size(tok), F.lit(0))
-        ).alias("score"),
+        F.size(hashing.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        _tt_score().alias("score"),
     )
     w = (
         W.partitionBy("source", "shard")

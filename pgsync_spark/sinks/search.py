@@ -233,19 +233,17 @@ def _send_bulk_partition(
                     f"bulk response reported errors but returned "
                     f"{len(items)} items for {len(pending)} actions"
                 )
+            statuses = [_item_status(it) for it in items]
             fatal = [
-                it for blk, it in zip(pending, items)
-                if 300 <= _item_status(it) and not (
-                    _item_status(it) == 429 or _item_status(it) >= 500
-                )
+                it for it, st in zip(items, statuses)
+                if 300 <= st < 500 and st != 429
             ]
             if fatal:
                 raise RuntimeError(
                     f"bulk items failed permanently: {fatal[:5]}"
                 )
             retry = [
-                blk for blk, it in zip(pending, items)
-                if _item_status(it) >= 300
+                blk for blk, st in zip(pending, statuses) if st >= 300
             ]
             if not retry:
                 break
@@ -253,7 +251,7 @@ def _send_bulk_partition(
                 raise RuntimeError(
                     f"{len(retry)} bulk items still failing after "
                     f"{max_retries} retries (last statuses: "
-                    f"{[_item_status(it) for it in items if _item_status(it) >= 300][:5]})"
+                    f"{[st for st in statuses if st >= 300][:5]})"
                 )
             time.sleep(backoff * (2 ** attempt))
             attempt += 1
