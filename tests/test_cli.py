@@ -248,3 +248,53 @@ def test_cli_store_dir_restores_across_runs(spark, tmp_path):
     # and the second run versioned the store forward
     with open(os.path.join(store, "orders_cli", "CURRENT")) as f:
         assert f.read().strip() == "2"
+
+
+def test_cli_multi_index_with_store(spark, tmp_path):
+    """Two index entries in one config run off ONE shared materializer
+    (the reference's Sync-per-document loop): both sinks written, both
+    stores versioned, and a restore run serves both from saved state."""
+    cfg = tmp_path / "multi.json"
+    cfg.write_text(
+        json.dumps(
+            [
+                {
+                    "index": "orders_a",
+                    "nodes": {
+                        "table": "orders",
+                        "columns": ["o_orderkey", "o_orderpriority"],
+                    },
+                },
+                {
+                    "index": "nations_b",
+                    "nodes": {
+                        "table": "nation",
+                        "columns": ["n_nationkey", "n_name"],
+                    },
+                },
+            ]
+        )
+    )
+    sink = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    rc = main(
+        ["-c", str(cfg), "--data-dir", SF_DIR, "--sink-dir", sink,
+         "--store-dir", store],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(_read_docs(sink, "orders_a")) == 1500
+    assert len(_read_docs(sink, "nations_b")) == 25
+    # restore pass: both indices load from their stores
+    sink2 = str(tmp_path / "out2")
+    rc = main(
+        ["-c", str(cfg), "--data-dir", SF_DIR, "--sink-dir", sink2,
+         "--store-dir", store],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(_read_docs(sink2, "orders_a")) == 1500
+    assert len(_read_docs(sink2, "nations_b")) == 25
+    for name in ("orders_a", "nations_b"):
+        with open(os.path.join(store, name, "CURRENT")) as f:
+            assert f.read().strip() == "2"
