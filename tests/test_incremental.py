@@ -838,3 +838,46 @@ def test_runner_rejects_node_table_as_base(spark):
     tree_b = Tree(root=root, index="bad_idx")
     with pytest.raises(ValueError, match="node table"):
         SyncRunner(spark, [tree_a, tree_b], Catalog(spark, SF_DIR))
+
+
+def test_materializer_defer_release_keeps_blocks_alive(spark):
+    """apply(defer_release=...) must NOT unpersist superseded overlay
+    checkpoints — process_batch's resolve wave still scans the
+    pre-batch snapshot views concurrently; the caller frees the
+    deferred frames after the wave. With no defer list, releases stay
+    immediate."""
+    from pgsync_spark import caching
+    from pgsync_spark.streaming.cdc import TableMaterializer
+
+    cat = Catalog(spark, SF_DIR)
+    mat = TableMaterializer(cat, compact_every=99)
+
+    def batch(txid, prio):
+        return payloads_from_rows(
+            spark,
+            [
+                {
+                    "op": "UPDATE",
+                    "table": "orders",
+                    "old": {"o_orderkey": "7"},
+                    "new": {"o_orderkey": "7", "o_orderpriority": prio},
+                    "txid": txid,
+                }
+            ],
+        )
+
+    mat.apply(batch(1, "A"))  # creates the first overlay
+    first_overlay = mat._overlay["orders"]
+    deferred = []
+    mat.apply(batch(2, "B"), defer_release=deferred)
+    # the superseded overlay was deferred, not released: still readable
+    assert deferred and deferred[0] is first_overlay
+    assert first_overlay.count() >= 1  # blocks alive → scan succeeds
+    # the snapshot view serves the newest image meanwhile
+    row = cat.df("orders").filter(F.col("o_orderkey") == 7).collect()[0]
+    assert row["o_orderpriority"] == "B"
+    caching.release_local_checkpoints(deferred)
+    # immediate mode: a third apply with no defer list releases inline
+    second_overlay = mat._overlay["orders"]
+    mat.apply(batch(3, "C"))
+    assert mat._overlay["orders"] is not second_overlay
