@@ -92,6 +92,39 @@ def _bench_incremental(spark, sf_dir: str) -> dict:
     return {"full_sync": full_sync_s, "cold_batch": cold_s, "steady_batch": steady_s}
 
 
+def _bench_batch_scaling(spark, sf_dir: str) -> dict:
+    """Batch-SIZE axis of the scaling story: steady-batch medians for a
+    1× and a ~4× event batch against one warm engine. Cost should grow
+    well below linearly (the serial sync-point floor amortizes over the
+    bigger batch) — together with the data-size axis this pins down
+    cost = floor + O(batch), independent of store size."""
+    from pgsync_spark import Catalog, caching, schemas
+    from pgsync_spark.queries import _incremental_events
+    from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
+
+    cat = Catalog(spark, sf_dir)
+    eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
+    eng.full_sync()
+    out: dict = {}
+    for label, scale in (("1x", 1), ("4x", 4)):
+        rows = _incremental_events(spark, cat, scale=scale)
+        events = payloads_from_rows(spark, rows).localCheckpoint(eager=True)
+        eng.process_batch(events)  # warm this batch shape
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.process_batch(events)
+            samples.append(time.perf_counter() - t0)
+        out[f"events_{label}"] = len(rows)
+        out[f"steady_{label}"] = round(statistics.median(samples), 3)
+        caching.release_local_checkpoint(events)
+    out["event_ratio"] = round(out["events_4x"] / out["events_1x"], 2)
+    out["time_ratio"] = round(out["steady_4x"] / out["steady_1x"], 2)
+    print(f"# batch_scaling[{sf_dir}]: {out}", file=sys.stderr)
+    eng._teardown_stores()
+    return out
+
+
 def _bench_streaming_drain(spark, sf_dir: str) -> float:
     """End-to-end streaming mode: the SAME events split across four
     JSON files → readStream(maxFilesPerTrigger=1) → foreachBatch →
@@ -209,6 +242,17 @@ def main() -> None:
         errors["incremental"] = f"{type(e).__name__}: {str(e)[:500]}"
         print(f"# incremental: ERROR {errors['incremental'][:200]}", file=sys.stderr)
 
+    # batch-size scaling: steady batch at 1× vs ~4× events
+    batch_scaling = None
+    try:
+        batch_scaling = _bench_batch_scaling(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — isolate the section
+        errors["batch_scaling"] = f"{type(e).__name__}: {str(e)[:500]}"
+        print(
+            f"# batch_scaling: ERROR {errors['batch_scaling'][:200]}",
+            file=sys.stderr,
+        )
+
     # streaming mode end-to-end (readStream → foreachBatch), drained
     try:
         timings["streaming_drain"] = _bench_streaming_drain(spark, sf_dir)
@@ -270,6 +314,8 @@ def main() -> None:
     }
     if scaling is not None:
         out["scaling"] = scaling
+    if batch_scaling is not None:
+        out["batch_scaling"] = batch_scaling
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -411,17 +411,20 @@ customer_mut AS (
 """
 
 
-def _incremental_events(spark, cat: Catalog) -> list[dict]:
+def _incremental_events(spark, cat: Catalog, scale: int = 1) -> list[dict]:
     """Deterministic CDC batch derived from the snapshot itself (the
     driver-side collects here only BUILD test events; the engine itself
-    never collects)."""
+    never collects). ``scale`` shrinks the key moduli to grow the batch
+    ~linearly (scale=4 → ~4× the events) — the batch-size axis of the
+    scaling bench."""
+    m_upd, m_del, m_cust = max(2, 101 // scale), max(3, 97 // scale), max(2, 50 // scale)
     orders = cat.df("orders")
     upd = (
-        orders.filter((F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0))
+        orders.filter((F.col("o_orderkey") % m_upd == 0) & (F.col("o_orderkey") % m_del != 0))
         .collect()
     )
-    dele = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey").collect()
-    cust = cat.df("customer").filter(F.col("c_custkey") % 50 == 0).collect()
+    dele = orders.filter(F.col("o_orderkey") % m_del == 0).select("o_orderkey").collect()
+    cust = cat.df("customer").filter(F.col("c_custkey") % m_cust == 0).collect()
     events: list[dict] = []
     for r in upd:
         d = r.asDict()
