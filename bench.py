@@ -253,9 +253,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # streaming mode end-to-end (readStream → foreachBatch), drained
+    # streaming mode end-to-end (readStream → foreachBatch), drained.
+    # Recorded top-level (like `scaling`), NOT under `queries`: it is a
+    # scenario metric, and folding it into the headline total would
+    # break round-over-round comparability of `value`.
+    streaming_drain = None
     try:
-        timings["streaming_drain"] = _bench_streaming_drain(spark, sf_dir)
+        streaming_drain = _bench_streaming_drain(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — isolate the streaming section
         errors["streaming_drain"] = f"{type(e).__name__}: {str(e)[:500]}"
         print(
@@ -316,6 +320,8 @@ def main() -> None:
         out["scaling"] = scaling
     if batch_scaling is not None:
         out["batch_scaling"] = batch_scaling
+    if streaming_drain is not None:
+        out["streaming_drain"] = streaming_drain
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
