@@ -661,7 +661,19 @@ class IncrementalEngine:
                     (is_t & (F.col("op") == TRUNCATE)).cast("int")
                 ).alias(f"nt_{i}"),
             ]
-        events = events.observe(obs, *metrics).localCheckpoint(eager=True)
+        # coalesce before the checkpoint: a micro-batch is driver-bounded
+        # (maxFilesPerTrigger / maxOffsetsPerTrigger), so 8 parse tasks
+        # cover any configured batch size, and EVERY downstream job over
+        # the checkpointed events schedules 8 tasks instead of the
+        # session default (32+) — pure scheduler latency at small batch
+        # sizes. Shuffly consumers re-expand to spark.sql.shuffle
+        # .partitions as usual. coalesce concatenates consecutive source
+        # partitions in order, so the (partition, offset) arrival order
+        # that seeds the LWW __cdc_seq tie-break is preserved.
+        events = (
+            events.coalesce(8).observe(obs, *metrics)
+            .localCheckpoint(eager=True)
+        )
         vals = obs.get  # metrics fired by the checkpoint action
         per_table = [
             {
