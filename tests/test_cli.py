@@ -298,3 +298,40 @@ def test_cli_multi_index_with_store(spark, tmp_path):
     for name in ("orders_a", "nations_b"):
         with open(os.path.join(store, name, "CURRENT")) as f:
             assert f.read().strip() == "2"
+
+
+def test_cli_daemon_polling_trigger(spark, tmp_path):
+    """--polling sets a ProcessingTime trigger on the daemon stream
+    (the reference's read-only polling mode); drain still applies the
+    pending batch."""
+    events = tmp_path / "events"
+    events.mkdir()
+    (events / "b1.json").write_text(
+        json.dumps(
+            {
+                "op": "UPDATE",
+                "schema": "public",
+                "table": "orders",
+                "old": {"o_orderkey": "9"},
+                "new": {
+                    "o_orderkey": "9",
+                    "o_custkey": "1",
+                    "o_orderpriority": "CLI-POLLED",
+                },
+                "txid": 31,
+            }
+        )
+    )
+    sink = str(tmp_path / "out")
+    rc = main(
+        [
+            "-c", _config(tmp_path), "--data-dir", SF_DIR,
+            "--sink-dir", sink,
+            "--daemon", "--drain", "--polling", "1 seconds",
+            "--events-dir", str(events),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert _read_docs(sink, "orders_cli")["9"]["o_orderpriority"] == "CLI-POLLED"
