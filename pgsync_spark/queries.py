@@ -915,6 +915,72 @@ def doc_chunks(spark, sf_dir):
     )
 
 
+CHUNK_EMB_DIMS = 8
+
+
+def _hash_dim(text_col, i: int):
+    """One dimension of the deterministic hash embedding, as a pure
+    column expression (JVM-side md5 → fixed-point micro-units) —
+    bit-identical to plugin_examples.hash_embedding /
+    hash_embedding_sql."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(text_col, F.lit(f"|{i}"))), 1, 8), 16, 10
+    ).cast("bigint")
+    x = 2.0 * (h / F.lit(4294967296.0)) - 1.0
+    return F.floor(x * 1e6 + 0.5).cast("bigint")
+
+
+from .plugin_examples import hash_embedding_sql as _hash_emb_sql
+
+
+@register(
+    "chunk_embeddings",
+    f"""SELECT doc_id, chunk_id,
+               {_hash_emb_sql('chunk_text', CHUNK_EMB_DIMS)} AS embedding
+        FROM (
+          SELECT doc_id, chunk_id,
+                 substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})
+                   AS chunk_text
+          FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                     CAST(greatest(0, ceil((length(text) - {CHUNK_SIZE})
+                          / CAST({CHUNK_STRIDE} AS DOUBLE))) AS BIGINT))) AS chunk_id
+            FROM documents
+          )
+        )""",
+)
+def chunk_embeddings(spark, sf_dir):
+    """RAG-prep in one pass: overlapping chunking composed with a
+    per-chunk embedding — and the embedding is PURE COLUMN EXPRESSIONS
+    (md5 → fixed-point per dimension), so the whole operator runs
+    inside whole-stage codegen with ZERO shuffles and no Python in the
+    hot path. A real encoder swaps in via the plugin chain
+    (plugin_examples.EmbeddingEnrichmentPlugin, Arrow-batched,
+    model-per-executor); this deterministic form is the plumbing proof
+    and the oracle-checkable contract for it."""
+    df = Catalog(spark, sf_dir).df("documents")
+    n_last = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))),
+    ).cast("long")
+    chunks = df.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("chunk_id"),
+    )
+    chunk_text = F.col("text").substr(
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_SIZE)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.array(
+            *[_hash_dim(chunk_text, i) for i in range(CHUNK_EMB_DIMS)]
+        ).alias("embedding"),
+    )
+
+
 @register(
     "asof_user_orders",
     """WITH u AS (
