@@ -803,17 +803,36 @@ def set_ops_buyers(spark, sf_dir):
     return both.unionByName(f_only)
 
 
-@register("approx_distinct_parts", None)  # rows-only: HLL sketches are
-# engine-specific by design — no cross-engine oracle exists
+@register(
+    "approx_distinct_parts",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS within_10pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
 def approx_distinct_parts(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the cardinality-sketch
-    path for 100 TB counts where exact distinct is a full shuffle. The
-    driver records a rows-only check (sketch estimates differ across
-    engines by construction)."""
+    path for 100 TB counts where exact distinct is a full shuffle.
+
+    Raw sketch estimates are engine-specific, so the oracle-checkable
+    CONTRACT is the error bound instead: the HLL estimate (rsd 0.02)
+    must land within 10% of the exact count — Spark's sketch merge is
+    order-insensitive, so the boolean is deterministic under any
+    partitioning, and DuckDB asserts the same rows with the bound as a
+    constant TRUE. The sketch still runs; only its advertised accuracy
+    is what crosses engines."""
     df = Catalog(spark, sf_dir).df("lineitem")
-    return df.groupBy("l_returnflag").agg(
+    agg = df.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("within_10pct"),
     )
 
 
