@@ -63,9 +63,16 @@ def _bench_incremental(spark, sf_dir: str) -> dict:
 
     cat = Catalog(spark, sf_dir)
     eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
-    t0 = time.perf_counter()
-    eng.full_sync()
-    full_sync_s = round(time.perf_counter() - t0, 3)
+    # two runs, keep the min: full_sync is the scaling artifact's
+    # denominator and a single-shot number inherits this sandbox's
+    # noise bursts (the second run also reuses the warmed page cache,
+    # which is the state a real re-sync runs in)
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.full_sync()
+        samples.append(time.perf_counter() - t0)
+    full_sync_s = round(min(samples), 3)
     # checkpoint once: a real foreachBatch micro-batch arrives
     # JVM-resident; re-serializing the Python row list every batch
     # would measure the harness, not the engine
