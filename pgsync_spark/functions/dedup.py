@@ -32,7 +32,7 @@ import threading
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..caching import adopt, owned, release
+from ..caching import adopt, owned, release, release_local_checkpoint
 from .hashing import (
     combine_shingles,
     combine_shingles_sql,
@@ -458,16 +458,26 @@ def connected_components(
     edges = pairs.select("id1", "id2").unionByName(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     ).persist()
+    # Convergence detection rides the checkpoint action itself: min-label
+    # propagation is MONOTONE (labels only decrease), so the total label
+    # sum strictly decreases until the fixpoint — sum unchanged over a
+    # whole window ⟺ no label moved. One observed aggregate replaces the
+    # former labels-vs-snapshot join + count job per window, and with no
+    # snapshot consumer left, each superseded labels checkpoint releases
+    # as soon as its successor materializes.
+    obs0 = Observation()
     labels = (
         edges.select(F.col("id1").alias("id"))
         .dropDuplicates()
         .withColumn("label", F.col("id"))
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = obs0.get["s"]
     rounds = 0
     converged = False
     while rounds < max_rounds:
-        snapshot = labels
+        prev_labels = labels
         for _ in range(CHECK_EVERY):  # lazy — no action per round
             neighbor = (
                 edges.join(labels, edges.id2 == labels.id, "inner")
@@ -480,17 +490,16 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
             )
             rounds += 1
-        labels = labels.localCheckpoint(eager=True)
-        changed = (
-            labels.select("id", F.col("label").alias("__new_l"))
-            .join(snapshot.select("id", F.col("label").alias("__old_l")), "id")
-            .filter(F.col("__new_l") != F.col("__old_l"))
-            .limit(1)
-            .count()
+        obs = Observation()
+        labels = labels.observe(obs, F.sum("label").alias("s")).localCheckpoint(
+            eager=True
         )
-        if changed == 0:
+        new_sum = obs.get["s"]
+        release_local_checkpoint(prev_labels)
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # one more lazy round, then count ids whose label would still
         # move — the non-convergence magnitude
