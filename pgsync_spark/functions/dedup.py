@@ -478,6 +478,11 @@ def connected_components(
     converged = False
     while rounds < max_rounds:
         prev_labels = labels
+        # every ROUND's sum is observed inside the one fused plan, so a
+        # fixpoint reached mid-window is detected without the extra
+        # confirming window (equal sums on ANY adjacent rounds prove it
+        # — monotone, so once equal, all later rounds are no-ops)
+        window_obs = []
         for _ in range(CHECK_EVERY):  # lazy — no action per round
             neighbor = (
                 edges.join(labels, edges.id2 == labels.id, "inner")
@@ -490,16 +495,17 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
             )
             rounds += 1
-        obs = Observation()
-        labels = labels.observe(obs, F.sum("label").alias("s")).localCheckpoint(
-            eager=True
-        )
-        new_sum = obs.get["s"]
+            obs = Observation()
+            labels = labels.observe(obs, F.sum("label").alias("s"))
+            window_obs.append(obs)
+        labels = labels.localCheckpoint(eager=True)
+        sums = [o.get["s"] for o in window_obs]
         release_local_checkpoint(prev_labels)
-        if new_sum == prev_sum:
+        seq = [prev_sum] + sums
+        if any(a == b for a, b in zip(seq, seq[1:])):
             converged = True
             break
-        prev_sum = new_sum
+        prev_sum = sums[-1]
     if not converged:
         # one more lazy round, then count ids whose label would still
         # move — the non-convergence magnitude
