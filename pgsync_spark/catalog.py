@@ -239,6 +239,11 @@ class Catalog:
     def register_meta(self, meta: TableMeta):
         self.tables[meta.name] = meta
 
+    def unregister(self, name: str) -> None:
+        """Drop a registered frame so the next df() re-resolves from
+        base_dir (used when a registered snapshot view is released)."""
+        self._dfs.pop(name, None)
+
     # columnar formats first: parquet/orc scans get predicate pushdown,
     # column pruning, and vectorized reads for free; json/csv are
     # row-formats Spark must fully parse — supported for interop, with

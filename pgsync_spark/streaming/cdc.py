@@ -178,6 +178,24 @@ class TableMaterializer:
             overlay.filter(F.col(self.OVERLAY_FLAG)).drop(self.OVERLAY_FLAG)
         )
 
+    def release(self) -> None:
+        """Free every checkpoint this materializer owns (bases that
+        replaced the raw scans, all overlays) and restore the catalog's
+        raw-source resolution for the touched tables. Engines that own
+        their materializer call this from teardown — without it, a
+        process cycling engines (a multi-section benchmark, a re-synced
+        daemon) accumulates superseded snapshot blocks until GC pressure
+        shows up as multi-second batch outliers (measured)."""
+        for table, df in self._base.items():
+            caching.release_local_checkpoint(df)  # no-op for raw scans
+            self.catalog.unregister(table)
+        for df in self._overlay.values():
+            caching.release_local_checkpoint(df)
+        self._base.clear()
+        self._overlay.clear()
+        self._overlay_rows.clear()
+        self._applies.clear()
+
     def compact(self, table: str, defer_release: list | None = None) -> None:
         """Fold base+overlay into a fresh base checkpoint, release the
         superseded frames (OPTIMIZE analog).

@@ -198,6 +198,7 @@ class IncrementalEngine:
         self.spark = spark
         self.tree = tree
         self.catalog = catalog
+        self._owns_materializer = materializer is None
         self.materializer = materializer or TableMaterializer(catalog)
         self.root_pks = list(catalog.primary_key(tree.root.table, tree.root))
         self._chains = self._build_chains(tree)
@@ -276,6 +277,10 @@ class IncrementalEngine:
         if self._shared_base is not None:
             caching.release_local_checkpoint(self._shared_base)
             self._shared_base = None
+        if self._owns_materializer:
+            # a shared materializer (SyncRunner) outlives any one
+            # engine; an owned one must not leak its snapshot blocks
+            self.materializer.release()
 
     def _maybe_release_shared(self) -> None:
         """Free the full-sync combined checkpoint once neither store's
