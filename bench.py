@@ -55,12 +55,22 @@ STEADY_BATCHES = 5
 QUERY_RUNS = 3
 
 
+def _gc(spark) -> None:
+    """Nudge a JVM full GC before a latency-sensitive section so prior
+    sections' garbage is not collected inside a timed batch."""
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort
+        pass
+
+
 def _bench_incremental(spark, sf_dir: str) -> dict:
     """full_sync / cold batch / steady-batch median at one sf dir."""
     from pgsync_spark import Catalog, caching, schemas
     from pgsync_spark.queries import _incremental_events
     from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
 
+    _gc(spark)
     cat = Catalog(spark, sf_dir)
     eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
     # two runs, keep the min: full_sync is the scaling artifact's
@@ -109,6 +119,7 @@ def _bench_batch_scaling(spark, sf_dir: str) -> dict:
     from pgsync_spark.queries import _incremental_events
     from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
 
+    _gc(spark)
     cat = Catalog(spark, sf_dir)
     eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
     eng.full_sync()
@@ -147,6 +158,7 @@ def _bench_streaming_drain(spark, sf_dir: str) -> float:
     from pgsync_spark.streaming import IncrementalEngine
     from pgsync_spark.streaming.stream import start_cdc_stream
 
+    _gc(spark)
     cat = Catalog(spark, sf_dir)
     eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
     eng.full_sync()
@@ -234,6 +246,10 @@ def main() -> None:
     try:
         caching.release_all()
         spark.catalog.clearCache()  # safety net for anything unregistered
+        # nudge a full GC before the latency-sensitive incremental
+        # sections: the headline sweep leaves a heap of short-lived
+        # garbage whose collection otherwise lands INSIDE a timed batch
+        spark._jvm.System.gc()
     except Exception as e:  # noqa: BLE001
         errors["cache_cleanup"] = f"{type(e).__name__}: {e}"
 
