@@ -137,3 +137,13 @@ class SyncRunner:
     @property
     def stats(self) -> dict[str, dict]:
         return {name: dict(e.stats) for name, e in self.engines.items()}
+
+    def close(self) -> None:
+        """Release every engine's stores and the SHARED materializer's
+        snapshot checkpoints. Engines never release a shared
+        materializer themselves (it outlives any one of them), so an
+        embedder cycling runners in one long-lived session must close
+        the runner — process exit (the CLI) subsumes this."""
+        for eng in self.engines.values():
+            eng._teardown_stores()
+        self.materializer.release()

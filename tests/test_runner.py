@@ -216,3 +216,45 @@ def test_runner_streams_one_feed_into_both_indices(spark, runner, tmp_path):
                               ("customer", "customer_orders_lineitems")):
         full = TreeCompiler(runner.catalog).compile_docs(schemas.tree(schema_name))
         assert _docs_equal(runner.docs(name), full), name
+
+
+def test_runner_close_releases_shared_state(spark, tmp_path):
+    """close() frees the shared materializer's snapshots: the catalog
+    re-resolves raw sources afterwards (CDC-modified rows gone)."""
+    from pyspark.sql import functions as F
+
+    from pgsync_spark import Catalog, schemas
+    from pgsync_spark.streaming import payloads_from_rows
+    from pgsync_spark.streaming.runner import SyncRunner
+
+    cat = Catalog(spark, SF_DIR)
+    runner = SyncRunner(spark, [schemas.tree("orders_lineitems")], cat)
+    runner.full_sync()
+    runner.process_batch(
+        payloads_from_rows(
+            spark,
+            [
+                {
+                    "op": "UPDATE",
+                    "table": "orders",
+                    "old": {"o_orderkey": 7},
+                    "new": {"o_orderkey": 7, "o_orderpriority": "CLOSED-TEST"},
+                    "txid": 1,
+                }
+            ],
+        )
+    )
+    assert (
+        cat.df("orders")
+        .filter(F.col("o_orderpriority") == "CLOSED-TEST")
+        .count()
+        == 1
+    )
+    runner.close()
+    # raw source again: the CDC change is gone from the catalog view
+    assert (
+        cat.df("orders")
+        .filter(F.col("o_orderpriority") == "CLOSED-TEST")
+        .count()
+        == 0
+    )
