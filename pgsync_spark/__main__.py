@@ -253,6 +253,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 print(f"[{name}] saved state v{version}", file=out)
         if args.verbose and runner.checkpoint is not None:
             print(f"checkpoint: txid {runner.checkpoint}", file=out)
+        runner.close()
         return 0
     finally:
         if owns_spark:
