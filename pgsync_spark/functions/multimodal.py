@@ -90,3 +90,64 @@ def multimodal_extract_sql() -> str:
                TRUE AS decoded
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: the 1-row-in → N-rows-out batch shape (video → frames)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sha string"
+MAX_FRAMES = 4
+
+
+def _fake_frame(sha_hex: str, idx: int) -> str:
+    """STUB: stands in for decoding frame ``idx`` out of a video payload
+    (no codecs here). Deterministic per (payload, idx); a real pipeline
+    returns the frame's bytes/features from ffmpeg with this exact
+    per-frame fan-out shape."""
+    return hashlib.sha256(f"{sha_hex}|{idx}".encode()).hexdigest()
+
+
+def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with ROW FAN-OUT: each input payload yields
+    1 + (byte_len % MAX_FRAMES) frame rows — the video-sampling batch
+    shape, where output cardinality is data-dependent and decided
+    inside the Arrow batch. No shuffle is introduced; the explode
+    happens per partition."""
+    for pdf in it:
+        doc_ids, idxs, shas = [], [], []
+        for doc_id, byte_len, sha in zip(
+            pdf["doc_id"], pdf["byte_len"], pdf["sha256"]
+        ):
+            for i in range(1 + int(byte_len) % MAX_FRAMES):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                shas.append(_fake_frame(sha, i))
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_sha": shas}
+        )
+
+
+def multimodal_frame_sample(df: DataFrame) -> DataFrame:
+    """payload → sampled frame rows (1 + byte_len % MAX_FRAMES per doc).
+
+    Metadata the fan-out depends on (byte length, payload sha) computes
+    JVM-side; Python sees one Arrow batch per partition and expands it
+    row-locally — at 100 TB the shape stays embarrassingly parallel,
+    with output partitioning inherited from the input scan."""
+    with_meta = attach_binary(df).select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.lower(F.sha2("payload", 256)).alias("sha256"),
+    )
+    return with_meta.mapInPandas(frame_sample_batches, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample_sql() -> str:
+    return f"""
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               sha256(sha256(text) || '|' || CAST(i AS VARCHAR)) AS frame_sha
+        FROM documents,
+             LATERAL unnest(generate_series(
+               0, octet_length(encode(text)) % {MAX_FRAMES})) AS t(i)
+    """

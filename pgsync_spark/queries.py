@@ -380,6 +380,11 @@ _doc_query(_dd.minhash_lsh_pairs, _dd.minhash_lsh_pairs_sql(), "dedup_minhash_ls
 _doc_query(_dd.simhash, _dd.simhash_sql(), "dedup_simhash")
 _doc_query(_dd.ngram_jaccard_pairs, _dd.ngram_jaccard_pairs_sql(), "dedup_ngram_jaccard_pairs")
 _doc_query(_mm.multimodal_extract, _mm.multimodal_extract_sql(), "multimodal_extract")
+_doc_query(
+    _mm.multimodal_frame_sample,
+    _mm.multimodal_frame_sample_sql(),
+    "multimodal_frame_sample",
+)
 _emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_bruteforce_topk")
 _emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
 _emb_query(_sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), "ann_ivf_topk")
