@@ -209,55 +209,71 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         from .streaming.runner import SyncRunner
 
         runner = SyncRunner(spark, trees, catalog)
-        stores: dict = {}
-        if args.store_dir:
-            from .sinks.store import DocStore
-
-            for name, eng in runner.engines.items():
-                store = DocStore(spark, os.path.join(args.store_dir, name))
-                stores[name] = store
-                if store.load(eng):
-                    if args.verbose:
-                        print(f"[{name}] restored saved state", file=out)
-                else:
-                    eng.full_sync()
-        else:
-            runner.full_sync()
-        if args.verbose:
-            for name, eng in runner.engines.items():
-                print(f"[{name}] synced: {eng.docs.count()} docs", file=out)
-
-        if args.daemon:
-            from .streaming.stream import start_cdc_stream
-
-            query = start_cdc_stream(
-                spark,
-                runner,
-                args.events_dir,
-                args.checkpoint_dir,
-                max_files_per_trigger=args.max_files_per_trigger,
-                poll_interval=args.polling,
-            )
-            try:
-                if args.drain:
-                    query.processAllAvailable()
-                else:
-                    query.awaitTermination()
-            finally:
-                query.stop()
-
-        _write_docs(runner, args, out=out)
-        for name, store in stores.items():
-            version = store.save(runner.engines[name])
-            if args.verbose:
-                print(f"[{name}] saved state v{version}", file=out)
-        if args.verbose and runner.checkpoint is not None:
-            print(f"checkpoint: txid {runner.checkpoint}", file=out)
-        runner.close()
-        return 0
+        try:
+            return _run_sync(runner, args, out)
+        finally:
+            # error paths too: a failed _write_docs/store.save must not
+            # leak the shared materializer's snapshot checkpoints or
+            # leave the catalog serving CDC-overlay views (visible when
+            # a long-lived caller injects spark=, where only owns_spark
+            # triggers spark.stop())
+            runner.close()
     finally:
         if owns_spark:
             spark.stop()
+
+
+def _run_sync(runner, args, out) -> int:
+    """The sync body proper (full/restore → optional daemon → write →
+    save). Split out of main() so the caller can guarantee
+    runner.close() on EVERY exit path, including raises from
+    _write_docs/store.save."""
+    spark = runner.spark
+    stores: dict = {}
+    if args.store_dir:
+        from .sinks.store import DocStore
+
+        for name, eng in runner.engines.items():
+            store = DocStore(spark, os.path.join(args.store_dir, name))
+            stores[name] = store
+            if store.load(eng):
+                if args.verbose:
+                    print(f"[{name}] restored saved state", file=out)
+            else:
+                eng.full_sync()
+    else:
+        runner.full_sync()
+    if args.verbose:
+        for name, eng in runner.engines.items():
+            print(f"[{name}] synced: {eng.docs.count()} docs", file=out)
+
+    if args.daemon:
+        from .streaming.stream import start_cdc_stream
+
+        query = start_cdc_stream(
+            spark,
+            runner,
+            args.events_dir,
+            args.checkpoint_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+            poll_interval=args.polling,
+        )
+        try:
+            if args.drain:
+                query.processAllAvailable()
+            else:
+                query.awaitTermination()
+        finally:
+            query.stop()
+
+    _write_docs(runner, args, out=out)
+    for name, store in stores.items():
+        version = store.save(runner.engines[name])
+        if args.verbose:
+            print(f"[{name}] saved state v{version}", file=out)
+    if args.verbose and runner.checkpoint is not None:
+        print(f"checkpoint: txid {runner.checkpoint}", file=out)
+    return 0
 
 
 if __name__ == "__main__":

