@@ -95,6 +95,79 @@ class EmbeddingEnrichmentPlugin(Plugin):
         return doc
 
 
+class GeometryPlugin(Plugin):
+    """Convert PostGIS-style GeoJSON fields to Elasticsearch geo types
+    (ref: plugins/sample.py GeometryPlugin, optional geometry imports
+    pgsync/base.py:61-69): a GeoJSON ``Point`` in ``point_field``
+    becomes a ``geo_point``-shaped ``[lon, lat]`` array in
+    ``point_target``, a GeoJSON ``Polygon`` in ``polygon_field`` is
+    passed through to ``shape_target`` (ES ``geo_shape`` consumes
+    GeoJSON natively). Columns may arrive as dicts or as raw GeoJSON
+    strings (how a PostGIS ``ST_AsGeoJSON`` column lands after CDC);
+    both parse. A lon/lat column pair is also accepted when
+    ``lon_field``/``lat_field`` are set.
+
+    Pair with a ``transform.mapping`` declaration so the generated
+    index mapping types the produced fields:
+
+        "transform": {"mapping": {
+            "coordinates": {"type": "geo_point"},
+            "shape": {"type": "geo_shape"},
+        }}
+    """
+
+    name = "geometry"
+
+    def __init__(
+        self,
+        point_field: str = "point",
+        point_target: str = "coordinates",
+        polygon_field: str = "polygon",
+        shape_target: str = "shape",
+        lon_field: str | None = None,
+        lat_field: str | None = None,
+    ):
+        self.point_field = point_field
+        self.point_target = point_target
+        self.polygon_field = polygon_field
+        self.shape_target = shape_target
+        self.lon_field = lon_field
+        self.lat_field = lat_field
+
+    @staticmethod
+    def _geojson(value):
+        """dict passes through; a string parses as GeoJSON; anything
+        else (None, malformed JSON) yields None — the doc is left
+        unchanged rather than dropped, matching the reference's
+        guard-and-skip behavior."""
+        if isinstance(value, dict):
+            return value
+        if isinstance(value, str):
+            try:
+                import json
+
+                parsed = json.loads(value)
+            except ValueError:
+                return None
+            return parsed if isinstance(parsed, dict) else None
+        return None
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if not doc:
+            return doc
+        point = self._geojson(doc.get(self.point_field))
+        if point and point.get("type") == "Point":
+            doc[self.point_target] = point.get("coordinates")
+        elif self.lon_field and self.lat_field:
+            lon, lat = doc.get(self.lon_field), doc.get(self.lat_field)
+            if lon is not None and lat is not None:
+                doc[self.point_target] = [lon, lat]
+        polygon = self._geojson(doc.get(self.polygon_field))
+        if polygon and polygon.get("type") == "Polygon":
+            doc[self.shape_target] = polygon
+        return doc
+
+
 class ShortDocDropPlugin(Plugin):
     """Drop documents whose text is shorter than ``min_chars`` — the
     doc-drop contract (falsy return) composed after enrichment, the

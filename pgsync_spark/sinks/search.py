@@ -21,6 +21,7 @@ Three layers, mirroring the reference's SearchClient:
 
 from __future__ import annotations
 
+import http.client
 import json
 import logging
 import time
@@ -38,14 +39,23 @@ log = logging.getLogger(__name__)
 # Declarable ES field types and mapping parameters (the public ES
 # vocabulary; ref: pgsync/constants.py:83-162). The reference's
 # _build_mapping raises on anything outside these lists
-# (ref: pgsync/search_client.py:317-335); we validate identically.
+# (ref: pgsync/search_client.py:317-335); the TYPE list matches the
+# reference's exactly (incl. its interval_*/time entries, which modern
+# ES itself rejects — accepted here for config parity, the sink will
+# surface the cluster's own error); the PARAMETER list is a superset
+# (see the type-mandatory note below).
 ES_TYPES = frozenset({
     "binary", "boolean", "byte", "completion", "constant_keyword", "date",
     "date_range", "dense_vector", "double", "double_range", "flattened",
     "float", "float_range", "geo_point", "geo_shape", "half_float",
-    "integer", "integer_range", "ip", "keyword", "knn_vector", "long",
-    "long_range", "nested", "null", "object", "scaled_float",
-    "search_as_you_type", "shape", "short", "text",
+    "integer", "integer_range", "interval_day", "interval_day_to_hour",
+    "interval_day_to_minute", "interval_day_to_second", "interval_hour",
+    "interval_hour_to_minute", "interval_hour_to_second",
+    "interval_minute", "interval_minute_to_second", "interval_month",
+    "interval_second", "interval_year", "interval_year_to_month", "ip",
+    "keyword", "knn_vector", "long", "long_range", "nested", "null",
+    "object", "scaled_float", "search_as_you_type", "shape", "short",
+    "text", "time",
 })
 ES_MAPPING_PARAMETERS = frozenset({
     "analyzer", "boost", "coerce", "copy_to", "dimension", "dims",
@@ -132,6 +142,18 @@ def _declared_mappings(node: Node, out: dict, prefix: str = "") -> None:
         _declared_mappings(ch, out, prefix=f"{prefix}{ch.name}.")
 
 
+def _insert_declared(props: dict, path: str, spec: dict) -> None:
+    """Place a declared mapping at its dotted path, creating nested
+    ``properties`` levels as needed; a spec already placed by the
+    schema walk (which gave declared entries precedence) is left
+    untouched."""
+    parts = path.split(".")
+    cur = props
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {}).setdefault("properties", {})
+    cur.setdefault(parts[-1], dict(spec))
+
+
 def build_index_mapping(tree: Tree, doc_schema: T.StructType) -> dict:
     """Index body from the structured doc schema: inferred field types,
     node-declared ``transform.mapping`` entries taking precedence (at
@@ -145,6 +167,13 @@ def build_index_mapping(tree: Tree, doc_schema: T.StructType) -> dict:
         if f.name in ("_id", "_meta", "_routing"):
             continue
         props[f.name] = _field_mapping(f.dataType, declared, f.name)
+    # declared mappings for fields the schema does NOT carry still land
+    # (the reference emits every declared mapping unconditionally,
+    # ref: pgsync/search_client.py:336-344) — this is how plugin-added
+    # fields (e.g. GeometryPlugin's geo_point/geo_shape outputs) get
+    # typed in the index
+    for path, spec in declared.items():
+        _insert_declared(props, path, spec)
     mappings: dict = {"properties": props}
     if tree.routing:
         # ref: pgsync/search_client.py:345-346
@@ -177,7 +206,18 @@ def _http_json(url: str, data: bytes, method: str, content_type: str,
             transient = e.code == 429 or e.code >= 500
             if not transient or attempt >= max_retries:
                 raise
-        except urllib.error.URLError:
+        except (
+            urllib.error.URLError,
+            # NOT URLError subclasses: urllib only wraps errors raised
+            # while SENDING the request; a connection that dies while
+            # the response is being read (RemoteDisconnected,
+            # IncompleteRead, a reset, a socket timeout) surfaces raw —
+            # and that ambiguous mid-exchange death is the single most
+            # common transient failure a real cluster produces
+            ConnectionError,
+            http.client.HTTPException,
+            TimeoutError,
+        ):
             if attempt >= max_retries:
                 raise
         time.sleep(backoff * (2 ** attempt))

@@ -222,3 +222,79 @@ def test_embedding_enrichment_plugin_chain(spark):
     assert auth_value(
         [enrich, ShortDocDropPlugin()], "search_token"
     ) == "example-token"
+
+
+def test_geometry_plugin_enriches_and_maps(spark):
+    """The geo half of the ES vocabulary end-to-end (ref:
+    plugins/sample.py GeometryPlugin): GeoJSON Point/Polygon doc fields
+    (dict OR raw ST_AsGeoJSON string) become geo_point coordinates and
+    a geo_shape passthrough, and the declared transform.mapping entries
+    for the plugin-ADDED fields land in the generated index mapping
+    even though the doc schema never carried them."""
+    import json
+
+    from pgsync_spark.node import parse_tree
+    from pgsync_spark.plans.compiler import TreeCompiler
+    from pgsync_spark.plans.docs import assemble_structured
+    from pgsync_spark.plugin import apply_plugins
+    from pgsync_spark.plugin_examples import GeometryPlugin
+    from pgsync_spark.sinks.search import build_index_mapping
+    from pgsync_spark import Catalog
+
+    from conftest import SF_DIR
+
+    point = {"type": "Point", "coordinates": [13.4, 52.5]}
+    polygon = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [0, 1], [1, 1], [0, 0]]],
+    }
+    rows = [
+        ("1", json.dumps({"point": point, "polygon": polygon})),
+        # raw GeoJSON string, as a PostGIS ST_AsGeoJSON column arrives
+        ("2", json.dumps({"point": json.dumps(point)})),
+        ("3", json.dumps({"point": None, "note": "untouched"})),
+    ]
+    docs = spark.createDataFrame(rows, "_id string, doc string")
+    out = {
+        r["_id"]: json.loads(r["doc"])
+        for r in apply_plugins(docs, [GeometryPlugin()], index="geo").collect()
+    }
+    assert out["1"]["coordinates"] == [13.4, 52.5]
+    assert out["1"]["shape"] == polygon
+    assert out["2"]["coordinates"] == [13.4, 52.5]
+    assert "coordinates" not in out["3"] and out["3"]["note"] == "untouched"
+
+    # lon/lat column-pair form
+    lonlat = spark.createDataFrame(
+        [("9", json.dumps({"lon": 2.35, "lat": 48.86}))], "_id string, doc string"
+    )
+    got = json.loads(
+        apply_plugins(
+            lonlat,
+            [GeometryPlugin(lon_field="lon", lat_field="lat")],
+            index="geo",
+        ).collect()[0]["doc"]
+    )
+    assert got["coordinates"] == [2.35, 48.86]
+
+    # declared mapping for the plugin-added fields reaches the index body
+    raw = {
+        "index": "geo",
+        "nodes": {
+            "table": "nation",
+            "columns": ["n_nationkey", "n_name"],
+            "transform": {
+                "mapping": {
+                    "coordinates": {"type": "geo_point"},
+                    "shape": {"type": "geo_shape"},
+                }
+            },
+        },
+    }
+    tree = parse_tree(raw)
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(tree)
+    body = build_index_mapping(tree, assemble_structured(compiled).schema)
+    props = body["mappings"]["properties"]
+    assert props["coordinates"] == {"type": "geo_point"}
+    assert props["shape"] == {"type": "geo_shape"}
+    assert props["n_name"] == {"type": "text"}  # inferred fields intact

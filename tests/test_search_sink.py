@@ -28,6 +28,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _drop_connection(self):
+        """Abruptly kill the socket mid-exchange (no HTTP response) —
+        the client sees a connection reset, i.e. a URLError."""
+        import socket as _socket
+
+        self.close_connection = True
+        try:
+            self.connection.shutdown(_socket.SHUT_RDWR)
+        except OSError:
+            pass
+
     def do_POST(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         with self.server.lock:
@@ -38,17 +49,29 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(b"{}")
                 return
+            if self.server.drop_next > 0:
+                # connection dies BEFORE the server applies anything
+                self.server.drop_next -= 1
+                self._drop_connection()
+                return
             self.server.requests.append(("POST", self.path, body))
-            # per-item response: 200 unless the id is marked to fail
+            # per-item response: 200 unless the id is marked to fail;
+            # applied items land in the stub's index view (upsert by _id)
             items = []
             errors = False
-            for ln in body.splitlines():
-                if not ln:
-                    continue
-                parsed = json.loads(ln)
+            lines = [ln for ln in body.splitlines() if ln]
+            i = 0
+            while i < len(lines):
+                parsed = json.loads(lines[i])
                 kind = next((k for k in ("index", "delete") if k in parsed), None)
+                src = None
+                if kind == "index" and i + 1 < len(lines):
+                    src = lines[i + 1]
+                    i += 2
+                else:
+                    i += 1
                 if kind is None:
-                    continue  # source line
+                    continue
                 _id = parsed[kind]["_id"]
                 status = 200
                 if _id in self.server.item_fail_permanent:
@@ -58,7 +81,17 @@ class _Handler(BaseHTTPRequestHandler):
                     status = 429
                 if status >= 300:
                     errors = True
+                elif kind == "index":
+                    self.server.indexed[_id] = json.loads(src)
+                else:
+                    self.server.indexed.pop(_id, None)
                 items.append({kind: {"_id": _id, "status": status}})
+            if self.server.drop_after_processing > 0:
+                # the classic mid-stream failure: the server APPLIED the
+                # chunk, then died before acknowledging it
+                self.server.drop_after_processing -= 1
+                self._drop_connection()
+                return
         self._respond({"errors": errors, "items": items})
 
     def do_PUT(self):
@@ -90,6 +123,9 @@ def stub():
     server.fail_first = 0
     server.item_fail_transient = {}  # _id -> remaining 429 responses
     server.item_fail_permanent = set()  # _ids answering 400 forever
+    server.drop_next = 0  # bulk POSTs to kill before applying
+    server.drop_after_processing = 0  # bulk POSTs to kill after applying
+    server.indexed = {}  # _id -> last successfully applied source doc
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     yield server
@@ -358,3 +394,42 @@ def test_mapping_nested_declared_settings_and_validation(spark):
     )
     with pytest.raises(exc.SchemaError, match="mapping parameter"):
         build_index_mapping(bad_param, assemble_structured(compiled).schema)
+
+
+def test_connection_drop_mid_stream_retries_and_converges(spark, stub):
+    """Chunk-boundary chaos: the endpoint applies one mid-stream chunk
+    and then drops the connection before acknowledging (the ambiguous
+    failure a real cluster produces). The partition task must retry the
+    unacknowledged chunk — a duplicate send — and the idempotent _id
+    upserts must converge to exactly-once state."""
+    stub.drop_after_processing = 1
+    docs = spark.createDataFrame(
+        [(str(i), json.dumps({"v": i})) for i in range(6)],
+        "_id string, doc string",
+    ).repartition(1)
+    BulkHttpWriter(
+        _url(stub), "idx", chunk_docs=2, backoff=0.01
+    ).upsert(docs)
+    # every doc present exactly once despite the duplicated chunk
+    assert stub.indexed == {str(i): {"v": i} for i in range(6)}
+    # 6 docs / chunk_docs=2 → 3 chunks, +1 re-send of the dropped one
+    assert len([r for r in stub.requests if r[1] == "/_bulk"]) == 4
+
+
+def test_connection_drop_exhausts_retries_fails_loudly(spark, stub):
+    """A dead endpoint must fail the Spark job (nothing silently
+    dropped), and a rerun once it recovers must converge."""
+    stub.drop_next = 10**6
+    docs = spark.createDataFrame(
+        [(str(i), json.dumps({"v": i})) for i in range(4)],
+        "_id string, doc string",
+    ).repartition(1)
+    w = BulkHttpWriter(
+        _url(stub), "idx", chunk_docs=2, max_retries=1, backoff=0.01
+    )
+    with pytest.raises(Exception, match="(?i)urlerror|connection|reset|aborted"):
+        w.upsert(docs)
+    # endpoint recovers → the SAME writer call converges (idempotent)
+    stub.drop_next = 0
+    w.upsert(docs)
+    assert stub.indexed == {str(i): {"v": i} for i in range(4)}
