@@ -153,6 +153,61 @@ def _bench_batch_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
+_SYNTH_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+# key/id columns get copy_index * 1e7 added (far above any sf0.3 key,
+# comfortably inside int32 for the INTEGER nation/region keys), so each
+# copy is a self-consistent shard with intact FK relationships
+_SYNTH_OFFSET = 10_000_000
+
+
+def _ensure_synth_sf(spark, base_dir: str, copies: int = 3) -> str:
+    """Synthesize a ~copies× directory from ``base_dir`` by unioning
+    key-shifted copies (cached across runs behind a marker file) — the
+    third point of the data-size scaling axis; two points make a line,
+    three make a trend."""
+    from pyspark.sql import functions as F
+
+    # the cache key includes the BASE dir: a synth dir generated from a
+    # different sf (e.g. a test running bench.main() at sf0.001) must
+    # never satisfy this run's cache probe
+    base_tag = os.path.basename(os.path.realpath(base_dir)) or "sf"
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_SYNTH_DIR",
+        f"/tmp/pgsync_spark_synth_{base_tag}_{copies}x",
+    )
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    if os.path.exists(marker):
+        return out_dir
+    for t in _SYNTH_TABLES:
+        src = os.path.join(base_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        types = dict(df.dtypes)
+        shift = [
+            c for c in df.columns
+            if c.endswith("key") or c.endswith("_id") or c == "vec_id"
+        ]
+        parts = []
+        for k in range(copies):
+            cp = df
+            for c in shift:
+                cp = cp.withColumn(
+                    c, (F.col(c) + F.lit(k * _SYNTH_OFFSET)).cast(types[c])
+                )
+            parts.append(cp)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
 def _bench_streaming_drain(spark, sf_dir: str) -> float:
     """End-to-end streaming mode: the SAME events split across four
     JSON files → readStream(maxFilesPerTrigger=1) → foreachBatch →
@@ -331,6 +386,24 @@ def main() -> None:
                 if big_st and small["steady_batch"]
                 else None,
             }
+            # third point: a synthesized ~3× directory (three key-shifted
+            # copies of sf_dir) — full_sync should keep tracking data
+            # size while the steady batch tracks only its (3×) event
+            # batch, pinning the slope with three SFs instead of two
+            if os.environ.get("SPARK_GRAFT_SYNTH_SCALE", "1") != "0":
+                synth_dir = _ensure_synth_sf(spark, sf_dir, copies=3)
+                synth = _bench_incremental(spark, synth_dir)
+                scaling["synth3x_dir"] = synth_dir
+                scaling["full_sync_3x"] = synth["full_sync"]
+                scaling["steady_batch_3x"] = synth["steady_batch"]
+                if big_fs:
+                    scaling["full_sync_ratio_3x_vs_big"] = round(
+                        synth["full_sync"] / big_fs, 2
+                    )
+                if big_st:
+                    scaling["steady_batch_ratio_3x_vs_big"] = round(
+                        synth["steady_batch"] / big_st, 2
+                    )
             print(f"# scaling: {scaling}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — isolate the scaling section
         errors["scaling"] = f"{type(e).__name__}: {str(e)[:500]}"

@@ -545,10 +545,18 @@ def connected_components(
             sums = [o.get["s"] for o in window_obs]
         except Exception:  # noqa: BLE001 — metrics lost to AQE replan
             # empty-relation propagation can replan CollectMetrics away
-            # (only reachable when the graph is empty); the frame is
-            # already checkpointed, so one direct tiny aggregate
-            # recovers the final sum (None ⟺ empty ⟺ fixpoint)
-            sums = [labels.agg(_sum).first()["s"], labels.agg(_sum).first()["s"]]
+            # (reachable when the graph is empty); the frame is already
+            # checkpointed, so one direct tiny aggregate recovers the
+            # final sum. None ⟺ no labels ⟺ the empty fixpoint; a
+            # non-None recovered sum becomes ONE sample (intra-window
+            # progression is unknowable — never fake equality from it)
+            recovered = labels.agg(_sum).first()["s"]
+            if recovered is None:
+                if prev_labels is not None:
+                    release_local_checkpoint(prev_labels)
+                converged = True
+                break
+            sums = [recovered]
         if prev_labels is not None:
             release_local_checkpoint(prev_labels)
         seq = ([prev_sum] if prev_sum is not None else []) + sums

@@ -18,6 +18,11 @@ def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
     )
     monkeypatch.setattr(bench, "STEADY_BATCHES", 1)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # keep the test on its subject (per-query fault isolation): skip the
+    # scaling/synth sections, which would otherwise benchmark two more
+    # SF dirs and write a synthesized corpus under /tmp
+    monkeypatch.setenv("SPARK_GRAFT_SF_SMALL_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_SYNTH_SCALE", "0")
 
     bench.main()
 

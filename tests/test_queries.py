@@ -233,3 +233,13 @@ def _capture_dedup_warnings():
         yield records
     finally:
         logger.removeHandler(h)
+
+
+def test_connected_components_empty_graph(spark):
+    """An empty pair graph must return empty labels promptly (no
+    max_rounds spin, no hang on lost observe metrics under AQE
+    empty-relation propagation)."""
+    from pgsync_spark.functions import dedup
+
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert dedup.connected_components(pairs, max_rounds=5).count() == 0

@@ -49,7 +49,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self.end_headers()
                 self.wfile.write(b"{}")
                 return
-            if self.server.drop_next > 0:
+            # chaos knobs default to off: other suites (test_cli) reuse
+            # this handler on servers that never set them
+            if getattr(self.server, "drop_next", 0) > 0:
                 # connection dies BEFORE the server applies anything
                 self.server.drop_next -= 1
                 self._drop_connection()
@@ -82,11 +84,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if status >= 300:
                     errors = True
                 elif kind == "index":
-                    self.server.indexed[_id] = json.loads(src)
-                else:
+                    if hasattr(self.server, "indexed"):
+                        self.server.indexed[_id] = json.loads(src)
+                elif hasattr(self.server, "indexed"):
                     self.server.indexed.pop(_id, None)
                 items.append({kind: {"_id": _id, "status": status}})
-            if self.server.drop_after_processing > 0:
+            if getattr(self.server, "drop_after_processing", 0) > 0:
                 # the classic mid-stream failure: the server APPLIED the
                 # chunk, then died before acknowledging it
                 self.server.drop_after_processing -= 1
