@@ -204,3 +204,66 @@ def test_filter_fuzz_matches_python_model(spark, clauses):
         )
     }
     assert got == want, f"clauses={clauses}"
+
+
+# ---------------------------------------------------------------------------
+# Connected components: random graphs vs a driver-side union-find oracle
+# ---------------------------------------------------------------------------
+
+def _union_find_labels(edges):
+    """Reference labeling: min reachable id per node (plain union-find)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            # mix small ids (dense collisions, long chains) with
+            # snowflake-scale ids (decimal-sum overflow territory)
+            st.one_of(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=9_000_000_000_000_000_000 - 40,
+                            max_value=9_000_000_000_000_000_000),
+            ),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The pointer-doubling label propagation must agree with plain
+    union-find on arbitrary graphs — chains, cliques, self-loops,
+    duplicate and reversed edges, huge ids (exercises the
+    decimal(38,0) observed sums)."""
+    from pgsync_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id1 long, id2 long"
+    )
+    got = {
+        (r["id"], r["label"])
+        for r in dedup.connected_components(pairs, max_rounds=21).collect()
+    }
+    want = set(_union_find_labels(edges).items())
+    assert got == want, f"edges={edges}"
