@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_canonical",
     "quality_percentile_filter",
     "token_budget_select",
+    # round-5: C4-style global repeated-span removal
+    "dedup_spans_global",
 ]
 
 # steady-state = median of this many batches applied after the cold one

@@ -679,6 +679,116 @@ def dedup_canonical(
     return unclustered.unionByName(clustered)
 
 
+K_SPAN = 16  # tokens per span (the C4 "three-sentence span" analog)
+
+
+def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
+    """C4-style repeated-span removal, corpus-GLOBAL: cut every doc
+    into non-overlapping ``k``-token spans, keep only the FIRST
+    occurrence of each span across the whole corpus (min (doc_id,
+    position)), and reassemble each doc from its surviving spans —
+    the within-doc operator family's missing sibling (doc-level dedup
+    keeps/drops whole docs; this strips repeated boilerplate while
+    keeping the rest of the document). Ref behavior analog: C4's
+    "discard all but one of any three-sentence span occurring more
+    than once" (Raffel et al.), on token spans because the corpus has
+    no sentence marks.
+
+    Output: (doc_id, clean_text, n_spans, n_removed) for EVERY doc.
+
+    Shape at scale: spans explode inside the scan stage (no shuffle);
+    the global winner per span hash is a groupBy-min — partial
+    aggregation shrinks hot keys (corpus-wide boilerplate spans) on
+    the map side, which is why this is a groupBy+join rather than one
+    row_number window (a window would serialize each hot hash in a
+    single task); the spans⋈winners join is h-keyed with AQE skew
+    splits; reassembly is one doc_id-keyed agg (unique key, no skew).
+    One md5 per span (~1/k of the per-token hashing the minhash
+    family already pays), oracle-portable."""
+    tok = tokens(F.col("text"))
+    base = (
+        df.select("doc_id", tok.alias("tok"))
+        .withColumn("n_tok", F.size("tok"))
+        .withColumn("n_spans", ((F.col("n_tok") + (k - 1)) / k).cast("long"))
+    )
+    spans = (
+        base.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int")),
+                    lambda i: F.array_join(
+                        F.slice(F.col("tok"), i * k + 1, k), " "
+                    ),
+                )
+            ).alias("pos", "span_text"),
+        )
+        .withColumn("h", F.md5("span_text"))
+    )
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = spans.join(winners, "h").filter(
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return base.select("doc_id", "n_spans").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
+def dedup_spans_global_sql(k: int = K_SPAN) -> str:
+    toks = tokens_sql("text")
+    return f"""
+        WITH sized AS (
+          SELECT doc_id, tok, len(tok) AS n_tok,
+                 CAST((len(tok) + {k - 1}) // {k} AS BIGINT) AS n_spans
+          FROM (SELECT doc_id, {toks} AS tok FROM documents)
+        ),
+        spans AS (
+          SELECT doc_id, CAST(t.i AS INT) AS pos,
+                 array_to_string(tok[t.i * {k} + 1 : t.i * {k} + {k}], ' ')
+                   AS span_text
+          FROM sized, UNNEST(range(0, n_spans)) AS t(i)
+          WHERE n_tok > 0
+        ),
+        hashed AS (SELECT *, md5(span_text) AS h FROM spans),
+        kept AS (
+          SELECT doc_id, pos, span_text FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY h ORDER BY doc_id, pos
+            ) AS rn FROM hashed
+          ) WHERE rn = 1
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(span_text, ' ' ORDER BY pos) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               s.n_spans,
+               s.n_spans - COALESCE(r.n_kept, 0) AS n_removed
+        FROM sized s LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
 def dedup_canonical_sql() -> str:
     clusters = dedup_clusters_sql()
     return f"""

@@ -747,6 +747,9 @@ def salted_skew_join(spark, sf_dir):
 
 _doc_query(_dd.dedup_clusters, _dd.dedup_clusters_sql(), "dedup_clusters")
 _doc_query(_dd.dedup_canonical, _dd.dedup_canonical_sql(), "dedup_canonical")
+_doc_query(
+    _dd.dedup_spans_global, _dd.dedup_spans_global_sql(), "dedup_spans_global"
+)
 
 
 @register(

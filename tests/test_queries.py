@@ -243,3 +243,32 @@ def test_connected_components_empty_graph(spark):
 
     pairs = spark.createDataFrame([], "id1 long, id2 long")
     assert dedup.connected_components(pairs, max_rounds=5).count() == 0
+
+
+def test_dedup_spans_global_semantics(spark):
+    """Cross-doc repeated spans keep only the (min doc_id, min pos)
+    occurrence; unique spans survive; a doc can lose every span; counts
+    are exact. k=4 keeps the fixture readable."""
+    from pgsync_spark.functions import dedup
+
+    boiler = "all rights reserved contact us"  # 5 tokens → spans [0:4],[4:5]
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha beta gamma {boiler}"),
+            (2, f"other text entirely here {boiler}"),  # same trailing spans
+            (3, boiler),  # nothing but the boilerplate → loses everything
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.dedup_spans_global(docs, k=4).collect()
+    }
+    # doc 1 owns both boilerplate spans (first occurrence)
+    assert out[1]["clean_text"] == f"unique alpha beta gamma {boiler}"
+    assert out[1]["n_removed"] == 0 and out[1]["n_spans"] == 3
+    # doc 2 keeps its own head, loses the repeated trail
+    assert out[2]["clean_text"] == "other text entirely here"
+    assert out[2]["n_removed"] == 2 and out[2]["n_spans"] == 3
+    # doc 3 is entirely boilerplate → empty output, full removal count
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
