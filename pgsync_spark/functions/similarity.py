@@ -323,6 +323,16 @@ def embedding_neardup_pairs(df: DataFrame) -> DataFrame:
             F.array(*[_band_bucket(F.col("embedding"), b) for b in range(N_BANDS)])
         ).alias("band", "bucket"),
     )
+    # The bucket space here is STRUCTURAL (N_BANDS × 2^PLANES_PER_BAND
+    # cells), so buckets are wide and SKEWED — a collect_list +
+    # inline-pair-expansion (the minhash shape) would build one
+    # O(width²) struct array in a single row per hot bucket (measured:
+    # GC-bound, 3× run-to-run swings). The self-join keeps hot buckets
+    # distributed across join tasks (AQE skew splits); persisting the
+    # slim 4-rows-per-vector keys frame stops the key pipeline from
+    # executing once per join side. At larger scale the dial is
+    # PLANES_PER_BAND (more planes → exponentially narrower buckets).
+    keys = keys.persist()
     a = keys.select(F.col("vec_id").alias("id1"), "band", "bucket")
     b = keys.select(F.col("vec_id").alias("id2"), "band", "bucket")
     cand = (
@@ -337,9 +347,12 @@ def embedding_neardup_pairs(df: DataFrame) -> DataFrame:
     cos = round6(
         _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
     )
-    return pairs.select("id1", "id2", cos.alias("cosine")).filter(
+    out = pairs.select("id1", "id2", cos.alias("cosine")).filter(
         F.col("cosine") >= NEARDUP_COS
     )
+    from ..caching import owned
+
+    return owned(out, [keys])
 
 
 def embedding_neardup_pairs_sql() -> str:
@@ -361,4 +374,73 @@ def embedding_neardup_pairs_sql() -> str:
         JOIN embeddings e1 ON e1.vec_id = cand.id1
         JOIN embeddings e2 ON e2.vec_id = cand.id2
         WHERE {cos} >= {NEARDUP_COS}
+    """
+
+
+def semantic_dedup_canonical(
+    df: DataFrame, max_rounds: int = 21, strict: bool = False
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embedding-cosine near-duplicates and keep
+    ONE representative per semantic cluster — the embedding-space
+    sibling of dedup_canonical's lexical pipeline, composed from the
+    same proven stages: banded sign-LSH candidate pairs (never
+    all-pairs) → pointer-doubling connected components (labels are
+    O(duplicated vectors)) → broadcast anti-join survivors + tiny
+    labels agg, zero corpus-side shuffles.
+
+    Output: (vec_id, cluster_size) — every surviving vector (cluster
+    minimum or unclustered) with the number of corpus vectors it
+    represents."""
+    from ..operators.joins import maybe_broadcast
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_pairs(df)
+    labels = connected_components(
+        pairs.select("id1", "id2"), max_rounds=max_rounds, strict=strict
+    )
+    from ..caching import release
+
+    release(pairs)  # keys cache — labels are checkpointed, lineage-free
+    unclustered = (
+        df.select("vec_id")
+        .join(
+            maybe_broadcast(labels.select(F.col("id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
+        .select("vec_id", F.lit(1).cast("long").alias("cluster_size"))
+    )
+    clustered = labels.groupBy(F.col("label").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return unclustered.unionByName(clustered)
+
+
+def semantic_dedup_canonical_sql() -> str:
+    pairs = embedding_neardup_pairs_sql()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL
+          SELECT id2, id1 FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        clustered AS (
+          SELECT cluster_id AS vec_id, COUNT(*) AS cluster_size
+          FROM labels GROUP BY cluster_id
+        ),
+        unclustered AS (
+          SELECT e.vec_id, CAST(1 AS BIGINT) AS cluster_size
+          FROM embeddings e LEFT JOIN labels l ON l.vec_id = e.vec_id
+          WHERE l.vec_id IS NULL
+        )
+        SELECT * FROM unclustered UNION ALL SELECT * FROM clustered
     """

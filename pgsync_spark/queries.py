@@ -389,6 +389,11 @@ _emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_brutef
 _emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
 _emb_query(_sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), "ann_ivf_topk")
 _emb_query(_sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), "embedding_neardup_pairs")
+_emb_query(
+    _sim.semantic_dedup_canonical,
+    _sim.semantic_dedup_canonical_sql(),
+    "semantic_dedup_canonical",
+)
 
 
 # ---------------------------------------------------------------------------

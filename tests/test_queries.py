@@ -272,3 +272,23 @@ def test_dedup_spans_global_semantics(spark):
     assert out[2]["n_removed"] == 2 and out[2]["n_spans"] == 3
     # doc 3 is entirely boilerplate → empty output, full removal count
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
+
+
+def test_semantic_dedup_canonical_semantics(spark):
+    """SemDeDup composition: identical/near-identical vectors collapse
+    to one survivor (min vec_id) with the cluster count; distinct
+    vectors survive with size 1."""
+    from pgsync_spark.functions import similarity
+
+    base = [1.0] * 16
+    near = [1.0] * 15 + [0.9]
+    ortho = [1.0, -1.0] * 8
+    emb = spark.createDataFrame(
+        [(1, base, 0), (2, base, 0), (5, near, 0), (9, ortho, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: r["cluster_size"]
+        for r in similarity.semantic_dedup_canonical(emb).collect()
+    }
+    assert got == {1: 3, 9: 1}
