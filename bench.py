@@ -181,8 +181,15 @@ def _ensure_synth_sf(spark, base_dir: str, copies: int = 3) -> str:
         f"/tmp/pgsync_spark_synth_{base_tag}_{copies}x",
     )
     marker = os.path.join(out_dir, "_SYNTH_OK")
+    # the marker records WHICH base it was generated from; a marker
+    # from a different base path never satisfies the probe
+    stamp = f"{os.path.realpath(base_dir)}|{copies}"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    wrote = 0
     for t in _SYNTH_TABLES:
         src = os.path.join(base_dir, f"{t}.parquet")
         if not os.path.exists(src):
@@ -205,8 +212,11 @@ def _ensure_synth_sf(spark, base_dir: str, copies: int = 3) -> str:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+        wrote += 1
+    if not wrote:
+        raise RuntimeError(f"no *.parquet tables found under {base_dir!r}")
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out_dir
 
 

@@ -229,29 +229,10 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
     # durable)
     sigs, cached = _signatures(df)
     # bands table carries ONLY (doc_id, band, bucket) — the heavy shingle
-    # arrays must not ride through the self-join / dedup shuffles
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
-                                    for r in range(ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # arrays must not ride through the self-join / dedup shuffles; shared
+    # with the cross-corpus variant so the two LSH consumers can never
+    # silently diverge on banding
+    bands = _band_frame(sigs)
 
     # ONE shuffle does candidate generation AND the hot-bucket guard:
     # group docs per (band, bucket), drop buckets wider than
@@ -509,7 +490,10 @@ def connected_components(
         # symmetrized edges (label(id) = min(id, min of neighbors)), so
         # the first window's checkpoint is the operator's FIRST action.
         window_obs = []
-        for _ in range(CHECK_EVERY):  # lazy — no action per round
+        # never overshoot the documented budget: the last window shrinks
+        # to whatever rounds remain (a 1-round window still detects the
+        # fixpoint against the previous window's last sum)
+        for _ in range(min(CHECK_EVERY, max_rounds - rounds)):
             if labels is None:
                 labels = (
                     edges.groupBy(F.col("id1").alias("id"))
@@ -666,16 +650,38 @@ def dedup_canonical(
     # labels is checkpointed (lineage-free) by connected_components, so
     # the size-guard count is a cached scan; below the guard the
     # corpus-side anti-join needs no shuffle at all
+    return canonical_attach(
+        df.select("doc_id"),
+        labels.select(
+            F.col("doc_id").alias("id"), F.col("cluster_id").alias("label")
+        ),
+        "doc_id",
+    )
+
+
+def canonical_attach(
+    corpus_ids: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """Survivor attach shared by the lexical (dedup_canonical) and
+    semantic (similarity.semantic_dedup_canonical) pipelines: cluster
+    survivors and sizes come from the tiny (id, label) frame ALONE
+    (every member, including the canonical, is a labeled node), and
+    unclustered ids survive with size 1 via a broadcast-guarded LEFT
+    ANTI join — the corpus side never shuffles; the only exchange is
+    the labels agg."""
     from ..operators.joins import maybe_broadcast
 
     unclustered = (
-        df.select("doc_id")
-        .join(maybe_broadcast(labels.select("doc_id")), "doc_id", "left_anti")
-        .select("doc_id", F.lit(1).cast("long").alias("cluster_size"))
+        corpus_ids.join(
+            maybe_broadcast(labels.select(F.col("id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+        .select(id_col, F.lit(1).cast("long").alias("cluster_size"))
     )
-    clustered = labels.groupBy(
-        F.col("cluster_id").alias("doc_id")
-    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    clustered = labels.groupBy(F.col("label").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return unclustered.unionByName(clustered)
 
 
@@ -711,6 +717,11 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
         .withColumn("n_tok", F.size("tok"))
         .withColumn("n_spans", ((F.col("n_tok") + (k - 1)) / k).cast("long"))
     )
+    # spans feed THREE consumers (winners agg, the kept join's probe
+    # side, reassembly); persist so the corpus tokenizes once for them
+    # — without the barrier each consumer re-runs the tokenize+explode
+    # +md5 pipeline (the same once-per-branch trap the CC edge
+    # symmetrization and the sign-LSH keys frame already fixed)
     spans = (
         base.filter(F.col("n_tok") > 0)
         .select(
@@ -725,6 +736,7 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
             ).alias("pos", "span_text"),
         )
         .withColumn("h", F.md5("span_text"))
+        .persist()
     )
     winners = spans.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("w")
@@ -742,7 +754,7 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return base.select("doc_id", "n_spans").join(rebuilt, "doc_id", "left").select(
+    out = base.select("doc_id", "n_spans").join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         "n_spans",
@@ -750,6 +762,7 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
             "n_removed"
         ),
     )
+    return owned(out, [spans])
 
 
 def dedup_spans_global_sql(k: int = K_SPAN) -> str:

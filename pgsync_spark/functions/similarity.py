@@ -393,29 +393,15 @@ def semantic_dedup_canonical(
     Output: (vec_id, cluster_size) — every surviving vector (cluster
     minimum or unclustered) with the number of corpus vectors it
     represents."""
-    from ..operators.joins import maybe_broadcast
-    from .dedup import connected_components
+    from ..caching import release
+    from .dedup import canonical_attach, connected_components
 
     pairs = embedding_neardup_pairs(df)
     labels = connected_components(
         pairs.select("id1", "id2"), max_rounds=max_rounds, strict=strict
     )
-    from ..caching import release
-
     release(pairs)  # keys cache — labels are checkpointed, lineage-free
-    unclustered = (
-        df.select("vec_id")
-        .join(
-            maybe_broadcast(labels.select(F.col("id").alias("vec_id"))),
-            "vec_id",
-            "left_anti",
-        )
-        .select("vec_id", F.lit(1).cast("long").alias("cluster_size"))
-    )
-    clustered = labels.groupBy(F.col("label").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return unclustered.unionByName(clustered)
+    return canonical_attach(df.select("vec_id"), labels, "vec_id")
 
 
 def semantic_dedup_canonical_sql() -> str:

@@ -156,8 +156,12 @@ class GeometryPlugin(Plugin):
         if not doc:
             return doc
         point = self._geojson(doc.get(self.point_field))
-        if point and point.get("type") == "Point":
-            doc[self.point_target] = point.get("coordinates")
+        if (
+            point
+            and point.get("type") == "Point"
+            and point.get("coordinates") is not None
+        ):
+            doc[self.point_target] = point["coordinates"]
         elif self.lon_field and self.lat_field:
             lon, lat = doc.get(self.lon_field), doc.get(self.lat_field)
             if lon is not None and lat is not None:

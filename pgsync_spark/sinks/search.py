@@ -146,11 +146,19 @@ def _insert_declared(props: dict, path: str, spec: dict) -> None:
     """Place a declared mapping at its dotted path, creating nested
     ``properties`` levels as needed; a spec already placed by the
     schema walk (which gave declared entries precedence) is left
-    untouched."""
+    untouched. Descending through a level the schema inferred as a
+    SCALAR would graft ``properties`` beside its ``type`` — an invalid
+    ES body — so that is a config error, raised loudly."""
     parts = path.split(".")
     cur = props
     for p in parts[:-1]:
-        cur = cur.setdefault(p, {}).setdefault("properties", {})
+        node = cur.setdefault(p, {})
+        if "type" in node and node.get("type") not in ("object", "nested"):
+            raise exc.SchemaError(
+                f"declared mapping {path!r} nests under {p!r}, which maps "
+                f"to scalar type {node['type']!r}"
+            )
+        cur = node.setdefault("properties", {})
     cur.setdefault(parts[-1], dict(spec))
 
 
@@ -171,8 +179,12 @@ def build_index_mapping(tree: Tree, doc_schema: T.StructType) -> dict:
     # (the reference emits every declared mapping unconditionally,
     # ref: pgsync/search_client.py:336-344) — this is how plugin-added
     # fields (e.g. GeometryPlugin's geo_point/geo_shape outputs) get
-    # typed in the index
+    # typed in the index. Reserved names keep the schema walk's skip:
+    # mapping _id/_meta/_routing under properties would be rejected by
+    # the cluster.
     for path, spec in declared.items():
+        if path.split(".", 1)[0] in ("_id", "_meta", "_routing"):
+            continue
         _insert_declared(props, path, spec)
     mappings: dict = {"properties": props}
     if tree.routing:

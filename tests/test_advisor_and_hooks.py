@@ -298,3 +298,21 @@ def test_geometry_plugin_enriches_and_maps(spark):
     assert props["coordinates"] == {"type": "geo_point"}
     assert props["shape"] == {"type": "geo_shape"}
     assert props["n_name"] == {"type": "text"}  # inferred fields intact
+
+
+def test_geometry_plugin_null_coordinates_guard(spark):
+    """Code-review regression: a Point with missing/null coordinates
+    must leave the doc unchanged, never write a null geo field."""
+    import json
+
+    from pgsync_spark.plugin import apply_plugins
+    from pgsync_spark.plugin_examples import GeometryPlugin
+
+    docs = spark.createDataFrame(
+        [("1", json.dumps({"point": {"type": "Point"}, "coordinates": [1, 2]}))],
+        "_id string, doc string",
+    )
+    out = json.loads(
+        apply_plugins(docs, [GeometryPlugin()], index="geo").collect()[0]["doc"]
+    )
+    assert out["coordinates"] == [1, 2]  # pre-existing value untouched

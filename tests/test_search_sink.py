@@ -76,7 +76,12 @@ class _Handler(BaseHTTPRequestHandler):
                     continue
                 _id = parsed[kind]["_id"]
                 status = 200
-                if _id in self.server.item_fail_permanent:
+                if kind == "index" and src is None:
+                    # malformed body (action with no source line): answer
+                    # a per-item 400 instead of crashing the handler
+                    # thread, which the client would misread as a drop
+                    status = 400
+                elif _id in self.server.item_fail_permanent:
                     status = 400
                 elif self.server.item_fail_transient.get(_id, 0) > 0:
                     self.server.item_fail_transient[_id] -= 1
@@ -436,3 +441,35 @@ def test_connection_drop_exhausts_retries_fails_loudly(spark, stub):
     stub.drop_next = 0
     w.upsert(docs)
     assert stub.indexed == {str(i): {"v": i} for i in range(4)}
+
+
+def test_declared_mapping_reserved_and_scalar_graft_guards(spark):
+    """Code-review regressions: a declared mapping for a reserved name
+    (_routing) must not land under properties, and a declared dotted
+    path nesting under a scalar-typed field is a loud config error,
+    not an invalid mapping body."""
+    from pgsync_spark import exc
+
+    raw = {
+        "index": "orders",
+        "routing": "o_custkey",
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_custkey"],
+            "transform": {"mapping": {"_routing": {"type": "keyword"}}},
+        },
+    }
+    tree = parse_tree(raw)
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(tree)
+    schema = assemble_structured(compiled).schema
+    body = build_index_mapping(tree, schema)
+    assert "_routing" not in body["mappings"]["properties"]
+    assert body["mappings"]["_routing"] == {"required": True}
+
+    raw["nodes"]["transform"] = {
+        "mapping": {"o_orderkey.sub": {"type": "keyword"}}
+    }
+    bad = parse_tree(raw)
+    compiled = TreeCompiler(Catalog(spark, SF_DIR)).compile(bad)
+    with pytest.raises(exc.SchemaError, match="scalar type"):
+        build_index_mapping(bad, assemble_structured(compiled).schema)
