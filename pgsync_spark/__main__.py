@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="print each index's generated settings/mappings JSON and exit",
     )
     p.add_argument(
+        "--validate", action="store_true",
+        help="run each tree's compiled plan AND its generated DuckDB "
+        "oracle SQL against --data-dir and compare results "
+        "(hash-equality gate as a CLI mode); exit 1 on any mismatch",
+    )
+    p.add_argument(
         "--events-dir", default=None,
         help="directory of JSON CDC event files (daemon mode)",
     )
@@ -161,7 +167,11 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         )
         return 2
     if not (
-        args.analyze or args.print_mapping or args.sink_dir or args.search_url
+        args.analyze
+        or args.print_mapping
+        or args.validate
+        or args.sink_dir
+        or args.search_url
     ):
         print(
             "nothing to do: pass --analyze, --sink-dir, or --search-url",
@@ -186,6 +196,41 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 print(f"== {name} ==", file=out)
                 print(analyze_report(catalog, tree), file=out)
             return 0
+
+        if args.validate:
+            # the engine's DuckDB-oracle correctness gate as a user
+            # command: compile each tree, generate its oracle SQL from
+            # the SAME node config, run both against --data-dir,
+            # compare row multisets. No reference analog — the
+            # reference has no second engine to check against; this
+            # repo's twin-compiler design makes it a one-flag feature.
+            from .plans.compiler import TreeCompiler
+            from .plans.oracle import oracle_doc_sql
+            from .testing import compare
+
+            def columns_of(t: str) -> list:
+                return catalog.df(t).columns
+
+            def column_type_of(t: str, c: str) -> str:
+                dt = dict(catalog.df(t).dtypes)[c]
+                if dt.startswith("timestamp"):
+                    return "timestamp"
+                if dt == "date":
+                    return "date"
+                return "other"
+
+            failed = []
+            for tree in trees:
+                name = tree.index or tree.root.table
+                df = TreeCompiler(catalog).compile_docs(tree)
+                sql = oracle_doc_sql(
+                    tree, catalog.tables, columns_of, column_type_of
+                )
+                ok, msg = compare(df, sql, args.data_dir)
+                print(f"{'PASS' if ok else 'FAIL'} {name}: {msg[:300]}", file=out)
+                if not ok:
+                    failed.append(name)
+            return 1 if failed else 0
 
         if args.print_mapping:
             # the bin/es_mapping analog: emit each index's generated

@@ -17,12 +17,27 @@ TABLES = (
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    seen = set()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(
                 f"CREATE VIEW \"{t}\" AS SELECT * FROM read_parquet('{path}')"
             )
+            seen.add(t)
+    # any other <table>.parquet in the dir registers too (CLI --validate
+    # against a user data dir whose tables aren't the testdata set);
+    # directory-style parquet globs its part files
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        t = os.path.basename(path)[: -len(".parquet")]
+        if t in seen or not t.isidentifier():
+            continue
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW \"{t}\" AS SELECT * FROM read_parquet('{src}')"
+        )
     return con
 
 

@@ -335,3 +335,17 @@ def test_cli_daemon_polling_trigger(spark, tmp_path):
     )
     assert rc == 0
     assert _read_docs(sink, "orders_cli")["9"]["o_orderpriority"] == "CLI-POLLED"
+
+
+def test_cli_validate_mode(spark, tmp_path):
+    """--validate runs each tree's compiled plan AND its generated
+    DuckDB oracle against --data-dir and exits 0 on hash-equality —
+    the engine's correctness gate as a user command."""
+    out = io.StringIO()
+    rc = main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR, "--validate"],
+        spark=spark,
+        out=out,
+    )
+    assert rc == 0
+    assert "PASS orders_cli" in out.getvalue()
