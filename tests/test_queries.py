@@ -292,3 +292,31 @@ def test_semantic_dedup_canonical_semantics(spark):
         for r in similarity.semantic_dedup_canonical(emb).collect()
     }
     assert got == {1: 3, 9: 1}
+
+
+def test_determinism_under_parallelism(spark):
+    """README's determinism claim, pinned: the same query collects the
+    SAME multiset (including JSON doc bytes and array orderings) under
+    different shuffle-partition settings — canonical array sorting
+    makes output independent of partitioning and AQE re-plans."""
+    from collections import Counter
+
+    from pgsync_spark import caching
+    from pgsync_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            snap = {}
+            for name in ("denorm_orders_full", "dedup_canonical"):
+                df = REGISTRY[name].fn(spark, sf)
+                snap[name] = Counter(tuple(r) for r in df.collect())
+                caching.release(df)
+            results.append(snap)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name in results[0]:
+        assert results[0][name] == results[1][name], name
