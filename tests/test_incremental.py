@@ -881,3 +881,99 @@ def test_materializer_defer_release_keeps_blocks_alive(spark):
     second_overlay = mat._overlay["orders"]
     mat.apply(batch(3, "C"))
     assert mat._overlay["orders"] is not second_overlay
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_event_sequences_match_full_recompute(spark, seed):
+    """Seeded fuzz of the gold invariant: random multi-batch CDC
+    sequences — root insert/update/delete/PK-change, child (composite
+    PK) insert/update/delete, dimension updates, dangling FKs, repeat
+    ops on the same key — and after EVERY batch the incrementally
+    maintained store must equal a full recompute from the post-batch
+    snapshots. Hand-written batches pin known cases; this walks the
+    space between them."""
+    import random
+
+    rng = random.Random(seed)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+
+    orders = [r.asDict() for r in eng.catalog.df("orders").limit(10).collect()]
+    lineitems = [
+        r.asDict()
+        for r in eng.catalog.df("lineitem")
+        .filter(F.col("l_orderkey").isin([o["o_orderkey"] for o in orders]))
+        .limit(12)
+        .collect()
+    ]
+    customers = [r.asDict() for r in eng.catalog.df("customer").limit(5).collect()]
+    txid = 1000
+    next_key = 900_000
+    live_orders = {o["o_orderkey"]: dict(o) for o in orders}
+
+    def make_event():
+        nonlocal txid, next_key
+        txid += 1
+        kind = rng.choice(
+            [
+                "root_upd", "root_del", "root_ins", "root_pk_change",
+                "child_ins", "child_upd", "child_del", "dim_upd",
+            ]
+        )
+        if kind == "root_upd" and live_orders:
+            k = rng.choice(list(live_orders))
+            row = dict(live_orders[k], o_orderpriority=f"FUZZ-{txid}")
+            live_orders[k] = row
+            return {"op": "UPDATE", "table": "orders",
+                    "old": {"o_orderkey": k}, "new": row, "txid": txid}
+        if kind == "root_del" and live_orders:
+            k = rng.choice(list(live_orders))
+            live_orders.pop(k)
+            return {"op": "DELETE", "table": "orders",
+                    "old": {"o_orderkey": k}, "txid": txid}
+        if kind == "root_pk_change" and live_orders:
+            k = rng.choice(list(live_orders))
+            next_key += 1
+            row = dict(live_orders.pop(k), o_orderkey=next_key)
+            live_orders[next_key] = row
+            return {"op": "UPDATE", "table": "orders",
+                    "old": {"o_orderkey": k}, "new": row, "txid": txid}
+        if kind == "root_ins" or not live_orders:
+            next_key += 1
+            base = dict(rng.choice(orders), o_orderkey=next_key)
+            if rng.random() < 0.3:
+                base["o_custkey"] = 888_888  # dangling FK — dim is null
+            live_orders[next_key] = base
+            return {"op": "INSERT", "table": "orders", "new": base, "txid": txid}
+        if kind == "child_ins":
+            li = dict(rng.choice(lineitems))
+            li["l_orderkey"] = rng.choice(
+                list(live_orders) + [888_888]  # sometimes orphan child
+            )
+            li["l_linenumber"] = rng.randint(50, 99)
+            return {"op": "INSERT", "table": "lineitem", "new": li, "txid": txid}
+        if kind == "child_upd":
+            li = dict(rng.choice(lineitems), l_quantity=float(rng.randint(1, 9)))
+            return {"op": "UPDATE", "table": "lineitem",
+                    "old": {"l_orderkey": li["l_orderkey"],
+                            "l_linenumber": li["l_linenumber"]},
+                    "new": li, "txid": txid}
+        if kind == "child_del":
+            li = rng.choice(lineitems)
+            return {"op": "DELETE", "table": "lineitem",
+                    "old": {"l_orderkey": li["l_orderkey"],
+                            "l_linenumber": li["l_linenumber"]}, "txid": txid}
+        cu = dict(rng.choice(customers), c_name=f"FUZZ-CUST-{txid}")
+        return {"op": "UPDATE", "table": "customer",
+                "old": {"c_custkey": cu["c_custkey"]}, "new": cu, "txid": txid}
+
+    for _batch in range(3):
+        events = [make_event() for _ in range(rng.randint(3, 7))]
+        eng.process_batch(payloads_from_rows(spark, events))
+        full = TreeCompiler(eng.catalog).compile_docs(tree)
+        assert _docs_equal(eng.docs, full), (
+            f"seed={seed} batch={_batch} events={events}"
+        )
+    eng._teardown_stores()
