@@ -40,11 +40,27 @@ def test_dedup_caches_released(spark):
     caching.release(result) nothing stays pinned in executor memory.
     (dedup_clusters is excluded: its localCheckpoint label frames are
     owned by the returned result and freed by the ContextCleaner.)"""
+    import time as _time
+
     from pgsync_spark import caching
+
+    def _count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def _settle(target):
+        # unpersist is ASYNC (DataFrame.unpersist and rdd.unpersist(False)
+        # both enqueue the removal) — poll instead of racing the cleaner
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            n = _count()
+            if n <= target:
+                return n
+            _time.sleep(0.2)
+        return _count()
 
     caching.release_all()
     spark.catalog.clearCache()
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    base = _settle(0)
     for name in (
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
@@ -53,7 +69,7 @@ def test_dedup_caches_released(spark):
         df = REGISTRY[name].fn(spark, SF_DIR)
         df.count()
         caching.release(df)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+    assert _settle(base) == base
 
 
 def test_lsh_bucket_cap_drops_hot_buckets(spark):
