@@ -75,12 +75,14 @@ def _bench_incremental(spark, sf_dir: str) -> dict:
     _gc(spark)
     cat = Catalog(spark, sf_dir)
     eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
-    # two runs, keep the min: full_sync is the scaling artifact's
+    # three runs, keep the min: full_sync is the scaling artifact's
     # denominator and a single-shot number inherits this sandbox's
-    # noise bursts (the second run also reuses the warmed page cache,
-    # which is the state a real re-sync runs in)
+    # noise bursts (r5 observed a min-of-2 catch two consecutive GC
+    # bursts on the 3× synth section, 9.8 → 19.1s between runs; run 1
+    # also doubles as the page-cache warmer, which is the state a real
+    # re-sync runs in)
     samples = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         eng.full_sync()
         samples.append(time.perf_counter() - t0)
