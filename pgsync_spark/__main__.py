@@ -174,7 +174,8 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         or args.search_url
     ):
         print(
-            "nothing to do: pass --analyze, --sink-dir, or --search-url",
+            "nothing to do: pass --analyze, --validate, --print-mapping, "
+            "--sink-dir, or --search-url",
             file=sys.stderr,
         )
         return 2

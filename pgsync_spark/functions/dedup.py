@@ -715,7 +715,10 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
     base = (
         df.select("doc_id", tok.alias("tok"))
         .withColumn("n_tok", F.size("tok"))
-        .withColumn("n_spans", ((F.col("n_tok") + (k - 1)) / k).cast("long"))
+        # SQL `div` = exact integer division on longs, matching the
+        # oracle's `//` for any n_tok (float `/`+cast is only exact
+        # below 2^53 and fragile under ANSI/decimal config changes)
+        .withColumn("n_spans", F.expr(f"(n_tok + {k - 1}) div {k}"))
     )
     # spans feed THREE consumers (winners agg, the kept join's probe
     # side, reassembly); persist so the corpus tokenizes once for them

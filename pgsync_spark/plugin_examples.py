@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re as _re
 
 from .plugin import Plugin
 
@@ -169,6 +170,86 @@ class GeometryPlugin(Plugin):
         polygon = self._geojson(doc.get(self.polygon_field))
         if polygon and polygon.get("type") == "Polygon":
             doc[self.shape_target] = polygon
+        return doc
+
+
+class MaskingPlugin(Plugin):
+    """PII masking through the plugin chain — the reference's
+    MaskingPlugin reproduced field-for-field
+    (ref: plugins/masking_plugin.py:10-96): declared fields are
+    REDACTED (replaced wholesale), MASKED (partial display keyed on
+    the field name — email / phone / credit card), or HASHED (one-way
+    sha256 prefix for join-safe anonymization). Unknown or absent
+    fields pass through untouched; docs are never dropped.
+
+    Every rule is a pure string function, so the whole chain stays
+    DuckDB-oracle-verifiable (sha256/regexp/substring exist in both
+    engines) — see ``plugin_masking_docs`` in queries.py.
+    """
+
+    name = "masking"
+
+    REDACTED = "[REDACTED]"
+
+    def __init__(
+        self,
+        redact_fields: list[str] = ("ssn", "password", "secret"),
+        mask_fields: list[str] = ("email", "phone", "credit_card"),
+        hash_fields: list[str] = ("user_id", "customer_id"),
+    ):
+        self.redact_fields = list(redact_fields)
+        self.mask_fields = list(mask_fields)
+        self.hash_fields = list(hash_fields)
+
+    # -- rule implementations (ref: plugins/masking_plugin.py:44-70) --
+    @staticmethod
+    def mask_email(email: str) -> str:
+        """First char of the local part + domain; short locals fully
+        starred."""
+        if "@" not in email:
+            return email
+        local, domain = email.rsplit("@", 1)
+        if len(local) > 1:
+            return f"{local[0]}***@{domain}"
+        return f"***@{domain}"
+
+    @staticmethod
+    def mask_phone(phone: str) -> str:
+        """Last 4 digits only."""
+        digits = _re.sub(r"\D", "", phone)
+        if len(digits) >= 4:
+            return f"***-***-{digits[-4:]}"
+        return "***"
+
+    @staticmethod
+    def mask_credit_card(cc: str) -> str:
+        digits = _re.sub(r"\D", "", cc)
+        if len(digits) >= 4:
+            return f"****-****-****-{digits[-4:]}"
+        return "****"
+
+    @staticmethod
+    def hash_value(value) -> str:
+        return hashlib.sha256(str(value).encode()).hexdigest()[:16]
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if not doc:
+            return doc
+        for field in self.redact_fields:
+            if field in doc:
+                doc[field] = self.REDACTED
+        for field in self.mask_fields:
+            if field in doc and isinstance(doc[field], str):
+                low = field.lower()
+                if "email" in low:
+                    doc[field] = self.mask_email(doc[field])
+                elif "phone" in low:
+                    doc[field] = self.mask_phone(doc[field])
+                elif "credit" in low or "card" in low:
+                    doc[field] = self.mask_credit_card(doc[field])
+        for field in self.hash_fields:
+            if field in doc and doc[field]:
+                doc[field] = self.hash_value(doc[field])
         return doc
 
 

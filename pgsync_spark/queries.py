@@ -1927,6 +1927,70 @@ def plugin_embedding_enrich_docs(spark, sf_dir):
     )
 
 
+def plugin_masking_docs(spark, sf_dir):
+    """PII-masking plugin chain over customer docs — the reference's
+    MaskingPlugin semantics (ref: plugins/masking_plugin.py:10-96)
+    through the engine's mapInPandas chain, with its DEFAULT field
+    lists: ``secret`` is redacted wholesale, ``email`` keeps first
+    char + domain, ``phone`` and ``credit_card`` keep their last 4
+    digits, and ``customer_id`` is one-way sha256-hashed for
+    join-safe anonymization. The testdata has no PII columns, so the
+    doc synthesizes them deterministically from c_custkey/c_name
+    (same approach as text_pii_redact); every masking rule is a pure
+    string function, so the DuckDB oracle reproduces the masked docs
+    byte-for-byte."""
+    from .plugin import apply_plugins
+    from .plugin_examples import MaskingPlugin
+
+    c = Catalog(spark, sf_dir).df("customer")
+    k = F.col("c_custkey")
+    docs = c.select(
+        k.cast("string").alias("_id"),
+        F.to_json(
+            F.struct(
+                k.alias("customer_id"),
+                "c_name",
+                F.concat(
+                    F.lower(F.regexp_replace("c_name", "#", ".")),
+                    F.lit("@example.com"),
+                ).alias("email"),
+                F.format_string(
+                    "%03d-%03d-%04d", k % 1000, (k * 7) % 1000, (k * 13) % 10000
+                ).alias("phone"),
+                F.format_string(
+                    "%04d-%04d-%04d-%04d",
+                    (k * 3) % 10000, (k * 5) % 10000, (k * 11) % 10000, k % 10000,
+                ).alias("credit_card"),
+                F.col("c_mktsegment").alias("secret"),
+            )
+        ).alias("doc"),
+    )
+    return apply_plugins(docs, [MaskingPlugin()], index="customer")
+
+
+REGISTRY["plugin_masking_docs"] = QueryDef(
+    fn=plugin_masking_docs,
+    oracle="""
+        SELECT CAST(c_custkey AS VARCHAR) AS _id,
+               json_object(
+                 -- reference parity: `if field in doc and doc[field]`
+                 -- skips falsy values, so customer_id 0 stays unhashed
+                 'customer_id', CASE WHEN c_custkey <> 0
+                     THEN to_json(substring(sha256(CAST(c_custkey AS VARCHAR)), 1, 16))
+                     ELSE to_json(c_custkey) END,
+                 'c_name', c_name,
+                 'email', substring(lower(replace(c_name, '#', '.')), 1, 1)
+                          || '***@example.com',
+                 'phone', '***-***-' || printf('%04d', (c_custkey * 13) % 10000),
+                 'credit_card', '****-****-****-'
+                                || printf('%04d', c_custkey % 10000),
+                 'secret', '[REDACTED]'
+               )::VARCHAR AS doc
+        FROM customer
+    """,
+)
+
+
 from .plugin_examples import hash_embedding_sql as _hash_emb_sql  # noqa: E402
 
 REGISTRY["plugin_embedding_enrich_docs"] = QueryDef(

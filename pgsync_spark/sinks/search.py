@@ -286,16 +286,26 @@ def _send_bulk_partition(
                     f"{len(items)} items for {len(pending)} actions"
                 )
             statuses = [_item_status(it) for it in items]
+
+            def _settled(it: dict, st: int) -> bool:
+                # 404 on a DELETE action is idempotent success: the
+                # transport-level retry replays whole chunks, so a
+                # delete the cluster already applied answers not_found
+                # on the replay — that is the converged state, not a
+                # failure (index actions converge by _id the same way).
+                return st < 300 or (st == 404 and "delete" in it)
+
             fatal = [
                 it for it, st in zip(items, statuses)
-                if 300 <= st < 500 and st != 429
+                if 300 <= st < 500 and st != 429 and not _settled(it, st)
             ]
             if fatal:
                 raise RuntimeError(
                     f"bulk items failed permanently: {fatal[:5]}"
                 )
             retry = [
-                blk for blk, st in zip(pending, statuses) if st >= 300
+                blk for blk, it, st in zip(pending, items, statuses)
+                if st >= 300 and not _settled(it, st)
             ]
             if not retry:
                 break

@@ -15,6 +15,14 @@ TABLES = (
 ).split()
 
 
+def _sql_str(path: str) -> str:
+    """Escape a filesystem path for embedding in a SQL string literal.
+    CREATE VIEW can't take bound parameters (the view stores the query
+    text), so quoting is the only option — and CLI --validate points
+    this at arbitrary user --data-dir values that may contain quotes."""
+    return "'" + path.replace("'", "''") + "'"
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     seen = set()
@@ -22,7 +30,8 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(
-                f"CREATE VIEW \"{t}\" AS SELECT * FROM read_parquet('{path}')"
+                f"CREATE VIEW \"{t}\" AS "
+                f"SELECT * FROM read_parquet({_sql_str(path)})"
             )
             seen.add(t)
     # any other <table>.parquet in the dir registers too (CLI --validate
@@ -36,7 +45,8 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             continue
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW \"{t}\" AS SELECT * FROM read_parquet('{src}')"
+            f"CREATE VIEW \"{t}\" AS "
+            f"SELECT * FROM read_parquet({_sql_str(src)})"
         )
     return con
 

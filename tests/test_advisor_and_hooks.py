@@ -300,6 +300,56 @@ def test_geometry_plugin_enriches_and_maps(spark):
     assert props["n_name"] == {"type": "text"}  # inferred fields intact
 
 
+def test_masking_plugin_rules(spark):
+    """Reference MaskingPlugin parity (ref: plugins/masking_plugin.py:
+    10-96): redact wholesale, partial-mask email/phone/credit card
+    keyed on the field name, one-way-hash ids, skip falsy/absent
+    fields, never drop a doc."""
+    import hashlib
+    import json
+
+    from pgsync_spark.plugin import apply_plugins
+    from pgsync_spark.plugin_examples import MaskingPlugin
+
+    rows = [
+        ("1", json.dumps({
+            "user_id": 42,
+            "ssn": "123-45-6789",
+            "email": "alice.smith@corp.example",
+            "phone": "+1 (555) 867-5309",
+            "credit_card": "4111 1111 1111 1234",
+            "note": "untouched",
+        })),
+        # edge shapes: @-less email passes through, 1-char local fully
+        # starred, short phone collapses, falsy user_id skips the hash,
+        # absent fields are skipped entirely
+        ("2", json.dumps({
+            "email": "not-an-email",
+            "phone": "12",
+            "user_id": 0,
+        })),
+        ("3", json.dumps({"email": "a@b.co"})),
+    ]
+    docs = spark.createDataFrame(rows, "_id string, doc string")
+    out = {
+        r["_id"]: json.loads(r["doc"])
+        for r in apply_plugins(docs, [MaskingPlugin()], index="m").collect()
+    }
+    assert len(out) == 3  # masking never drops documents
+    d1 = out["1"]
+    assert d1["ssn"] == "[REDACTED]"
+    assert d1["email"] == "a***@corp.example"
+    assert d1["phone"] == "***-***-5309"
+    assert d1["credit_card"] == "****-****-****-1234"
+    assert d1["user_id"] == hashlib.sha256(b"42").hexdigest()[:16]
+    assert d1["note"] == "untouched"
+    d2 = out["2"]
+    assert d2["email"] == "not-an-email"  # no '@' → unchanged (ref :47)
+    assert d2["phone"] == "***"
+    assert d2["user_id"] == 0  # falsy → hash skipped (ref :92)
+    assert out["3"]["email"] == "***@b.co"  # 1-char local fully starred
+
+
 def test_geometry_plugin_null_coordinates_guard(spark):
     """Code-review regression: a Point with missing/null coordinates
     must leave the doc unchanged, never write a null geo field."""

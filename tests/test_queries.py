@@ -60,6 +60,13 @@ def test_dedup_caches_released(spark):
 
     caching.release_all()
     spark.catalog.clearCache()
+    # stale frames from earlier tests may still be pinned until their
+    # Python/JVM refs are collected — nudge both GCs so `base` doesn't
+    # capture RDDs the ContextCleaner is about to free mid-test
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     base = _settle(0)
     for name in (
         "dedup_minhash_signatures",
@@ -69,7 +76,9 @@ def test_dedup_caches_released(spark):
         df = REGISTRY[name].fn(spark, SF_DIR)
         df.count()
         caching.release(df)
-    assert _settle(base) == base
+    # <= base: the invariant is that THESE ops pin nothing new; the
+    # background cleaner may still reclaim leftovers counted in base
+    assert _settle(base) <= base
 
 
 def test_lsh_bucket_cap_drops_hot_buckets(spark):

@@ -86,6 +86,14 @@ class _Handler(BaseHTTPRequestHandler):
                 elif self.server.item_fail_transient.get(_id, 0) > 0:
                     self.server.item_fail_transient[_id] -= 1
                     status = 429
+                elif kind == "delete" and _id not in getattr(
+                    self.server, "indexed", {}
+                ):
+                    # real ES semantics: deleting a missing doc answers
+                    # per-item 404 not_found — the replayed-delete
+                    # convergence path depends on the client treating
+                    # that as idempotent success, not a failure
+                    status = 404
                 if status >= 300:
                     errors = True
                 elif kind == "index":
@@ -182,11 +190,38 @@ def test_upsert_routing_and_pipeline(spark, stub):
 
 
 def test_delete_bulk_bodies(spark, stub):
-    ids = spark.createDataFrame([("7",), ("8",)], "_id string")
+    # these _ids were never indexed, so the stub answers per-item 404
+    # not_found (real ES semantics) — which the writer must classify as
+    # idempotent success, not a permanent failure
+    ids = spark.createDataFrame([("7",), ("8",)], "_id string").repartition(1)
     BulkHttpWriter(_url(stub), "idx").delete(ids)
     lines = _bulk_lines(stub)
     assert all("delete" in ln for ln in lines)
     assert {ln["delete"]["_id"] for ln in lines} == {"7", "8"}
+    # no retry storm: the 404s settled on the first exchange
+    assert len([r for r in stub.requests if r[1] == "/_bulk"]) == 1
+
+
+def test_delete_replay_after_connection_drop_converges(spark, stub):
+    """ADVICE r5: the transport retry replays whole chunks; a delete
+    chunk the cluster already applied answers per-item 404 not_found on
+    the replay. That is the converged state — the writer must treat it
+    as success (the upsert twin of this test is
+    test_connection_drop_mid_stream_retries_and_converges)."""
+    docs = spark.createDataFrame(
+        [(str(i), json.dumps({"v": i})) for i in range(4)],
+        "_id string, doc string",
+    ).repartition(1)
+    w = BulkHttpWriter(_url(stub), "idx", chunk_docs=4, backoff=0.01)
+    w.upsert(docs)
+    assert set(stub.indexed) == {str(i) for i in range(4)}
+
+    stub.drop_after_processing = 1  # apply the first delete chunk, then die
+    ids = spark.createDataFrame(
+        [(str(i),) for i in range(4)], "_id string"
+    ).repartition(1)
+    BulkHttpWriter(_url(stub), "idx", chunk_docs=2, backoff=0.01).delete(ids)
+    assert stub.indexed == {}  # every delete landed despite the replay
 
 
 def test_retry_on_429(spark, stub):
