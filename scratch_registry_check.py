@@ -4,10 +4,16 @@ The driver samples ~50 of the registry; this loop covers all of it so an
 unsampled query can never ship unvalidated (VERDICT r2 item 9). Queries
 without an oracle get a rows-only check (runs, returns >= 0 rows).
 
-Usage: python scratch_registry_check.py [name ...] [--sf DIR]
-Exit code 1 if anything fails.
+Usage: python scratch_registry_check.py [name ...] [--sf DIR] [--json PATH]
+Exit code 1 if anything fails. With --json, a machine-readable artifact
+(one row per query: oracle vs rows-only, pass/fail, row count, seconds)
+is written for committing as VALIDATE_r{N}.json — the driver samples
+only ~50 queries, so this is the official full-coverage evidence
+(VERDICT r5 item 5).
 """
 
+import json
+import re
 import sys
 import time
 
@@ -20,13 +26,21 @@ SF = "/root/testdata/sf0.01"
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 if "--sf" in sys.argv:
     SF = sys.argv[sys.argv.index("--sf") + 1]
+    args.remove(SF)
+json_path = None
+if "--json" in sys.argv:
+    json_path = sys.argv[sys.argv.index("--json") + 1]
+    if json_path in args:
+        args.remove(json_path)
 names = args or list(REGISTRY)
 
 spark = get_spark("registry-check")
 failed = []
+results = {}
 for name in names:
     qd = REGISTRY[name]
     t0 = time.perf_counter()
+    n = None
     try:
         df = qd.fn(spark, SF)
         if qd.oracle is None:
@@ -34,15 +48,36 @@ for name in names:
             ok, msg = True, f"rows-only ({n} rows)"
         else:
             ok, msg = compare(df, qd.oracle, SF)
+            m = re.search(r"(\d+) rows", msg or "")
+            n = int(m.group(1)) if m else None
         caching.release(df)
     except Exception as e:
         ok, msg = False, f"EXC: {type(e).__name__}: {e}"
     dt = time.perf_counter() - t0
     print(f"{'PASS' if ok else 'FAIL'} {name}: {msg[:1500]} [{dt:.1f}s]", flush=True)
+    results[name] = {
+        "ok": bool(ok),
+        "check": "rows_only" if qd.oracle is None else "oracle",
+        "rows": n,
+        "sec": round(dt, 2),
+        **({} if ok else {"msg": (msg or "")[:500]}),
+    }
     if not ok:
         failed.append(name)
 
 caching.release_all()
 spark.catalog.clearCache()
+if json_path:
+    summary = {
+        "sf_dir": SF,
+        "total": len(names),
+        "passed": len(names) - len(failed),
+        "failed": failed,
+        "with_oracle": sum(1 for r in results.values() if r["check"] == "oracle"),
+        "queries": results,
+    }
+    with open(json_path, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"wrote {json_path}")
 print(f"\n{len(names) - len(failed)}/{len(names)} green" + (f"; FAILED: {failed}" if failed else ""))
 sys.exit(1 if failed else 0)

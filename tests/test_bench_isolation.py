@@ -39,3 +39,51 @@ def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
     assert "incremental_full_sync" in out["queries"]
     assert "incremental_cdc_batch" in out["queries"]
     assert "incremental_steady_batch" in out["queries"]
+    # r5 verdict item 1: the artifact is noise-self-diagnosing — every
+    # metric ships its raw per-run samples and an ambient canary is
+    # timed at both ends of the run
+    assert out["query_samples"]["count_scan"], "per-run samples recorded"
+    assert len(out["query_samples"]["incremental_full_sync"]) == 3
+    assert out["canary"]["start"] > 0 and out["canary"]["end"] > 0
+    assert len(out["canary"]["start_samples"]) == bench.CANARY_RUNS
+    assert out["canary"]["end_over_start"] > 0
+    # the broken query produced no samples entry (it never completed)
+    assert "broken_query" not in out["query_samples"]
+
+
+def test_noise_flags_physical_plausibility():
+    """The artifact self-flags physically implausible measurements:
+    canary drift, larger-SF-beats-smaller inversions (the r5 driver
+    window fingerprint), batch-size inversions, per-query spread."""
+    flags = bench._noise_flags(
+        {"start": 0.1, "end": 0.5, "end_over_start": 5.0},
+        {"q1": [1.0, 1.1, 5.0], "incremental_full_sync": [9.0, 1.0, 1.0]},
+        {
+            "full_sync_ratio_3x_vs_big": 0.94,
+            "steady_batch_ratio_3x_vs_big": 0.88,
+            "full_sync_ratio": 4.2,
+        },
+        {"event_ratio": 3.96, "time_ratio": 0.89, "steady_1x": 3.56},
+        {"incremental_steady_batch": 6.41},
+    )
+    text = "\n".join(flags)
+    assert "canary drift" in text
+    assert "repeat-measurement drift" in text
+    assert "q1" in text and "spread" in text
+    # min-of-3 full_sync cold/warm spread is expected, never flagged
+    assert "incremental_full_sync" not in text
+    assert text.count("scaling inversion") == 2  # both 3x inversions
+    assert "batch-size inversion" in text
+
+    # a clean run produces zero flags
+    assert bench._noise_flags(
+        {"start": 0.1, "end": 0.11, "end_over_start": 1.1},
+        {"q1": [1.0, 1.1, 1.2]},
+        {
+            "full_sync_ratio_3x_vs_big": 2.6,
+            "steady_batch_ratio_3x_vs_big": 1.2,
+            "full_sync_ratio": 4.0,
+        },
+        {"event_ratio": 3.96, "time_ratio": 1.2, "steady_1x": 3.56},
+        {"incremental_steady_batch": 3.9},
+    ) == []

@@ -138,6 +138,83 @@ def test_connected_components_converged_is_quiet(spark, caplog):
     assert not any("did not converge" in r.message for r in caplog.records)
 
 
+def test_connected_components_pointer_doubling_round_budget(spark):
+    """The O(log d) claim as a test, not a comment (VERDICT r5 item 7):
+    a single chain of 100k nodes (diameter 100k) must converge inside
+    the default 21-round budget — possible only because the shortcut
+    step grows reach multiplicatively (plain min-propagation needs
+    ~100k rounds). A 10-round budget (reach ~2^10) must NOT suffice;
+    together the two runs bracket the actual round count inside
+    (10, 21] ≈ 1.2·log2(d)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pgsync_spark.functions import dedup
+
+    n = 100_000
+    pairs = spark.range(n - 1).selectExpr("id AS id1", "id + 1 AS id2")
+    labels = dedup.connected_components(pairs, max_rounds=21, strict=True)
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("label").alias("lo"),
+        F.max("label").alias("hi"),
+    ).first()
+    assert (stats["n"], stats["lo"], stats["hi"]) == (n, 0, 0)
+
+    # negative control: without enough doubling rounds the chain cannot
+    # resolve — proves the budget above is doing real work, and that a
+    # too-short budget still signals instead of mislabeling silently
+    with pytest.raises(dedup.NonConvergenceError, match="still changing"):
+        dedup.connected_components(pairs, max_rounds=10, strict=True)
+
+
+def test_canonical_attach_non_broadcast_fallback(spark, monkeypatch):
+    """VERDICT r5 item 4: when the duplicate-label set outgrows the
+    broadcast row limit, canonical_attach must fall back to a shuffled
+    anti-join — same output, no BroadcastHashJoin in the executed
+    plan."""
+    from pgsync_spark.functions.dedup import canonical_attach
+    from pgsync_spark.operators import joins
+
+    corpus = spark.range(500).selectExpr("id AS doc_id")
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(i, 10) for i in (10, 11, 12)],
+        "id long, label long",
+    ).localCheckpoint(eager=True)
+
+    expected = {
+        (r["doc_id"], r["cluster_size"])
+        for r in canonical_attach(corpus, labels, "doc_id").collect()
+    }
+    assert (0, 5) in expected and (10, 3) in expected
+    assert len(expected) == 500 - 8 + 2  # survivors + canonicals
+
+    # force the fallback: row guard trips, and the JVM-side broadcast
+    # thresholds are disabled so AQE can't re-promote the join
+    monkeypatch.setattr(joins, "BROADCAST_ROW_LIMIT", 4)
+    restore = {}
+    for key in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        try:
+            restore[key] = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset in this session
+            restore[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        out = canonical_attach(corpus, labels, "doc_id")
+        got = {(r["doc_id"], r["cluster_size"]) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert got == expected
+    finally:
+        for key, val in restore.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 def test_uuid_equality_guard_empty_not_error(spark):
     """DEVIATIONS #9 (ref pgsync/querybuilder.py:81-98): filtering a
     uuid-typed column against an int literal must yield an EMPTY result,
