@@ -45,6 +45,10 @@ HEADLINE = [
     "token_budget_select",
     # round-5: C4-style global repeated-span removal
     "dedup_spans_global",
+    # round-6: the Arrow plugin chain as a headline number (masking
+    # rules are pure Python over mapInPandas — this prices the
+    # engine's one sanctioned Python crossing per doc)
+    "plugin_masking_docs",
 ]
 
 # steady-state = median of this many batches applied after the cold one

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import math
 import re as _re
+import unicodedata
 
 from .plugin import Plugin
 
@@ -250,6 +251,79 @@ class MaskingPlugin(Plugin):
         for field in self.hash_fields:
             if field in doc and doc[field]:
                 doc[field] = self.hash_value(doc[field])
+        return doc
+
+
+class SlugPlugin(Plugin):
+    """URL-friendly slugs from a text field
+    (ref: plugins/slug_plugin.py:10-86): unicode-normalize to ascii,
+    lowercase, spaces/underscores to hyphens, strip everything else,
+    collapse runs, trim, and truncate at a word boundary. Absent or
+    non-string sources leave the doc unchanged."""
+
+    name = "slug"
+
+    def __init__(
+        self,
+        source_field: str = "title",
+        target_field: str = "slug",
+        max_length: int = 100,
+    ):
+        self.source_field = source_field
+        self.target_field = target_field
+        self.max_length = max_length
+
+    def slugify(self, text: str) -> str:
+        if not text:
+            return ""
+        text = (
+            unicodedata.normalize("NFKD", text)
+            .encode("ascii", "ignore")
+            .decode("ascii")
+        )
+        text = _re.sub(r"[\s_]+", "-", text.lower())
+        text = _re.sub(r"[^a-z0-9-]", "", text)
+        text = _re.sub(r"-{2,}", "-", text).strip("-")
+        if self.max_length and len(text) > self.max_length:
+            text = text[: self.max_length]
+            if "-" in text:
+                text = text.rsplit("-", 1)[0]
+        return text
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if not doc:
+            return doc
+        value = doc.get(self.source_field)
+        if value and isinstance(value, str):
+            doc[self.target_field] = self.slugify(value)
+        return doc
+
+
+class InfinityDatePlugin(Plugin):
+    """PostgreSQL ``infinity``/``-infinity`` date values mapped to the
+    extreme representable timestamps (ref: plugins/infinity.py:9-28
+    converts to datetime.max/min; docs travel as JSON strings here, so
+    the ISO renderings of those extremes are the analog — which is
+    also what a date-typed ES field needs)."""
+
+    name = "infinity_date"
+
+    MAX_ISO = "9999-12-31T23:59:59.999999"  # datetime.max.isoformat()
+    MIN_ISO = "0001-01-01T00:00:00"  # datetime.min.isoformat()
+
+    def __init__(self, fields: list[str] = ("publish_date",)):
+        self.fields = list(fields)
+
+    def transform(self, doc: dict, _id: str, _index: str) -> dict | None:
+        if not doc:
+            return doc
+        for field in self.fields:
+            value = doc.get(field)
+            if isinstance(value, str):
+                if value.lower() == "infinity":
+                    doc[field] = self.MAX_ISO
+                elif value.lower() == "-infinity":
+                    doc[field] = self.MIN_ISO
         return doc
 
 

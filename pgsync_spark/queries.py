@@ -1991,6 +1991,64 @@ REGISTRY["plugin_masking_docs"] = QueryDef(
 )
 
 
+def plugin_slug_infinity_docs(spark, sf_dir):
+    """Slug + infinity-date plugin chain over part docs — the two
+    remaining reference plugin shapes (ref: plugins/slug_plugin.py,
+    plugins/infinity.py) composed in one chain: p_name becomes a
+    URL-friendly slug, and a synthesized publish_date column cycling
+    'infinity' / '-infinity' / a real date maps to the extreme ISO
+    timestamps (PG infinity semantics). The testdata is ASCII, so the
+    slug rule is pure lower/regexp in both engines (unicode NFKD
+    handling is covered by the plugin's pytest fixtures)."""
+    from .plugin import apply_plugins
+    from .plugin_examples import InfinityDatePlugin, SlugPlugin
+
+    p = Catalog(spark, sf_dir).df("part")
+    k = F.col("p_partkey")
+    docs = p.select(
+        k.cast("string").alias("_id"),
+        F.to_json(
+            F.struct(
+                "p_partkey",
+                "p_name",
+                F.when(k % 3 == 0, F.lit("infinity"))
+                .when(k % 3 == 1, F.lit("-infinity"))
+                .otherwise(F.lit("2020-01-15"))
+                .alias("publish_date"),
+            )
+        ).alias("doc"),
+    )
+    return apply_plugins(
+        docs,
+        [InfinityDatePlugin(), SlugPlugin(source_field="p_name")],
+        index="part",
+    )
+
+
+REGISTRY["plugin_slug_infinity_docs"] = QueryDef(
+    fn=plugin_slug_infinity_docs,
+    oracle="""
+        SELECT CAST(p_partkey AS VARCHAR) AS _id,
+               json_object(
+                 'p_partkey', p_partkey,
+                 'p_name', p_name,
+                 'publish_date', CASE p_partkey % 3
+                     WHEN 0 THEN '9999-12-31T23:59:59.999999'
+                     WHEN 1 THEN '0001-01-01T00:00:00'
+                     ELSE '2020-01-15' END,
+                 'slug', trim(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(p_name), '[\\s_]+', '-', 'g'),
+                         '[^a-z0-9-]', '', 'g'),
+                       '-{2,}', '-', 'g'),
+                     '-')
+               )::VARCHAR AS doc
+        FROM part
+    """,
+)
+
+
 from .plugin_examples import hash_embedding_sql as _hash_emb_sql  # noqa: E402
 
 REGISTRY["plugin_embedding_enrich_docs"] = QueryDef(

@@ -350,6 +350,45 @@ def test_masking_plugin_rules(spark):
     assert out["3"]["email"] == "***@b.co"  # 1-char local fully starred
 
 
+def test_slug_and_infinity_plugins(spark):
+    """The last two reference plugin shapes (ref: plugins/slug_plugin
+    .py, plugins/infinity.py): unicode-aware slugification with
+    word-boundary truncation, and PG infinity-date mapping — through
+    the real chain."""
+    import json
+
+    from pgsync_spark.plugin import apply_plugins
+    from pgsync_spark.plugin_examples import InfinityDatePlugin, SlugPlugin
+
+    rows = [
+        ("1", json.dumps({
+            "title": "Héllo Wörld! This_is  a Tëst",
+            "publish_date": "Infinity",
+        })),
+        ("2", json.dumps({"title": "", "publish_date": "-infinity"})),
+        ("3", json.dumps({"title": 42, "publish_date": "2021-06-01"})),
+    ]
+    docs = spark.createDataFrame(rows, "_id string, doc string")
+    out = {
+        r["_id"]: json.loads(r["doc"])
+        for r in apply_plugins(
+            docs, [SlugPlugin(), InfinityDatePlugin()], index="p"
+        ).collect()
+    }
+    assert out["1"]["slug"] == "hello-world-this-is-a-test"
+    assert out["1"]["publish_date"] == InfinityDatePlugin.MAX_ISO
+    assert "slug" not in out["2"]  # falsy source → untouched (ref :43)
+    assert out["2"]["publish_date"] == InfinityDatePlugin.MIN_ISO
+    assert "slug" not in out["3"]  # non-string source → untouched
+    assert out["3"]["publish_date"] == "2021-06-01"  # real dates pass
+
+    # truncation breaks at the last word boundary inside max_length
+    s = SlugPlugin(max_length=12)
+    assert s.slugify("alpha beta gamma delta") == "alpha-beta"
+    # no hyphen inside the limit → hard cut
+    assert SlugPlugin(max_length=5).slugify("abcdefgh") == "abcde"
+
+
 def test_geometry_plugin_null_coordinates_guard(spark):
     """Code-review regression: a Point with missing/null coordinates
     must leave the doc unchanged, never write a null geo field."""

@@ -43,6 +43,31 @@ def test_config_loader_missing_env(tmp_path):
         config_loader(str(cfg))
 
 
+def test_duckdb_connect_quoted_path(tmp_path):
+    """ADVICE r5: CLI --validate points duckdb_connect at arbitrary
+    user --data-dir values; a path containing a single quote must
+    register views instead of breaking the SQL literal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgsync_spark.testing import duckdb_connect
+
+    d = tmp_path / "it's data"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"r_regionkey": [0, 1], "r_name": ["A", "B"]}),
+        d / "region.parquet",
+    )
+    # a non-testdata table name exercises the glob branch too
+    pq.write_table(pa.table({"x": [7]}), d / "extra.parquet")
+    con = duckdb_connect(str(d))
+    try:
+        assert con.execute("SELECT count(*) FROM region").fetchone()[0] == 2
+        assert con.execute("SELECT x FROM extra").fetchone()[0] == 7
+    finally:
+        con.close()
+
+
 def test_config_loader_bad_json(tmp_path):
     cfg = tmp_path / "schema.json"
     cfg.write_text("{nope")

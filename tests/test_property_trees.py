@@ -267,3 +267,47 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     want = set(_union_find_labels(edges).items())
     assert got == want, f"edges={edges}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    email=st.emails(),
+    phone=st.text(
+        alphabet="0123456789-.() +", min_size=0, max_size=20
+    ),
+    value=st.one_of(
+        st.integers(), st.text(min_size=1, max_size=30), st.booleans()
+    ),
+)
+def test_masking_rules_never_leak(email, phone, value):
+    """Pure-function invariants of the masking rules (ref:
+    plugins/masking_plugin.py:44-70): a masked email leaks at most the
+    first character of the local part (domain is display metadata), a
+    masked phone leaks at most its last 4 digits, and hashing is a
+    deterministic 16-hex one-way tag — for ANY input, not just the
+    fixtures."""
+    import re
+
+    from pgsync_spark.plugin_examples import MaskingPlugin
+
+    m = MaskingPlugin()
+    masked = m.mask_email(email)
+    local, domain = email.rsplit("@", 1)
+    assert masked.endswith("@" + domain)
+    # the exact-equality asserts fully specify the masked output — by
+    # construction only the first local char / last 4 digits survive
+    if len(local) > 1:
+        assert masked == f"{local[0]}***@{domain}"
+    else:
+        assert masked == f"***@{domain}"
+
+    mp = m.mask_phone(phone)
+    digits = re.sub(r"\D", "", phone)
+    if len(digits) >= 4:
+        assert mp == f"***-***-{digits[-4:]}"
+    else:
+        assert mp == "***"
+
+    h = m.hash_value(value)
+    assert re.fullmatch(r"[0-9a-f]{16}", h)
+    assert h == m.hash_value(value)  # deterministic
