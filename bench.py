@@ -339,11 +339,19 @@ def _noise_flags(
             # already discarded by the min
             continue
         if len(samples) >= 2 and min(samples) > 0:
-            spread = max(samples) / min(samples)
-            if spread > 2.5:
+            # median/min, not max/min: the first run of every query
+            # pays plan-compile + codegen warmup, so one slow sample is
+            # EXPECTED and the median already discards it — the flag is
+            # for the reported stat itself riding a burst (a majority
+            # of slow samples). Sustained whole-run degradation (all
+            # samples slow, ratio ≈ 1) is the canary's job instead.
+            med = statistics.median(samples)
+            ratio = med / min(samples)
+            if ratio > 2.0:
                 flags.append(
-                    f"{name}: {round(spread, 1)}x spread across runs "
-                    f"({samples}) — median rides a noise burst"
+                    f"{name}: median {round(ratio, 1)}x its own min "
+                    f"({samples}) — the reported median rides a noise "
+                    "burst; prefer the min"
                 )
     if scaling:
         r = scaling.get("full_sync_ratio_3x_vs_big")

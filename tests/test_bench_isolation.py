@@ -57,7 +57,10 @@ def test_noise_flags_physical_plausibility():
     window fingerprint), batch-size inversions, per-query spread."""
     flags = bench._noise_flags(
         {"start": 0.1, "end": 0.5, "end_over_start": 5.0},
-        {"q1": [1.0, 1.1, 5.0], "incremental_full_sync": [9.0, 1.0, 1.0]},
+        # q1: two of three samples slow -> the MEDIAN itself rides the
+        # burst (one slow warmup sample alone must NOT flag — see q2
+        # in the clean case below)
+        {"q1": [1.0, 4.8, 5.0], "incremental_full_sync": [9.0, 1.0, 1.0]},
         {
             "full_sync_ratio_3x_vs_big": 0.94,
             "steady_batch_ratio_3x_vs_big": 0.88,
@@ -69,16 +72,17 @@ def test_noise_flags_physical_plausibility():
     text = "\n".join(flags)
     assert "canary drift" in text
     assert "repeat-measurement drift" in text
-    assert "q1" in text and "spread" in text
+    assert "q1" in text and "rides a noise burst" in text
     # min-of-3 full_sync cold/warm spread is expected, never flagged
     assert "incremental_full_sync" not in text
     assert text.count("scaling inversion") == 2  # both 3x inversions
     assert "batch-size inversion" in text
 
-    # a clean run produces zero flags
+    # a clean run produces zero flags — q2's slow FIRST sample is
+    # plan-compile warmup, which the median discards
     assert bench._noise_flags(
         {"start": 0.1, "end": 0.11, "end_over_start": 1.1},
-        {"q1": [1.0, 1.1, 1.2]},
+        {"q1": [1.0, 1.1, 1.2], "q2": [1.66, 0.32, 0.28]},
         {
             "full_sync_ratio_3x_vs_big": 2.6,
             "steady_batch_ratio_3x_vs_big": 1.2,
