@@ -293,7 +293,15 @@ def _send_bulk_partition(
                 # delete the cluster already applied answers not_found
                 # on the replay — that is the converged state, not a
                 # failure (index actions converge by _id the same way).
-                return st < 300 or (st == 404 and "delete" in it)
+                # ONLY the doc-level not_found qualifies: it carries no
+                # "error" object, while an index-level 404
+                # (index_not_found_exception — missing/typo'd index)
+                # does, and must stay fatal or a misconfigured delete
+                # would silently report success.
+                if st < 300:
+                    return True
+                inner = it.get("delete")
+                return st == 404 and inner is not None and "error" not in inner
 
             fatal = [
                 it for it, st in zip(items, statuses)

@@ -12,6 +12,7 @@ only ~50 queries, so this is the official full-coverage evidence
 (VERDICT r5 item 5).
 """
 
+import argparse
 import json
 import re
 import sys
@@ -22,17 +23,15 @@ from pgsync_spark.queries import REGISTRY
 from pgsync_spark.testing import compare
 from pgsync_spark import caching
 
-SF = "/root/testdata/sf0.01"
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-if "--sf" in sys.argv:
-    SF = sys.argv[sys.argv.index("--sf") + 1]
-    args.remove(SF)
-json_path = None
-if "--json" in sys.argv:
-    json_path = sys.argv[sys.argv.index("--json") + 1]
-    if json_path in args:
-        args.remove(json_path)
-names = args or list(REGISTRY)
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("names", nargs="*", help="registry queries (default: all)")
+parser.add_argument("--sf", default="/root/testdata/sf0.01", dest="sf_dir")
+parser.add_argument("--json", dest="json_path", default=None,
+                    help="write the gate result as a JSON artifact")
+opts = parser.parse_args()
+SF = opts.sf_dir
+json_path = opts.json_path
+names = opts.names or list(REGISTRY)
 
 spark = get_spark("registry-check")
 failed = []

@@ -44,30 +44,17 @@ def test_dedup_caches_released(spark):
 
     from pgsync_spark import caching
 
-    def _count():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
-
-    def _settle(target):
-        # unpersist is ASYNC (DataFrame.unpersist and rdd.unpersist(False)
-        # both enqueue the removal) — poll instead of racing the cleaner
-        deadline = _time.time() + 15
-        while _time.time() < deadline:
-            n = _count()
-            if n <= target:
-                return n
-            _time.sleep(0.2)
-        return _count()
+    def _pinned_ids():
+        # RDD IDS, not a count: stale pre-test RDDs reclaimed by the
+        # background ContextCleaner mid-test shrink a count and could
+        # mask (or fake) a leak — the exact invariant is that no NEW
+        # id introduced by these ops stays pinned
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
 
     caching.release_all()
     spark.catalog.clearCache()
-    # stale frames from earlier tests may still be pinned until their
-    # Python/JVM refs are collected — nudge both GCs so `base` doesn't
-    # capture RDDs the ContextCleaner is about to free mid-test
-    import gc
-
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    base = _settle(0)
+    base_ids = _pinned_ids()
     for name in (
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
@@ -76,9 +63,14 @@ def test_dedup_caches_released(spark):
         df = REGISTRY[name].fn(spark, SF_DIR)
         df.count()
         caching.release(df)
-    # <= base: the invariant is that THESE ops pin nothing new; the
-    # background cleaner may still reclaim leftovers counted in base
-    assert _settle(base) <= base
+    # unpersist is ASYNC (DataFrame.unpersist and rdd.unpersist(False)
+    # both enqueue the removal) — poll instead of racing the cleaner
+    deadline = _time.time() + 15
+    leaked = _pinned_ids() - base_ids
+    while leaked and _time.time() < deadline:
+        _time.sleep(0.2)
+        leaked = _pinned_ids() - base_ids
+    assert not leaked, f"dedup ops left RDDs pinned: {sorted(leaked)}"
 
 
 def test_lsh_bucket_cap_drops_hot_buckets(spark):

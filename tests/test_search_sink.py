@@ -101,7 +101,20 @@ class _Handler(BaseHTTPRequestHandler):
                         self.server.indexed[_id] = json.loads(src)
                 elif hasattr(self.server, "indexed"):
                     self.server.indexed.pop(_id, None)
-                items.append({kind: {"_id": _id, "status": status}})
+                inner = {"_id": _id, "status": status}
+                if kind == "delete" and status == 404:
+                    # real ES shapes: doc-level not_found carries a
+                    # result field and NO error object; an index-level
+                    # 404 (missing/typo'd index) carries an error
+                    # object and must stay fatal client-side
+                    if getattr(self.server, "delete_index_missing", False):
+                        inner["error"] = {
+                            "type": "index_not_found_exception",
+                            "reason": "no such index [idx]",
+                        }
+                    else:
+                        inner["result"] = "not_found"
+                items.append({kind: inner})
             if getattr(self.server, "drop_after_processing", 0) > 0:
                 # the classic mid-stream failure: the server APPLIED the
                 # chunk, then died before acknowledging it
@@ -222,6 +235,17 @@ def test_delete_replay_after_connection_drop_converges(spark, stub):
     ).repartition(1)
     BulkHttpWriter(_url(stub), "idx", chunk_docs=2, backoff=0.01).delete(ids)
     assert stub.indexed == {}  # every delete landed despite the replay
+
+
+def test_delete_against_missing_index_fails_loudly(spark, stub):
+    """Only the DOC-level not_found (no error object) is idempotent
+    success; an index-level 404 (index_not_found_exception — missing
+    or typo'd index) must fail the job, or a misconfigured delete
+    silently reports success while the stale docs live on."""
+    stub.delete_index_missing = True
+    ids = spark.createDataFrame([("7",)], "_id string").repartition(1)
+    with pytest.raises(Exception, match="index_not_found_exception"):
+        BulkHttpWriter(_url(stub), "idx", backoff=0.01).delete(ids)
 
 
 def test_retry_on_429(spark, stub):
