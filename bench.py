@@ -303,6 +303,10 @@ def _canary(spark, sf_dir: str) -> tuple[float, list[float]]:
     regression that was pure host noise — this makes that failure mode
     self-diagnosing)."""
     path = os.path.join(sf_dir, "orders.parquet")
+    # one untimed probe first: the START canary otherwise pays the
+    # JIT-cold scan path and reads ~2x the end canary on perfectly
+    # clean runs, biasing the drift ratio the flag keys on
+    spark.read.parquet(path).count()
     samples = []
     for _ in range(CANARY_RUNS):
         t0 = time.perf_counter()
