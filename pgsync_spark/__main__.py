@@ -121,7 +121,9 @@ def _write_docs(runner, args, out=sys.stdout) -> None:
         runner.writers(args.search_url) if args.search_url else {}
     )
     for name, eng in runner.engines.items():
-        docs = eng.docs
+        # the tree's config-declared plugin chain runs on the way OUT
+        # to the sinks (ref: pgsync/sync.py:1571-1572)
+        docs = eng.docs_for_sink()
         if docs is None:
             continue
         if args.sink_dir:

@@ -231,6 +231,10 @@ class Tree:
     setting: dict = field(default_factory=dict)
     routing: str | None = None
     pipeline: str | None = None  # ES ingest pipeline (ref: sync.py:121)
+    # plugin NAMES to run on every synced doc (ref: sync.py:116
+    # `self.plugins = doc.get("plugins", [])`, applied at sync.py:1571);
+    # resolved to instances via plugin.load_plugins
+    plugins: list = field(default_factory=list)
 
     def tables(self) -> set[str]:
         out: set[str] = set()
@@ -291,6 +295,13 @@ def parse_tree(raw: dict) -> Tree:
                 raise exc.SchemaError("'nodes' must contain exactly one root")
             nodes = nodes[0]
         root = _parse_node(nodes)
+        plugins = raw.get("plugins", [])
+        if not isinstance(plugins, list) or not all(
+            isinstance(p, str) for p in plugins
+        ):
+            raise exc.SchemaError(
+                f"'plugins' must be a list of plugin names: {plugins!r}"
+            )
         return Tree(
             root=root,
             index=raw.get("index"),
@@ -298,5 +309,6 @@ def parse_tree(raw: dict) -> Tree:
             setting=raw.get("setting", {}),
             routing=raw.get("routing"),
             pipeline=raw.get("pipeline"),
+            plugins=plugins,
         )
     return Tree(root=_parse_node(raw))

@@ -53,25 +53,122 @@ def auth_value(plugins: list[Plugin], key: str) -> str | None:
     return None
 
 
+def load_plugins(names: list[str], module: str | None = None) -> list[Plugin]:
+    """Resolve config-declared plugin NAMES to instances — the engine
+    analog of the reference's package walk (ref: pgsync/plugin.py:24-91
+    Plugins.walk collects Plugin subclasses whose ``name`` is declared,
+    instantiates them, and orders them by the declared list).
+
+    ``module``: dotted module or package to search; defaults to
+    ``$SPARK_GRAFT_PLUGINS_MODULE`` or the built-in examples. Packages
+    are walked recursively (the reference supports nested plugin dirs,
+    ref: plugins/character/groot.py). Matching is case-insensitive
+    (the reference's sample configs use TitleCase names). Unknown
+    names RAISE with the available inventory — the reference silently
+    ignores them, which turns a typo'd config into silently unmasked
+    documents."""
+    import importlib
+    import inspect
+    import os
+    import pkgutil
+
+    from . import exc
+
+    if not names:
+        return []
+    module = module or os.environ.get(
+        "SPARK_GRAFT_PLUGINS_MODULE", "pgsync_spark.plugin_examples"
+    )
+    available: dict[str, type] = {}
+
+    def collect(mod) -> None:
+        for _, klass in inspect.getmembers(mod, inspect.isclass):
+            if issubclass(klass, Plugin) and klass is not Plugin:
+                if getattr(klass, "name", ""):
+                    available.setdefault(klass.name.lower(), klass)
+
+    imported = []
+    root = importlib.import_module(module)
+    imported.append(root)
+    collect(root)
+    for path in getattr(root, "__path__", []):  # package → walk children
+        for info in pkgutil.iter_modules([path], prefix=f"{module}."):
+            child = importlib.import_module(info.name)
+            imported.append(child)
+            collect(child)
+            if info.ispkg:
+                for p in getattr(child, "__path__", []):
+                    for sub in pkgutil.iter_modules(
+                        [p], prefix=f"{info.name}."
+                    ):
+                        grand = importlib.import_module(sub.name)
+                        imported.append(grand)
+                        collect(grand)
+
+    if not module.startswith("pgsync_spark"):
+        # a user plugins module lives on the DRIVER only; executors
+        # unpickling the chain would hit ModuleNotFoundError unless the
+        # file is shipped (--py-files). Registering the module for
+        # pickle-BY-VALUE embeds the class definitions in the task
+        # closure instead — config plugins then run on any executor
+        # with zero deployment steps (the reference has no executor
+        # tier, so this problem is Spark-specific).
+        try:
+            from pyspark import cloudpickle
+
+            for mod in imported:
+                cloudpickle.register_pickle_by_value(mod)
+        except Exception:  # noqa: BLE001 — fall back to by-reference
+            log.warning(
+                "could not register %s for pickle-by-value; executors "
+                "need the module shipped via --py-files", module,
+            )
+
+    out: list[Plugin] = []
+    for name in names:
+        klass = available.get(name.lower())
+        if klass is None:
+            raise exc.SchemaError(
+                f"unknown plugin {name!r} (module {module!r} provides: "
+                f"{sorted(available)})"
+            )
+        out.append(klass())
+    return out
+
+
 def apply_plugins(
-    docs: DataFrame, plugins: list[Plugin], index: str = ""
+    docs: DataFrame,
+    plugins: list[Plugin],
+    index: str = "",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Run the plugin chain over a (_id, doc) DataFrame."""
+    """Run the plugin chain over a (_id, doc) DataFrame.
+
+    ``passthrough``: extra STRING columns carried through the crossing
+    unchanged (e.g. ``_routing``) — rows a plugin drops lose their
+    passthrough values with the row."""
     if not plugins:
         return docs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, outs = [], []
-            for _id, doc_json in zip(pdf["_id"], pdf["doc"]):
+            keep_rows, outs = [], []
+            for i, (_id, doc_json) in enumerate(zip(pdf["_id"], pdf["doc"])):
                 doc = json.loads(doc_json)
                 for plugin in plugins:
                     doc = plugin.transform(doc, _id=_id, _index=index)
                     if not doc:  # falsy → drop the document
                         break
                 else:
-                    ids.append(_id)
+                    keep_rows.append(i)
                     outs.append(json.dumps(doc, separators=(",", ":")))
-            yield pd.DataFrame({"_id": ids, "doc": outs})
+            kept = pdf.iloc[keep_rows]
+            cols = {"_id": kept["_id"].array, "doc": outs}
+            for c in passthrough:
+                cols[c] = kept[c].array
+            yield pd.DataFrame(cols)
 
-    return docs.select("_id", "doc").mapInPandas(run, "_id string, doc string")
+    schema = "_id string, doc string" + "".join(
+        f", {c} string" for c in passthrough
+    )
+    return docs.select("_id", "doc", *passthrough).mapInPandas(run, schema)

@@ -229,6 +229,12 @@ class IncrementalEngine:
             "suppressed_updates": 0,
         }
         self.checkpoint: int | None = None  # highest txid applied
+        # config-declared plugin chain, resolved at engine construction
+        # so a typo'd name fails at startup, not mid-sync (ref:
+        # pgsync/sync.py:148-149 builds Plugins in Sync.__init__)
+        from ..plugin import load_plugins
+
+        self.plugins = load_plugins(list(tree.plugins or []))
 
     # -- store plumbing ------------------------------------------------
     STORE_COMPACT_EVERY = 8
@@ -237,6 +243,29 @@ class IncrementalEngine:
     def docs(self) -> DataFrame | None:
         """(_id, doc, *root_pks) — current contents of the doc store."""
         return self._docs_store.view() if self._docs_store is not None else None
+
+    def docs_for_sink(self) -> DataFrame | None:
+        """Sink-facing documents: the doc store run through the tree's
+        config-declared plugin chain (ref: pgsync/sync.py:1571-1572 —
+        plugins transform every doc on its way to the index; a falsy
+        return drops the doc from indexing). The STORE stays
+        pre-plugin: recompute correctness depends on the engine's own
+        canonical docs, and the reference likewise applies plugins
+        only at indexing time. ``_routing`` rides through the
+        crossing; store-internal root-pk columns do not (no sink reads
+        them)."""
+        docs = self.docs
+        if docs is None or not self.plugins:
+            return docs
+        from ..plugin import apply_plugins
+
+        passthrough = tuple(c for c in docs.columns if c == "_routing")
+        return apply_plugins(
+            docs,
+            self.plugins,
+            index=self.tree.index or self.tree.root.table,
+            passthrough=passthrough,
+        )
 
     @docs.setter
     def docs(self, df: DataFrame | None) -> None:

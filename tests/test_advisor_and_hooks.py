@@ -350,6 +350,44 @@ def test_masking_plugin_rules(spark):
     assert out["3"]["email"] == "***@b.co"  # 1-char local fully starred
 
 
+def test_load_plugins_resolution_and_order():
+    """load_plugins (ref: pgsync/plugin.py:24-91): case-insensitive
+    name match against the built-in examples, instances in DECLARED
+    order, loud SchemaError with the inventory on a miss."""
+    from pgsync_spark import exc
+    from pgsync_spark.plugin import load_plugins
+    from pgsync_spark.plugin_examples import GeometryPlugin, MaskingPlugin
+
+    got = load_plugins(["Masking", "GEOMETRY"])
+    assert [type(p) for p in got] == [MaskingPlugin, GeometryPlugin]
+    assert load_plugins([]) == []
+    import pytest
+
+    with pytest.raises(exc.SchemaError, match="masking"):
+        load_plugins(["nope"])  # message lists what IS available
+
+
+def test_apply_plugins_passthrough_routing(spark):
+    """_routing must survive the plugin crossing (routed indexes), and
+    a dropped doc takes its passthrough values with it."""
+    import json
+
+    from pgsync_spark.plugin import apply_plugins
+    from pgsync_spark.plugin_examples import ShortDocDropPlugin
+
+    docs = spark.createDataFrame(
+        [
+            ("1", json.dumps({"text": "long enough"}), "rA"),
+            ("2", json.dumps({"text": ""}), "rB"),  # dropped
+        ],
+        "_id string, doc string, _routing string",
+    )
+    out = apply_plugins(
+        docs, [ShortDocDropPlugin()], index="i", passthrough=("_routing",)
+    ).collect()
+    assert [(r["_id"], r["_routing"]) for r in out] == [("1", "rA")]
+
+
 def test_slug_and_infinity_plugins(spark):
     """The last two reference plugin shapes (ref: plugins/slug_plugin
     .py, plugins/infinity.py): unicode-aware slugification with

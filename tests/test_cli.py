@@ -349,3 +349,76 @@ def test_cli_validate_mode(spark, tmp_path):
     )
     assert rc == 0
     assert "PASS orders_cli" in out.getvalue()
+
+
+def test_cli_config_declared_plugins(spark, tmp_path, monkeypatch):
+    """The reference applies config-declared plugins to every doc on
+    its way to the index (ref: pgsync/sync.py:116, 1571-1572;
+    examples/book/schema.json "plugins": [...]). E2E: a user plugins
+    module (discovered via SPARK_GRAFT_PLUGINS_MODULE, like the
+    reference's plugins package walk) enriches and drops docs through
+    the one-shot CLI sync; names resolve case-insensitively and in
+    declared order."""
+    (tmp_path / "user_plugins_mod.py").write_text(
+        "from pgsync_spark.plugin import Plugin\n"
+        "from pgsync_spark.plugin_examples import SlugPlugin\n\n"
+        "class PrioSlug(SlugPlugin):\n"
+        "    name = 'PrioSlug'\n"
+        "    def __init__(self):\n"
+        "        super().__init__(source_field='o_orderpriority',\n"
+        "                         target_field='prio_slug')\n\n"
+        "class DropUrgent(Plugin):\n"
+        "    name = 'DropUrgent'\n"
+        "    def transform(self, doc, _id, _index):\n"
+        "        # runs AFTER PrioSlug: drop on the field it added\n"
+        "        if (doc.get('prio_slug') or '').startswith('1-'):\n"
+        "            return None\n"
+        "        return doc\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_PLUGINS_MODULE", "user_plugins_mod")
+
+    cfg = tmp_path / "schema.json"
+    cfg.write_text(json.dumps([{
+        "index": "orders_plugged",
+        "plugins": ["prioslug", "DropUrgent"],  # case-insensitive
+        "nodes": {
+            "table": "orders",
+            "columns": ["o_orderkey", "o_orderpriority"],
+        },
+    }]))
+    sink = str(tmp_path / "out")
+    rc = main(
+        ["-c", str(cfg), "--data-dir", SF_DIR, "--sink-dir", sink],
+        spark=spark,
+    )
+    assert rc == 0
+    docs = _read_docs(sink, "orders_plugged")
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    n_urgent = orders.filter("o_orderpriority LIKE '1%'").count()
+    assert len(docs) == orders.count() - n_urgent > 0
+    for doc in docs.values():
+        assert not doc["o_orderpriority"].startswith("1")
+        assert doc["prio_slug"] == doc["o_orderpriority"].lower().replace(
+            " ", "-"
+        )
+
+
+def test_cli_unknown_plugin_fails_at_startup(spark, tmp_path):
+    """A typo'd plugin name must fail loudly at engine construction
+    (the reference silently ignores unknown names — documents would
+    sync unmasked)."""
+    cfg = tmp_path / "schema.json"
+    cfg.write_text(json.dumps([{
+        "index": "orders_bad",
+        "plugins": ["no_such_plugin"],
+        "nodes": {"table": "orders", "columns": ["o_orderkey"]},
+    }]))
+    from pgsync_spark import exc
+
+    with pytest.raises(exc.SchemaError, match="no_such_plugin"):
+        main(
+            ["-c", str(cfg), "--data-dir", SF_DIR,
+             "--sink-dir", str(tmp_path / "o")],
+            spark=spark,
+        )
