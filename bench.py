@@ -49,6 +49,10 @@ HEADLINE = [
     # rules are pure Python over mapInPandas — this prices the
     # engine's one sanctioned Python crossing per doc)
     "plugin_masking_docs",
+    # round-6 continuation: retrieval + data selection
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "dsir_select",
 ]
 
 # steady-state = median of this many batches applied after the cold one

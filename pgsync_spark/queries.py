@@ -2066,3 +2066,461 @@ REGISTRY["plugin_embedding_enrich_docs"] = QueryDef(
         )
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval + data-selection operators: BM25, hybrid RRF search, DSIR
+# (round-6 continuation — lexical retrieval and importance resampling
+# for the training-data pipeline; Xie et al. 2023 for DSIR, Robertson &
+# Zaragoza 2009 for BM25, Cormack et al. 2009 for RRF)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("spark", "vector", "query")
+BM25_K1 = "1.2"
+BM25_K1_PLUS_1 = "2.2"
+BM25_B = "0.75"
+BM25_ONE_MINUS_B = "0.25"
+
+
+def _eq_lit(t: str):
+    """One-arg lambda factory for F.filter — a two-parameter lambda
+    (e.g. the ``t=t`` default-capture idiom) would be interpreted by
+    PySpark as the (element, index) form and silently compare tokens
+    against the array INDEX."""
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_scored(df):
+    """Per-doc BM25 micro-score frame (doc_id, lang, source,
+    score_micro) for the fixed query BM25_QUERY_TERMS.
+
+    Engine-portability design: the only transcendental (ln in the idf)
+    is snapped to FIXED-POINT micro-nats per term — floor(ln(..)*1e6
+    + 0.5) as bigint — and each term's contribution is floored to a
+    bigint micro-score BEFORE the cross-term sum, so the final score is
+    exact integer arithmetic: associative, order-independent, and
+    bit-identical in Spark and DuckDB. Every double that feeds the
+    floor is derived from integers (tf, dl, df, N) through an
+    identical, fully-parenthesized IEEE expression in both engines.
+
+    Scale shape: tf per query term is computed IN THE SCAN as
+    size(filter(tokens, = term)) — no explode, no (doc, term) shuffle.
+    Corpus stats (N, avgdl, per-term df) are ONE 1-row aggregate
+    broadcast back by crossJoin. The corpus side has zero exchanges;
+    the whole scorer is scan + broadcast + project, so it survives any
+    corpus size (the classic explode→groupBy tf materializes |tokens|
+    rows and shuffles them — this form never does)."""
+    toks = hashing.tokens(F.col("text"))
+    per_doc = df.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", avgdl
+    )
+
+    def term_micro(i: int):
+        dfq = F.col(f"df{i}")
+        tf = F.col(f"tf{i}")
+        idf_micro = F.floor(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint")
+        tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
+            tf
+            + F.lit(float(BM25_K1))
+            * (
+                F.lit(float(BM25_ONE_MINUS_B))
+                + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+        return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
+
+    score = term_micro(0)
+    for i in range(1, len(BM25_QUERY_TERMS)):
+        score = score + term_micro(i)
+    return scored.select(
+        "doc_id", "lang", "source", score.alias("score_micro")
+    )
+
+
+def _bm25_scored_sql() -> str:
+    """The DuckDB mirror of _bm25_scored — identical expression tree."""
+    terms = BM25_QUERY_TERMS
+    toks = hashing.tokens_sql("text")
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+
+    def term_micro(i: int) -> str:
+        idf = (
+            f"CAST(floor(ln(1.0 + ((CAST(n_docs AS DOUBLE) - df{i} + 0.5)"
+            f" / (df{i} + 0.5))) * 1e6 + 0.5) AS BIGINT)"
+        )
+        tfn = (
+            f"((tf{i} * {BM25_K1_PLUS_1}) / (tf{i} + ({BM25_K1} * "
+            f"({BM25_ONE_MINUS_B} + ({BM25_B} * (dl / avgdl))))))"
+        )
+        return f"CAST(floor({idf} * {tfn} + 0.5) AS BIGINT)"
+
+    score = " + ".join(term_micro(i) for i in range(len(terms)))
+    return f"""
+        WITH per_doc AS (
+          SELECT doc_id, lang, source, len(toks) AS dl, {tf_cols}
+          FROM (SELECT doc_id, lang, source, {toks} AS toks FROM documents)
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols}
+          FROM per_doc
+        ),
+        scored AS (
+          SELECT per_doc.*, stats.*,
+                 (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS avgdl
+          FROM per_doc, stats
+        )
+        SELECT doc_id, lang, source, ({score}) AS score_micro FROM scored
+    """
+
+
+@register(
+    "text_bm25_topk",
+    f"""SELECT doc_id, lang, source, score_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM ({_bm25_scored_sql()})
+        WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id LIMIT 10""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for a fixed query (Robertson-Zaragoza
+    k1=1.2 b=0.75) — the lexical-retrieval primitive of a RAG /
+    eval-search pipeline, and the lexical leg of hybrid_search_rrf.
+
+    Scale shape (see _bm25_scored): zero corpus shuffles — tf in-scan,
+    one 1-row stats broadcast, and the global top-10 is TakeOrdered
+    (per-partition heaps merged on the driver), not a global sort.
+    The rank window runs on the 10 surviving rows."""
+    scored = _bm25_scored(Catalog(spark, sf_dir).df("documents"))
+    top = (
+        scored.filter(F.col("score_micro") > 0)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
+    w = W.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_N = 100
+
+
+@register(
+    "dsir_select",
+    f"""WITH toks AS (
+          SELECT doc_id, lang, unnest(toks) AS term
+          FROM (SELECT doc_id, lang, {hashing.tokens_sql('text')} AS toks
+                FROM documents)
+        ),
+        b AS (
+          SELECT doc_id, lang,
+                 ({h32_sql('term')} % {DSIR_BUCKETS}) AS bucket
+          FROM toks
+        ),
+        bc AS (
+          SELECT bucket, count(*) AS r_b,
+                 sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS t_b
+          FROM b GROUP BY bucket
+        ),
+        tot AS (SELECT sum(r_b) AS rt, sum(t_b) AS tt FROM bc),
+        lr AS (
+          SELECT bucket,
+                 CAST(floor(ln(((t_b + 1.0) * (rt + {DSIR_BUCKETS}.0)) /
+                               ((r_b + 1.0) * (tt + {DSIR_BUCKETS}.0)))
+                            * 1e6 + 0.5) AS BIGINT) AS lr_micro
+          FROM bc, tot
+        ),
+        w AS (
+          SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+          FROM b JOIN lr USING (bucket) GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, w.weight_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY w.weight_micro DESC, d.doc_id) AS INT) AS rank
+        FROM w JOIN documents d USING (doc_id)
+        ORDER BY w.weight_micro DESC, d.doc_id LIMIT {DSIR_SELECT_N}""",
+)
+def dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram bucket
+    features, importance weight = sum over a doc's tokens of the
+    log-ratio ln(p_target(bucket)/p_raw(bucket)) with Laplace
+    smoothing, target = the 'en' slice of the corpus; the top-N docs
+    by weight are the selected training subset (the deterministic
+    rank-by-weight analog of the paper's Gumbel resampling — same
+    estimator, reproducible draw).
+
+    Engine portability: the per-bucket log-ratio is snapped to
+    fixed-point micro-nats (floor(ln(..)*1e6+0.5) as bigint) so each
+    doc's weight is an exact INTEGER sum — associative across
+    partitions and bit-identical in Spark and DuckDB; the only
+    transcendental is evaluated once per bucket (64 rows), not per
+    token.
+
+    Scale shape: tokens explode in-scan; the bucket histogram is one
+    map-side-combined groupBy whose OUTPUT is 64 rows (broadcast back
+    along with the 1-row totals); per-doc weights are one groupBy on
+    doc_id (uniform key, map-side partial sums); the final top-N is
+    TakeOrdered, not a global sort. At 100 TB the only corpus-sized
+    shuffle is the doc_id weight aggregation — unavoidable and
+    perfectly uniform; lang/source ride through the explode (columnar,
+    dictionary-encoded) so no second corpus-sized join is needed to
+    re-attach them."""
+    df = Catalog(spark, sf_dir).df("documents")
+    toks = df.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(hashing.tokens(F.col("text"))).alias("term"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        (hashing.h32(F.col("term")) % F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+    bc = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_b"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+        ).alias("t_b"),
+    )
+    tot = bc.agg(F.sum("r_b").alias("rt"), F.sum("t_b").alias("tt"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("t_b") + F.lit(1.0))
+                 * (F.col("rt") + F.lit(float(DSIR_BUCKETS))))
+                / ((F.col("r_b") + F.lit(1.0))
+                   * (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint").alias("lr_micro"),
+    )
+    w = (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.sum("lr_micro").alias("weight_micro"))
+    )
+    top = w.orderBy(F.col("weight_micro").desc(), "doc_id").limit(
+        DSIR_SELECT_N
+    )
+    rank_w = W.orderBy(F.col("weight_micro").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "lang",
+        "source",
+        "weight_micro",
+        F.row_number().over(rank_w).cast("int").alias("rank"),
+    )
+
+
+HYBRID_QUERY_TEXT = " ".join(BM25_QUERY_TERMS)
+HYBRID_EMB_DIMS = 8
+HYBRID_CAND_K = 50
+HYBRID_RRF_K = "60.0"
+HYBRID_TOP_N = 10
+
+
+def _hybrid_query_vec() -> list[int]:
+    from .plugin_examples import hash_embedding
+
+    return hash_embedding(HYBRID_QUERY_TEXT, HYBRID_EMB_DIMS)
+
+
+def _cosine_sql() -> str:
+    """DuckDB per-doc cosine against the fixed query vector, mirroring
+    the Spark expression op-for-op (see hybrid_search_rrf for why this
+    is deterministic)."""
+    q = _hybrid_query_vec()
+    dims = []
+    for i in range(HYBRID_EMB_DIMS):
+        h = f"(('0x' || substring(md5(text || '|{i}'), 1, 8))::BIGINT)"
+        x = f"(2.0 * ({h} / 4294967296.0) - 1.0)"
+        dims.append(f"CAST(floor(({x}) * 1e6 + 0.5) AS BIGINT) AS e{i}")
+    dot = " + ".join(f"(e{i} * CAST({q[i]} AS BIGINT))"
+                     for i in range(HYBRID_EMB_DIMS))
+    nd = " + ".join(f"(e{i} * e{i})" for i in range(HYBRID_EMB_DIMS))
+    nq = float(sum(v * v for v in q))
+    return f"""
+        SELECT doc_id,
+               (CAST(dot AS DOUBLE) /
+                (sqrt(CAST(nd AS DOUBLE)) * sqrt({nq!r}))) AS cos_sim
+        FROM (
+          SELECT doc_id, ({dot}) AS dot, ({nd}) AS nd
+          FROM (SELECT doc_id, {', '.join(dims)} FROM documents)
+        )
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""WITH lex AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+          FROM ({_bm25_scored_sql()})
+          WHERE score_micro > 0
+          ORDER BY score_micro DESC, doc_id LIMIT {HYBRID_CAND_K}
+        ),
+        sem AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY cos_sim DESC, doc_id) AS INT) AS sem_rank
+          FROM ({_cosine_sql()})
+          ORDER BY cos_sim DESC, doc_id LIMIT {HYBRID_CAND_K}
+        )
+        SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+        FROM (
+          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                 lex_rank, sem_rank,
+                 (COALESCE(CAST(floor(1e9 / ({HYBRID_RRF_K} + lex_rank)
+                                      + 0.5) AS BIGINT), 0)
+                  + COALESCE(CAST(floor(1e9 / ({HYBRID_RRF_K} + sem_rank)
+                                        + 0.5) AS BIGINT), 0)) AS rrf_micro
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        )
+        ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_TOP_N}""",
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical top-50 and the embedding-cosine semantic
+    top-50 for the same fixed query, fused by
+    rrf = sum(1/(60+rank)) over the lists a doc appears in, snapped to
+    fixed-point nano-units so the fusion sum is exact integer
+    arithmetic. The doc embedding is the deterministic md5 fixed-point
+    encoder (chunk_embeddings' _hash_dim); a real encoder swaps in via
+    the plugin chain.
+
+    Determinism of the cosine leg: every input is integer-valued
+    (micro-unit embedding components), |dot| <= 8e12 < 2^53 so the
+    double casts are exact, and the only float ops are one division,
+    two sqrts and one multiply — all IEEE correctly-rounded (unlike ln)
+    — evaluated in the same parenthesized order in both engines, so
+    ranks cannot diverge.
+
+    Scale shape: BOTH candidate lists are TakeOrdered top-50 (per-
+    partition heaps, no global sort, no global window over the corpus
+    — the classic rank-the-whole-corpus window would serialize on one
+    partition); the fusion join runs on 50+50 rows. The semantic leg
+    here is brute-force cosine in-scan (zero shuffles); at index scale
+    the ann_ivf_topk / ann_lsh_topk operators supply the same
+    (doc_id, cos) contract from a pruned candidate set."""
+    df = Catalog(spark, sf_dir).df("documents")
+    q = _hybrid_query_vec()
+
+    lex = (
+        _bm25_scored(df)
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(HYBRID_CAND_K)
+    )
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+
+    e = [
+        _hash_dim(F.col("text"), i).alias(f"e{i}")
+        for i in range(HYBRID_EMB_DIMS)
+    ]
+    emb = df.select("doc_id", *e)
+    dot = sum(
+        (F.col(f"e{i}") * F.lit(q[i]).cast("bigint")
+         for i in range(HYBRID_EMB_DIMS)),
+        start=F.lit(0).cast("bigint"),
+    )
+    nd = sum(
+        (F.col(f"e{i}") * F.col(f"e{i}") for i in range(HYBRID_EMB_DIMS)),
+        start=F.lit(0).cast("bigint"),
+    )
+    nq = float(sum(v * v for v in q))
+    sem = emb.select(
+        "doc_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(nd.cast("double")) * F.sqrt(F.lit(nq)))
+        ).alias("cos_sim"),
+    )
+    sem = (
+        sem.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(HYBRID_CAND_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .cast("int")
+            .alias("sem_rank"),
+        )
+    )
+
+    rrf_k = float(HYBRID_RRF_K)
+
+    def leg(rank_col):
+        return F.coalesce(
+            F.floor(F.lit(1e9) / (F.lit(rrf_k) + rank_col) + F.lit(0.5))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (leg(F.col("lex_rank")) + leg(F.col("sem_rank"))).alias(
+                "rrf_micro"
+            ),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(HYBRID_TOP_N)
+    )
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+        .cast("int"),
+    )

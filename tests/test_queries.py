@@ -414,3 +414,32 @@ def test_determinism_under_parallelism(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for name in results[0]:
         assert results[0][name] == results[1][name], name
+
+
+def test_bm25_corpus_never_shuffles(spark):
+    """The BM25 scorer computes tf in-scan and broadcasts one 1-row
+    stats aggregate — the corpus side must have ZERO hash-partition
+    exchanges (the explode→groupBy tf formulation would shuffle
+    |tokens| rows)."""
+    from conftest import SF_DIR
+    from pgsync_spark.queries import REGISTRY
+
+    df = REGISTRY["text_bm25_topk"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "TakeOrdered" in plan  # global top-k is a heap, not a sort
+
+
+def test_hybrid_rrf_candidate_lists_are_takeordered(spark):
+    """Both hybrid legs must rank via TakeOrdered top-K, never a
+    global row_number window over the corpus (single-partition
+    serialization at scale)."""
+    from conftest import SF_DIR
+    from pgsync_spark.queries import REGISTRY
+
+    df = REGISTRY["hybrid_search_rrf"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("TakeOrdered") >= 2
