@@ -966,3 +966,99 @@ def minhash_crosscorpus_pairs_sql(pred_a: str, pred_b: str) -> str:
                   JOIN shs s2 ON s2.doc_id = cand.b_id
         WHERE {jac} >= {JACCARD_THRESHOLD}
     """
+
+
+def incremental_probe_sql(n_batches: int = 3) -> str:
+    """Oracle for MinHashIndex (dedup_index.py) run over ``documents``
+    with ingestion batches doc_id % n_batches, unrolled stage by stage:
+    stage k's index side is the SURVIVORS of batches < k (first-batch-
+    wins recursion — a doc dropped at stage j never indexes, so stage
+    k docs resembling only the dropped copy correctly survive), with
+    the per-side hot-bucket width caps applied per stage exactly as
+    the Spark probe applies them."""
+    m = n_batches
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
+        for i in range(N_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+               md5(concat_ws(',', {', '.join(f'CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)' for r in range(ROWS_PER_BAND))})) AS bucket
+            FROM sigs"""
+        for b in range(N_BANDS)
+    )
+    jac = round6_sql(
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE)"
+    )
+    ctes = [
+        f"sigs AS (SELECT doc_id, sh, [{perms}] AS sig FROM shs WHERE len(sh) > 0)",
+        f"br AS ({band_rows})",
+        f"surv0 AS (SELECT doc_id FROM sigs WHERE doc_id % {m} = 0)",
+    ]
+    drop_tables = []
+    for k in range(1, m):
+        prev = f"surv{k - 1}"
+        ctes.append(
+            f"""i{k} AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT b.doc_id, b.band, b.bucket,
+                       COUNT(*) OVER (PARTITION BY b.band, b.bucket) AS w
+                FROM br b JOIN {prev} s ON b.doc_id = s.doc_id
+              ) WHERE w <= {MAX_BUCKET_WIDTH}
+            )"""
+        )
+        ctes.append(
+            f"""b{k} AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT doc_id, band, bucket,
+                       COUNT(*) OVER (PARTITION BY band, bucket) AS w
+                FROM br WHERE doc_id % {m} = {k}
+              ) WHERE w <= {MAX_BUCKET_WIDTH}
+            )"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+              SELECT c.new_id, c.old_id, {jac} AS jaccard
+              FROM (SELECT DISTINCT i{k}.doc_id AS old_id,
+                           b{k}.doc_id AS new_id
+                    FROM i{k} JOIN b{k}
+                      ON i{k}.band = b{k}.band
+                     AND i{k}.bucket = b{k}.bucket) c
+              JOIN shs s1 ON s1.doc_id = c.old_id
+              JOIN shs s2 ON s2.doc_id = c.new_id
+              WHERE {jac} >= {JACCARD_THRESHOLD}
+            )"""
+        )
+        ctes.append(
+            f"""d{k} AS (
+              SELECT new_id, min(old_id) AS dup_of
+              FROM v{k} GROUP BY new_id
+            )"""
+        )
+        ctes.append(
+            f"""dj{k} AS (
+              SELECT d{k}.new_id AS doc_id, {k} AS batch,
+                     d{k}.dup_of, v{k}.jaccard
+              FROM d{k} JOIN v{k}
+                ON v{k}.new_id = d{k}.new_id
+               AND v{k}.old_id = d{k}.dup_of
+            )"""
+        )
+        drop_tables.append(f"dj{k}")
+        if k < m - 1:
+            ctes.append(
+                f"""surv{k} AS (
+                  SELECT doc_id FROM {prev}
+                  UNION ALL
+                  SELECT doc_id FROM sigs WHERE doc_id % {m} = {k}
+                    AND doc_id NOT IN (SELECT new_id FROM d{k})
+                )"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM {t}" for t in drop_tables)
+    return f"""
+        WITH {_shingle_cte()},
+        {', '.join(ctes)}
+        SELECT doc_id, CAST(batch AS INT) AS batch, dup_of, jaccard
+        FROM ({union})
+    """

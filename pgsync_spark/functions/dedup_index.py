@@ -1,0 +1,245 @@
+"""Incremental near-duplicate index: build the MinHash/LSH index ONCE,
+probe each ingestion batch against it, append only the survivors.
+
+This is the streaming-ingestion form of deduplication — the piece a
+continuously-fed training corpus needs that one-shot self-dedup
+(minhash_lsh_pairs) and one-shot cross-corpus filtering
+(minhash_crosscorpus_pairs) don't give you: state. A fresh batch is
+checked against everything accepted so far WITHOUT re-pairing the held
+corpus against itself, duplicates are rejected, and the accepted docs'
+slim band keys + shingle sets extend the index for the next batch.
+
+Semantics (first-batch-wins): a new doc is dropped iff it verifies as
+a near-duplicate (exact Jaccard >= JACCARD_THRESHOLD over hashed
+3-gram shingles, candidates blocked by shared minhash band buckets
+with the standard hot-bucket caps) of a SURVIVING doc from an earlier
+batch. Within-batch duplicates are deliberately NOT dropped here —
+batch self-dedup is a separate concern (dedup_canonical) that a
+pipeline composes per-batch; keeping the two orthogonal makes both
+testable and the oracle exact. A doc that was dropped never enters
+the index, so a later doc resembling only the DROPPED copy (and not
+its surviving representative) correctly survives — the oracle
+reproduces exactly this recursion.
+
+Scale design (the 100 TB story):
+- The index holds two things: BANDS (doc_id, band, bucket — slim, the
+  only thing the probe join touches) and SHINGLES (doc_id, sh — fat,
+  touched only per candidate for the exact verify). Probe cost is
+  O(batch bands + colliding index bands), never O(index²).
+- The probe shuffle is keyed by (band, bucket). On a cluster the
+  stored band frame is written partitioned on band (see
+  _append_store; bucketBy(band, bucket) via saveAsTable where a
+  metastore exists), so the held side is pre-clustered and only the
+  batch side moves at probe time.
+- The index only ever APPENDS (survivors of each batch), so on-disk
+  maintenance is one small parquet append per batch — no rewrite of
+  held state, the same O(batch)-not-O(table) property as the CDC
+  overlay store. In memory the state is a LIST of per-batch persisted
+  frames unioned lazily — extending the index never re-caches held
+  batches.
+- Hot buckets are capped on BOTH sides (MAX_BUCKET_WIDTH per side,
+  same as the one-shot operators) so a boilerplate bucket can't go
+  quadratic, with the same recall-through-other-bands behavior.
+
+ref: the reference engine has no dedup machinery (this family is a
+beyond-reference extension); the append-only state discipline mirrors
+sinks/store.py.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import owned
+from .dedup import (
+    JACCARD_THRESHOLD,
+    MAX_BUCKET_WIDTH,
+    _band_frame,
+    _signatures,
+)
+from .hashing import round6
+
+_DECISION_SCHEMA = "doc_id bigint, dup_of bigint, jaccard double"
+
+
+class MinHashIndex:
+    """Stateful near-dup index. In-memory state lives as per-batch
+    persisted DataFrames; pass ``store_dir`` to also append accepted
+    docs' band keys + shingle sets to parquet (``load`` restores)."""
+
+    def __init__(self, spark: SparkSession, store_dir: str | None = None):
+        self.spark = spark
+        self.store_dir = store_dir
+        self._band_parts: list[DataFrame] = []  # (doc_id, band, bucket)
+        self._sh_parts: list[DataFrame] = []  # (doc_id, sh)
+
+    # -- state management ---------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, store_dir: str) -> "MinHashIndex":
+        idx = cls(spark, store_dir)
+        bands_path = os.path.join(store_dir, "bands")
+        if os.path.isdir(bands_path):
+            idx._band_parts = [spark.read.parquet(bands_path).persist()]
+            idx._sh_parts = [
+                spark.read.parquet(
+                    os.path.join(store_dir, "shingles")
+                ).persist()
+            ]
+        return idx
+
+    @property
+    def bands(self) -> DataFrame | None:
+        if not self._band_parts:
+            return None
+        return reduce(DataFrame.unionByName, self._band_parts)
+
+    @property
+    def shingles(self) -> DataFrame | None:
+        if not self._sh_parts:
+            return None
+        return reduce(DataFrame.unionByName, self._sh_parts)
+
+    def _append_store(self, bands: DataFrame, shingles: DataFrame) -> None:
+        if self.store_dir is None:
+            return
+        # append-only: the index never rewrites held state. bands are
+        # partitioned by band so a per-band probe prunes directories.
+        bands.write.mode("append").partitionBy("band").parquet(
+            os.path.join(self.store_dir, "bands")
+        )
+        shingles.write.mode("append").parquet(
+            os.path.join(self.store_dir, "shingles")
+        )
+
+    def _append_state(self, bands: DataFrame, shingles: DataFrame) -> None:
+        bands = bands.persist()
+        shingles = shingles.persist()
+        # materialize BEFORE the caller releases the batch
+        # intermediates these were derived from (lineage-truncation
+        # discipline, see streaming/cdc.py).
+        bands.count()
+        shingles.count()
+        self._band_parts.append(bands)
+        self._sh_parts.append(shingles)
+
+    def close(self) -> None:
+        for f in self._band_parts + self._sh_parts:
+            f.unpersist()
+        self._band_parts = []
+        self._sh_parts = []
+
+    # -- the operator -------------------------------------------------------
+
+    def ingest(self, batch_df: DataFrame) -> DataFrame:
+        """Probe ``batch_df`` (documents schema: doc_id, text, ...)
+        against the index, extend the index with the survivors, and
+        return the DROP decisions: (doc_id, dup_of, jaccard) where
+        dup_of is the smallest surviving earlier doc the new doc
+        verified against (deterministic representative) and jaccard is
+        that pair's exact shingle Jaccard."""
+        sigs, cached = _signatures(batch_df)
+        sigs = sigs.persist()
+        cached = cached + [sigs]
+        new_bands = _band_frame(sigs)
+
+        held_bands, held_sh = self.bands, self.shingles
+        if held_bands is None:
+            decisions = self.spark.createDataFrame([], _DECISION_SCHEMA)
+            self._append_store(new_bands, sigs.select("doc_id", "sh"))
+            self._append_state(new_bands, sigs.select("doc_id", "sh"))
+            for c in cached:
+                c.unpersist()
+            return decisions
+
+        # candidate generation: one grouped shuffle on (band, bucket),
+        # per-side hot-bucket caps, inline index-side × batch-side pair
+        # expansion (same shape as minhash_crosscorpus_pairs).
+        tagged = held_bands.withColumn("side", F.lit("i")).unionByName(
+            new_bands.withColumn("side", F.lit("n"))
+        )
+        grouped = tagged.groupBy("band", "bucket").agg(
+            F.collect_list(
+                F.when(F.col("side") == "i", F.col("doc_id"))
+            ).alias("ids_i"),
+            F.collect_list(
+                F.when(F.col("side") == "n", F.col("doc_id"))
+            ).alias("ids_n"),
+        )
+        buckets = grouped.filter(
+            (F.size("ids_i") >= 1)
+            & (F.size("ids_n") >= 1)
+            & (F.size("ids_i") <= MAX_BUCKET_WIDTH)
+            & (F.size("ids_n") <= MAX_BUCKET_WIDTH)
+        )
+        cand = (
+            buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ids_i",
+                            lambda x: F.transform(
+                                F.col("ids_n"),
+                                lambda y: F.struct(
+                                    x.alias("old_id"), y.alias("new_id")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.old_id", "p.new_id")
+            .dropDuplicates(["old_id", "new_id"])
+        )
+        ver = (
+            cand.join(
+                held_sh.select(
+                    F.col("doc_id").alias("old_id"), F.col("sh").alias("sh1")
+                ),
+                "old_id",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("new_id"), F.col("sh").alias("sh2")
+                ),
+                "new_id",
+            )
+            .select(
+                "old_id",
+                "new_id",
+                round6(
+                    F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                    / F.size(F.array_union("sh1", "sh2")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        # deterministic representative: the struct min orders by
+        # old_id first, so this picks (min old_id, its jaccard) without
+        # a self-join back onto ver.
+        decisions = (
+            ver.groupBy("new_id")
+            .agg(F.min(F.struct("old_id", "jaccard")).alias("m"))
+            .select(
+                F.col("new_id").alias("doc_id"),
+                F.col("m.old_id").alias("dup_of"),
+                F.col("m.jaccard").alias("jaccard"),
+            )
+            .persist()
+        )
+        decisions.count()
+
+        surv_sigs = sigs.join(
+            decisions.select("doc_id"), "doc_id", "left_anti"
+        )
+        surv_bands = _band_frame(surv_sigs)
+        surv_sh = surv_sigs.select("doc_id", "sh")
+        self._append_store(surv_bands, surv_sh)
+        self._append_state(surv_bands, surv_sh)
+        for c in cached:
+            c.unpersist()
+        return owned(decisions, [decisions])

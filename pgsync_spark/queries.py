@@ -2524,3 +2524,55 @@ def hybrid_search_rrf(spark, sf_dir):
         .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
         .cast("int"),
     )
+
+
+@register(
+    "dedup_incremental_probe",
+    None,  # filled below (generator lives in functions/dedup.py)
+)
+def dedup_incremental_probe(spark, sf_dir):
+    """Incremental ingestion dedup: documents arrive in 3 batches
+    (doc_id % 3 as the arrival order); each batch is probed against
+    the MinHashIndex of everything accepted so far, rejected docs
+    never enter the index (first-batch-wins recursion), survivors
+    extend it. Output: the drop decisions (doc_id, batch, dup_of,
+    jaccard).
+
+    Scale shape (see functions/dedup_index.py): per batch the probe is
+    ONE grouped shuffle on (band, bucket) with per-side hot-bucket
+    caps; exact Jaccard verification touches only bucket collisions;
+    the index is append-only state — held batches are never re-paired
+    against themselves and never re-cached. The driver loop is bounded
+    by batch COUNT, not data size — the same O(batch) discipline as
+    the CDC engine."""
+    from functools import reduce
+
+    from .functions.dedup_index import MinHashIndex
+    from .caching import owned as _owned
+
+    df = Catalog(spark, sf_dir).df("documents")
+    idx = MinHashIndex(spark)
+    raw, decs = [], []
+    for k in range(3):
+        dec = idx.ingest(df.filter(F.col("doc_id") % 3 == k))
+        raw.append(dec)
+        decs.append(
+            dec.select(
+                "doc_id",
+                F.lit(k).cast("int").alias("batch"),
+                "dup_of",
+                "jaccard",
+            )
+        )
+    out = reduce(DataFrame.unionByName, decs)
+    # decisions are persisted+materialized inside ingest, so the index
+    # state can be dropped before the caller collects the union; the
+    # persisted decision frames themselves transfer to the result's
+    # cache scope
+    idx.close()
+    return _owned(out, raw)
+
+
+from .functions.dedup import incremental_probe_sql as _inc_probe_sql  # noqa: E402
+
+REGISTRY["dedup_incremental_probe"].oracle = _inc_probe_sql(3)

@@ -1,0 +1,112 @@
+"""MinHashIndex (incremental ingestion dedup): state discipline,
+store-backed restart, and the semantics the oracle encodes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsync_spark.functions.dedup_index import MinHashIndex
+
+DOC = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+OTHER = (
+    "one two three four five six seven eight nine ten "
+    "eleven twelve thirteen fourteen fifteen sixteen"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_cross_batch_dup_dropped(spark):
+    idx = MinHashIndex(spark)
+    d0 = idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    assert d0.count() == 0  # first batch: empty index, nothing drops
+    d1 = idx.ingest(_docs(spark, [(3, DOC)]))
+    rows = d1.collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 3 and rows[0].dup_of == 1
+    assert rows[0].jaccard == 1.0
+    idx.close()
+
+
+def test_within_batch_dups_not_dropped(spark):
+    """Batch self-dedup is a separate operator (dedup_canonical) — the
+    probe must not pair a batch against itself."""
+    idx = MinHashIndex(spark)
+    dec = idx.ingest(_docs(spark, [(1, DOC), (2, DOC)]))
+    assert dec.count() == 0
+    idx.close()
+
+
+def test_dropped_docs_never_enter_index(spark):
+    """First-batch-wins recursion mechanism: a rejected doc must not
+    become state, so later docs are only ever compared against
+    SURVIVORS (the oracle unrolls exactly this)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]))
+    idx.ingest(_docs(spark, [(2, DOC)]))  # dropped (dup of 1)
+    held = {r.doc_id for r in idx.shingles.select("doc_id").collect()}
+    assert held == {1}
+    # and the next exact copy cites the SURVIVOR, not the dropped doc
+    d2 = idx.ingest(_docs(spark, [(3, DOC)]))
+    rows = d2.collect()
+    assert rows[0].dup_of == 1
+    idx.close()
+
+
+def test_store_backed_restart_resumes_index(spark, tmp_path):
+    """Kill the process after two batches, load() from the store, and
+    the third batch's decisions must match the uninterrupted run."""
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.ingest(_docs(spark, [(3, "completely different words here " * 3)]))
+    idx.close()  # "crash": drop all in-memory state
+
+    idx2 = MinHashIndex.load(spark, store)
+    held = {r.doc_id for r in idx2.shingles.select("doc_id").collect()}
+    assert held == {1, 2, 3}
+    dec = idx2.ingest(_docs(spark, [(4, DOC), (5, OTHER)]))
+    got = {(r.doc_id, r.dup_of) for r in dec.collect()}
+    assert got == {(4, 1), (5, 2)}
+    idx2.close()
+
+
+def test_store_appends_not_rewrites(spark, tmp_path):
+    """The on-disk index is append-only: ingesting a new batch must not
+    touch files written by earlier batches (O(batch) maintenance)."""
+    import glob
+    import os
+
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC)]))
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(store + "/**/*.parquet", recursive=True)
+    }
+    assert before
+    idx.ingest(_docs(spark, [(2, OTHER)]))
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(store + "/**/*.parquet", recursive=True)
+    }
+    assert set(before) <= set(after)
+    for p, mt in before.items():
+        assert after[p] == mt, f"held file rewritten: {p}"
+    idx.close()
+
+
+def test_probe_is_one_grouped_shuffle(spark):
+    """The probe's candidate stage must shuffle on (band, bucket) —
+    and the held corpus must never be re-paired against itself: with
+    an empty batch overlap the decision frame is empty without a
+    corpus-sized join."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]))
+    dec = idx.ingest(_docs(spark, [(2, OTHER)]))
+    assert dec.count() == 0
+    idx.close()
