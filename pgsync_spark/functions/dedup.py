@@ -975,7 +975,10 @@ def incremental_probe_sql(n_batches: int = 3) -> str:
     wins recursion — a doc dropped at stage j never indexes, so stage
     k docs resembling only the dropped copy correctly survive), with
     the per-side hot-bucket width caps applied per stage exactly as
-    the Spark probe applies them."""
+    the Spark probe applies them, plus the exact-fingerprint side
+    channel (identical shingle sets match regardless of bucket heat,
+    jaccard exactly 1.0; UNION collapses the pair when both lanes
+    find it)."""
     m = n_batches
     perms = ", ".join(
         f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
@@ -994,6 +997,9 @@ def incremental_probe_sql(n_batches: int = 3) -> str:
     ctes = [
         f"sigs AS (SELECT doc_id, sh, [{perms}] AS sig FROM shs WHERE len(sh) > 0)",
         f"br AS ({band_rows})",
+        """fps AS (SELECT doc_id,
+               md5(list_aggregate(list_sort(sh), 'string_agg', ',')) AS fp
+             FROM sigs)""",
         f"surv0 AS (SELECT doc_id FROM sigs WHERE doc_id % {m} = 0)",
     ]
     drop_tables = []
@@ -1028,6 +1034,13 @@ def incremental_probe_sql(n_batches: int = 3) -> str:
               JOIN shs s1 ON s1.doc_id = c.old_id
               JOIN shs s2 ON s2.doc_id = c.new_id
               WHERE {jac} >= {JACCARD_THRESHOLD}
+              UNION
+              SELECT fn.doc_id AS new_id, fo.doc_id AS old_id,
+                     1.0 AS jaccard
+              FROM fps fo
+              JOIN {prev} sv ON fo.doc_id = sv.doc_id
+              JOIN fps fn ON fn.fp = fo.fp
+              WHERE fn.doc_id % {m} = {k}
             )"""
         )
         ctes.append(

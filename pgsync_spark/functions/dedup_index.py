@@ -66,6 +66,16 @@ from .hashing import round6
 _DECISION_SCHEMA = "doc_id bigint, dup_of bigint, jaccard double"
 
 
+def _fingerprint(sh):
+    """md5 of the sorted hashed-shingle set: equal fingerprint <=>
+    equal shingle SET (exact-duplicate content up to tokenization).
+    Mirrored in the oracle as
+    md5(list_aggregate(list_sort(sh), 'string_agg', ','))."""
+    return F.md5(
+        F.concat_ws(",", F.transform(F.array_sort(sh), lambda x: x.cast("string")))
+    )
+
+
 class MinHashIndex:
     """Stateful near-dup index. In-memory state lives as per-batch
     persisted DataFrames; pass ``store_dir`` to also append accepted
@@ -143,15 +153,15 @@ class MinHashIndex:
         verified against (deterministic representative) and jaccard is
         that pair's exact shingle Jaccard."""
         sigs, cached = _signatures(batch_df)
-        sigs = sigs.persist()
+        sigs = sigs.withColumn("fp", _fingerprint(F.col("sh"))).persist()
         cached = cached + [sigs]
         new_bands = _band_frame(sigs)
 
         held_bands, held_sh = self.bands, self.shingles
         if held_bands is None:
             decisions = self.spark.createDataFrame([], _DECISION_SCHEMA)
-            self._append_store(new_bands, sigs.select("doc_id", "sh"))
-            self._append_state(new_bands, sigs.select("doc_id", "sh"))
+            self._append_store(new_bands, sigs.select("doc_id", "sh", "fp"))
+            self._append_state(new_bands, sigs.select("doc_id", "sh", "fp"))
             for c in cached:
                 c.unpersist()
             return decisions
@@ -218,6 +228,25 @@ class MinHashIndex:
             )
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
+        # exact-fingerprint side channel: identical docs share ALL
+        # band buckets, so once a duplicate cluster outgrows
+        # MAX_BUCKET_WIDTH the LSH lane can no longer see it at all
+        # (recall-through-other-bands does not exist for exact copies).
+        # A slim equi-join on the sorted-shingle-set fingerprint
+        # catches exact duplicates regardless of bucket heat — the
+        # standard exact-hash lane an ingestion filter keeps next to
+        # its near-dup index. Jaccard of identical sets is exactly 1.0.
+        exact = held_sh.select(
+            F.col("doc_id").alias("old_id"), "fp"
+        ).join(
+            sigs.select(F.col("doc_id").alias("new_id"), "fp"), "fp"
+        ).select("old_id", "new_id", F.lit(1.0).alias("jaccard"))
+        # UNION (distinct): an exact pair in an un-capped bucket shows
+        # up in BOTH lanes with jaccard 1.0 — collapsing duplicates
+        # keeps the representative join from fanning out.
+        ver = ver.unionByName(exact).dropDuplicates(
+            ["old_id", "new_id", "jaccard"]
+        )
         # deterministic representative: the struct min orders by
         # old_id first, so this picks (min old_id, its jaccard) without
         # a self-join back onto ver.
@@ -237,7 +266,7 @@ class MinHashIndex:
             decisions.select("doc_id"), "doc_id", "left_anti"
         )
         surv_bands = _band_frame(surv_sigs)
-        surv_sh = surv_sigs.select("doc_id", "sh")
+        surv_sh = surv_sigs.select("doc_id", "sh", "fp")
         self._append_store(surv_bands, surv_sh)
         self._append_state(surv_bands, surv_sh)
         for c in cached:

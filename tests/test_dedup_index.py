@@ -110,3 +110,31 @@ def test_probe_is_one_grouped_shuffle(spark):
     dec = idx.ingest(_docs(spark, [(2, OTHER)]))
     assert dec.count() == 0
     idx.close()
+
+
+def test_exact_lane_survives_hot_buckets(spark):
+    """Identical docs share ALL band buckets, so once a duplicate
+    cluster outgrows MAX_BUCKET_WIDTH the LSH lane goes blind to it —
+    the exact-fingerprint side channel must still reject exact copies,
+    while NEAR-dups of the hot cluster still miss (the documented
+    recall cap)."""
+    from pgsync_spark.functions.dedup import MAX_BUCKET_WIDTH
+
+    n = MAX_BUCKET_WIDTH + 1
+    idx = MinHashIndex(spark)
+    d0 = idx.ingest(
+        _docs(spark, [(i, DOC) for i in range(1, n + 1)])
+    )
+    assert d0.count() == 0  # within-batch: no self-dedup
+    # exact copy: caught by the fingerprint lane despite every band
+    # bucket being over the cap
+    dec = idx.ingest(_docs(spark, [(5000, DOC)]))
+    rows = dec.collect()
+    assert len(rows) == 1
+    assert rows[0].dup_of == 1 and rows[0].jaccard == 1.0
+    # near-dup (one token appended → different fingerprint): the LSH
+    # lane is capped out, so it survives — the recall cap is real and
+    # this documents it
+    dec2 = idx.ingest(_docs(spark, [(5001, DOC + " extraword")]))
+    assert dec2.count() == 0
+    idx.close()
