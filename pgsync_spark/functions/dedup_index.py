@@ -76,72 +76,92 @@ def _fingerprint(sh):
     )
 
 
-class MinHashIndex:
-    """Stateful near-dup index. In-memory state lives as per-batch
-    persisted DataFrames; pass ``store_dir`` to also append accepted
-    docs' band keys + shingle sets to parquet (``load`` restores)."""
+class _AppendOnlyIndex:
+    """State discipline shared by the stateful dedup indexes: per-batch
+    persisted frames in memory (held batches never re-cached; unioned
+    lazily), append-only parquet on disk (keys partitioned by band).
+    Subclasses define the frame names and the probe."""
+
+    _KEYS_NAME = "bands"  # slim (id, band, bucket) — the probe join
+    _VALS_NAME = "vals"  # fat per-id payload — verify only
 
     def __init__(self, spark: SparkSession, store_dir: str | None = None):
         self.spark = spark
         self.store_dir = store_dir
-        self._band_parts: list[DataFrame] = []  # (doc_id, band, bucket)
-        self._sh_parts: list[DataFrame] = []  # (doc_id, sh)
-
-    # -- state management ---------------------------------------------------
+        self._key_parts: list[DataFrame] = []
+        self._val_parts: list[DataFrame] = []
 
     @classmethod
-    def load(cls, spark: SparkSession, store_dir: str) -> "MinHashIndex":
+    def load(cls, spark: SparkSession, store_dir: str):
         idx = cls(spark, store_dir)
-        bands_path = os.path.join(store_dir, "bands")
-        if os.path.isdir(bands_path):
-            idx._band_parts = [spark.read.parquet(bands_path).persist()]
-            idx._sh_parts = [
+        keys_path = os.path.join(store_dir, cls._KEYS_NAME)
+        if os.path.isdir(keys_path):
+            idx._key_parts = [spark.read.parquet(keys_path).persist()]
+            idx._val_parts = [
                 spark.read.parquet(
-                    os.path.join(store_dir, "shingles")
+                    os.path.join(store_dir, cls._VALS_NAME)
                 ).persist()
             ]
         return idx
 
     @property
-    def bands(self) -> DataFrame | None:
-        if not self._band_parts:
+    def keys(self) -> DataFrame | None:
+        if not self._key_parts:
             return None
-        return reduce(DataFrame.unionByName, self._band_parts)
+        return reduce(DataFrame.unionByName, self._key_parts)
 
     @property
-    def shingles(self) -> DataFrame | None:
-        if not self._sh_parts:
+    def vals(self) -> DataFrame | None:
+        if not self._val_parts:
             return None
-        return reduce(DataFrame.unionByName, self._sh_parts)
+        return reduce(DataFrame.unionByName, self._val_parts)
 
-    def _append_store(self, bands: DataFrame, shingles: DataFrame) -> None:
+    def _append_store(self, keys: DataFrame, vals: DataFrame) -> None:
         if self.store_dir is None:
             return
-        # append-only: the index never rewrites held state. bands are
+        # append-only: the index never rewrites held state. keys are
         # partitioned by band so a per-band probe prunes directories.
-        bands.write.mode("append").partitionBy("band").parquet(
-            os.path.join(self.store_dir, "bands")
+        keys.write.mode("append").partitionBy("band").parquet(
+            os.path.join(self.store_dir, self._KEYS_NAME)
         )
-        shingles.write.mode("append").parquet(
-            os.path.join(self.store_dir, "shingles")
+        vals.write.mode("append").parquet(
+            os.path.join(self.store_dir, self._VALS_NAME)
         )
 
-    def _append_state(self, bands: DataFrame, shingles: DataFrame) -> None:
-        bands = bands.persist()
-        shingles = shingles.persist()
+    def _append_state(self, keys: DataFrame, vals: DataFrame) -> None:
+        keys = keys.persist()
+        vals = vals.persist()
         # materialize BEFORE the caller releases the batch
         # intermediates these were derived from (lineage-truncation
         # discipline, see streaming/cdc.py).
-        bands.count()
-        shingles.count()
-        self._band_parts.append(bands)
-        self._sh_parts.append(shingles)
+        keys.count()
+        vals.count()
+        self._key_parts.append(keys)
+        self._val_parts.append(vals)
 
     def close(self) -> None:
-        for f in self._band_parts + self._sh_parts:
+        for f in self._key_parts + self._val_parts:
             f.unpersist()
-        self._band_parts = []
-        self._sh_parts = []
+        self._key_parts = []
+        self._val_parts = []
+
+
+class MinHashIndex(_AppendOnlyIndex):
+    """Stateful near-dup index over documents. In-memory state lives as
+    per-batch persisted DataFrames; pass ``store_dir`` to also append
+    accepted docs' band keys + shingle sets to parquet (``load``
+    restores)."""
+
+    _KEYS_NAME = "bands"
+    _VALS_NAME = "shingles"
+
+    @property
+    def bands(self) -> DataFrame | None:
+        return self.keys
+
+    @property
+    def shingles(self) -> DataFrame | None:
+        return self.vals
 
     # -- the operator -------------------------------------------------------
 
@@ -271,4 +291,133 @@ class MinHashIndex:
         self._append_state(surv_bands, surv_sh)
         for c in cached:
             c.unpersist()
+        return owned(decisions, [decisions])
+
+
+_SEM_DECISION_SCHEMA = "vec_id bigint, dup_of bigint, cosine double"
+
+
+class EmbeddingIndex(_AppendOnlyIndex):
+    """Stateful SEMANTIC near-dup index over embeddings — the
+    incremental form of SemDeDup's pair stage: a new vector is
+    rejected iff its exact cosine against some accepted vector is
+    >= NEARDUP_COS, candidates blocked by banded sign-LSH buckets
+    (similarity.py's scheme: N_BANDS bands of PLANES_PER_BAND sign
+    planes).
+
+    Differences from MinHashIndex that are structural, not accidental:
+    - No hot-bucket cap and no exact-fingerprint lane. Sign-LSH
+      buckets are STRUCTURAL cells (N_BANDS × 2^PLANES_PER_BAND), wide
+      and skewed by design — the scale dial is PLANES_PER_BAND
+      (exponentially narrower cells), not a width cutoff, and the
+      probe join (held × batch on (band, bucket)) distributes hot
+      cells across join tasks under AQE skew splits, exactly like
+      embedding_neardup_pairs' self-join. Identical vectors always
+      collide in every cell, so the LSH lane never goes blind to
+      exact copies the way a capped minhash bucket does.
+    - The verify payload is the embedding itself (vals frame
+      (vec_id, embedding)); candidates join back by id so vectors are
+      never dragged through the candidate shuffle.
+    """
+
+    _KEYS_NAME = "bands"
+    _VALS_NAME = "vectors"
+
+    def ingest(self, batch_df: DataFrame) -> DataFrame:
+        """Probe ``batch_df`` (vec_id, embedding) against the index,
+        extend the index with the survivors, and return the DROP
+        decisions (vec_id, dup_of, cosine) — dup_of the smallest
+        accepted vector the new one verified against."""
+        from .similarity import (
+            N_BANDS,
+            NEARDUP_COS,
+            _band_bucket,
+            _dot,
+            _norm,
+        )
+
+        batch = batch_df.select("vec_id", "embedding").persist()
+        new_keys = batch.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        _band_bucket(F.col("embedding"), b)
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+        held_keys, held_vecs = self.keys, self.vals
+        if held_keys is None:
+            decisions = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)
+            self._append_store(new_keys, batch)
+            self._append_state(new_keys, batch)
+            batch.unpersist()
+            return decisions
+
+        cand = (
+            held_keys.select(F.col("vec_id").alias("old_id"), "band", "bucket")
+            .join(
+                new_keys.select(
+                    F.col("vec_id").alias("new_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("old_id", "new_id")
+            .distinct()
+        )
+        ver = (
+            cand.join(
+                held_vecs.select(
+                    F.col("vec_id").alias("old_id"),
+                    F.col("embedding").alias("v1"),
+                ),
+                "old_id",
+            )
+            .join(
+                batch.select(
+                    F.col("vec_id").alias("new_id"),
+                    F.col("embedding").alias("v2"),
+                ),
+                "new_id",
+            )
+            .select(
+                "old_id",
+                "new_id",
+                round6(
+                    _dot(F.col("v1"), F.col("v2"))
+                    / (_norm(F.col("v1")) * _norm(F.col("v2")))
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= NEARDUP_COS)
+        )
+        decisions = (
+            ver.groupBy("new_id")
+            .agg(F.min(F.struct("old_id", "cosine")).alias("m"))
+            .select(
+                F.col("new_id").alias("vec_id"),
+                F.col("m.old_id").alias("dup_of"),
+                F.col("m.cosine").alias("cosine"),
+            )
+            .persist()
+        )
+        decisions.count()
+
+        surv = batch.join(decisions.select("vec_id"), "vec_id", "left_anti")
+        surv_keys = surv.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        _band_bucket(F.col("embedding"), b)
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        self._append_store(surv_keys, surv)
+        self._append_state(surv_keys, surv)
+        batch.unpersist()
         return owned(decisions, [decisions])

@@ -430,3 +430,81 @@ def semantic_dedup_canonical_sql() -> str:
         )
         SELECT * FROM unclustered UNION ALL SELECT * FROM clustered
     """
+
+
+def incremental_semantic_probe_sql(n_batches: int = 3) -> str:
+    """Oracle for EmbeddingIndex (dedup_index.py) over ``embeddings``
+    with ingestion batches vec_id % n_batches, unrolled stage by
+    stage: stage k's index side is the SURVIVORS of batches < k
+    (first-batch-wins recursion), candidates blocked by the same
+    banded sign-LSH cells, verified by exact cosine >= NEARDUP_COS."""
+    m = n_batches
+    keys = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_band_bucket_sql('embedding', b)} AS bucket FROM embeddings"
+        for b in range(N_BANDS)
+    )
+    cos = round6_sql(
+        _dot_sql("e1.embedding", "e2.embedding")
+        + " / ("
+        + _norm_sql("e1.embedding")
+        + " * "
+        + _norm_sql("e2.embedding")
+        + ")"
+    )
+    ctes = [
+        f"keys AS ({keys})",
+        f"surv0 AS (SELECT vec_id FROM embeddings WHERE vec_id % {m} = 0)",
+    ]
+    drops = []
+    for k in range(1, m):
+        prev = f"surv{k - 1}"
+        ctes.append(
+            f"""c{k} AS (
+              SELECT DISTINCT k1.vec_id AS old_id, k2.vec_id AS new_id
+              FROM keys k1
+              JOIN {prev} s ON k1.vec_id = s.vec_id
+              JOIN keys k2 ON k1.band = k2.band AND k1.bucket = k2.bucket
+              WHERE k2.vec_id % {m} = {k}
+            )"""
+        )
+        ctes.append(
+            f"""v{k} AS (
+              SELECT c{k}.new_id, c{k}.old_id, {cos} AS cosine
+              FROM c{k}
+              JOIN embeddings e1 ON e1.vec_id = c{k}.old_id
+              JOIN embeddings e2 ON e2.vec_id = c{k}.new_id
+              WHERE {cos} >= {NEARDUP_COS}
+            )"""
+        )
+        ctes.append(
+            f"""d{k} AS (
+              SELECT new_id, min(old_id) AS dup_of
+              FROM v{k} GROUP BY new_id
+            )"""
+        )
+        ctes.append(
+            f"""dj{k} AS (
+              SELECT d{k}.new_id AS vec_id, {k} AS batch,
+                     d{k}.dup_of, v{k}.cosine
+              FROM d{k} JOIN v{k}
+                ON v{k}.new_id = d{k}.new_id
+               AND v{k}.old_id = d{k}.dup_of
+            )"""
+        )
+        drops.append(f"dj{k}")
+        if k < m - 1:
+            ctes.append(
+                f"""surv{k} AS (
+                  SELECT vec_id FROM {prev}
+                  UNION ALL
+                  SELECT vec_id FROM embeddings WHERE vec_id % {m} = {k}
+                    AND vec_id NOT IN (SELECT new_id FROM d{k})
+                )"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM {t}" for t in drops)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT vec_id, CAST(batch AS INT) AS batch, dup_of, cosine
+        FROM ({union})
+    """

@@ -2576,3 +2576,47 @@ def dedup_incremental_probe(spark, sf_dir):
 from .functions.dedup import incremental_probe_sql as _inc_probe_sql  # noqa: E402
 
 REGISTRY["dedup_incremental_probe"].oracle = _inc_probe_sql(3)
+
+
+@register("semantic_dedup_incremental", None)  # oracle attached below
+def semantic_dedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup: embeddings arrive in 3 batches (vec_id %
+    3 as arrival order); each batch probes the EmbeddingIndex of all
+    accepted vectors (banded sign-LSH candidate cells, exact cosine
+    verify >= NEARDUP_COS), rejected vectors never index. Output: the
+    drop decisions (vec_id, batch, dup_of, cosine).
+
+    Scale shape (functions/dedup_index.py EmbeddingIndex): per batch
+    one (band, bucket)-keyed join of slim keys — held × batch only,
+    never held × held — with AQE skew splits spreading the structural
+    hot cells; embeddings join back per candidate id for the verify;
+    state is append-only exactly like MinHashIndex."""
+    from functools import reduce
+
+    from .functions.dedup_index import EmbeddingIndex
+    from .caching import owned as _owned
+
+    df = Catalog(spark, sf_dir).df("embeddings")
+    idx = EmbeddingIndex(spark)
+    raw, decs = [], []
+    for k in range(3):
+        dec = idx.ingest(df.filter(F.col("vec_id") % 3 == k))
+        raw.append(dec)
+        decs.append(
+            dec.select(
+                "vec_id",
+                F.lit(k).cast("int").alias("batch"),
+                "dup_of",
+                "cosine",
+            )
+        )
+    out = reduce(DataFrame.unionByName, decs)
+    idx.close()
+    return _owned(out, raw)
+
+
+from .functions.similarity import (  # noqa: E402
+    incremental_semantic_probe_sql as _inc_sem_sql,
+)
+
+REGISTRY["semantic_dedup_incremental"].oracle = _inc_sem_sql(3)

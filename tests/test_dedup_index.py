@@ -138,3 +138,47 @@ def test_exact_lane_survives_hot_buckets(spark):
     dec2 = idx.ingest(_docs(spark, [(5001, DOC + " extraword")]))
     assert dec2.count() == 0
     idx.close()
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_index_exact_and_restart(spark, tmp_path):
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+
+    v = [1.0, 0.5, -0.25, 2.0, 1.0, -1.0, 0.125, 3.0,
+         0.5, -2.0, 1.5, 0.75, -0.5, 1.0, 2.5, -1.25]
+    w = [-1.0, 2.0, 0.5, -3.0, 1.0, 1.5, -0.5, 0.25,
+         -1.5, 0.5, -2.0, 1.0, 0.75, -0.25, -3.0, 2.0]
+    store = str(tmp_path / "embidx")
+    idx = EmbeddingIndex(spark, store_dir=store)
+    assert idx.ingest(_vecs(spark, [(1, v), (2, w)])).count() == 0
+    d1 = idx.ingest(_vecs(spark, [(3, v)]))  # identical vector
+    rows = d1.collect()
+    assert len(rows) == 1 and rows[0].dup_of == 1 and rows[0].cosine == 1.0
+    idx.close()
+
+    idx2 = EmbeddingIndex.load(spark, store)
+    held = {r.vec_id for r in idx2.vals.select("vec_id").collect()}
+    assert held == {1, 2}  # rejected vec 3 never entered the store
+    d2 = idx2.ingest(_vecs(spark, [(4, w)]))
+    rows = d2.collect()
+    assert len(rows) == 1 and rows[0].dup_of == 2
+    idx2.close()
+
+
+def test_embedding_index_scaled_copy_rejected(spark):
+    """Cosine is scale-invariant: 2x the accepted vector still probes
+    to cosine 1.0 through the same sign cells (signs are unchanged by
+    positive scaling)."""
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+
+    v = [1.0, 0.5, -0.25, 2.0, 1.0, -1.0, 0.125, 3.0,
+         0.5, -2.0, 1.5, 0.75, -0.5, 1.0, 2.5, -1.25]
+    idx = EmbeddingIndex(spark)
+    idx.ingest(_vecs(spark, [(1, v)]))
+    dec = idx.ingest(_vecs(spark, [(2, [2.0 * x for x in v])]))
+    rows = dec.collect()
+    assert len(rows) == 1 and rows[0].dup_of == 1 and rows[0].cosine == 1.0
+    idx.close()
