@@ -846,6 +846,64 @@ def _band_frame(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _crosscorpus_candidates(
+    bands_a: DataFrame,
+    bands_b: DataFrame,
+    a_name: str,
+    b_name: str,
+    opname: str,
+    log_drops: bool = True,
+) -> DataFrame:
+    """Two-sided banded candidate generation shared by the one-shot
+    cross-corpus join and the incremental MinHash index probe: both
+    sides' slim (doc_id, band, bucket) keys meet in ONE grouped shuffle
+    on (band, bucket); per-bucket the A×B pair expansion happens inline
+    via higher-order functions with a per-side hot-bucket cap
+    (quadratic guard, drops observed via _observe_hot_buckets).
+    Returns distinct (a_name, b_name) id pairs."""
+    tagged = bands_a.withColumn("side", F.lit("a")).unionByName(
+        bands_b.withColumn("side", F.lit("b"))
+    )
+    grouped = tagged.groupBy("band", "bucket").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "a", F.col("doc_id")))
+        ).alias("ids_a"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("side") == "b", F.col("doc_id")))
+        ).alias("ids_b"),
+    )
+    if log_drops:
+        grouped = _observe_hot_buckets(
+            grouped,
+            (F.size("ids_a") > MAX_BUCKET_WIDTH)
+            | (F.size("ids_b") > MAX_BUCKET_WIDTH),
+            opname,
+        )
+    buckets = grouped.filter(
+        (F.size("ids_a") >= 1)
+        & (F.size("ids_b") >= 1)
+        & (F.size("ids_a") <= MAX_BUCKET_WIDTH)
+        & (F.size("ids_b") <= MAX_BUCKET_WIDTH)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids_a",
+                        lambda x: F.transform(
+                            F.col("ids_b"),
+                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a_id").alias(a_name), F.col("p.b_id").alias(b_name))
+        .dropDuplicates([a_name, b_name])
+    )
+
+
 def minhash_crosscorpus_pairs(
     df_a: DataFrame, df_b: DataFrame, log_drops: bool = True
 ) -> DataFrame:
@@ -865,46 +923,13 @@ def minhash_crosscorpus_pairs(
     sigs_a = sigs_a.persist()
     sigs_b = sigs_b.persist()
     cached = cached_a + cached_b + [sigs_a, sigs_b]
-    tagged = _band_frame(sigs_a).withColumn("side", F.lit("a")).unionByName(
-        _band_frame(sigs_b).withColumn("side", F.lit("b"))
-    )
-    grouped = tagged.groupBy("band", "bucket").agg(
-        F.array_sort(
-            F.collect_list(F.when(F.col("side") == "a", F.col("doc_id")))
-        ).alias("ids_a"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("side") == "b", F.col("doc_id")))
-        ).alias("ids_b"),
-    )
-    if log_drops:
-        grouped = _observe_hot_buckets(
-            grouped,
-            (F.size("ids_a") > MAX_BUCKET_WIDTH)
-            | (F.size("ids_b") > MAX_BUCKET_WIDTH),
-            "minhash_crosscorpus_pairs",
-        )
-    buckets = grouped.filter(
-        (F.size("ids_a") >= 1)
-        & (F.size("ids_b") >= 1)
-        & (F.size("ids_a") <= MAX_BUCKET_WIDTH)
-        & (F.size("ids_b") <= MAX_BUCKET_WIDTH)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids_a",
-                        lambda x: F.transform(
-                            F.col("ids_b"),
-                            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+    cand = _crosscorpus_candidates(
+        _band_frame(sigs_a),
+        _band_frame(sigs_b),
+        "a_id",
+        "b_id",
+        "minhash_crosscorpus_pairs",
+        log_drops=log_drops,
     )
     cand = cand.join(
         sigs_a.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh1")),

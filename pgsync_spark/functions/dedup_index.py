@@ -57,8 +57,8 @@ from pyspark.sql import functions as F
 from ..caching import owned
 from .dedup import (
     JACCARD_THRESHOLD,
-    MAX_BUCKET_WIDTH,
     _band_frame,
+    _crosscorpus_candidates,
     _signatures,
 )
 from .hashing import round6
@@ -116,7 +116,19 @@ class _AppendOnlyIndex:
             return None
         return reduce(DataFrame.unionByName, self._val_parts)
 
-    def _append_store(self, keys: DataFrame, vals: DataFrame) -> None:
+    def _append(self, keys: DataFrame, vals: DataFrame) -> None:
+        """Persist + materialize the survivor frames FIRST (so the
+        caller can release the batch intermediates they derive from —
+        lineage-truncation discipline, see streaming/cdc.py), then
+        append the on-disk store from the now-cached frames. Store
+        writes before the persist would execute the band explode and
+        the survivor anti-join a second time per batch."""
+        keys = keys.persist()
+        vals = vals.persist()
+        keys.count()
+        vals.count()
+        self._key_parts.append(keys)
+        self._val_parts.append(vals)
         if self.store_dir is None:
             return
         # append-only: the index never rewrites held state. keys are
@@ -127,17 +139,6 @@ class _AppendOnlyIndex:
         vals.write.mode("append").parquet(
             os.path.join(self.store_dir, self._VALS_NAME)
         )
-
-    def _append_state(self, keys: DataFrame, vals: DataFrame) -> None:
-        keys = keys.persist()
-        vals = vals.persist()
-        # materialize BEFORE the caller releases the batch
-        # intermediates these were derived from (lineage-truncation
-        # discipline, see streaming/cdc.py).
-        keys.count()
-        vals.count()
-        self._key_parts.append(keys)
-        self._val_parts.append(vals)
 
     def close(self) -> None:
         for f in self._key_parts + self._val_parts:
@@ -180,50 +181,18 @@ class MinHashIndex(_AppendOnlyIndex):
         held_bands, held_sh = self.bands, self.shingles
         if held_bands is None:
             decisions = self.spark.createDataFrame([], _DECISION_SCHEMA)
-            self._append_store(new_bands, sigs.select("doc_id", "sh", "fp"))
-            self._append_state(new_bands, sigs.select("doc_id", "sh", "fp"))
+            self._append(new_bands, sigs.select("doc_id", "sh", "fp"))
             for c in cached:
                 c.unpersist()
             return decisions
 
-        # candidate generation: one grouped shuffle on (band, bucket),
-        # per-side hot-bucket caps, inline index-side × batch-side pair
-        # expansion (same shape as minhash_crosscorpus_pairs).
-        tagged = held_bands.withColumn("side", F.lit("i")).unionByName(
-            new_bands.withColumn("side", F.lit("n"))
-        )
-        grouped = tagged.groupBy("band", "bucket").agg(
-            F.collect_list(
-                F.when(F.col("side") == "i", F.col("doc_id"))
-            ).alias("ids_i"),
-            F.collect_list(
-                F.when(F.col("side") == "n", F.col("doc_id"))
-            ).alias("ids_n"),
-        )
-        buckets = grouped.filter(
-            (F.size("ids_i") >= 1)
-            & (F.size("ids_n") >= 1)
-            & (F.size("ids_i") <= MAX_BUCKET_WIDTH)
-            & (F.size("ids_n") <= MAX_BUCKET_WIDTH)
-        )
-        cand = (
-            buckets.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            "ids_i",
-                            lambda x: F.transform(
-                                F.col("ids_n"),
-                                lambda y: F.struct(
-                                    x.alias("old_id"), y.alias("new_id")
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
-            .select("p.old_id", "p.new_id")
-            .dropDuplicates(["old_id", "new_id"])
+        # candidate generation: shared with minhash_crosscorpus_pairs —
+        # one grouped shuffle on (band, bucket), per-side hot-bucket
+        # caps, inline index-side × batch-side pair expansion, drops
+        # observed/logged so an operator can SEE the incremental index
+        # losing LSH recall to boilerplate heat.
+        cand = _crosscorpus_candidates(
+            held_bands, new_bands, "old_id", "new_id", "minhash_index_probe"
         )
         ver = (
             cand.join(
@@ -256,11 +225,18 @@ class MinHashIndex(_AppendOnlyIndex):
         # catches exact duplicates regardless of bucket heat — the
         # standard exact-hash lane an ingestion filter keeps next to
         # its near-dup index. Jaccard of identical sets is exactly 1.0.
-        exact = held_sh.select(
-            F.col("doc_id").alias("old_id"), "fp"
-        ).join(
-            sigs.select(F.col("doc_id").alias("new_id"), "fp"), "fp"
-        ).select("old_id", "new_id", F.lit(1.0).alias("jaccard"))
+        # The held side pre-aggregates to ONE representative per fp
+        # (min doc_id — exactly the representative the decision agg
+        # below would pick anyway): within-batch duplicates all enter
+        # the index, so a hot boilerplate fp can hold thousands of
+        # copies, and joining every copy against every new copy would
+        # reintroduce the quadratic blow-up this lane exists to dodge.
+        exact = (
+            held_sh.groupBy("fp")
+            .agg(F.min("doc_id").alias("old_id"))
+            .join(sigs.select(F.col("doc_id").alias("new_id"), "fp"), "fp")
+            .select("old_id", "new_id", F.lit(1.0).alias("jaccard"))
+        )
         # UNION (distinct): an exact pair in an un-capped bucket shows
         # up in BOTH lanes with jaccard 1.0 — collapsing duplicates
         # keeps the representative join from fanning out.
@@ -285,10 +261,7 @@ class MinHashIndex(_AppendOnlyIndex):
         surv_sigs = sigs.join(
             decisions.select("doc_id"), "doc_id", "left_anti"
         )
-        surv_bands = _band_frame(surv_sigs)
-        surv_sh = surv_sigs.select("doc_id", "sh", "fp")
-        self._append_store(surv_bands, surv_sh)
-        self._append_state(surv_bands, surv_sh)
+        self._append(_band_frame(surv_sigs), surv_sigs.select("doc_id", "sh", "fp"))
         for c in cached:
             c.unpersist()
         return owned(decisions, [decisions])
@@ -323,21 +296,14 @@ class EmbeddingIndex(_AppendOnlyIndex):
     _KEYS_NAME = "bands"
     _VALS_NAME = "vectors"
 
-    def ingest(self, batch_df: DataFrame) -> DataFrame:
-        """Probe ``batch_df`` (vec_id, embedding) against the index,
-        extend the index with the survivors, and return the DROP
-        decisions (vec_id, dup_of, cosine) — dup_of the smallest
-        accepted vector the new one verified against."""
-        from .similarity import (
-            N_BANDS,
-            NEARDUP_COS,
-            _band_bucket,
-            _dot,
-            _norm,
-        )
+    @staticmethod
+    def _band_keys(df: DataFrame) -> DataFrame:
+        """(vec_id, band, bucket) sign-LSH keys — the ONE banding
+        scheme shared by new-batch probe keys and stored survivor keys
+        (a drift between the two would silently blind the probe)."""
+        from .similarity import N_BANDS, _band_bucket
 
-        batch = batch_df.select("vec_id", "embedding").persist()
-        new_keys = batch.select(
+        return df.select(
             "vec_id",
             F.posexplode(
                 F.array(
@@ -349,12 +315,25 @@ class EmbeddingIndex(_AppendOnlyIndex):
             ).alias("band", "bucket"),
         )
 
+    def ingest(self, batch_df: DataFrame) -> DataFrame:
+        """Probe ``batch_df`` (vec_id, embedding) against the index,
+        extend the index with the survivors, and return the DROP
+        decisions (vec_id, dup_of, cosine) — dup_of the smallest
+        accepted vector the new one verified against."""
+        from .similarity import NEARDUP_COS, _dot, _norm
+
+        batch = batch_df.select("vec_id", "embedding").persist()
+        new_keys = self._band_keys(batch)
+
         held_keys, held_vecs = self.keys, self.vals
         if held_keys is None:
             decisions = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)
-            self._append_store(new_keys, batch)
-            self._append_state(new_keys, batch)
-            batch.unpersist()
+            # the whole first batch survives: install ``batch`` itself
+            # as held state and do NOT unpersist it here — it is now
+            # index state (close() releases it). Unpersisting would
+            # force every later probe to recompute batch 0 from its
+            # source lineage.
+            self._append(new_keys, batch)
             return decisions
 
         cand = (
@@ -406,18 +385,6 @@ class EmbeddingIndex(_AppendOnlyIndex):
         decisions.count()
 
         surv = batch.join(decisions.select("vec_id"), "vec_id", "left_anti")
-        surv_keys = surv.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        _band_bucket(F.col("embedding"), b)
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("band", "bucket"),
-        )
-        self._append_store(surv_keys, surv)
-        self._append_state(surv_keys, surv)
+        self._append(self._band_keys(surv), surv)
         batch.unpersist()
         return owned(decisions, [decisions])

@@ -91,19 +91,13 @@ def load_plugins(names: list[str], module: str | None = None) -> list[Plugin]:
     root = importlib.import_module(module)
     imported.append(root)
     collect(root)
-    for path in getattr(root, "__path__", []):  # package → walk children
-        for info in pkgutil.iter_modules([path], prefix=f"{module}."):
+    if hasattr(root, "__path__"):  # package → walk recursively, any depth
+        for info in pkgutil.walk_packages(
+            root.__path__, prefix=f"{module}."
+        ):
             child = importlib.import_module(info.name)
             imported.append(child)
             collect(child)
-            if info.ispkg:
-                for p in getattr(child, "__path__", []):
-                    for sub in pkgutil.iter_modules(
-                        [p], prefix=f"{info.name}."
-                    ):
-                        grand = importlib.import_module(sub.name)
-                        imported.append(grand)
-                        collect(grand)
 
     if not module.startswith("pgsync_spark"):
         # a user plugins module lives on the DRIVER only; executors

@@ -367,6 +367,41 @@ def test_load_plugins_resolution_and_order():
         load_plugins(["nope"])  # message lists what IS available
 
 
+def test_load_plugins_walks_nested_packages(tmp_path, monkeypatch):
+    """Packages are walked recursively at ANY depth (ref: the reference
+    globs plugins/**; a plugin three levels down must be discoverable,
+    not just children and grandchildren)."""
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "deep_plugins"
+    leaf = pkg / "vendor" / "pii"
+    leaf.mkdir(parents=True)
+    for d in (pkg, pkg / "vendor", leaf):
+        (d / "__init__.py").write_text("")
+    (leaf / "mask.py").write_text(
+        textwrap.dedent(
+            """
+            from pgsync_spark.plugin import Plugin
+
+            class DeepMask(Plugin):
+                name = "DeepMask"
+
+                def transform(self, doc, **kwargs):
+                    return doc
+            """
+        )
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    from pgsync_spark.plugin import load_plugins
+
+    got = load_plugins(["deepmask"], module="deep_plugins")
+    assert [type(p).__name__ for p in got] == ["DeepMask"]
+    for m in list(sys.modules):
+        if m.startswith("deep_plugins"):
+            del sys.modules[m]
+
+
 def test_apply_plugins_passthrough_routing(spark):
     """_routing must survive the plugin crossing (routed indexes), and
     a dropped doc takes its passthrough values with it."""
