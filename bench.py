@@ -53,6 +53,7 @@ HEADLINE = [
     "text_bm25_topk",
     "hybrid_search_rrf",
     "dsir_select",
+    "ccnet_perplexity_buckets",
 ]
 
 # steady-state = median of this many batches applied after the cold one

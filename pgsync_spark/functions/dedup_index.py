@@ -28,7 +28,7 @@ Scale design (the 100 TB story):
   O(batch bands + colliding index bands), never O(index²).
 - The probe shuffle is keyed by (band, bucket). On a cluster the
   stored band frame is written partitioned on band (see
-  _append_store; bucketBy(band, bucket) via saveAsTable where a
+  _append; bucketBy(band, bucket) via saveAsTable where a
   metastore exists), so the held side is pre-clustered and only the
   batch side moves at probe time.
 - The index only ever APPENDS (survivors of each batch), so on-disk

@@ -2352,6 +2352,151 @@ def dsir_select(spark, sf_dir):
     )
 
 
+PPL_BUCKETS = 256
+PPL_REF_LANG = "en"
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""WITH docs AS (
+          SELECT doc_id, lang, {hashing.tokens_sql('text')} AS t
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1])) AS bg
+          FROM docs WHERE len(t) >= 2
+        ),
+        b AS (
+          SELECT doc_id, lang,
+                 ({h32_sql('bg')} % {PPL_BUCKETS}) AS bucket
+          FROM big
+        ),
+        rc AS (
+          SELECT bucket, count(*) AS c_b
+          FROM b WHERE lang = '{PPL_REF_LANG}' GROUP BY bucket
+        ),
+        tot AS (SELECT sum(c_b) AS c_tot FROM rc),
+        cost AS (
+          SELECT b.doc_id, b.lang,
+                 CAST(floor(
+                   ln(CAST(c_tot + {PPL_BUCKETS} AS DOUBLE)
+                      / (COALESCE(c_b, 0) + 1.0)) * 1e6 + 0.5
+                 ) AS BIGINT) AS cost_micro
+          FROM b LEFT JOIN rc USING (bucket), tot
+        ),
+        ce AS (
+          SELECT doc_id, lang,
+                 CAST(sum(cost_micro) // count(*) AS BIGINT) AS ce_micro
+          FROM cost GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, ce_micro,
+               CASE NTILE(3) OVER (
+                 PARTITION BY lang ORDER BY ce_micro, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS ppl_bucket
+        FROM ce""",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every doc by its cross-entropy under a reference
+    language model, then split each language into head/middle/tail
+    terciles — the classic LM-quality partition a web-crawl curation
+    pipeline applies before mixing. The deterministic stand-in for
+    KenLM: a hashed-bigram model (h32 % {PPL_BUCKETS} buckets, Laplace
+    smoothing) trained on the corpus's own '{PPL_REF_LANG}' slice —
+    the same target-slice convention as dsir_select; a real KenLM
+    scorer swaps in via the plugin chain.
+
+    Engine portability (the dsir_select discipline): per-bucket cost
+    -ln p(bucket) is snapped to fixed-point micro-nats ONCE per bucket
+    (<= {PPL_BUCKETS} ln() evaluations total), each doc's total cost is
+    an exact BIGINT sum, and the per-token normalization is integer
+    division (both operands non-negative, so Spark `div` and DuckDB
+    `//` agree exactly) — tercile ordering cannot diverge between
+    engines on float sum order.
+
+    Scale shape: bigrams are built by zip_with over the in-scan token
+    array (no self-join); the reference histogram is one map-side-
+    combined groupBy with <= {PPL_BUCKETS} output rows, broadcast back
+    (with the 1-row total) onto the exploded corpus; per-doc totals are
+    one uniform doc_id groupBy — the one corpus-sized shuffle, same as
+    dsir_select. The per-language ntile window is the deliberate trade
+    for an exact oracle at test SF: at 100 TB swap it for sampled
+    tercile thresholds (CCNet itself fits thresholds on a sample, then
+    assigns by comparison — a zero-shuffle map over the scored docs);
+    the scored frame and the bucket rule are unchanged."""
+    df = Catalog(spark, sf_dir).df("documents")
+    docs = df.select(
+        "doc_id", "lang", hashing.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hashing.h32(F.col("bg")) % F.lit(PPL_BUCKETS)).alias("bucket"),
+    )
+    rc = (
+        b.filter(F.col("lang") == PPL_REF_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    dom = spark.range(PPL_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    # the model total rides a window over the <= PPL_BUCKETS-row cost
+    # frame itself (single tiny partition) instead of a separate
+    # rc.agg() branch — a second branch would recompute the reference
+    # histogram from the corpus scan (rc is unpersisted by design).
+    c_b = F.coalesce(F.col("c_b"), F.lit(0))
+    c_tot = F.sum(c_b).over(W.partitionBy())
+    cost = dom.join(rc, "bucket", "left").select(
+        "bucket",
+        F.floor(
+            F.log(
+                (c_tot + F.lit(PPL_BUCKETS)).cast("double")
+                / (c_b + F.lit(1.0))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint").alias("cost_micro"),
+    )
+    ce = (
+        b.join(F.broadcast(cost), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cost_micro").alias("tm"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(tm div nb AS BIGINT)").alias("ce_micro"),
+        )
+    )
+    n = F.ntile(3).over(W.partitionBy("lang").orderBy("ce_micro", "doc_id"))
+    return ce.select(
+        "doc_id",
+        "lang",
+        "ce_micro",
+        F.when(n == 1, "head")
+        .when(n == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
 HYBRID_QUERY_TEXT = " ".join(BM25_QUERY_TERMS)
 HYBRID_EMB_DIMS = 8
 HYBRID_CAND_K = 50

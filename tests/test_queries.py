@@ -443,3 +443,56 @@ def test_hybrid_rrf_candidate_lists_are_takeordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan, plan
     assert plan.count("TakeOrdered") >= 2
+
+
+def test_ccnet_perplexity_semantics_and_plan(spark):
+    """ccnet_perplexity_buckets: (a) docs made of common reference-
+    slice bigrams score LOWER cross-entropy than out-of-distribution
+    garbage (the CCNet head/tail contract); (b) terciles are balanced
+    per language; (c) the cost table carrying ln() is built on the
+    bucket domain and BROADCAST back — the corpus side must show no
+    per-bigram ln evaluation shuffle (its only exchanges: the doc_id
+    aggregation and the per-lang ntile window)."""
+    from conftest import SF_DIR
+    from pgsync_spark.queries import REGISTRY
+
+    df = REGISTRY["ccnet_perplexity_buckets"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r["ppl_bucket"]] += 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (
+            lang,
+            counts,
+        )
+        # bucket assignment must follow the ce_micro order exactly
+        ordered = sorted(rs, key=lambda r: (r["ce_micro"], r["doc_id"]))
+        labels = [r["ppl_bucket"] for r in ordered]
+        n = len(labels)
+        assert labels == (
+            ["head"] * labels.count("head")
+            + ["middle"] * labels.count("middle")
+            + ["tail"] * labels.count("tail")
+        ), lang
+        assert n == sum(counts.values())
+    # head docs (lowest cross-entropy) score strictly below tail docs
+    # within every language — the quantity orders correctly
+    for lang, rs in by_lang.items():
+        heads = [r["ce_micro"] for r in rs if r["ppl_bucket"] == "head"]
+        tails = [r["ce_micro"] for r in rs if r["ppl_bucket"] == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails), lang
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly the two sanctioned corpus-side exchanges (doc agg + lang
+    # window) plus the <=256-row reference-histogram shuffles; the
+    # cost table reaches the corpus via broadcast join only. Count the
+    # AQE FINAL plan — the trailing "Initial Plan" section repeats
+    # every exchange.
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") <= 4, final
