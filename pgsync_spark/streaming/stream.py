@@ -64,3 +64,78 @@ def start_cdc_stream(
     if poll_interval is not None:
         writer = writer.trigger(processingTime=poll_interval)
     return writer.start()
+
+
+DEDUP_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    index,
+    docs_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: str = DEDUP_DOCS_SCHEMA,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming training-data ingestion dedup: a JSON doc stream →
+    per micro-batch probe against the incremental near-dup index →
+    accepted docs land under ``out_dir/accepted/epoch=N``, drop
+    decisions under ``out_dir/decisions/epoch=N``, and the index
+    extends with the survivors — the continuously-fed corpus pipeline
+    the one-shot dedup operators can't provide (state lives in the
+    ``index``: MinHashIndex or EmbeddingIndex, optionally
+    store-backed for cross-restart durability).
+
+    Replay semantics (Structured Streaming re-runs the last epoch
+    after a restart whose offsets had not committed): the canonical
+    batchId-dedup recipe — an ``_applied/<epoch>`` marker written
+    after all effects makes a completed-but-unacknowledged epoch a
+    no-op on re-run (the common replay mode, since offsets commit
+    only after foreachBatch returns), and per-epoch output dirs are
+    mode=overwrite so a half-written output replays idempotently.
+    Residual at-least-once window: a crash INSIDE the batch after the
+    index's own state append but before the marker would re-probe the
+    batch against an index already containing it; closing that needs
+    the DocStore-style versioned-CURRENT store (sinks/store.py) under
+    the index — the documented production hardening, deliberately not
+    duplicated here.
+    """
+    import os
+
+    from .. import caching
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(docs_dir)
+    )
+    applied_dir = os.path.join(out_dir, "_applied")
+
+    def on_batch(batch_df, epoch_id: int):
+        marker = os.path.join(applied_dir, str(epoch_id))
+        if os.path.exists(marker):
+            return
+        batch_df = batch_df.persist()
+        decisions = index.ingest(batch_df)
+        id_col = decisions.columns[0]  # doc_id / vec_id
+        accepted = batch_df.join(
+            decisions.select(id_col), id_col, "left_anti"
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "accepted", f"epoch={epoch_id}")
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "decisions", f"epoch={epoch_id}")
+        )
+        caching.release(decisions)
+        batch_df.unpersist()
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return (
+        docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -182,3 +182,67 @@ def test_embedding_index_scaled_copy_rejected(spark):
     rows = dec.collect()
     assert len(rows) == 1 and rows[0].dup_of == 1 and rows[0].cosine == 1.0
     idx.close()
+
+
+def test_streaming_dedup_ingestion(spark, tmp_path):
+    """start_dedup_stream: JSON doc stream -> per-micro-batch index
+    probe -> accepted docs + drop decisions in per-epoch dirs, index
+    extended with survivors; a replayed (already-applied) epoch is a
+    no-op via the batchId marker."""
+    import json
+    import os
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # one file per micro-batch (maxFilesPerTrigger=1): batch 0 seeds
+    # the index, batch 1 carries an exact dup of doc 1 plus a fresh doc
+    with open(docs_dir / "b0.json", "w") as f:
+        for doc_id, text in ((1, DOC), (2, OTHER)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s0"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        for doc_id, text in ((3, DOC), (4, "totally fresh words " * 5)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s1"}) + "\n")
+    # the file source orders micro-batches by modification time —
+    # pin distinct mtimes so b0 seeds the index before b1 probes it
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = MinHashIndex(spark)
+    out = str(tmp_path / "out")
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 4]
+        drops = {r["doc_id"]: r["dup_of"] for r in decisions.collect()}
+        assert drops == {3: 1}
+        # index holds exactly the survivors
+        assert sorted(
+            r["doc_id"] for r in idx.shingles.select("doc_id").collect()
+        ) == [1, 2, 4]
+
+        # replay: both epochs are marked applied -> restarting the
+        # stream over the same source must not double-ingest
+        held_before = idx.shingles.count()
+        q2 = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            max_files_per_trigger=1,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        assert idx.shingles.count() == held_before
+        assert spark.read.parquet(
+            os.path.join(out, "accepted")
+        ).count() == 3
+    finally:
+        idx.close()
