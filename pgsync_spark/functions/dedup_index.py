@@ -79,29 +79,88 @@ def _fingerprint(sh):
 class _AppendOnlyIndex:
     """State discipline shared by the stateful dedup indexes: per-batch
     persisted frames in memory (held batches never re-cached; unioned
-    lazily), append-only parquet on disk (keys partitioned by band).
-    Subclasses define the frame names and the probe."""
+    lazily), append-only parquet on disk. Subclasses define the frame
+    names and the probe.
+
+    On-disk commits are ATOMIC per epoch (the sinks/store.py CURRENT
+    discipline): each ingest writes its survivor keys/vals AND its
+    drop decisions under ``<name>/epoch=N`` directories, then flips a
+    ``CURRENT`` manifest (JSON epoch list) via temp-file + os.replace.
+    A crash mid-write leaves an unlisted epoch directory that ``load``
+    never reads — so "the batch is in the index" and "the epoch is
+    recorded as applied" are ONE atomic fact, and a stream replay can
+    always tell exactly which side of the commit it is on
+    (``epoch_applied`` + ``stored_decisions`` — see
+    streaming/stream.py start_dedup_stream)."""
 
     _KEYS_NAME = "bands"  # slim (id, band, bucket) — the probe join
     _VALS_NAME = "vals"  # fat per-id payload — verify only
+    _DEC_NAME = "decisions"
 
     def __init__(self, spark: SparkSession, store_dir: str | None = None):
         self.spark = spark
         self.store_dir = store_dir
         self._key_parts: list[DataFrame] = []
         self._val_parts: list[DataFrame] = []
+        self._epochs: set[int] = set()
+
+    # -- epoch manifest ------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.store_dir, "CURRENT")
+
+    def _commit_manifest(self) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epochs": sorted(self._epochs)}, f)
+        os.replace(tmp, self._manifest_path())
+
+    def epoch_applied(self, epoch: int) -> bool:
+        """True iff ``epoch``'s ingest is committed index state."""
+        return epoch in self._epochs
+
+    def next_epoch(self) -> int:
+        return max(self._epochs) + 1 if self._epochs else 0
+
+    def stored_decisions(self, epoch: int) -> DataFrame | None:
+        """The drop decisions an applied epoch committed — what a
+        stream replay needs to rebuild that epoch's outputs without
+        re-probing (the batch is already IN the index, so a re-probe
+        would be wrong). None for store-less indexes."""
+        if self.store_dir is None:
+            return None
+        path = os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path)
 
     @classmethod
     def load(cls, spark: SparkSession, store_dir: str):
+        import json
+
         idx = cls(spark, store_dir)
-        keys_path = os.path.join(store_dir, cls._KEYS_NAME)
-        if os.path.isdir(keys_path):
-            idx._key_parts = [spark.read.parquet(keys_path).persist()]
-            idx._val_parts = [
-                spark.read.parquet(
-                    os.path.join(store_dir, cls._VALS_NAME)
-                ).persist()
-            ]
+        manifest = os.path.join(store_dir, "CURRENT")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                idx._epochs = set(json.load(f)["epochs"])
+            # read committed epoch dirs individually: an uncommitted
+            # (crashed mid-write) epoch directory is never touched,
+            # not even for schema inference. An epoch whose batch was
+            # dropped entirely committed no survivor files (empty
+            # partitioned writes produce none) — skip it, the epoch
+            # still counts as applied via the manifest.
+            for e in sorted(idx._epochs):
+                kp = os.path.join(store_dir, cls._KEYS_NAME, f"epoch={e}")
+                if not os.path.isdir(kp):
+                    continue
+                idx._key_parts.append(spark.read.parquet(kp).persist())
+                idx._val_parts.append(
+                    spark.read.parquet(
+                        os.path.join(store_dir, cls._VALS_NAME, f"epoch={e}")
+                    ).persist()
+                )
         return idx
 
     @property
@@ -116,29 +175,52 @@ class _AppendOnlyIndex:
             return None
         return reduce(DataFrame.unionByName, self._val_parts)
 
-    def _append(self, keys: DataFrame, vals: DataFrame) -> None:
+    def _append(
+        self,
+        keys: DataFrame,
+        vals: DataFrame,
+        decisions: DataFrame,
+        epoch: int,
+    ) -> None:
         """Persist + materialize the survivor frames FIRST (so the
         caller can release the batch intermediates they derive from —
         lineage-truncation discipline, see streaming/cdc.py), then
-        append the on-disk store from the now-cached frames. Store
+        commit the on-disk epoch from the now-cached frames. Store
         writes before the persist would execute the band explode and
         the survivor anti-join a second time per batch."""
         keys = keys.persist()
         vals = vals.persist()
-        keys.count()
+        n_keys = keys.count()
         vals.count()
         self._key_parts.append(keys)
         self._val_parts.append(vals)
-        if self.store_dir is None:
-            return
-        # append-only: the index never rewrites held state. keys are
-        # partitioned by band so a per-band probe prunes directories.
-        keys.write.mode("append").partitionBy("band").parquet(
-            os.path.join(self.store_dir, self._KEYS_NAME)
-        )
-        vals.write.mode("append").parquet(
-            os.path.join(self.store_dir, self._VALS_NAME)
-        )
+        if self.store_dir is not None:
+            # per-epoch dirs, mode=overwrite: a half-written dir from a
+            # crashed attempt is simply rewritten; held epochs' files
+            # are never touched (append-only maintenance). keys are
+            # partitioned by band so a per-band probe prunes
+            # directories. An all-dropped batch writes no survivor
+            # dirs at all (a partitioned write of an empty frame
+            # produces no readable files) — the manifest alone records
+            # the epoch. The epoch becomes visible ONLY at the
+            # manifest flip below.
+            if n_keys:
+                keys.write.mode("overwrite").partitionBy("band").parquet(
+                    os.path.join(
+                        self.store_dir, self._KEYS_NAME, f"epoch={epoch}"
+                    )
+                )
+                vals.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.store_dir, self._VALS_NAME, f"epoch={epoch}"
+                    )
+                )
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
+            )
+        self._epochs.add(epoch)
+        if self.store_dir is not None:
+            self._commit_manifest()
 
     def close(self) -> None:
         for f in self._key_parts + self._val_parts:
@@ -166,13 +248,18 @@ class MinHashIndex(_AppendOnlyIndex):
 
     # -- the operator -------------------------------------------------------
 
-    def ingest(self, batch_df: DataFrame) -> DataFrame:
+    def ingest(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
         """Probe ``batch_df`` (documents schema: doc_id, text, ...)
         against the index, extend the index with the survivors, and
         return the DROP decisions: (doc_id, dup_of, jaccard) where
         dup_of is the smallest surviving earlier doc the new doc
         verified against (deterministic representative) and jaccard is
-        that pair's exact shingle Jaccard."""
+        that pair's exact shingle Jaccard. ``epoch`` labels the commit
+        for replay detection (defaults to the next unused number)."""
+        if epoch is None:
+            epoch = self.next_epoch()
         sigs, cached = _signatures(batch_df)
         sigs = sigs.withColumn("fp", _fingerprint(F.col("sh"))).persist()
         cached = cached + [sigs]
@@ -181,7 +268,9 @@ class MinHashIndex(_AppendOnlyIndex):
         held_bands, held_sh = self.bands, self.shingles
         if held_bands is None:
             decisions = self.spark.createDataFrame([], _DECISION_SCHEMA)
-            self._append(new_bands, sigs.select("doc_id", "sh", "fp"))
+            self._append(
+                new_bands, sigs.select("doc_id", "sh", "fp"), decisions, epoch
+            )
             for c in cached:
                 c.unpersist()
             return decisions
@@ -261,7 +350,12 @@ class MinHashIndex(_AppendOnlyIndex):
         surv_sigs = sigs.join(
             decisions.select("doc_id"), "doc_id", "left_anti"
         )
-        self._append(_band_frame(surv_sigs), surv_sigs.select("doc_id", "sh", "fp"))
+        self._append(
+            _band_frame(surv_sigs),
+            surv_sigs.select("doc_id", "sh", "fp"),
+            decisions,
+            epoch,
+        )
         for c in cached:
             c.unpersist()
         return owned(decisions, [decisions])
@@ -315,13 +409,17 @@ class EmbeddingIndex(_AppendOnlyIndex):
             ).alias("band", "bucket"),
         )
 
-    def ingest(self, batch_df: DataFrame) -> DataFrame:
+    def ingest(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
         """Probe ``batch_df`` (vec_id, embedding) against the index,
         extend the index with the survivors, and return the DROP
         decisions (vec_id, dup_of, cosine) — dup_of the smallest
         accepted vector the new one verified against."""
         from .similarity import NEARDUP_COS, _dot, _norm
 
+        if epoch is None:
+            epoch = self.next_epoch()
         batch = batch_df.select("vec_id", "embedding").persist()
         new_keys = self._band_keys(batch)
 
@@ -333,7 +431,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
             # index state (close() releases it). Unpersisting would
             # force every later probe to recompute batch 0 from its
             # source lineage.
-            self._append(new_keys, batch)
+            self._append(new_keys, batch, decisions, epoch)
             return decisions
 
         cand = (
@@ -385,6 +483,6 @@ class EmbeddingIndex(_AppendOnlyIndex):
         decisions.count()
 
         surv = batch.join(decisions.select("vec_id"), "vec_id", "left_anti")
-        self._append(self._band_keys(surv), surv)
+        self._append(self._band_keys(surv), surv, decisions, epoch)
         batch.unpersist()
         return owned(decisions, [decisions])

@@ -94,12 +94,16 @@ def start_dedup_stream(
     no-op on re-run (the common replay mode, since offsets commit
     only after foreachBatch returns), and per-epoch output dirs are
     mode=overwrite so a half-written output replays idempotently.
-    Residual at-least-once window: a crash INSIDE the batch after the
-    index's own state append but before the marker would re-probe the
-    batch against an index already containing it; closing that needs
-    the DocStore-style versioned-CURRENT store (sinks/store.py) under
-    the index — the documented production hardening, deliberately not
-    duplicated here.
+    For a STORE-BACKED index the pipeline is exactly-once end to end:
+    the index commits each epoch's state + decisions atomically (one
+    CURRENT manifest flip, see functions/dedup_index.py), so on
+    replay either the epoch is not committed (the index provably does
+    not contain the batch — re-probing is correct) or it is
+    (``epoch_applied``; the committed decisions are read back via
+    ``stored_decisions`` and the outputs rebuilt without a re-probe,
+    which would wrongly match the batch against itself). A store-less
+    index keeps only the marker fast-path — it cannot survive the
+    crash that creates the gap anyway.
     """
     import os
 
@@ -116,8 +120,15 @@ def start_dedup_stream(
         marker = os.path.join(applied_dir, str(epoch_id))
         if os.path.exists(marker):
             return
-        batch_df = batch_df.persist()
-        decisions = index.ingest(batch_df)
+        if index.epoch_applied(epoch_id):
+            # replay of a committed epoch: the batch is already index
+            # state — rebuild the outputs from the committed decisions
+            decisions = index.stored_decisions(epoch_id)
+            if decisions is None:  # store-less: nothing to rebuild from
+                return
+        else:
+            batch_df = batch_df.persist()
+            decisions = index.ingest(batch_df, epoch=epoch_id)
         id_col = decisions.columns[0]  # doc_id / vec_id
         accepted = batch_df.join(
             decisions.select(id_col), id_col, "left_anti"

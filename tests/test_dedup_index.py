@@ -246,3 +246,164 @@ def test_streaming_dedup_ingestion(spark, tmp_path):
         ).count() == 3
     finally:
         idx.close()
+
+
+def test_streaming_dedup_embedding_index(spark, tmp_path):
+    """start_dedup_stream generalizes to the EmbeddingIndex: same
+    wrapper, vec_id/embedding schema, semantic dup dropped across
+    micro-batches."""
+    import json
+    import os
+
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    v = [1.0, 0.5, -0.25, 2.0, 1.0, -1.0, 0.125, 3.0,
+         0.5, -2.0, 1.5, 0.75, -0.5, 1.0, 2.5, -1.25]
+    w = [-1.0, 2.0, 0.5, -3.0, 1.0, 1.5, -0.5, 0.25,
+         -1.5, 0.5, -2.0, 1.0, 0.75, -0.25, -3.0, 2.0]
+    docs_dir = tmp_path / "vecs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        for vec_id, emb in ((1, v), (2, w)):
+            f.write(json.dumps({"vec_id": vec_id, "embedding": emb}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        # 2x-scaled copy of v (cosine 1.0 to vec 1) + a fresh vector
+        f.write(json.dumps(
+            {"vec_id": 3, "embedding": [2.0 * x for x in v]}) + "\n")
+        f.write(json.dumps(
+            {"vec_id": 4, "embedding": [float(i % 5 - 2) or 1.0
+                                        for i in range(16)]}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = EmbeddingIndex(spark)
+    out = str(tmp_path / "vout")
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "vckpt"), out,
+            schema="vec_id bigint, embedding array<float>",
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["vec_id"] for r in accepted.collect()) == [1, 2, 4]
+        drops = {r["vec_id"]: r["dup_of"] for r in decisions.collect()}
+        assert drops == {3: 1}
+    finally:
+        idx.close()
+
+
+def test_epoch_commit_is_atomic_and_replay_safe(spark, tmp_path):
+    """The store's exactly-once contract: (a) an epoch directory not
+    listed in the CURRENT manifest is invisible to load() — a crash
+    mid-write cannot leak half state; (b) a committed epoch is
+    detectable (epoch_applied) and its decisions are re-readable
+    (stored_decisions), so a stream replay never re-probes a batch
+    against an index that already contains it."""
+    import os
+    import shutil
+
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    dec = idx.ingest(_docs(spark, [(3, DOC), (4, "novel text body " * 4)]),
+                     epoch=1)
+    committed = {(r.doc_id, r.dup_of) for r in dec.collect()}
+    assert committed == {(3, 1)}
+    idx.close()
+
+    # (a) fabricate an uncommitted epoch dir (crash before the
+    # manifest flip): its contents must never load
+    shutil.copytree(
+        os.path.join(store, "bands", "epoch=0"),
+        os.path.join(store, "bands", "epoch=7"),
+    )
+    shutil.copytree(
+        os.path.join(store, "shingles", "epoch=0"),
+        os.path.join(store, "shingles", "epoch=7"),
+    )
+    idx2 = MinHashIndex.load(spark, store)
+    held = sorted(r.doc_id for r in idx2.shingles.select("doc_id").collect())
+    assert held == [1, 2, 4]  # epoch=7 ghosts absent, no duplicates
+
+    # (b) replay detection + committed decisions read-back
+    assert idx2.epoch_applied(0) and idx2.epoch_applied(1)
+    assert not idx2.epoch_applied(2)
+    assert idx2.next_epoch() == 2
+    replayed = idx2.stored_decisions(1)
+    assert {(r.doc_id, r.dup_of) for r in replayed.collect()} == committed
+    # an applied epoch with zero drops reads back as an EMPTY frame,
+    # not a missing one (first epoch committed empty decisions)
+    assert idx2.stored_decisions(0).count() == 0
+    idx2.close()
+
+
+def test_streaming_replay_of_committed_epoch_rebuilds_outputs(
+    spark, tmp_path
+):
+    """Crash window e2e: epochs committed to the index store but with
+    markers and outputs lost (crash after the index commit, before the
+    sink writes). On restart the wrapper must rebuild accepted/decision
+    outputs from the STORED decisions — never re-probe, which would
+    match every replayed doc against its own copy in the index and
+    wrongly drop the whole batch."""
+    import json
+    import os
+    import shutil
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        for doc_id, text in ((1, DOC), (2, OTHER)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s0"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        for doc_id, text in ((3, DOC), (4, "fresh corpus words " * 5)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s1"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    store = str(tmp_path / "idxstore")
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark, store_dir=store)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        idx.close()
+
+    # simulate the crash: markers and sink outputs gone, index store
+    # (the atomic commit) intact, fresh process restarts the stream
+    shutil.rmtree(out)
+    idx2 = MinHashIndex.load(spark, store)
+    held_before = sorted(
+        r.doc_id for r in idx2.shingles.select("doc_id").collect()
+    )
+    try:
+        q2 = start_dedup_stream(
+            spark, idx2, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            max_files_per_trigger=1,
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 4]
+        assert {r["doc_id"]: r["dup_of"]
+                for r in decisions.collect()} == {3: 1}
+        # and the index did NOT double-ingest
+        assert sorted(
+            r.doc_id for r in idx2.shingles.select("doc_id").collect()
+        ) == held_before
+    finally:
+        idx2.close()
