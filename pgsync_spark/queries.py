@@ -394,6 +394,7 @@ _emb_query(
     _sim.semantic_dedup_canonical_sql(),
     "semantic_dedup_canonical",
 )
+_emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 
 
 # ---------------------------------------------------------------------------
@@ -2765,3 +2766,90 @@ from .functions.similarity import (  # noqa: E402
 )
 
 REGISTRY["semantic_dedup_incremental"].oracle = _inc_sem_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor: KL(batch || corpus) over the source mix
+# ---------------------------------------------------------------------------
+
+DRIFT_BATCHES = 4
+
+_DRIFT_TERM_SQL = (
+    "(per.n / bt.bn) * ln((per.n / bt.bn) / (sq.sn / tot.t))"
+)
+
+# batch = h32(doc_id) % N, NOT doc_id % N: the synthetic corpus assigns
+# source = src{{doc_id % 20}}, so a modulus batch key would alias with
+# the source mix and pin KL at exactly ln(N) — the hash dissociates
+# batch membership from every arithmetic id pattern.
+_DRIFT_BATCH = f"{hashing.h32_sql('CAST(doc_id AS VARCHAR)')} % {DRIFT_BATCHES}"
+
+
+@register(
+    "corpus_drift_kl",
+    f"""WITH per AS (
+          SELECT {_DRIFT_BATCH} AS batch, source, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        bt AS (SELECT batch, SUM(n) AS bn FROM per GROUP BY batch),
+        sq AS (SELECT source, SUM(n) AS sn FROM per GROUP BY source),
+        tot AS (SELECT SUM(n) AS t FROM per)
+        SELECT per.batch AS batch, MAX(bt.bn) AS n_docs,
+               {hashing.round6_sql(
+                   'list_reduce(list_prepend(0.0, list_sort('
+                   f'list({_DRIFT_TERM_SQL}))), (x, y) -> x + y)'
+               )} AS kl
+        FROM per
+        JOIN bt ON bt.batch = per.batch
+        JOIN sq ON sq.source = per.source
+        CROSS JOIN tot
+        GROUP BY per.batch""",
+)
+def corpus_drift_kl(spark, sf_dir):
+    """Ingestion-drift monitor: KL divergence of each ingest batch's
+    source mix against the whole-corpus mix — the QC gauge a streaming
+    training-data pipeline watches to catch a crawler or feed suddenly
+    over-representing one source (batch here proxied by h32(doc_id) %
+    {DRIFT_BATCHES} — hashed, not doc_id % N, which would alias with
+    the synthetic source = src(doc_id % 20) assignment and pin every
+    batch at exactly ln(N); in the streaming front-end the micro-batch
+    epoch is the batch key). KL(P_batch || Q_corpus) = Σ_s p_s·ln(p_s/q_s)
+    over sources present in the batch (p_s > 0; q_s > 0 always since
+    every batch source is a corpus source).
+
+    Engine portability: the per-batch term list is folded in sorted
+    order on both engines (array_sort + left fold here, list_sort +
+    list_reduce in the oracle) so the float sum is bit-identical — the
+    similarity.py dot-product discipline, not round-and-hope.
+
+    Scale shape: one map-side-combined groupBy to the (batch × source)
+    aggregate — the only corpus-sized operation — then windows over
+    that tiny-by-construction frame (|batches|·|sources| rows; the
+    'no partition' global window runs on that aggregate, never the
+    corpus). At 100 TB with per-epoch batches this is the same single
+    uniform shuffle per epoch."""
+    df = Catalog(spark, sf_dir).df("documents")
+    batch = hashing.h32(F.col("doc_id").cast("string")) % DRIFT_BATCHES
+    per = df.groupBy(batch.alias("batch"), "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bn = F.sum("n").over(W.partitionBy("batch"))
+    sn = F.sum("n").over(W.partitionBy("source"))
+    t = F.sum("n").over(W.partitionBy())
+    p = F.col("n") / F.col("bn")
+    term = p * F.log(p / (F.col("sn") / F.col("t")))
+    return (
+        per.select("batch", "n", bn.alias("bn"), sn.alias("sn"), t.alias("t"))
+        .select("batch", "bn", term.alias("term"))
+        .groupBy("batch")
+        .agg(
+            F.max("bn").alias("n_docs"),
+            hashing.round6(
+                F.aggregate(
+                    F.array_sort(F.collect_list("term")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("kl"),
+        )
+    )

@@ -496,3 +496,40 @@ def test_ccnet_perplexity_semantics_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert final.count("Exchange hashpartitioning") <= 4, final
+
+
+def test_ann_recall_eval_semantics(spark):
+    """Recall rows are complete and internally consistent: one row per
+    (query, method), hits bounded by k, recall = hits/k, and IVF
+    (nprobe=3 of 10 cells) beats single-probe sign-LSH on this corpus
+    in aggregate — the signal the eval exists to surface."""
+    from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
+
+    rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 2 * N_QUERIES
+    by_method = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-9
+        by_method.setdefault(r["method"], []).append(r["n_hits"])
+    assert set(by_method) == {"ivf", "lsh"}
+    assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
+
+
+def test_corpus_drift_kl_semantics(spark):
+    """KL is non-negative for every batch (Gibbs), batches partition
+    the corpus exactly, and the hashed batch key is NOT aliased with
+    the synthetic source assignment (which would pin every batch at
+    ln(n_batches))."""
+    import math
+
+    from pgsync_spark.catalog import Catalog
+    from pgsync_spark.queries import DRIFT_BATCHES
+
+    rows = REGISTRY["corpus_drift_kl"].fn(spark, SF_DIR).collect()
+    assert len(rows) == DRIFT_BATCHES
+    n_docs = Catalog(spark, SF_DIR).df("documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["kl"] >= 0.0
+        assert r["kl"] < math.log(DRIFT_BATCHES) - 1e-6
