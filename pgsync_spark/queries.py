@@ -2853,3 +2853,39 @@ def corpus_drift_kl(spark, sf_dir):
             ).alias("kl"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export (sinks/shards.py): the assignment, oracle-gated
+# ---------------------------------------------------------------------------
+
+from .sinks import shards as _shards  # noqa: E402
+
+
+@register(
+    "export_shard_assign",
+    f"""WITH d AS (
+          SELECT doc_id, doc_id % {_shards.WRITER_LANES} AS lane,
+                 CAST(len({hashing.tokens_sql('text')}) AS BIGINT) AS n_tok
+          FROM documents
+        )
+        SELECT doc_id, n_tok,
+               lane * 1000000 +
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY lane ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0)
+                   // {_shards.SHARD_TOKEN_BUDGET}
+                 AS shard_id
+        FROM d""",
+)
+def export_shard_assign(spark, sf_dir):
+    """The shard-binning half of the training-shard export sink
+    (sinks/shards.py, which adds the partitioned parquet write and the
+    atomic MANIFEST.json): whole-document token-budget binning via the
+    pack_sequences lane-parallel prefix-sum shape, but at DOCUMENT
+    grain — a doc belongs wholly to the shard its first token lands in
+    (≤ one-doc overrun per shard; exact bin packing is inherently
+    sequential), where pack_sequences cuts at TOKEN grain and lets
+    docs straddle sequences. Integer `div`/`//` on both engines, no
+    float floor."""
+    return _shards.shard_assign(Catalog(spark, sf_dir).df("documents"))

@@ -1,0 +1,124 @@
+"""Training-shard export sink: the output side of a pretraining data
+pipeline. Documents are binned into token-budgeted shards (the
+WebDataset / Megatron-style "N shards of ~B tokens each" layout), each
+shard written as its own parquet directory, and a MANIFEST.json commits
+the export atomically — a data loader reads the manifest, never the
+directory listing, so a crashed or in-flight export is invisible.
+
+Shard assignment is the pack_sequences discipline (queries.py): a
+GLOBAL running token sum would serialize the corpus through one
+partition, so docs are sharded into WRITER_LANES independent lanes by
+doc_id and each lane runs its own window prefix sum — WRITER_LANES-way
+parallel, deterministic, and at 1000 executors you raise WRITER_LANES;
+the shape stays one window shuffle keyed by lane. A doc belongs wholly
+to the shard its first token lands in (start-offset binning), so a
+shard can overrun the budget by at most one document — the standard
+scalable approximation; exact bin packing is inherently sequential.
+
+ref: pgsync/sync.py:1117-1160 (checkpoint-committed batch emission —
+the same write-then-atomically-commit discipline, here temp-file +
+os.replace on the manifest instead of a checkpoint row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import hashing
+
+WRITER_LANES = 4
+SHARD_TOKEN_BUDGET = 512
+
+
+def shard_assign(
+    docs: DataFrame,
+    budget: int = SHARD_TOKEN_BUDGET,
+    lanes: int = WRITER_LANES,
+) -> DataFrame:
+    """(doc_id, n_tok, shard_id) for every document. shard_id encodes
+    (lane, file_seq) as lane * 1e6 + seq so shards sort by lane then
+    fill order."""
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % lanes).alias("lane"),
+        F.size(hashing.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lane")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    # SQL `div` = exact integer division on longs (matches DuckDB `//`
+    # in the oracle); float floor(prior / budget) is only safe < 2^53
+    return d.withColumn("_prior", prior).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("lane") * 1_000_000
+            + F.expr(f"_prior div {int(budget)}")
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = SHARD_TOKEN_BUDGET,
+    lanes: int = WRITER_LANES,
+) -> dict:
+    """Export ``docs`` (documents schema) as token-budgeted parquet
+    shards under ``out_dir/shards/shard_id=N/`` plus an atomically
+    committed ``MANIFEST.json``. Returns the manifest dict.
+
+    The per-shard stats the manifest records (n_docs, n_tokens, doc_id
+    range) come from one tiny aggregate (|shards| rows — bounded by
+    corpus_tokens / budget, collected AFTER the reduction, never the
+    corpus). Re-running the export is idempotent: same assignment, same
+    files, manifest replaced atomically."""
+    assigned = docs.join(shard_assign(docs, budget, lanes), "doc_id")
+    # one executor-parallel write, partition-pruned reads per shard
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(
+        os.path.join(out_dir, "shards")
+    )
+    stats = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "budget": budget,
+        "lanes": lanes,
+        "n_shards": len(stats),
+        "n_docs": int(sum(r["n_docs"] for r in stats)),
+        "n_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "path": f"shards/shard_id={int(r['shard_id'])}",
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "min_doc_id": int(r["min_doc_id"]),
+                "max_doc_id": int(r["max_doc_id"]),
+            }
+            for r in stats
+        ],
+    }
+    tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
+    return manifest

