@@ -534,7 +534,12 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     exact = ann_bruteforce_topk(df).select("query_id", "neighbor_id")
     qids = exact.select("query_id").distinct()
     parts = []
-    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_lsh_topk)):
+    methods = (
+        ("ivf", ann_ivf_topk),
+        ("lsh", ann_lsh_topk),
+        ("lsh_multiprobe", ann_lsh_multiprobe_topk),
+    )
+    for method, fn in methods:
         hits = (
             fn(df)
             .select("query_id", "neighbor_id")
@@ -551,7 +556,9 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
                 round6(n / F.lit(float(TOP_K))).alias("recall"),
             )
         )
-    return parts[0].unionByName(parts[1])
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)
 
 
 def ann_recall_eval_sql() -> str:
@@ -576,6 +583,96 @@ def ann_recall_eval_sql() -> str:
     return f"""
         WITH exact AS ({ann_bruteforce_topk_sql()}),
              ivf AS ({ann_ivf_topk_sql()}),
-             lsh AS ({ann_lsh_topk_sql()})
+             lsh AS ({ann_lsh_topk_sql()}),
+             lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()})
         {one('ivf')} UNION ALL {one('lsh')}
+        UNION ALL {one('lsh_multiprobe')}
+    """
+
+
+def ann_lsh_multiprobe_topk(df: DataFrame) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007, "Multi-probe LSH"): each query
+    probes its own bucket PLUS every Hamming-distance-1 perturbation
+    (N_PLANES + 1 buckets of the 2^N_PLANES total) — the standard fix
+    for single-probe sign-LSH's recall collapse that ann_recall_eval
+    surfaces (0.0 on this corpus). Candidate volume grows by
+    (planes+1)x over single-probe but stays ~(planes+1)/2^planes of
+    the corpus; the corpus side is still bucketed once and never
+    shuffles (probe list explodes on the broadcast QUERY side only)."""
+    bucketed = df.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    )
+    probes = F.array(
+        F.col("qb"), *[
+            F.col("qb").bitwiseXOR(F.lit(2 ** i)) for i in range(N_PLANES)
+        ]
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
+        .select("query_id", "qv", F.explode(probes).alias("pb"))
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cb") == F.col("pb"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_multiprobe_topk_sql() -> str:
+    cos = round6_sql(
+        _dot_sql("q.qv", "c.embedding")
+        + " / ("
+        + _norm_sql("q.qv")
+        + " * "
+        + _norm_sql("c.embedding")
+        + ")"
+    )
+    probe_list = "[bucket" + "".join(
+        f", xor(bucket, {2 ** i})" for i in range(N_PLANES)
+    ) + "]"
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+          FROM embeddings
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qv, u.pb
+          FROM bucketed, UNNEST({probe_list}) AS u(pb)
+          WHERE vec_id < {N_QUERIES}
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.query_id, c.vec_id AS neighbor_id, {cos} AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY {cos} DESC, c.vec_id) AS rank
+          FROM probes q JOIN bucketed c
+            ON c.bucket = q.pb AND c.vec_id <> q.query_id
+        ) WHERE rank <= {TOP_K}
     """

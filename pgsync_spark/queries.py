@@ -394,6 +394,11 @@ _emb_query(
     _sim.semantic_dedup_canonical_sql(),
     "semantic_dedup_canonical",
 )
+_emb_query(
+    _sim.ann_lsh_multiprobe_topk,
+    _sim.ann_lsh_multiprobe_topk_sql(),
+    "ann_lsh_multiprobe_topk",
+)
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 
 
