@@ -77,6 +77,7 @@ def start_dedup_stream(
     out_dir: str,
     schema: str = DEDUP_DOCS_SCHEMA,
     max_files_per_trigger: int = 10,
+    drift_column: str | None = None,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -104,8 +105,22 @@ def start_dedup_stream(
     which would wrongly match the batch against itself). A store-less
     index keeps only the marker fast-path — it cannot survive the
     crash that creates the gap anyway.
+
+    ``drift_column``: when set (e.g. ``"source"``), each epoch also
+    writes ``out_dir/stats/epoch=N.json`` with the batch's mix over
+    that column and KL(batch ‖ corpus-so-far) — the queries.py
+    corpus_drift_kl monitor made operational on the live stream, with
+    the micro-batch epoch as the real batch key. The per-batch mix is
+    a tiny groupBy (bounded by the column's cardinality) collected
+    AFTER the reduction; running totals re-seed from committed stats
+    files on restart, and the marker/stored-decision replay paths
+    skip double counting.
     """
+    import json
+    import math
     import os
+
+    from pyspark.sql import functions as F
 
     from .. import caching
 
@@ -115,6 +130,46 @@ def start_dedup_stream(
         .json(docs_dir)
     )
     applied_dir = os.path.join(out_dir, "_applied")
+    stats_dir = os.path.join(out_dir, "stats")
+    totals: dict[str, int] = {}
+    if drift_column is not None and os.path.isdir(stats_dir):
+        # restart: re-seed the corpus-so-far mix from committed stats
+        for fname in os.listdir(stats_dir):
+            if fname.endswith(".json"):
+                with open(os.path.join(stats_dir, fname)) as f:
+                    for s, n in json.load(f)["counts"].items():
+                        totals[s] = totals.get(s, 0) + n
+
+    def record_drift(batch_df, epoch_id: int) -> None:
+        stats_path = os.path.join(stats_dir, f"epoch={epoch_id}.json")
+        if os.path.exists(stats_path):  # replayed epoch: already counted
+            return
+        counts = {
+            str(r[0]): r[1]
+            for r in batch_df.groupBy(drift_column)
+            .agg(F.count(F.lit(1)))
+            .collect()
+        }
+        for s, n in counts.items():
+            totals[s] = totals.get(s, 0) + n
+        bn, t = sum(counts.values()), sum(totals.values())
+        kl = (
+            sum(
+                (n / bn) * math.log((n / bn) / (totals[s] / t))
+                for s, n in counts.items()
+            )
+            if bn
+            else 0.0
+        )
+        os.makedirs(stats_dir, exist_ok=True)
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"epoch": epoch_id, "n_docs": bn, "counts": counts, "kl": kl},
+                f,
+                sort_keys=True,
+            )
+        os.replace(tmp, stats_path)
 
     def on_batch(batch_df, epoch_id: int):
         marker = os.path.join(applied_dir, str(epoch_id))
@@ -140,6 +195,8 @@ def start_dedup_stream(
             os.path.join(out_dir, "decisions", f"epoch={epoch_id}")
         )
         caching.release(decisions)
+        if drift_column is not None:
+            record_drift(batch_df, epoch_id)
         batch_df.unpersist()
         os.makedirs(applied_dir, exist_ok=True)
         with open(marker, "w"):

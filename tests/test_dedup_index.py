@@ -407,3 +407,72 @@ def test_streaming_replay_of_committed_epoch_rebuilds_outputs(
         ) == held_before
     finally:
         idx2.close()
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """drift_column wires the corpus-drift monitor into the stream:
+    epoch 0 defines the corpus (KL = 0), a skewed epoch 1 shows
+    KL > 0, stats commit atomically per epoch, and a second run over
+    the same checkpoint-less source re-seeds totals from committed
+    stats instead of double counting."""
+    import json
+    import math
+    import os
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    texts = [
+        "alpha beta gamma delta epsilon zeta " * 3,
+        "one two three four five six seven eight " * 3,
+        "red green blue yellow purple orange pink " * 3,
+        "north south east west up down left right " * 3,
+    ]
+    with open(docs_dir / "b0.json", "w") as f:
+        for i, src in enumerate(["s0", "s0", "s1", "s1"]):
+            f.write(json.dumps({"doc_id": i, "text": texts[i],
+                                "lang": "en", "source": src}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:  # all-s0 skew
+        for j in range(2):
+            f.write(json.dumps({"doc_id": 10 + j,
+                                "text": texts[j] + f" tail{j} " * 5,
+                                "lang": "en", "source": "s0"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1, drift_column="source",
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        idx.close()
+
+    with open(os.path.join(out, "stats", "epoch=0.json")) as f:
+        s0 = json.load(f)
+    with open(os.path.join(out, "stats", "epoch=1.json")) as f:
+        s1 = json.load(f)
+    assert s0["counts"] == {"s0": 2, "s1": 2} and s0["kl"] == 0.0
+    assert s1["counts"] == {"s0": 2}
+    # batch is all-s0, corpus-so-far is 4/6 s0: KL = ln(6/4)
+    assert abs(s1["kl"] - math.log(6 / 4)) < 1e-9
+
+    # fresh checkpoint over the same source: epochs replay, stats
+    # files already exist per epoch -> totals re-seed, no rewrite
+    idx2 = MinHashIndex(spark)
+    try:
+        q2 = start_dedup_stream(
+            spark, idx2, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            max_files_per_trigger=1, drift_column="source",
+        )
+        q2.processAllAvailable()
+        q2.stop()
+    finally:
+        idx2.close()
+    with open(os.path.join(out, "stats", "epoch=1.json")) as f:
+        assert json.load(f) == s1
