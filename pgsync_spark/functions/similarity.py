@@ -531,7 +531,15 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     true neighbors) — i.e. the eval correctly says "this index needs
     multi-probe before you trust it", which is exactly what the
     operator is for."""
-    exact = ann_bruteforce_topk(df).select("query_id", "neighbor_id")
+    from .. import caching
+
+    # the exact set feeds one hit-join per method plus the query-id
+    # spine — persist it or the brute-force corpus scan reruns per
+    # consumer (the caching.py multi-consumer discipline); it is
+    # N_QUERIES * TOP_K rows, so every downstream join broadcasts it
+    exact = (
+        ann_bruteforce_topk(df).select("query_id", "neighbor_id").persist()
+    )
     qids = exact.select("query_id").distinct()
     parts = []
     methods = (
@@ -543,13 +551,13 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         hits = (
             fn(df)
             .select("query_id", "neighbor_id")
-            .join(exact, ["query_id", "neighbor_id"])
+            .join(F.broadcast(exact), ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
         parts.append(
-            qids.join(hits, "query_id", "left").select(
+            qids.join(F.broadcast(hits), "query_id", "left").select(
                 "query_id",
                 F.lit(method).alias("method"),
                 n.alias("n_hits"),
@@ -558,7 +566,8 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         )
     from functools import reduce as _reduce
 
-    return _reduce(DataFrame.unionByName, parts)
+    out = _reduce(DataFrame.unionByName, parts)
+    return caching.owned(out, [exact])
 
 
 def ann_recall_eval_sql() -> str:
