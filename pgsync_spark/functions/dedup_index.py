@@ -85,7 +85,9 @@ class _AppendOnlyIndex:
     On-disk commits are ATOMIC per epoch (the sinks/store.py CURRENT
     discipline): each ingest writes its survivor keys/vals AND its
     drop decisions under ``<name>/epoch=N`` directories, then flips a
-    ``CURRENT`` manifest (JSON epoch list) via temp-file + os.replace.
+    ``CURRENT`` manifest (JSON: logical applied-epoch list + physical
+    segment list, which ``compact`` collapses) via temp-file +
+    os.replace.
     A crash mid-write leaves an unlisted epoch directory that ``load``
     never reads — so "the batch is in the index" and "the epoch is
     recorded as applied" are ONE atomic fact, and a stream replay can
@@ -103,6 +105,11 @@ class _AppendOnlyIndex:
         self._key_parts: list[DataFrame] = []
         self._val_parts: list[DataFrame] = []
         self._epochs: set[int] = set()
+        # physical data segments (directory names under keys/vals), in
+        # ingest order — distinct from the LOGICAL applied-epoch set:
+        # compaction rewrites segments but never changes which epochs
+        # count as applied
+        self._segments: list[str] = []
 
     # -- epoch manifest ------------------------------------------------------
 
@@ -114,7 +121,10 @@ class _AppendOnlyIndex:
 
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epochs": sorted(self._epochs)}, f)
+            json.dump(
+                {"epochs": sorted(self._epochs), "segments": self._segments},
+                f,
+            )
         os.replace(tmp, self._manifest_path())
 
     def epoch_applied(self, epoch: int) -> bool:
@@ -144,21 +154,27 @@ class _AppendOnlyIndex:
         manifest = os.path.join(store_dir, "CURRENT")
         if os.path.exists(manifest):
             with open(manifest) as f:
-                idx._epochs = set(json.load(f)["epochs"])
-            # read committed epoch dirs individually: an uncommitted
-            # (crashed mid-write) epoch directory is never touched,
-            # not even for schema inference. An epoch whose batch was
-            # dropped entirely committed no survivor files (empty
-            # partitioned writes produce none) — skip it, the epoch
-            # still counts as applied via the manifest.
-            for e in sorted(idx._epochs):
-                kp = os.path.join(store_dir, cls._KEYS_NAME, f"epoch={e}")
+                m = json.load(f)
+            idx._epochs = set(m["epochs"])
+            # read committed segment dirs individually: an uncommitted
+            # (crashed mid-write) directory is never touched, not even
+            # for schema inference. An epoch whose batch was dropped
+            # entirely committed no survivor files (empty partitioned
+            # writes produce none) — it has no segment, the epoch
+            # still counts as applied via the manifest. Pre-segment
+            # manifests (no "segments" key) fall back to one segment
+            # per applied epoch.
+            idx._segments = m.get(
+                "segments", [f"epoch={e}" for e in sorted(idx._epochs)]
+            )
+            for seg in idx._segments:
+                kp = os.path.join(store_dir, cls._KEYS_NAME, seg)
                 if not os.path.isdir(kp):
                     continue
                 idx._key_parts.append(spark.read.parquet(kp).persist())
                 idx._val_parts.append(
                     spark.read.parquet(
-                        os.path.join(store_dir, cls._VALS_NAME, f"epoch={e}")
+                        os.path.join(store_dir, cls._VALS_NAME, seg)
                     ).persist()
                 )
         return idx
@@ -218,9 +234,67 @@ class _AppendOnlyIndex:
             decisions.write.mode("overwrite").parquet(
                 os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
             )
+            if n_keys:
+                self._segments.append(f"epoch={epoch}")
         self._epochs.add(epoch)
         if self.store_dir is not None:
             self._commit_manifest()
+
+    def compact(self) -> None:
+        """Collapse all held segments into ONE — the at-scale
+        maintenance op for a long-running stream. Two growth problems
+        it bounds: on disk, one directory per epoch degrades every
+        ``load``/scan into a small-files walk (1000 epochs → 1000
+        footer reads per probe); in memory, the lazy union deepens by
+        one frame per batch, growing every probe's plan linearly.
+
+        Cutover is atomic (the same CURRENT discipline as ingest):
+        write the combined segment as an UNLISTED ghost dir, persist
+        the read-back, flip the manifest to the single new segment,
+        then delete the old segment dirs (a crash between flip and
+        delete leaves orphans that are never read). The applied-epoch
+        set and the per-epoch decision dirs are untouched —
+        ``epoch_applied`` / ``stored_decisions`` answer identically
+        after compaction, so stream replay semantics survive."""
+        import shutil
+
+        if len(self._key_parts) <= 1:
+            return
+        keys, vals = self.keys, self.vals
+        if self.store_dir is not None:
+            seg = f"compacted-{self.next_epoch()}"
+            keys.write.mode("overwrite").partitionBy("band").parquet(
+                os.path.join(self.store_dir, self._KEYS_NAME, seg)
+            )
+            vals.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, self._VALS_NAME, seg)
+            )
+            new_keys = self.spark.read.parquet(
+                os.path.join(self.store_dir, self._KEYS_NAME, seg)
+            ).persist()
+            new_vals = self.spark.read.parquet(
+                os.path.join(self.store_dir, self._VALS_NAME, seg)
+            ).persist()
+            new_keys.count()
+            new_vals.count()
+            old_segments, self._segments = self._segments, [seg]
+            self._commit_manifest()
+            for f in self._key_parts + self._val_parts:
+                f.unpersist()
+            self._key_parts, self._val_parts = [new_keys], [new_vals]
+            for s in old_segments:
+                for name in (self._KEYS_NAME, self._VALS_NAME):
+                    shutil.rmtree(
+                        os.path.join(self.store_dir, name, s),
+                        ignore_errors=True,
+                    )
+        else:
+            new_keys, new_vals = keys.persist(), vals.persist()
+            new_keys.count()
+            new_vals.count()
+            for f in self._key_parts + self._val_parts:
+                f.unpersist()
+            self._key_parts, self._val_parts = [new_keys], [new_vals]
 
     def close(self) -> None:
         for f in self._key_parts + self._val_parts:

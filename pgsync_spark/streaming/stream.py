@@ -78,6 +78,7 @@ def start_dedup_stream(
     schema: str = DEDUP_DOCS_SCHEMA,
     max_files_per_trigger: int = 10,
     drift_column: str | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -115,6 +116,12 @@ def start_dedup_stream(
     AFTER the reduction; running totals re-seed from committed stats
     files on restart, and the marker/stored-decision replay paths
     skip double counting.
+
+    ``compact_every``: run ``index.compact()`` after every N applied
+    epochs — bounds the per-epoch segment growth (small-files walk on
+    disk, one-union-frame-per-batch probe plans in memory) of a
+    long-running stream. Compaction is itself an atomic manifest
+    cutover, so a crash mid-compact replays cleanly.
     """
     import json
     import math
@@ -201,6 +208,8 @@ def start_dedup_stream(
         os.makedirs(applied_dir, exist_ok=True)
         with open(marker, "w"):
             pass
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            index.compact()
 
     return (
         docs.writeStream.foreachBatch(on_batch)

@@ -476,3 +476,110 @@ def test_streaming_drift_monitor(spark, tmp_path):
         idx2.close()
     with open(os.path.join(out, "stats", "epoch=1.json")) as f:
         assert json.load(f) == s1
+
+
+def test_compaction_collapses_segments_preserving_semantics(
+    spark, tmp_path
+):
+    """compact() collapses N per-epoch segments into one: the store
+    holds a single keys/vals directory, the manifest's logical
+    applied-epoch set and the per-epoch decision dirs are untouched
+    (epoch_applied / stored_decisions / next_epoch identical), a
+    reload sees identical state, and post-compact ingest keeps
+    appending fresh segments."""
+    import json
+    import os
+
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    dec1 = idx.ingest(
+        _docs(spark, [(3, DOC), (4, "novel text body " * 4)]), epoch=1
+    )
+    committed = {(r.doc_id, r.dup_of) for r in dec1.collect()}
+    idx.ingest(_docs(spark, [(5, "entirely different words " * 4)]), epoch=2)
+    held_before = sorted(
+        r.doc_id for r in idx.shingles.select("doc_id").collect()
+    )
+    assert len(idx._key_parts) == 3
+
+    idx.compact()
+    assert len(idx._key_parts) == 1
+    assert sorted(
+        r.doc_id for r in idx.shingles.select("doc_id").collect()
+    ) == held_before
+    with open(os.path.join(store, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["epochs"] == [0, 1, 2]
+    assert m["segments"] == ["compacted-3"]
+    assert sorted(os.listdir(os.path.join(store, "bands"))) == [
+        "compacted-3"
+    ]
+    # replay surface unchanged
+    assert idx.epoch_applied(2) and not idx.epoch_applied(3)
+    assert idx.next_epoch() == 3
+    assert {
+        (r.doc_id, r.dup_of) for r in idx.stored_decisions(1).collect()
+    } == committed
+
+    # post-compact ingest: dup of a compacted doc still drops, the
+    # novel doc survives, and the store appends a fresh epoch segment
+    # next to the compacted one
+    dec3 = idx.ingest(
+        _docs(spark, [(6, DOC), (7, "unique after compact " * 4)]), epoch=3
+    )
+    assert {(r.doc_id, r.dup_of) for r in dec3.collect()} == {(6, 1)}
+    assert sorted(os.listdir(os.path.join(store, "bands"))) == [
+        "compacted-3",
+        "epoch=3",
+    ]
+    idx.close()
+
+    idx2 = MinHashIndex.load(spark, store)
+    assert sorted(
+        r.doc_id for r in idx2.shingles.select("doc_id").collect()
+    ) == held_before + [7]  # 6 dropped, 7 survived
+    assert len(idx2._key_parts) == 2
+    idx2.close()
+
+
+def test_streaming_compact_every(spark, tmp_path):
+    """compact_every through the wrapper: outputs identical to the
+    uncompacted run, index state collapsed behind the scenes."""
+    import json
+    import os
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    for k, rows in enumerate(
+        [[(1, DOC), (2, OTHER)], [(3, DOC)], [(4, "fresh words " * 6)]]
+    ):
+        with open(docs_dir / f"b{k}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                    "lang": "en", "source": "s"}) + "\n")
+        os.utime(docs_dir / f"b{k}.json",
+                 ((k + 1) * 1_000_000, (k + 1) * 1_000_000))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark, store_dir=store)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1, compact_every=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 4]
+        assert {r["doc_id"]: r["dup_of"]
+                for r in decisions.collect()} == {3: 1}
+        # 3 epochs, compact after epoch 1 -> compacted seg + epoch=2
+        segs = sorted(os.listdir(os.path.join(store, "bands")))
+        assert segs == ["compacted-2", "epoch=2"]
+    finally:
+        idx.close()
