@@ -54,6 +54,10 @@ HEADLINE = [
     "hybrid_search_rrf",
     "dsir_select",
     "ccnet_perplexity_buckets",
+    # round-6 second continuation: ANN eval + drift + export binning
+    "ann_recall_eval",
+    "corpus_drift_kl",
+    "export_shard_assign",
 ]
 
 # steady-state = median of this many batches applied after the cold one
