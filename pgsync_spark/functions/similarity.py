@@ -685,3 +685,73 @@ def ann_lsh_multiprobe_topk_sql() -> str:
             ON c.bucket = q.pb AND c.vec_id <> q.query_id
         ) WHERE rank <= {TOP_K}
     """
+
+
+CBS_PER_CELL = 5  # cluster-balanced sampling cap
+
+
+def cluster_balanced_sample(df: DataFrame) -> DataFrame:
+    """Cluster-balanced corpus curation (the DataComp / Meta-SemDeDup
+    recipe): assign every embedding to its nearest codebook cell, then
+    keep only the CBS_PER_CELL most-central members per cell —
+    near-duplicate-rich clusters are capped instead of dominating the
+    training mix, and the kept members are each cluster's most
+    representative. Complements stratified_sample (strata from a
+    COLUMN) with strata learned from the embedding space, and
+    semantic_dedup_canonical (drop near-identical pairs) with
+    diversity enforcement at cluster granularity.
+
+    Scale shape: the cell assignment is the IVF operator's
+    broadcast-codebook pass (corpus never shuffles for scoring); the
+    per-cell top-M is ONE window keyed by cell_id — cells are the
+    partition key, so parallelism = number of cells, and with a real
+    trained codebook cell count scales with the corpus (a production
+    run sizes cells ≈ sqrt(N)). Rounded-cosine ties break by vec_id —
+    engine-deterministic, oracle reproduces the sample exactly."""
+    scores = _cell_scores(df)
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    assign = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "cos")
+    )
+    w2 = W.partitionBy("cell_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        assign.withColumn("pick", F.row_number().over(w2))
+        .filter(F.col("pick") <= CBS_PER_CELL)
+        .select("vec_id", "cell_id", "cos", "pick")
+    )
+
+
+def cluster_balanced_sample_sql() -> str:
+    cell_cos = round6_sql(
+        _dot_sql("e.embedding", "c.cv")
+        + " / ("
+        + _norm_sql("e.embedding")
+        + " * "
+        + _norm_sql("c.cv")
+        + ")"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.cell_id, {cell_cos} AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, cell_id, cos FROM ranked WHERE rn = 1
+        )
+        SELECT vec_id, cell_id, cos, pick FROM (
+          SELECT vec_id, cell_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY cell_id
+                                    ORDER BY cos DESC, vec_id) AS pick
+          FROM assign
+        ) WHERE pick <= {CBS_PER_CELL}
+    """

@@ -400,6 +400,11 @@ _emb_query(
     "ann_lsh_multiprobe_topk",
 )
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
+_emb_query(
+    _sim.cluster_balanced_sample,
+    _sim.cluster_balanced_sample_sql(),
+    "cluster_balanced_sample",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -568,3 +568,23 @@ def test_training_shard_export_sink(spark, tmp_path):
 
     m2 = write_training_shards(docs, out, budget=200, lanes=2)
     assert m2 == m
+
+
+def test_cluster_balanced_sample_semantics(spark):
+    """Every cell is capped at CBS_PER_CELL, kept members are each
+    cell's most-central (cos non-increasing in pick order), and no
+    vector is sampled twice (assignment is a partition)."""
+    from pgsync_spark.functions.similarity import CBS_PER_CELL
+
+    rows = REGISTRY["cluster_balanced_sample"].fn(spark, SF_DIR).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append((r["pick"], r["cos"]))
+    for cell, members in by_cell.items():
+        assert len(members) <= CBS_PER_CELL
+        ordered = sorted(members)
+        assert [p for p, _ in ordered] == list(range(1, len(members) + 1))
+        coss = [c for _, c in ordered]
+        assert coss == sorted(coss, reverse=True)
