@@ -35,18 +35,13 @@ WRITER_LANES = 4
 SHARD_TOKEN_BUDGET = 512
 
 
-def shard_assign(
-    docs: DataFrame,
-    budget: int = SHARD_TOKEN_BUDGET,
-    lanes: int = WRITER_LANES,
-) -> DataFrame:
-    """(doc_id, n_tok, shard_id) for every document. shard_id encodes
-    (lane, file_seq) as lane * 1e6 + seq so shards sort by lane then
-    fill order."""
-    d = docs.select(
-        "doc_id",
-        (F.col("doc_id") % lanes).alias("lane"),
-        F.size(hashing.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+def _assigned(docs: DataFrame, budget: int, lanes: int) -> DataFrame:
+    """``docs`` with lane/n_tok/shard_id columns added — the single
+    lane-keyed window shuffle both the slim assignment query and the
+    sink's full-payload write run through."""
+    d = docs.withColumn("lane", F.col("doc_id") % lanes).withColumn(
+        "n_tok",
+        F.size(hashing.tokens(F.col("text"))).cast("bigint"),
     )
     w = (
         W.partitionBy("lane")
@@ -56,15 +51,29 @@ def shard_assign(
     prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
     # SQL `div` = exact integer division on longs (matches DuckDB `//`
     # in the oracle); float floor(prior / budget) is only safe < 2^53
-    return d.withColumn("_prior", prior).select(
-        "doc_id",
-        "n_tok",
-        (
-            F.col("lane") * 1_000_000
-            + F.expr(f"_prior div {int(budget)}")
+    return (
+        d.withColumn("_prior", prior)
+        .withColumn(
+            "shard_id",
+            (
+                F.col("lane") * 1_000_000
+                + F.expr(f"_prior div {int(budget)}")
+            ).cast("bigint"),
         )
-        .cast("bigint")
-        .alias("shard_id"),
+        .drop("_prior", "lane")
+    )
+
+
+def shard_assign(
+    docs: DataFrame,
+    budget: int = SHARD_TOKEN_BUDGET,
+    lanes: int = WRITER_LANES,
+) -> DataFrame:
+    """(doc_id, n_tok, shard_id) for every document. shard_id encodes
+    (lane, file_seq) as lane * 1e6 + seq so shards sort by lane then
+    fill order."""
+    return _assigned(docs, budget, lanes).select(
+        "doc_id", "n_tok", "shard_id"
     )
 
 
@@ -83,7 +92,10 @@ def write_training_shards(
     corpus_tokens / budget, collected AFTER the reduction, never the
     corpus). Re-running the export is idempotent: same assignment, same
     files, manifest replaced atomically."""
-    assigned = docs.join(shard_assign(docs, budget, lanes), "doc_id")
+    # assignment computed INLINE over the full rows: one lane-keyed
+    # window shuffle carrying the payload, instead of a slim window +
+    # a corpus-sized doc_id join (three shuffles) to reattach it
+    assigned = _assigned(docs, budget, lanes)
     # one executor-parallel write, partition-pruned reads per shard
     assigned.write.mode("overwrite").partitionBy("shard_id").parquet(
         os.path.join(out_dir, "shards")
