@@ -198,16 +198,23 @@ class _AppendOnlyIndex:
         decisions: DataFrame,
         epoch: int,
     ) -> None:
-        """Persist + materialize the survivor frames FIRST (so the
-        caller can release the batch intermediates they derive from —
-        lineage-truncation discipline, see streaming/cdc.py), then
-        commit the on-disk epoch from the now-cached frames. Store
-        writes before the persist would execute the band explode and
-        the survivor anti-join a second time per batch."""
-        keys = keys.persist()
-        vals = vals.persist()
+        """Checkpoint + materialize the survivor frames FIRST (so the
+        caller can release the batch intermediates they derive from),
+        then commit the on-disk epoch from the now-cached frames.
+        Store writes before the checkpoint would execute the band
+        explode and the survivor anti-join a second time per batch.
+
+        localCheckpoint, NOT persist: each survivor frame's lineage
+        embeds the probe against the union of every earlier part, so
+        a persist (which caches data but keeps the logical plan) makes
+        part k's plan O(2^k) — measured as 3.7→6→16→64s/batch blowup
+        by batch 5 on 10-doc batches, pure Catalyst analysis time.
+        The eager checkpoint truncates each part to a leaf; probe
+        plans then grow linearly in the part count (and compact()
+        resets even that)."""
+        keys = keys.localCheckpoint(eager=True)
+        vals = vals.localCheckpoint(eager=True)
         n_keys = keys.count()
-        vals.count()
         self._key_parts.append(keys)
         self._val_parts.append(vals)
         if self.store_dir is not None:
@@ -279,9 +286,7 @@ class _AppendOnlyIndex:
             new_vals.count()
             old_segments, self._segments = self._segments, [seg]
             self._commit_manifest()
-            for f in self._key_parts + self._val_parts:
-                f.unpersist()
-            self._key_parts, self._val_parts = [new_keys], [new_vals]
+            self._swap_parts(new_keys, new_vals)
             for s in old_segments:
                 for name in (self._KEYS_NAME, self._VALS_NAME):
                     shutil.rmtree(
@@ -289,16 +294,29 @@ class _AppendOnlyIndex:
                         ignore_errors=True,
                     )
         else:
-            new_keys, new_vals = keys.persist(), vals.persist()
-            new_keys.count()
-            new_vals.count()
-            for f in self._key_parts + self._val_parts:
+            # eager checkpoint (not persist): the union's lineage spans
+            # every old part — truncate it so the compacted frame is a
+            # leaf and old parts' blocks can actually be freed
+            new_keys = keys.localCheckpoint(eager=True)
+            new_vals = vals.localCheckpoint(eager=True)
+            self._swap_parts(new_keys, new_vals)
+
+    def _swap_parts(self, new_keys: DataFrame, new_vals: DataFrame) -> None:
+        from .. import caching
+
+        for f in self._key_parts + self._val_parts:
+            if not caching.release_local_checkpoint(f):
                 f.unpersist()
-            self._key_parts, self._val_parts = [new_keys], [new_vals]
+        self._key_parts, self._val_parts = [new_keys], [new_vals]
 
     def close(self) -> None:
+        from .. import caching
+
         for f in self._key_parts + self._val_parts:
-            f.unpersist()
+            # in-memory parts are eager localCheckpoints (blocks freed
+            # via the RDD); loaded/compacted parts are persisted scans
+            if not caching.release_local_checkpoint(f):
+                f.unpersist()
         self._key_parts = []
         self._val_parts = []
 
