@@ -583,3 +583,64 @@ def test_streaming_compact_every(spark, tmp_path):
         assert segs == ["compacted-2", "epoch=2"]
     finally:
         idx.close()
+
+
+def test_embedding_index_compaction(spark, tmp_path):
+    """compact() through the EmbeddingIndex subclass: the shared base
+    partitions key segments by band, so this guards the embedding key
+    schema against drift. Probe behavior identical post-compact."""
+    import os
+
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    v = [1.0, 0.5, -0.25, 2.0, 1.0, -1.0, 0.125, 3.0,
+         0.5, -2.0, 1.5, 0.75, -0.5, 1.0, 2.5, -1.25]
+    w = [-1.0, 2.0, 0.5, -3.0, 1.0, 1.5, -0.5, 0.25,
+         -1.5, 0.5, -2.0, 1.0, 0.75, -0.25, -3.0, 2.0]
+    u = [float(i % 5 - 2) or 1.0 for i in range(16)]
+
+    store = str(tmp_path / "embidx")
+    idx = EmbeddingIndex(spark, store_dir=store)
+    idx.ingest(vecs([(1, v)]), epoch=0)
+    idx.ingest(vecs([(2, w)]), epoch=1)
+    idx.compact()
+    assert len(idx._key_parts) == 1
+    assert sorted(os.listdir(os.path.join(store, "bands"))) == [
+        "compacted-2"
+    ]
+    # scaled copy of a COMPACTED vector still drops; novel survives
+    dec = idx.ingest(vecs([(3, [2.0 * x for x in v]), (4, u)]), epoch=2)
+    assert {(r.vec_id, r.dup_of) for r in dec.collect()} == {(3, 1)}
+    idx.close()
+
+    idx2 = EmbeddingIndex.load(spark, store)
+    assert sorted(
+        r.vec_id for r in idx2.vals.select("vec_id").collect()
+    ) == [1, 2, 4]
+    idx2.close()
+
+
+def test_held_parts_are_leaf_plans(spark):
+    """The exponential-analysis regression pin: every held survivor
+    part must be an eager localCheckpoint (LogicalRDD LEAF), never a
+    persisted frame whose lineage embeds the union of earlier parts —
+    that shape made batch k's Catalyst analysis O(2^k) (measured 64s
+    by batch 5 on 10-doc batches before the fix)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    idx.ingest(_docs(spark, [(2, OTHER)]), epoch=1)
+    idx.ingest(_docs(spark, [(3, "third fresh batch words " * 4)]), epoch=2)
+    try:
+        for f in idx._key_parts + idx._val_parts:
+            node = f._jdf.queryExecution().analyzed()
+            assert node.getClass().getSimpleName() == "LogicalRDD", (
+                "held part is not a lineage-truncated leaf: "
+                + node.getClass().getSimpleName()
+            )
+    finally:
+        idx.close()
