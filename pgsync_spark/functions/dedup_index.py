@@ -110,6 +110,13 @@ class _AppendOnlyIndex:
         # compaction rewrites segments but never changes which epochs
         # count as applied
         self._segments: list[str] = []
+        # store-less only: (epoch, decisions) of the latest ingest,
+        # kept for in-process batch-retry replay
+        self._last_decisions: tuple[int, DataFrame] | None = None
+        # the stream checkpoint this index's epoch bookkeeping is
+        # paired with — epoch NUMBERS are meaningful only within one
+        # checkpoint lineage (see bind_stream)
+        self._stream_id: str | None = None
 
     # -- epoch manifest ------------------------------------------------------
 
@@ -122,10 +129,57 @@ class _AppendOnlyIndex:
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"epochs": sorted(self._epochs), "segments": self._segments},
+                {
+                    "epochs": sorted(self._epochs),
+                    "segments": self._segments,
+                    "stream_id": self._stream_id,
+                },
                 f,
             )
         os.replace(tmp, self._manifest_path())
+
+    def bind_stream(self, stream_id: str, allow_rebind: bool = False) -> None:
+        """Pair the index's REPLAY bookkeeping with one stream
+        checkpoint. Spark's epoch_id restarts from 0 for every new
+        checkpoint directory, so "epoch 3 is applied" is only true
+        relative to the checkpoint that numbered it — honoring it for
+        a different checkpoint would skip probing brand-new data and
+        replay stale decisions (silent corpus corruption). A mismatch
+        therefore RAISES unless ``allow_rebind``: rebinding keeps the
+        held corpus (compacted into a fresh segment so old epoch=N
+        directory names are free for the new stream) but resets the
+        applied-epoch set and deletes stored decisions — the new
+        stream starts probing from its own epoch 0."""
+        import shutil
+
+        if self._stream_id == stream_id:
+            return
+        if self._stream_id is None:
+            self._stream_id = stream_id
+            if self.store_dir is not None and os.path.exists(
+                self._manifest_path()
+            ):
+                self._commit_manifest()
+            return
+        if not allow_rebind:
+            raise ValueError(
+                f"index store is paired with stream checkpoint "
+                f"{self._stream_id!r} but this stream uses "
+                f"{stream_id!r}; epoch replay bookkeeping does not "
+                "transfer between checkpoints — reuse the original "
+                "checkpoint dir, or pass rebind=True to keep the held "
+                "corpus and restart epoch bookkeeping"
+            )
+        self.compact(force=True)
+        self._epochs = set()
+        self._last_decisions = None
+        self._stream_id = stream_id
+        if self.store_dir is not None:
+            shutil.rmtree(
+                os.path.join(self.store_dir, self._DEC_NAME),
+                ignore_errors=True,
+            )
+            self._commit_manifest()
 
     def epoch_applied(self, epoch: int) -> bool:
         """True iff ``epoch``'s ingest is committed index state."""
@@ -138,8 +192,12 @@ class _AppendOnlyIndex:
         """The drop decisions an applied epoch committed — what a
         stream replay needs to rebuild that epoch's outputs without
         re-probing (the batch is already IN the index, so a re-probe
-        would be wrong). None for store-less indexes."""
+        would be wrong). Store-less indexes answer only for the latest
+        epoch (retained in memory — the in-process batch-retry case,
+        the only replay a store-less index can survive anyway)."""
         if self.store_dir is None:
+            if self._last_decisions and self._last_decisions[0] == epoch:
+                return self._last_decisions[1]
             return None
         path = os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
         if not os.path.isdir(path):
@@ -152,10 +210,23 @@ class _AppendOnlyIndex:
 
         idx = cls(spark, store_dir)
         manifest = os.path.join(store_dir, "CURRENT")
+        if not os.path.exists(manifest) and os.path.isdir(
+            os.path.join(store_dir, cls._KEYS_NAME)
+        ):
+            # data dirs without a manifest = a store written by the
+            # pre-manifest append-mode format (or a torn copy).
+            # Loading it as empty would silently forget the whole held
+            # corpus and re-accept every duplicate — refuse instead.
+            raise ValueError(
+                f"{store_dir} has index data but no CURRENT manifest "
+                "(pre-manifest format or torn copy) — re-ingest the "
+                "corpus into a fresh store"
+            )
         if os.path.exists(manifest):
             with open(manifest) as f:
                 m = json.load(f)
             idx._epochs = set(m["epochs"])
+            idx._stream_id = m.get("stream_id")
             # read committed segment dirs individually: an uncommitted
             # (crashed mid-write) directory is never touched, not even
             # for schema inference. An epoch whose batch was dropped
@@ -212,11 +283,33 @@ class _AppendOnlyIndex:
         The eager checkpoint truncates each part to a leaf; probe
         plans then grow linearly in the part count (and compact()
         resets even that)."""
+        if epoch in self._epochs:
+            # re-committing an applied epoch would append a duplicate
+            # segment (held docs doubled after reload) — the replay
+            # path is stored_decisions, never a second ingest
+            raise ValueError(
+                f"epoch {epoch} is already applied index state; "
+                "replay via stored_decisions, not a re-ingest"
+            )
         keys = keys.localCheckpoint(eager=True)
         vals = vals.localCheckpoint(eager=True)
         n_keys = keys.count()
-        self._key_parts.append(keys)
-        self._val_parts.append(vals)
+        if n_keys:
+            # an all-dropped batch holds no state: appending its empty
+            # frames anyway would deepen every later probe's union (and
+            # diverge from load(), which skips segment-less epochs)
+            self._key_parts.append(keys)
+            self._val_parts.append(vals)
+        else:
+            from .. import caching
+
+            caching.release_local_checkpoint(keys)
+            caching.release_local_checkpoint(vals)
+        if self.store_dir is None:
+            # in-process replay support for store-less indexes: retain
+            # the latest epoch's decisions so a failed-then-retried
+            # foreachBatch can rebuild its outputs (see stored_decisions)
+            self._last_decisions = (epoch, decisions)
         if self.store_dir is not None:
             # per-epoch dirs, mode=overwrite: a half-written dir from a
             # crashed attempt is simply rewritten; held epochs' files
@@ -247,7 +340,7 @@ class _AppendOnlyIndex:
         if self.store_dir is not None:
             self._commit_manifest()
 
-    def compact(self) -> None:
+    def compact(self, force: bool = False) -> None:
         """Collapse all held segments into ONE — the at-scale
         maintenance op for a long-running stream. Two growth problems
         it bounds: on disk, one directory per epoch degrades every
@@ -265,11 +358,31 @@ class _AppendOnlyIndex:
         after compaction, so stream replay semantics survive."""
         import shutil
 
-        if len(self._key_parts) <= 1:
+        if not self._key_parts:
+            return
+        # force (the bind_stream rebind path) must still rewrite even a
+        # SINGLE epoch=N segment: the rebound stream reuses epoch
+        # numbers, and its epoch=N write would clobber a dir the
+        # manifest still lists
+        needs_rename = (
+            force
+            and self.store_dir is not None
+            and any(s.startswith("epoch=") for s in self._segments)
+        )
+        if len(self._key_parts) <= 1 and not needs_rename:
             return
         keys, vals = self.keys, self.vals
         if self.store_dir is not None:
             seg = f"compacted-{self.next_epoch()}"
+            n = 0
+            while seg in self._segments or os.path.isdir(
+                os.path.join(self.store_dir, self._KEYS_NAME, seg)
+            ):
+                # never write into a LISTED segment (a rebound stream's
+                # epoch counter can revisit old numbers); ghost dirs
+                # from crashed compacts are skipped too, harmlessly
+                n += 1
+                seg = f"compacted-{self.next_epoch()}-{n}"
             keys.write.mode("overwrite").partitionBy("band").parquet(
                 os.path.join(self.store_dir, self._KEYS_NAME, seg)
             )
@@ -518,12 +631,13 @@ class EmbeddingIndex(_AppendOnlyIndex):
         held_keys, held_vecs = self.keys, self.vals
         if held_keys is None:
             decisions = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)
-            # the whole first batch survives: install ``batch`` itself
-            # as held state and do NOT unpersist it here — it is now
-            # index state (close() releases it). Unpersisting would
-            # force every later probe to recompute batch 0 from its
-            # source lineage.
+            # the whole first batch survives. _append installs an eager
+            # CHECKPOINT of it as held state, so the batch's own cache
+            # is released here — holding it too would duplicate batch 0
+            # in executor memory for the life of the index (a leak the
+            # old persist()-returns-self contract masked).
             self._append(new_keys, batch, decisions, epoch)
+            batch.unpersist()
             return decisions
 
         cand = (

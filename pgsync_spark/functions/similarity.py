@@ -125,10 +125,14 @@ def _bucket_sql(col: str) -> str:
     )
 
 
-def ann_lsh_topk(df: DataFrame) -> DataFrame:
-    """LSH-bucketed approximate top-k: queries probe only their own
-    bucket (~1/2^planes of the corpus). Recall < 1 by design; the
-    oracle reproduces the same approximation exactly."""
+def _lsh_probe_topk(df: DataFrame, probes) -> DataFrame:
+    """Shared LSH probe skeleton: bucket the corpus once, expand each
+    query's probe list on the (broadcast) QUERY side via ``probes`` —
+    a function mapping (query_id, qv, qb) to (query_id, qv, pb) rows,
+    one per bucket to probe — then exact-score candidates and keep the
+    per-query top-k. Single-probe and multi-probe differ ONLY in the
+    probe expansion; keeping one body here is what guarantees the
+    recall eval compares like against like."""
     bucketed = df.select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     )
@@ -143,7 +147,11 @@ def ann_lsh_topk(df: DataFrame) -> DataFrame:
         F.col("bucket").alias("cb"),
     )
     scored = (
-        c.join(F.broadcast(q), (F.col("cb") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")))
+        c.join(
+            F.broadcast(probes(q)),
+            (F.col("cb") == F.col("pb"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -153,11 +161,23 @@ def ann_lsh_topk(df: DataFrame) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(df: DataFrame) -> DataFrame:
+    """LSH-bucketed approximate top-k: queries probe only their own
+    bucket (~1/2^planes of the corpus). Recall < 1 by design; the
+    oracle reproduces the same approximation exactly."""
+    return _lsh_probe_topk(
+        df,
+        lambda q: q.select("query_id", "qv", F.col("qb").alias("pb")),
     )
 
 
@@ -608,50 +628,16 @@ def ann_lsh_multiprobe_topk(df: DataFrame) -> DataFrame:
     (planes+1)x over single-probe but stays ~(planes+1)/2^planes of
     the corpus; the corpus side is still bucketed once and never
     shuffles (probe list explodes on the broadcast QUERY side only)."""
-    bucketed = df.select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
-    )
-    probes = F.array(
+    probe_list = F.array(
         F.col("qb"), *[
             F.col("qb").bitwiseXOR(F.lit(2 ** i)) for i in range(N_PLANES)
         ]
     )
-    q = (
-        bucketed.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("bucket").alias("qb"),
-        )
-        .select("query_id", "qv", F.explode(probes).alias("pb"))
-    )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        F.col("bucket").alias("cb"),
-    )
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("cb") == F.col("pb"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            round6(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _lsh_probe_topk(
+        df,
+        lambda q: q.select(
+            "query_id", "qv", F.explode(probe_list).alias("pb")
+        ),
     )
 
 

@@ -2880,7 +2880,7 @@ from .sinks import shards as _shards  # noqa: E402
           FROM documents
         )
         SELECT doc_id, n_tok,
-               lane * 1000000 +
+               lane * {_shards.LANE_STRIDE} +
                  COALESCE(SUM(n_tok) OVER (PARTITION BY lane ORDER BY doc_id
                                            ROWS BETWEEN UNBOUNDED PRECEDING
                                            AND 1 PRECEDING), 0)

@@ -33,6 +33,7 @@ from ..functions import hashing
 
 WRITER_LANES = 4
 SHARD_TOKEN_BUDGET = 512
+LANE_STRIDE = 1 << 40  # shard_id = lane * stride + fill-order seq
 
 
 def _assigned(docs: DataFrame, budget: int, lanes: int) -> DataFrame:
@@ -50,13 +51,17 @@ def _assigned(docs: DataFrame, budget: int, lanes: int) -> DataFrame:
     )
     prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
     # SQL `div` = exact integer division on longs (matches DuckDB `//`
-    # in the oracle); float floor(prior / budget) is only safe < 2^53
+    # in the oracle); float floor(prior / budget) is only safe < 2^53.
+    # Lane stride 2^40: ~1.1e12 shards per lane before collision — a
+    # 100 TB lane at budget 512 needs ~5e7, so the encoding holds with
+    # 4 orders of magnitude of headroom (a 1e6 stride would collide
+    # exactly at the module's stated scale).
     return (
         d.withColumn("_prior", prior)
         .withColumn(
             "shard_id",
             (
-                F.col("lane") * 1_000_000
+                F.col("lane") * LANE_STRIDE
                 + F.expr(f"_prior div {int(budget)}")
             ).cast("bigint"),
         )
@@ -70,7 +75,7 @@ def shard_assign(
     lanes: int = WRITER_LANES,
 ) -> DataFrame:
     """(doc_id, n_tok, shard_id) for every document. shard_id encodes
-    (lane, file_seq) as lane * 1e6 + seq so shards sort by lane then
+    (lane, file_seq) as lane * 2^40 + seq so shards sort by lane then
     fill order."""
     return _assigned(docs, budget, lanes).select(
         "doc_id", "n_tok", "shard_id"
@@ -100,8 +105,13 @@ def write_training_shards(
     assigned.write.mode("overwrite").partitionBy("shard_id").parquet(
         os.path.join(out_dir, "shards")
     )
+    # manifest stats come from the FILES JUST WRITTEN, not the logical
+    # plan — re-aggregating `assigned` would tokenize and window the
+    # corpus a second time; this also makes the manifest a read-back
+    # verification of what actually landed on disk
     stats = (
-        assigned.groupBy("shard_id")
+        docs.sparkSession.read.parquet(os.path.join(out_dir, "shards"))
+        .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),

@@ -79,6 +79,7 @@ def start_dedup_stream(
     max_files_per_trigger: int = 10,
     drift_column: str | None = None,
     compact_every: int | None = None,
+    rebind: bool = False,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -122,6 +123,12 @@ def start_dedup_stream(
     disk, one-union-frame-per-batch probe plans in memory) of a
     long-running stream. Compaction is itself an atomic manifest
     cutover, so a crash mid-compact replays cleanly.
+
+    ``rebind``: a store's epoch bookkeeping is paired with ONE
+    checkpoint dir (epoch ids restart at 0 per checkpoint); starting
+    over an existing store with a different checkpoint raises unless
+    rebind=True, which keeps the held corpus but restarts the epoch
+    bookkeeping (every incoming batch is probed fresh).
     """
     import json
     import math
@@ -130,6 +137,12 @@ def start_dedup_stream(
     from pyspark.sql import functions as F
 
     from .. import caching
+
+    # epoch numbers restart at 0 for every new checkpoint dir, so the
+    # index's applied-epoch bookkeeping is only honored for the
+    # checkpoint that produced it — a mismatch raises (or, with
+    # rebind=True, keeps the corpus and restarts epoch bookkeeping)
+    index.bind_stream(os.path.abspath(checkpoint_dir), allow_rebind=rebind)
 
     docs = (
         spark.readStream.schema(schema)
@@ -157,12 +170,16 @@ def start_dedup_stream(
             .agg(F.count(F.lit(1)))
             .collect()
         }
+        # compute against a PROSPECTIVE mix; fold into the running
+        # totals only after the stats file commits — a write failure
+        # followed by an in-process batch retry must not double count
+        merged = dict(totals)
         for s, n in counts.items():
-            totals[s] = totals.get(s, 0) + n
-        bn, t = sum(counts.values()), sum(totals.values())
+            merged[s] = merged.get(s, 0) + n
+        bn, t = sum(counts.values()), sum(merged.values())
         kl = (
             sum(
-                (n / bn) * math.log((n / bn) / (totals[s] / t))
+                (n / bn) * math.log((n / bn) / (merged[s] / t))
                 for s, n in counts.items()
             )
             if bn
@@ -177,6 +194,8 @@ def start_dedup_stream(
                 sort_keys=True,
             )
         os.replace(tmp, stats_path)
+        totals.clear()
+        totals.update(merged)
 
     def on_batch(batch_df, epoch_id: int):
         marker = os.path.join(applied_dir, str(epoch_id))
@@ -185,8 +204,14 @@ def start_dedup_stream(
         if index.epoch_applied(epoch_id):
             # replay of a committed epoch: the batch is already index
             # state — rebuild the outputs from the committed decisions
+            # (store-backed: read back from the epoch's decision dir;
+            # store-less: the retained latest-epoch decisions cover the
+            # in-process batch-retry case)
             decisions = index.stored_decisions(epoch_id)
-            if decisions is None:  # store-less: nothing to rebuild from
+            if decisions is None:
+                # unreachable in practice: a store-less index dies with
+                # the process that numbered the epochs, and bind_stream
+                # rejects foreign checkpoints — but never guess
                 return
         else:
             batch_df = batch_df.persist()

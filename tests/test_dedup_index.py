@@ -231,12 +231,14 @@ def test_streaming_dedup_ingestion(spark, tmp_path):
             r["doc_id"] for r in idx.shingles.select("doc_id").collect()
         ) == [1, 2, 4]
 
-        # replay: both epochs are marked applied -> restarting the
-        # stream over the same source must not double-ingest
+        # replay: both epochs are marked applied -> re-running over the
+        # same source with a FRESH checkpoint (rebind: epoch numbers
+        # restart) must not double-ingest — the out_dir markers no-op
+        # every replayed epoch
         held_before = idx.shingles.count()
         q2 = start_dedup_stream(
             spark, idx, str(docs_dir), str(tmp_path / "ckpt2"), out,
-            max_files_per_trigger=1,
+            max_files_per_trigger=1, rebind=True,
         )
         q2.processAllAvailable()
         q2.stop()
@@ -382,16 +384,27 @@ def test_streaming_replay_of_committed_epoch_rebuilds_outputs(
     finally:
         idx.close()
 
-    # simulate the crash: markers and sink outputs gone, index store
-    # (the atomic commit) intact, fresh process restarts the stream
-    shutil.rmtree(out)
+    # simulate the crash DURING epoch 1, after the index committed but
+    # before the sink writes/marker/offset-commit: epoch 1's commit
+    # record (Spark re-runs only the latest uncommitted batch), marker
+    # and outputs are gone; the index store (the atomic commit) is
+    # intact. A same-checkpoint restart re-delivers epoch 1 with its
+    # original id — the realistic Structured Streaming replay.
+    shutil.rmtree(os.path.join(out, "accepted", "epoch=1"))
+    shutil.rmtree(os.path.join(out, "decisions", "epoch=1"))
+    os.remove(os.path.join(out, "_applied", "1"))
+    for c in os.listdir(tmp_path / "ckpt" / "commits"):
+        # the .crc sidecar goes too: a stale checksum for a re-written
+        # commit file reads as concurrent modification to Spark
+        if c.strip(".crc").endswith("1"):
+            os.remove(tmp_path / "ckpt" / "commits" / c)
     idx2 = MinHashIndex.load(spark, store)
     held_before = sorted(
         r.doc_id for r in idx2.shingles.select("doc_id").collect()
     )
     try:
         q2 = start_dedup_stream(
-            spark, idx2, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            spark, idx2, str(docs_dir), str(tmp_path / "ckpt"), out,
             max_files_per_trigger=1,
         )
         q2.processAllAvailable()
@@ -553,8 +566,15 @@ def test_streaming_compact_every(spark, tmp_path):
 
     docs_dir = tmp_path / "docs"
     docs_dir.mkdir()
+    # batch 1 has a dup AND a survivor, so two parts are held when the
+    # compact_every=2 cadence fires (an all-dropped batch holds no
+    # part and compaction of a single part correctly no-ops)
     for k, rows in enumerate(
-        [[(1, DOC), (2, OTHER)], [(3, DOC)], [(4, "fresh words " * 6)]]
+        [
+            [(1, DOC), (2, OTHER)],
+            [(3, DOC), (5, "surviving batch one words " * 4)],
+            [(4, "fresh words " * 6)],
+        ]
     ):
         with open(docs_dir / f"b{k}.json", "w") as f:
             for doc_id, text in rows:
@@ -575,7 +595,9 @@ def test_streaming_compact_every(spark, tmp_path):
         q.stop()
         accepted = spark.read.parquet(os.path.join(out, "accepted"))
         decisions = spark.read.parquet(os.path.join(out, "decisions"))
-        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 4]
+        assert sorted(
+            r["doc_id"] for r in accepted.collect()
+        ) == [1, 2, 4, 5]
         assert {r["doc_id"]: r["dup_of"]
                 for r in decisions.collect()} == {3: 1}
         # 3 epochs, compact after epoch 1 -> compacted seg + epoch=2
@@ -644,3 +666,60 @@ def test_held_parts_are_leaf_plans(spark):
             )
     finally:
         idx.close()
+
+
+def test_stream_binding_guards_foreign_checkpoints(spark, tmp_path):
+    """An index store's epoch bookkeeping is paired with one stream
+    checkpoint: binding a different checkpoint raises (honoring stale
+    epoch numbers against renumbered batches would silently corrupt
+    the corpus); rebind=True keeps the held corpus, frees the epoch=N
+    segment names, clears decisions, and probes fresh batches from the
+    new stream's own epoch 0."""
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.bind_stream("/ckpt/a")
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    idx.close()
+
+    idx2 = MinHashIndex.load(spark, store)
+    assert idx2._stream_id == "/ckpt/a"
+    idx2.bind_stream("/ckpt/a")  # same checkpoint: fine
+    with pytest.raises(ValueError, match="paired with stream checkpoint"):
+        idx2.bind_stream("/ckpt/b")
+
+    idx2.bind_stream("/ckpt/b", allow_rebind=True)
+    # corpus kept, epoch bookkeeping reset, segment renamed off epoch=0
+    assert not idx2.epoch_applied(0)
+    assert idx2.next_epoch() == 0
+    assert idx2.stored_decisions(0) is None
+    segs = sorted(os.listdir(os.path.join(store, "bands")))
+    assert segs == ["compacted-1"]
+    # the rebound stream's OWN epoch 0 probes against the kept corpus
+    dec = idx2.ingest(_docs(spark, [(3, DOC)]), epoch=0)
+    assert {(r.doc_id, r.dup_of) for r in dec.collect()} == {(3, 1)}
+    idx2.close()
+
+
+def test_duplicate_epoch_ingest_raises(spark):
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    import pytest
+
+    with pytest.raises(ValueError, match="already applied"):
+        idx.ingest(_docs(spark, [(2, OTHER)]), epoch=0)
+    idx.close()
+
+
+def test_premanifest_store_refuses_to_load(spark, tmp_path):
+    import os
+
+    import pytest
+
+    store = tmp_path / "oldstore"
+    (store / "bands").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no CURRENT manifest"):
+        MinHashIndex.load(spark, str(store))
