@@ -24,6 +24,14 @@ Sinks: ``--sink-dir`` writes per-index JSONL (the test/e2e sink);
 ``--search-url`` creates each index with its generated mapping and bulk
 upserts through ``BulkHttpWriter`` — both may be given.
 
+Beyond the reference surface, ``--dedup-stream DOCS_DIR`` runs the
+streaming training-data ingestion pipeline (no schema config needed):
+JSON docs → incremental MinHash/Embedding dedup index probe →
+accepted docs + drop decisions (+ per-epoch drift stats with
+``--drift-column``) under ``--dedup-out``; ``--store-dir`` makes the
+index durable and the pipeline exactly-once, ``--compact-every`` runs
+segment maintenance on a cadence.
+
 There is no singleton/pidfile analog (ref: pgsync/singleton.py:6-39
 guards one process per (database, index)): one SparkSession per driver
 already serializes the engine, and concurrent drivers against one sink
@@ -47,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
         "nested JSON documents and keep a search index in sync.",
     )
     p.add_argument(
-        "-c", "--config", required=True,
-        help="schema config: local path, http(s) URL, or s3:// URL",
+        "-c", "--config", default=None,
+        help="schema config: local path, http(s) URL, or s3:// URL "
+        "(required for every mode except --dedup-stream)",
     )
     p.add_argument(
         "--data-dir",
@@ -111,6 +120,42 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-files-per-trigger", type=int, default=10,
         help="micro-batch size cap (the LOGICAL_SLOT_CHUNK_SIZE analog)",
     )
+    # -- streaming ingestion dedup (the training-data pipeline mode) --
+    p.add_argument(
+        "--dedup-stream", metavar="DOCS_DIR", default=None,
+        help="stream JSON docs from this directory through the "
+        "incremental dedup index: accepted docs, drop decisions, and "
+        "(with --drift-column) per-epoch drift stats land under "
+        "--dedup-out; needs --checkpoint-dir; --store-dir makes the "
+        "index durable and the pipeline exactly-once",
+    )
+    p.add_argument(
+        "--dedup-index", choices=("minhash", "embedding"),
+        default="minhash",
+        help="near-dup index for --dedup-stream: MinHash over text "
+        "docs, or sign-LSH over embedding vectors",
+    )
+    p.add_argument(
+        "--dedup-out", default=None,
+        help="output directory for --dedup-stream "
+        "(accepted/ decisions/ stats/)",
+    )
+    p.add_argument(
+        "--drift-column", default=None,
+        help="with --dedup-stream: write per-epoch mix + KL drift "
+        "stats over this column (e.g. source)",
+    )
+    p.add_argument(
+        "--compact-every", type=int, default=None,
+        help="with --dedup-stream: compact index segments every N "
+        "epochs",
+    )
+    p.add_argument(
+        "--rebind", action="store_true",
+        help="with --dedup-stream: allow pairing an existing index "
+        "store with a NEW checkpoint (keeps the corpus, restarts "
+        "epoch bookkeeping)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -152,10 +197,80 @@ def _write_docs(runner, args, out=sys.stdout) -> None:
                 )
 
 
+def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
+    """The --dedup-stream mode: JSON doc stream → incremental dedup
+    index probe → accepted/decisions(/stats) under --dedup-out."""
+    from .functions.dedup_index import EmbeddingIndex, MinHashIndex
+    from .streaming.stream import DEDUP_DOCS_SCHEMA, start_dedup_stream
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_dedup")
+    cls = MinHashIndex if args.dedup_index == "minhash" else EmbeddingIndex
+    schema = (
+        DEDUP_DOCS_SCHEMA
+        if args.dedup_index == "minhash"
+        else "vec_id bigint, embedding array<float>"
+    )
+    try:
+        if args.store_dir and os.path.exists(
+            os.path.join(args.store_dir, "CURRENT")
+        ):
+            index = cls.load(spark, args.store_dir)
+        else:
+            index = cls(spark, store_dir=args.store_dir)
+        try:
+            q = start_dedup_stream(
+                spark,
+                index,
+                args.dedup_stream,
+                args.checkpoint_dir,
+                args.dedup_out,
+                schema=schema,
+                max_files_per_trigger=args.max_files_per_trigger,
+                drift_column=args.drift_column,
+                compact_every=args.compact_every,
+                rebind=args.rebind,
+            )
+            if args.drain:
+                q.processAllAvailable()
+                q.stop()
+            else:
+                q.awaitTermination()
+            if args.verbose:
+                print(
+                    f"dedup stream over {args.dedup_stream} -> "
+                    f"{args.dedup_out}",
+                    file=out,
+                )
+        finally:
+            index.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
     args = build_parser().parse_args(argv)
+    if args.dedup_stream:
+        if not (args.checkpoint_dir and args.dedup_out):
+            print(
+                "--dedup-stream requires --checkpoint-dir and --dedup-out",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_dedup_stream(args, spark, out)
+    if args.config is None:
+        print(
+            "-c/--config is required (except with --dedup-stream)",
+            file=sys.stderr,
+        )
+        return 2
     if args.daemon and not (args.events_dir and args.checkpoint_dir):
         print(
             "--daemon requires --events-dir and --checkpoint-dir",

@@ -134,9 +134,13 @@ def test_cli_arg_validation(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
-    # missing --config is an argparse error
-    with pytest.raises(SystemExit):
-        main(["--data-dir", SF_DIR], spark=spark)
+    # missing --config (now optional, for --dedup-stream) is a guarded
+    # error for every config-driven mode
+    rc = main(["--data-dir", SF_DIR], spark=spark)
+    assert rc == 2
+    # --dedup-stream without its required dirs
+    rc = main(["--dedup-stream", str(tmp_path / "docs")], spark=spark)
+    assert rc == 2
 
 
 def test_cli_search_url_end_to_end(spark, tmp_path):
@@ -422,3 +426,73 @@ def test_cli_unknown_plugin_fails_at_startup(spark, tmp_path):
              "--sink-dir", str(tmp_path / "o")],
             spark=spark,
         )
+
+
+def test_cli_dedup_stream_drain(spark, tmp_path):
+    """--dedup-stream end to end: two micro-batch files, cross-batch
+    dup dropped, outputs + drift stats written, store-backed resume
+    works on a second drain run over the same checkpoint."""
+    import json
+    import os
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    text_a = "alpha beta gamma delta epsilon zeta " * 4
+    text_b = "one two three four five six seven " * 4
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": text_a,
+                            "lang": "en", "source": "s0"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": text_b,
+                            "lang": "en", "source": "s1"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": text_a,
+                            "lang": "en", "source": "s0"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "dout")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--dedup-out", out,
+            "--store-dir", str(tmp_path / "idxstore"),
+            "--drift-column", "source",
+            "--max-files-per-trigger", "1",
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    decisions = spark.read.parquet(os.path.join(out, "decisions"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2]
+    assert {r["doc_id"]: r["dup_of"]
+            for r in decisions.collect()} == {3: 1}
+    assert sorted(os.listdir(os.path.join(out, "stats"))) == [
+        "epoch=0.json", "epoch=1.json",
+    ]
+
+    # second drain over the same checkpoint: loads the store, nothing
+    # new to process, outputs unchanged
+    with open(docs_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": text_b,
+                            "lang": "en", "source": "s1"}) + "\n")
+    os.utime(docs_dir / "b2.json", (3_000_000, 3_000_000))
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--dedup-out", out,
+            "--store-dir", str(tmp_path / "idxstore"),
+            "--drift-column", "source",
+            "--max-files-per-trigger", "1",
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    decisions = spark.read.parquet(os.path.join(out, "decisions"))
+    # doc 4 duplicates doc 2, caught against the RELOADED store
+    assert {r["doc_id"]: r["dup_of"]
+            for r in decisions.collect()} == {3: 1, 4: 2}
