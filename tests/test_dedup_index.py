@@ -723,3 +723,39 @@ def test_premanifest_store_refuses_to_load(spark, tmp_path):
     (store / "bands").mkdir(parents=True)
     with pytest.raises(ValueError, match="no CURRENT manifest"):
         MinHashIndex.load(spark, str(store))
+
+
+@pytest.mark.slow
+def test_shard_assignment_property(spark):
+    """Property check of the shard binning across random configs: a
+    pure-Python lane prefix-sum reference must agree exactly, shards
+    partition the docs, and every shard's PRIOR-token start is inside
+    the budget (one-doc overrun bound). Exercised over a grid instead
+    of @given: one Spark job per example is the cost driver, and the
+    semantics vary only with (budget, lanes, doc mix)."""
+    import random
+
+    from pgsync_spark.sinks.shards import LANE_STRIDE, shard_assign
+
+    rng = random.Random(3)
+    for budget, lanes in [(50, 1), (64, 2), (200, 3), (37, 4)]:
+        rows = [
+            (i, " ".join(f"w{rng.randrange(40)}"
+                         for _ in range(rng.randrange(1, 30))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_tok"], r["shard_id"])
+            for r in shard_assign(docs, budget=budget, lanes=lanes).collect()
+        }
+        # python reference: same lane split, same running sums
+        n_tok = {i: len(t.split()) for i, t in rows}
+        prior: dict[int, int] = {}
+        for i in sorted(n_tok):
+            lane = i % lanes
+            p = prior.get(lane, 0)
+            expect = lane * LANE_STRIDE + p // budget
+            assert got[i] == (n_tok[i], expect), (budget, lanes, i)
+            prior[lane] = p + n_tok[i]
+        assert len(got) == len(rows)
