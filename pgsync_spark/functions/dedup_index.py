@@ -185,6 +185,17 @@ class _AppendOnlyIndex:
         """True iff ``epoch``'s ingest is committed index state."""
         return epoch in self._epochs
 
+    def _check_epoch(self, epoch: int) -> None:
+        """Re-committing an applied epoch would append a duplicate
+        segment (held docs doubled after reload) — the replay path is
+        stored_decisions, never a second ingest. Checked at ingest
+        ENTRY (before any Spark work) and again at commit."""
+        if epoch in self._epochs:
+            raise ValueError(
+                f"epoch {epoch} is already applied index state; "
+                "replay via stored_decisions, not a re-ingest"
+            )
+
     def next_epoch(self) -> int:
         return max(self._epochs) + 1 if self._epochs else 0
 
@@ -283,14 +294,7 @@ class _AppendOnlyIndex:
         The eager checkpoint truncates each part to a leaf; probe
         plans then grow linearly in the part count (and compact()
         resets even that)."""
-        if epoch in self._epochs:
-            # re-committing an applied epoch would append a duplicate
-            # segment (held docs doubled after reload) — the replay
-            # path is stored_decisions, never a second ingest
-            raise ValueError(
-                f"epoch {epoch} is already applied index state; "
-                "replay via stored_decisions, not a re-ingest"
-            )
+        self._check_epoch(epoch)
         keys = keys.localCheckpoint(eager=True)
         vals = vals.localCheckpoint(eager=True)
         n_keys = keys.count()
@@ -465,6 +469,7 @@ class MinHashIndex(_AppendOnlyIndex):
         for replay detection (defaults to the next unused number)."""
         if epoch is None:
             epoch = self.next_epoch()
+        self._check_epoch(epoch)
         sigs, cached = _signatures(batch_df)
         sigs = sigs.withColumn("fp", _fingerprint(F.col("sh"))).persist()
         cached = cached + [sigs]
@@ -625,6 +630,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
 
         if epoch is None:
             epoch = self.next_epoch()
+        self._check_epoch(epoch)
         batch = batch_df.select("vec_id", "embedding").persist()
         new_keys = self._band_keys(batch)
 
