@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--polling", metavar="INTERVAL", default=None,
-        help='ProcessingTime trigger for daemon mode, e.g. "5 seconds"',
+        help="ProcessingTime trigger for daemon or --dedup-stream "
+        'mode, e.g. "5 seconds"',
     )
     p.add_argument(
         "--analyze", action="store_true",
@@ -233,6 +234,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 drift_column=args.drift_column,
                 compact_every=args.compact_every,
                 rebind=args.rebind,
+                poll_interval=args.polling,
             )
             if args.drain:
                 q.processAllAvailable()

@@ -80,6 +80,7 @@ def start_dedup_stream(
     drift_column: str | None = None,
     compact_every: int | None = None,
     rebind: bool = False,
+    poll_interval: str | None = None,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -236,8 +237,9 @@ def start_dedup_stream(
         if compact_every and (epoch_id + 1) % compact_every == 0:
             index.compact()
 
-    return (
-        docs.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = docs.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if poll_interval is not None:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()
