@@ -144,3 +144,30 @@ def write_training_shards(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
     return manifest
+
+
+def read_training_shards(
+    spark, out_dir: str, shard_ids: list[int] | None = None
+) -> DataFrame:
+    """The consumer side of the manifest contract: read an export via
+    MANIFEST.json — never the directory listing, so an in-flight or
+    crashed re-export is invisible — optionally restricted to
+    ``shard_ids`` (a data-loader worker's slice). The shard_id filter
+    lands on the partition column, so Spark prunes to exactly the
+    requested shard directories (verify with PartitionFilters in
+    .explain)."""
+    with open(os.path.join(out_dir, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    listed = [s["shard_id"] for s in manifest["shards"]]
+    if shard_ids is None:
+        wanted = listed
+    else:
+        unknown = sorted(set(shard_ids) - set(listed))
+        if unknown:
+            raise ValueError(
+                f"shard ids not in MANIFEST.json: {unknown} "
+                f"(manifest lists {len(listed)} shards)"
+            )
+        wanted = list(shard_ids)
+    df = spark.read.parquet(os.path.join(out_dir, "shards"))
+    return df.filter(F.col("shard_id").isin(wanted))

@@ -588,3 +588,35 @@ def test_cluster_balanced_sample_semantics(spark):
         assert [p for p, _ in ordered] == list(range(1, len(members) + 1))
         coss = [c for _, c in ordered]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_training_shard_loader(spark, tmp_path):
+    """read_training_shards honors the manifest contract: full read
+    returns every exported doc, a shard-slice read returns exactly
+    that shard's docs with partition pruning in the plan, and unknown
+    shard ids fail loudly."""
+    import os
+
+    import pytest
+
+    from pgsync_spark.catalog import Catalog
+    from pgsync_spark.sinks.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = Catalog(spark, SF_DIR).df("documents")
+    out = str(tmp_path / "export")
+    m = write_training_shards(docs, out, budget=200, lanes=2)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == m["n_docs"]
+
+    first = m["shards"][0]
+    one = read_training_shards(spark, out, [first["shard_id"]])
+    assert one.count() == first["n_docs"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan
+
+    with pytest.raises(ValueError, match="not in MANIFEST"):
+        read_training_shards(spark, out, [999_999_999])
