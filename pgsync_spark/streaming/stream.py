@@ -186,14 +186,25 @@ def start_dedup_stream(
             if bn
             else 0.0
         )
+        stat = {"epoch": epoch_id, "n_docs": bn, "counts": counts, "kl": kl}
+        if "text" in batch_df.columns:
+            # second drift signal: token-length quantiles per epoch —
+            # the classic upstream-truncation/boilerplate detector.
+            # Same tiny-aggregate discipline (one 1-row agg per epoch).
+            from ..functions import hashing
+
+            row = batch_df.agg(
+                F.percentile_approx(
+                    F.size(hashing.tokens(F.col("text"))), [0.5, 0.9]
+                ).alias("q")
+            ).first()
+            if row and row["q"] is not None:
+                stat["tok_len_p50"] = int(row["q"][0])
+                stat["tok_len_p90"] = int(row["q"][1])
         os.makedirs(stats_dir, exist_ok=True)
         tmp = stats_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"epoch": epoch_id, "n_docs": bn, "counts": counts, "kl": kl},
-                f,
-                sort_keys=True,
-            )
+            json.dump(stat, f, sort_keys=True)
         os.replace(tmp, stats_path)
         totals.clear()
         totals.update(merged)

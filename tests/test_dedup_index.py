@@ -471,6 +471,8 @@ def test_streaming_drift_monitor(spark, tmp_path):
     with open(os.path.join(out, "stats", "epoch=1.json")) as f:
         s1 = json.load(f)
     assert s0["counts"] == {"s0": 2, "s1": 2} and s0["kl"] == 0.0
+    # second drift signal: per-epoch token-length quantiles
+    assert s0["tok_len_p50"] > 0 and s0["tok_len_p90"] >= s0["tok_len_p50"]
     assert s1["counts"] == {"s0": 2}
     # batch is all-s0, corpus-so-far is 4/6 s0: KL = ln(6/4)
     assert abs(s1["kl"] - math.log(6 / 4)) < 1e-9
