@@ -761,3 +761,21 @@ def test_shard_assignment_property(spark):
             assert got[i] == (n_tok[i], expect), (budget, lanes, i)
             prior[lane] = p + n_tok[i]
         assert len(got) == len(rows)
+
+
+def test_rearrival_of_accepted_doc_is_already_seen(spark):
+    """A previously ACCEPTED doc re-arriving in a later batch (source
+    re-delivery upstream of the stream's own replay protection) drops
+    as a dup of itself — decision (id, dup_of=id, 1.0) — and the index
+    keeps exactly one held copy. Pinned so the semantics are a
+    contract, not an accident."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    dec = idx.ingest(_docs(spark, [(1, DOC)]), epoch=1)
+    assert [(r.doc_id, r.dup_of, r.jaccard) for r in dec.collect()] == [
+        (1, 1, 1.0)
+    ]
+    assert sorted(
+        r.doc_id for r in idx.shingles.select("doc_id").collect()
+    ) == [1]
+    idx.close()
