@@ -157,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
         "store with a NEW checkpoint (keeps the corpus, restarts "
         "epoch bookkeeping)",
     )
+    p.add_argument(
+        "--pre-filter", default=None,
+        help="with --dedup-stream: SQL boolean quality gate applied "
+        'BEFORE the dedup probe (e.g. "length(text) >= 100"); '
+        "rejects land under <out>/rejected/epoch=N",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -235,6 +241,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 compact_every=args.compact_every,
                 rebind=args.rebind,
                 poll_interval=args.polling,
+                pre_filter=args.pre_filter,
             )
             if args.drain:
                 q.processAllAvailable()

@@ -81,6 +81,7 @@ def start_dedup_stream(
     compact_every: int | None = None,
     rebind: bool = False,
     poll_interval: str | None = None,
+    pre_filter: str | None = None,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -130,6 +131,14 @@ def start_dedup_stream(
     over an existing store with a different checkpoint raises unless
     rebind=True, which keeps the held corpus but restarts the epoch
     bookkeeping (every incoming batch is probed fresh).
+
+    ``pre_filter``: a SQL boolean expression applied BEFORE the dedup
+    probe — the CCNet/Gopher pipeline order (quality-gate first, so
+    junk never pays for signatures or enters the index). Rejects land
+    under ``out_dir/rejected/epoch=N`` for audit; a NULL predicate
+    counts as reject, never a silent drop. The expression is
+    deterministic over the batch, so the stored-decision replay path
+    re-applies it exactly.
     """
     import json
     import math
@@ -213,6 +222,18 @@ def start_dedup_stream(
         marker = os.path.join(applied_dir, str(epoch_id))
         if os.path.exists(marker):
             return
+        batch_df = batch_df.persist()
+        kept = batch_df
+        if pre_filter is not None:
+            # quality gate BEFORE the probe: rejects never pay for
+            # signatures or enter the index; NULL predicate = reject
+            keep = F.coalesce(
+                F.expr(pre_filter).cast("boolean"), F.lit(False)
+            )
+            kept = batch_df.filter(keep)
+            batch_df.filter(~keep).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "rejected", f"epoch={epoch_id}")
+            )
         if index.epoch_applied(epoch_id):
             # replay of a committed epoch: the batch is already index
             # state — rebuild the outputs from the committed decisions
@@ -224,12 +245,12 @@ def start_dedup_stream(
                 # unreachable in practice: a store-less index dies with
                 # the process that numbered the epochs, and bind_stream
                 # rejects foreign checkpoints — but never guess
+                batch_df.unpersist()
                 return
         else:
-            batch_df = batch_df.persist()
-            decisions = index.ingest(batch_df, epoch=epoch_id)
+            decisions = index.ingest(kept, epoch=epoch_id)
         id_col = decisions.columns[0]  # doc_id / vec_id
-        accepted = batch_df.join(
+        accepted = kept.join(
             decisions.select(id_col), id_col, "left_anti"
         )
         accepted.write.mode("overwrite").parquet(

@@ -779,3 +779,57 @@ def test_rearrival_of_accepted_doc_is_already_seen(spark):
         r.doc_id for r in idx.shingles.select("doc_id").collect()
     ) == [1]
     idx.close()
+
+
+def test_streaming_pre_filter_quality_gate(spark, tmp_path):
+    """pre_filter runs BEFORE the probe (CCNet/Gopher order): rejects
+    land under rejected/epoch=N, never enter the index (a later dup of
+    a REJECTED doc survives — nothing to match), a NULL predicate
+    rejects, and a dup of an accepted doc still drops."""
+    import json
+    import os
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    short = "tiny text"
+    with open(docs_dir / "b0.json", "w") as f:
+        for doc_id, text in ((1, DOC), (2, short), (3, None)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        # 4 dups accepted doc 1 -> drops; 5 dups REJECTED doc 2 but is
+        # long enough itself? no — keep it short so the gate rejects it
+        # too; 6 is long and fresh -> accepted
+        for doc_id, text in ((4, DOC), (5, short),
+                             (6, "long enough fresh words " * 4)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1,
+            pre_filter="length(text) >= 20",
+        )
+        q.processAllAvailable()
+        q.stop()
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        rejected = spark.read.parquet(os.path.join(out, "rejected"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 6]
+        # 2+5 too short, 3 NULL text (NULL predicate = reject)
+        assert sorted(r["doc_id"] for r in rejected.collect()) == [2, 3, 5]
+        assert {r["doc_id"]: r["dup_of"]
+                for r in decisions.collect()} == {4: 1}
+        # rejects never became index state
+        assert sorted(
+            r.doc_id for r in idx.shingles.select("doc_id").collect()
+        ) == [1, 6]
+    finally:
+        idx.close()
