@@ -82,6 +82,7 @@ def start_dedup_stream(
     rebind: bool = False,
     poll_interval: str | None = None,
     pre_filter: str | None = None,
+    drift_alert_kl: float | None = None,
 ) -> StreamingQuery:
     """Streaming training-data ingestion dedup: a JSON doc stream →
     per micro-batch probe against the incremental near-dup index →
@@ -139,6 +140,11 @@ def start_dedup_stream(
     counts as reject, never a silent drop. The expression is
     deterministic over the batch, so the stored-decision replay path
     re-applies it exactly.
+
+    ``drift_alert_kl``: with ``drift_column``, epochs whose KL exceeds
+    this threshold are marked ``"alert": true`` in their stats file
+    and logged at WARNING — the monitor acts instead of only
+    recording. Epoch 0 never alerts (it defines the corpus).
     """
     import json
     import math
@@ -196,6 +202,23 @@ def start_dedup_stream(
             else 0.0
         )
         stat = {"epoch": epoch_id, "n_docs": bn, "counts": counts, "kl": kl}
+        if (
+            drift_alert_kl is not None
+            and sum(totals.values()) > 0  # epoch 0 defines the corpus
+            and kl > drift_alert_kl
+        ):
+            stat["alert"] = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "drift alert: epoch %d KL %.4f over %s exceeds %.4f "
+                "(mix %s)",
+                epoch_id,
+                kl,
+                drift_column,
+                drift_alert_kl,
+                counts,
+            )
         if "text" in batch_df.columns:
             # second drift signal: token-length quantiles per epoch —
             # the classic upstream-truncation/boilerplate detector.

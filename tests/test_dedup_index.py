@@ -460,6 +460,7 @@ def test_streaming_drift_monitor(spark, tmp_path):
         q = start_dedup_stream(
             spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
             max_files_per_trigger=1, drift_column="source",
+            drift_alert_kl=0.1,
         )
         q.processAllAvailable()
         q.stop()
@@ -471,6 +472,10 @@ def test_streaming_drift_monitor(spark, tmp_path):
     with open(os.path.join(out, "stats", "epoch=1.json")) as f:
         s1 = json.load(f)
     assert s0["counts"] == {"s0": 2, "s1": 2} and s0["kl"] == 0.0
+    # epoch 0 defines the corpus -> never alerts; the skewed epoch
+    # crosses the 0.1 threshold and is marked
+    assert "alert" not in s0
+    assert s1.get("alert") is True
     # second drift signal: per-epoch token-length quantiles
     assert s0["tok_len_p50"] > 0 and s0["tok_len_p90"] >= s0["tok_len_p50"]
     assert s1["counts"] == {"s0": 2}
