@@ -222,12 +222,15 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         else "vec_id bigint, embedding array<float>"
     )
     try:
-        if args.store_dir and os.path.exists(
-            os.path.join(args.store_dir, "CURRENT")
-        ):
+        if args.store_dir:
+            # ALWAYS via load(): it resumes a committed store, starts
+            # fresh on an empty dir, and loudly refuses a torn or
+            # pre-manifest store (building a fresh index over one
+            # would silently forget the held corpus) or a store
+            # written by the other index class
             index = cls.load(spark, args.store_dir)
         else:
-            index = cls(spark, store_dir=args.store_dir)
+            index = cls(spark)
         try:
             q = start_dedup_stream(
                 spark,
@@ -270,6 +273,29 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         if not (args.checkpoint_dir and args.dedup_out):
             print(
                 "--dedup-stream requires --checkpoint-dir and --dedup-out",
+                file=sys.stderr,
+            )
+            return 2
+        conflicts = [
+            flag
+            for flag, val in (
+                ("-c/--config", args.config),
+                ("--daemon", args.daemon),
+                ("--events-dir", args.events_dir),
+                ("--sink-dir", args.sink_dir),
+                ("--search-url", args.search_url),
+                ("--analyze", args.analyze),
+                ("--validate", args.validate),
+                ("--print-mapping", args.print_mapping),
+            )
+            if val
+        ]
+        if conflicts:
+            # dropping them silently would read as "daemon plus dedup"
+            # half-working; reject like the other mode guards do
+            print(
+                "--dedup-stream is its own mode; remove: "
+                + ", ".join(conflicts),
                 file=sys.stderr,
             )
             return 2

@@ -133,6 +133,7 @@ class _AppendOnlyIndex:
                     "epochs": sorted(self._epochs),
                     "segments": self._segments,
                     "stream_id": self._stream_id,
+                    "index": type(self).__name__,
                 },
                 f,
             )
@@ -236,6 +237,16 @@ class _AppendOnlyIndex:
         if os.path.exists(manifest):
             with open(manifest) as f:
                 m = json.load(f)
+            written_by = m.get("index", cls.__name__)
+            if written_by != cls.__name__:
+                # both index classes share the keys layout, so a
+                # mismatched load would otherwise die deep in Spark on
+                # a missing vals path with no hint of the real cause
+                raise ValueError(
+                    f"{store_dir} was written by {written_by}, not "
+                    f"{cls.__name__} — load it with the matching index "
+                    "class (CLI: --dedup-index)"
+                )
             idx._epochs = set(m["epochs"])
             idx._stream_id = m.get("stream_id")
             # read committed segment dirs individually: an uncommitted

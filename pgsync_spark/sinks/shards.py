@@ -89,28 +89,40 @@ def write_training_shards(
     lanes: int = WRITER_LANES,
 ) -> dict:
     """Export ``docs`` (documents schema) as token-budgeted parquet
-    shards under ``out_dir/shards/shard_id=N/`` plus an atomically
-    committed ``MANIFEST.json``. Returns the manifest dict.
+    shards under ``out_dir/shards-v<N>/shard_id=K/`` plus an
+    atomically committed ``MANIFEST.json``. Returns the manifest dict.
 
     The per-shard stats the manifest records (n_docs, n_tokens, doc_id
     range) come from one tiny aggregate (|shards| rows — bounded by
     corpus_tokens / budget, collected AFTER the reduction, never the
-    corpus). Re-running the export is idempotent: same assignment, same
-    files, manifest replaced atomically."""
+    corpus). A re-export writes a NEW versioned data directory and
+    flips the manifest to it — the committed export is never rewritten
+    in place, so a crashed or in-flight re-export stays invisible to
+    manifest-guided readers (old versions are deleted only after the
+    flip). Re-running is content-idempotent: same shards, next
+    version."""
+    import shutil
+
+    version = 1
+    manifest_path = os.path.join(out_dir, "MANIFEST.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            version = json.load(f).get("version", 0) + 1
+    data_dir = f"shards-v{version}"
     # assignment computed INLINE over the full rows: one lane-keyed
     # window shuffle carrying the payload, instead of a slim window +
     # a corpus-sized doc_id join (three shuffles) to reattach it
     assigned = _assigned(docs, budget, lanes)
     # one executor-parallel write, partition-pruned reads per shard
     assigned.write.mode("overwrite").partitionBy("shard_id").parquet(
-        os.path.join(out_dir, "shards")
+        os.path.join(out_dir, data_dir)
     )
     # manifest stats come from the FILES JUST WRITTEN, not the logical
     # plan — re-aggregating `assigned` would tokenize and window the
     # corpus a second time; this also makes the manifest a read-back
     # verification of what actually landed on disk
     stats = (
-        docs.sparkSession.read.parquet(os.path.join(out_dir, "shards"))
+        docs.sparkSession.read.parquet(os.path.join(out_dir, data_dir))
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -122,6 +134,8 @@ def write_training_shards(
         .collect()
     )
     manifest = {
+        "version": version,
+        "data_dir": data_dir,
         "budget": budget,
         "lanes": lanes,
         "n_shards": len(stats),
@@ -130,7 +144,7 @@ def write_training_shards(
         "shards": [
             {
                 "shard_id": int(r["shard_id"]),
-                "path": f"shards/shard_id={int(r['shard_id'])}",
+                "path": f"{data_dir}/shard_id={int(r['shard_id'])}",
                 "n_docs": int(r["n_docs"]),
                 "n_tokens": int(r["n_tokens"]),
                 "min_doc_id": int(r["min_doc_id"]),
@@ -142,7 +156,12 @@ def write_training_shards(
     tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
+    os.replace(tmp, manifest_path)
+    # superseded versions are unreachable after the flip — best-effort
+    # cleanup (a crash here leaves orphans no reader ever touches)
+    for name in os.listdir(out_dir):
+        if name.startswith("shards-v") and name != data_dir:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     return manifest
 
 
@@ -158,6 +177,7 @@ def read_training_shards(
     .explain)."""
     with open(os.path.join(out_dir, "MANIFEST.json")) as f:
         manifest = json.load(f)
+    data_dir = manifest.get("data_dir", "shards")
     listed = [s["shard_id"] for s in manifest["shards"]]
     if shard_ids is None:
         wanted = listed
@@ -169,5 +189,5 @@ def read_training_shards(
                 f"(manifest lists {len(listed)} shards)"
             )
         wanted = list(shard_ids)
-    df = spark.read.parquet(os.path.join(out_dir, "shards"))
+    df = spark.read.parquet(os.path.join(out_dir, data_dir))
     return df.filter(F.col("shard_id").isin(wanted))

@@ -158,7 +158,32 @@ def start_dedup_stream(
     # index's applied-epoch bookkeeping is only honored for the
     # checkpoint that produced it — a mismatch raises (or, with
     # rebind=True, keeps the corpus and restarts epoch bookkeeping)
-    index.bind_stream(os.path.abspath(checkpoint_dir), allow_rebind=rebind)
+    sid = os.path.abspath(checkpoint_dir)
+    # the OUT_DIR is epoch-keyed too (_applied markers, per-epoch
+    # output/stats dirs): a rebound stream renumbers from 0, and a
+    # stale marker would silently skip its genuinely new batches.
+    # Unlike the index (whose corpus transfers via rebind), outputs
+    # cannot be merged across streams — demand a fresh out_dir.
+    # Checked BEFORE bind_stream so a refused start leaves the index
+    # unmutated.
+    sid_path = os.path.join(out_dir, "_stream_id")
+    if os.path.exists(sid_path):
+        with open(sid_path) as f:
+            prev = f.read().strip()
+        if prev != sid:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds epoch-keyed outputs of "
+                f"stream {prev!r}; markers/outputs do not transfer "
+                "between checkpoints — use a fresh out_dir (the index "
+                "store itself transfers via rebind)"
+            )
+    index.bind_stream(sid, allow_rebind=rebind)
+    if not os.path.exists(sid_path):
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = sid_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, sid_path)
 
     docs = (
         spark.readStream.schema(schema)

@@ -231,21 +231,38 @@ def test_streaming_dedup_ingestion(spark, tmp_path):
             r["doc_id"] for r in idx.shingles.select("doc_id").collect()
         ) == [1, 2, 4]
 
-        # replay: both epochs are marked applied -> re-running over the
-        # same source with a FRESH checkpoint (rebind: epoch numbers
-        # restart) must not double-ingest — the out_dir markers no-op
-        # every replayed epoch
+        # re-running with a FRESH checkpoint: reusing the epoch-keyed
+        # out_dir must be refused (stale markers would silently skip
+        # the new stream's renumbered batches) ...
         held_before = idx.shingles.count()
+        with pytest.raises(ValueError, match="epoch-keyed outputs"):
+            start_dedup_stream(
+                spark, idx, str(docs_dir), str(tmp_path / "ckpt2"), out,
+                max_files_per_trigger=1, rebind=True,
+            )
+        # ... and with a fresh out_dir, rebind keeps the corpus and
+        # RE-PROBES everything: every re-delivered doc is already-seen
+        # (or a dup of a survivor) and drops; the index never grows
+        out2 = str(tmp_path / "out2")
         q2 = start_dedup_stream(
-            spark, idx, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt2"), out2,
             max_files_per_trigger=1, rebind=True,
         )
         q2.processAllAvailable()
         q2.stop()
         assert idx.shingles.count() == held_before
         assert spark.read.parquet(
-            os.path.join(out, "accepted")
-        ).count() == 3
+            os.path.join(out2, "accepted")
+        ).count() == 0
+        drops2 = {
+            r["doc_id"]: r["dup_of"]
+            for r in spark.read.parquet(
+                os.path.join(out2, "decisions")
+            ).collect()
+        }
+        # 1,2,4 re-arrive as already-seen; 3 (originally dropped, never
+        # held) matches survivor 1 again
+        assert drops2 == {1: 1, 2: 2, 3: 1, 4: 4}
     finally:
         idx.close()
 
@@ -482,16 +499,24 @@ def test_streaming_drift_monitor(spark, tmp_path):
     # batch is all-s0, corpus-so-far is 4/6 s0: KL = ln(6/4)
     assert abs(s1["kl"] - math.log(6 / 4)) < 1e-9
 
-    # fresh checkpoint over the same source: epochs replay, stats
-    # files already exist per epoch -> totals re-seed, no rewrite
+    # same-checkpoint restart: totals re-seed from the committed stats
+    # at wrapper start, committed epochs stay untouched — and a FRESH
+    # checkpoint over the same out_dir is refused (epoch-keyed stats
+    # and markers do not transfer between streams)
     idx2 = MinHashIndex(spark)
     try:
         q2 = start_dedup_stream(
-            spark, idx2, str(docs_dir), str(tmp_path / "ckpt2"), out,
+            spark, idx2, str(docs_dir), str(tmp_path / "ckpt"), out,
             max_files_per_trigger=1, drift_column="source",
         )
         q2.processAllAvailable()
         q2.stop()
+        with pytest.raises(ValueError, match="epoch-keyed outputs"):
+            start_dedup_stream(
+                spark, idx2, str(docs_dir), str(tmp_path / "ckpt2"), out,
+                max_files_per_trigger=1, drift_column="source",
+                rebind=True,
+            )
     finally:
         idx2.close()
     with open(os.path.join(out, "stats", "epoch=1.json")) as f:

@@ -566,8 +566,23 @@ def test_training_shard_export_sink(spark, tmp_path):
     # shards partition the corpus: no doc in two shards
     assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
 
+    # re-export: content-idempotent under a NEW version (the committed
+    # data dir is never rewritten in place — a crashed re-export stays
+    # invisible to manifest readers), old version cleaned post-flip
     m2 = write_training_shards(docs, out, budget=200, lanes=2)
-    assert m2 == m
+    assert m2["version"] == m["version"] + 1
+    assert m2["data_dir"] != m["data_dir"]
+    strip = lambda d: {  # noqa: E731
+        k: v for k, v in d.items() if k not in ("version", "data_dir")
+    }
+    assert strip(m2) == {
+        **strip(m),
+        "shards": [
+            {**s, "path": s["path"].replace(m["data_dir"], m2["data_dir"])}
+            for s in m["shards"]
+        ],
+    }
+    assert not os.path.isdir(os.path.join(out, m["data_dir"]))
 
 
 def test_cluster_balanced_sample_semantics(spark):
