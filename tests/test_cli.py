@@ -496,3 +496,54 @@ def test_cli_dedup_stream_drain(spark, tmp_path):
     # doc 4 duplicates doc 2, caught against the RELOADED store
     assert {r["doc_id"]: r["dup_of"]
             for r in decisions.collect()} == {3: 1, 4: 2}
+
+
+def test_cli_dedup_stream_embedding_and_class_guard(spark, tmp_path):
+    """--dedup-index embedding drives the EmbeddingIndex through the
+    CLI; re-opening the same store with the default (minhash) index
+    fails with the manifest's class guard, not a Spark path error."""
+    docs_dir = tmp_path / "vecs"
+    docs_dir.mkdir()
+    v = [1.0, 0.5, -0.25, 2.0, 1.0, -1.0, 0.125, 3.0,
+         0.5, -2.0, 1.5, 0.75, -0.5, 1.0, 2.5, -1.25]
+    u = [float(i % 5 - 2) or 1.0 for i in range(16)]
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": v}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": u}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps(
+            {"vec_id": 3, "embedding": [2.0 * x for x in v]}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "vout")
+    store = str(tmp_path / "vstore")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "embedding",
+            "--checkpoint-dir", str(tmp_path / "vckpt"),
+            "--dedup-out", out,
+            "--store-dir", store,
+            "--max-files-per-trigger", "1",
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    decisions = spark.read.parquet(os.path.join(out, "decisions"))
+    assert {r["vec_id"]: r["dup_of"]
+            for r in decisions.collect()} == {3: 1}
+
+    # same store, wrong (default) index class: loud refusal
+    with pytest.raises(ValueError, match="written by EmbeddingIndex"):
+        main(
+            [
+                "--dedup-stream", str(docs_dir),
+                "--checkpoint-dir", str(tmp_path / "vckpt"),
+                "--dedup-out", out,
+                "--store-dir", store,
+                "--drain",
+            ],
+            spark=spark,
+        )
