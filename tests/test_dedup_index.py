@@ -863,3 +863,73 @@ def test_streaming_pre_filter_quality_gate(spark, tmp_path):
         ) == [1, 6]
     finally:
         idx.close()
+
+
+def test_pre_filter_survives_crash_replay(spark, tmp_path):
+    """pre_filter × exactly-once replay: stored decisions cover only
+    KEPT docs, so the replay path must re-apply the (deterministic)
+    gate — rejected and accepted outputs both rebuild correctly after
+    a crash that lost epoch 1's commit/marker/outputs."""
+    import json
+    import os
+    import shutil
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        for doc_id, text in ((1, DOC), (2, "tiny")):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        for doc_id, text in ((3, DOC), (4, "small"),
+                             (5, "fresh long words " * 5)):
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": "en", "source": "s"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark, store_dir=store)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1, pre_filter="length(text) >= 20",
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        idx.close()
+
+    # crash during epoch 1 after the index commit: outputs + marker +
+    # Spark commit record gone
+    for sub in ("accepted", "decisions", "rejected"):
+        shutil.rmtree(os.path.join(out, sub, "epoch=1"))
+    os.remove(os.path.join(out, "_applied", "1"))
+    for c in os.listdir(tmp_path / "ckpt" / "commits"):
+        if c.strip(".crc").endswith("1"):
+            os.remove(tmp_path / "ckpt" / "commits" / c)
+
+    idx2 = MinHashIndex.load(spark, store)
+    try:
+        q2 = start_dedup_stream(
+            spark, idx2, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1, pre_filter="length(text) >= 20",
+        )
+        q2.processAllAvailable()
+        q2.stop()
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        rejected = spark.read.parquet(os.path.join(out, "rejected"))
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 5]
+        assert sorted(r["doc_id"] for r in rejected.collect()) == [2, 4]
+        assert {r["doc_id"]: r["dup_of"]
+                for r in decisions.collect()} == {3: 1}
+        # no double-ingest of the replayed kept docs
+        assert sorted(
+            r.doc_id for r in idx2.shingles.select("doc_id").collect()
+        ) == [1, 5]
+    finally:
+        idx2.close()
