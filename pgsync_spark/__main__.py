@@ -163,6 +163,25 @@ def build_parser() -> argparse.ArgumentParser:
         'BEFORE the dedup probe (e.g. "length(text) >= 100"); '
         "rejects land under <out>/rejected/epoch=N",
     )
+    p.add_argument(
+        "--export-shards", metavar="DOCS_DIR", default=None,
+        help="read parquet documents (doc_id, text, ...) from this "
+        "directory — e.g. a dedup stream's accepted/ output — and "
+        "export token-budgeted training shards + MANIFEST.json under "
+        "--export-out",
+    )
+    p.add_argument(
+        "--export-out", default=None,
+        help="output directory for --export-shards",
+    )
+    p.add_argument(
+        "--shard-budget", type=int, default=None,
+        help="tokens per shard for --export-shards (default 512)",
+    )
+    p.add_argument(
+        "--shard-lanes", type=int, default=None,
+        help="parallel writer lanes for --export-shards (default 4)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -300,6 +319,59 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             )
             return 2
         return _run_dedup_stream(args, spark, out)
+    if args.export_shards:
+        if not args.export_out:
+            print("--export-shards requires --export-out", file=sys.stderr)
+            return 2
+        conflicts = [
+            flag
+            for flag, val in (
+                ("-c/--config", args.config),
+                ("--daemon", args.daemon),
+                ("--sink-dir", args.sink_dir),
+                ("--search-url", args.search_url),
+                ("--analyze", args.analyze),
+                ("--validate", args.validate),
+                ("--print-mapping", args.print_mapping),
+            )
+            if val
+        ]
+        if conflicts:
+            print(
+                "--export-shards is its own mode; remove: "
+                + ", ".join(conflicts),
+                file=sys.stderr,
+            )
+            return 2
+        from .sinks.shards import (
+            SHARD_TOKEN_BUDGET,
+            WRITER_LANES,
+            write_training_shards,
+        )
+
+        owns = spark is None
+        if owns:
+            from .session import get_spark
+
+            spark = get_spark(app_name="pgsync_spark_export")
+        try:
+            manifest = write_training_shards(
+                spark.read.parquet(args.export_shards),
+                args.export_out,
+                budget=args.shard_budget or SHARD_TOKEN_BUDGET,
+                lanes=args.shard_lanes or WRITER_LANES,
+            )
+            print(
+                f"exported {manifest['n_docs']} docs / "
+                f"{manifest['n_tokens']} tokens as "
+                f"{manifest['n_shards']} shards (v{manifest['version']}) "
+                f"to {args.export_out}",
+                file=out,
+            )
+            return 0
+        finally:
+            if owns:
+                spark.stop()
     if args.config is None:
         print(
             "-c/--config is required (except with --dedup-stream)",

@@ -547,3 +547,50 @@ def test_cli_dedup_stream_embedding_and_class_guard(spark, tmp_path):
             ],
             spark=spark,
         )
+
+
+def test_cli_export_shards_from_dedup_output(spark, tmp_path):
+    """The full shell-driveable pipeline: dedup stream -> accepted/
+    parquet -> --export-shards manifest + versioned shard dirs."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        for i in range(6):
+            f.write(json.dumps({
+                "doc_id": i, "text": f"unique words number {i} " * 10,
+                "lang": "en", "source": "s"}) + "\n")
+
+    out = str(tmp_path / "dout")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--dedup-out", out,
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    export = str(tmp_path / "export")
+    buf = io.StringIO()
+    rc = main(
+        [
+            "--export-shards", os.path.join(out, "accepted"),
+            "--export-out", export,
+            "--shard-budget", "120",
+            "--shard-lanes", "2",
+        ],
+        spark=spark,
+        out=buf,
+    )
+    assert rc == 0
+    with open(os.path.join(export, "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["n_docs"] == 6 and m["budget"] == 120 and m["lanes"] == 2
+    assert "exported 6 docs" in buf.getvalue()
+    from pgsync_spark.sinks.shards import read_training_shards
+
+    assert read_training_shards(spark, export).count() == 6
+    # missing --export-out is a guarded error
+    assert main(["--export-shards", out], spark=spark) == 2
