@@ -933,3 +933,82 @@ def test_pre_filter_survives_crash_replay(spark, tmp_path):
         ) == [1, 5]
     finally:
         idx2.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1])
+def test_streaming_dedup_fuzz_vs_serial_reference(spark, tmp_path, seed):
+    """Seeded multi-epoch fuzz of the streaming gold invariant: random
+    batches with planted exact dups through start_dedup_stream must
+    match a serial first-batch-wins Python reference exactly —
+    decisions (who dropped, citing which survivor) and the accepted
+    set. Non-dup docs use disjoint vocabularies (pairwise shingle
+    jaccard 0), so only planted dups can drop and the reference is
+    exact, not probabilistic."""
+    import json
+    import os
+    import random
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    rng = random.Random(seed)
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def fresh_text(i):
+        return " ".join(f"w{i}x{j}" for j in range(25))
+
+    texts: dict[int, str] = {}
+    batches: list[list[int]] = []
+    next_id = 0
+    for k in range(4):
+        batch = []
+        for _ in range(rng.randrange(4, 9)):
+            doc_id = next_id
+            next_id += 1
+            earlier = [d for b in batches for d in b]
+            if earlier and rng.random() < 0.35:
+                texts[doc_id] = texts[rng.choice(earlier)]  # planted dup
+            else:
+                texts[doc_id] = fresh_text(doc_id)
+            batch.append(doc_id)
+        batches.append(batch)
+        with open(docs_dir / f"b{k}.json", "w") as f:
+            for d in batch:
+                f.write(json.dumps({"doc_id": d, "text": texts[d],
+                                    "lang": "en", "source": "s"}) + "\n")
+        os.utime(docs_dir / f"b{k}.json",
+                 ((k + 1) * 1_000_000, (k + 1) * 1_000_000))
+
+    # serial reference: within-batch no self-dedup; a doc drops iff an
+    # identical text was accepted in an EARLIER batch, citing the one
+    # held copy; survivors extend the accepted set after the batch
+    accepted_by_text: dict[str, int] = {}
+    ref_drops: dict[int, int] = {}
+    for batch in batches:
+        for d in sorted(batch):
+            t = texts[d]
+            if t in accepted_by_text:
+                ref_drops[d] = accepted_by_text[t]
+        for d in sorted(batch):
+            if d not in ref_drops:
+                accepted_by_text.setdefault(texts[d], d)
+
+    out = str(tmp_path / "out")
+    idx = MinHashIndex(spark)
+    try:
+        q = start_dedup_stream(
+            spark, idx, str(docs_dir), str(tmp_path / "ckpt"), out,
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+        decisions = spark.read.parquet(os.path.join(out, "decisions"))
+        got_drops = {r["doc_id"]: r["dup_of"] for r in decisions.collect()}
+        assert got_drops == ref_drops, f"seed {seed}"
+        accepted = spark.read.parquet(os.path.join(out, "accepted"))
+        assert sorted(r["doc_id"] for r in accepted.collect()) == sorted(
+            set(texts) - set(ref_drops)
+        ), f"seed {seed}"
+    finally:
+        idx.close()
