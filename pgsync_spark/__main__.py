@@ -147,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
         "stats over this column (e.g. source)",
     )
     p.add_argument(
+        "--drift-alert-kl", type=float, default=None,
+        help="with --drift-column: epochs whose KL(batch ‖ corpus) "
+        "exceeds this threshold are marked alert:true in their stats "
+        "file and logged at WARNING (epoch 0 never alerts)",
+    )
+    p.add_argument(
         "--compact-every", type=int, default=None,
         help="with --dedup-stream: compact index segments every N "
         "epochs",
@@ -264,6 +270,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 rebind=args.rebind,
                 poll_interval=args.polling,
                 pre_filter=args.pre_filter,
+                drift_alert_kl=args.drift_alert_kl,
             )
             if args.drain:
                 q.processAllAvailable()
@@ -292,6 +299,17 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         if not (args.checkpoint_dir and args.dedup_out):
             print(
                 "--dedup-stream requires --checkpoint-dir and --dedup-out",
+                file=sys.stderr,
+            )
+            return 2
+        if args.store_dir and os.path.abspath(
+            args.dedup_out
+        ) == os.path.abspath(args.store_dir):
+            # both write decisions/epoch=N under their root; the stream
+            # itself also refuses, but fail before a Spark session spins
+            print(
+                "--dedup-out must differ from --store-dir (both hold "
+                "decisions/epoch=N)",
                 file=sys.stderr,
             )
             return 2

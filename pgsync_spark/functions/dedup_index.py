@@ -155,17 +155,33 @@ class _AppendOnlyIndex:
 
         if self._stream_id == stream_id:
             return
-        if self._stream_id is None:
+        if self._stream_id is None and not self._epochs:
+            # clean first bind: no epoch bookkeeping exists that a new
+            # checkpoint could mis-read
             self._stream_id = stream_id
             if self.store_dir is not None and os.path.exists(
                 self._manifest_path()
             ):
                 self._commit_manifest()
             return
+        # Either the store is paired with a DIFFERENT checkpoint, or it
+        # is unbound but carries applied epochs (built via direct
+        # ingest() calls, or a binding that never committed). Both mean
+        # the same thing: epochs 0..N in the manifest were NOT numbered
+        # by this checkpoint, so honoring them would make
+        # epoch_applied() skip probing brand-new batches and
+        # stored_decisions() replay stale decisions over them — silent
+        # corpus corruption. Raise unless the caller opts into the
+        # compact+reset rebind.
         if not allow_rebind:
+            whose = (
+                f"paired with stream checkpoint {self._stream_id!r}"
+                if self._stream_id is not None
+                else "carrying applied epochs from direct ingest() "
+                "calls (no stream checkpoint numbered them)"
+            )
             raise ValueError(
-                f"index store is paired with stream checkpoint "
-                f"{self._stream_id!r} but this stream uses "
+                f"index store is {whose} but this stream uses "
                 f"{stream_id!r}; epoch replay bookkeeping does not "
                 "transfer between checkpoints — reuse the original "
                 "checkpoint dir, or pass rebind=True to keep the held "

@@ -159,6 +159,22 @@ def start_dedup_stream(
     # checkpoint that produced it — a mismatch raises (or, with
     # rebind=True, keeps the corpus and restarts epoch bookkeeping)
     sid = os.path.abspath(checkpoint_dir)
+    # a store-backed index commits store_dir/decisions/epoch=N; the
+    # stream writes out_dir/decisions/epoch=N. The same directory for
+    # both silently couples the two in normal operation and DEADLOCKS
+    # the exactly-once replay path: on a committed-epoch replay,
+    # stored_decisions() reads store_dir/decisions/epoch=N while
+    # on_batch overwrites the identical path ("Cannot overwrite a path
+    # that is also being read from"). Refuse up front, before any
+    # mutation.
+    if getattr(index, "store_dir", None) is not None and os.path.abspath(
+        out_dir
+    ) == os.path.abspath(index.store_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} is the index's own store_dir; both "
+            "write decisions/epoch=N under their root — stream outputs "
+            "need a separate directory"
+        )
     # the OUT_DIR is epoch-keyed too (_applied markers, per-epoch
     # output/stats dirs): a rebound stream renumbers from 0, and a
     # stale marker would silently skip its genuinely new batches.

@@ -141,6 +141,18 @@ def test_cli_arg_validation(spark, tmp_path):
     # --dedup-stream without its required dirs
     rc = main(["--dedup-stream", str(tmp_path / "docs")], spark=spark)
     assert rc == 2
+    # --dedup-out aliasing --store-dir: both hold decisions/epoch=N,
+    # rejected before a session spins
+    rc = main(
+        [
+            "--dedup-stream", str(tmp_path / "docs"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--dedup-out", str(tmp_path / "same"),
+            "--store-dir", str(tmp_path / "same"),
+        ],
+        spark=spark,
+    )
+    assert rc == 2
 
 
 def test_cli_search_url_end_to_end(spark, tmp_path):
@@ -458,6 +470,7 @@ def test_cli_dedup_stream_drain(spark, tmp_path):
             "--dedup-out", out,
             "--store-dir", str(tmp_path / "idxstore"),
             "--drift-column", "source",
+            "--drift-alert-kl", "0.1",
             "--max-files-per-trigger", "1",
             "--drain",
         ],
@@ -472,6 +485,13 @@ def test_cli_dedup_stream_drain(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(out, "stats"))) == [
         "epoch=0.json", "epoch=1.json",
     ]
+    # --drift-alert-kl rode through: epoch 1 is all-s0 against a 50/50
+    # corpus (KL = ln 1.5 ≈ 0.405 > 0.1 → alert); epoch 0 defines the
+    # corpus and never alerts
+    with open(os.path.join(out, "stats", "epoch=0.json")) as f:
+        assert "alert" not in json.load(f)
+    with open(os.path.join(out, "stats", "epoch=1.json")) as f:
+        assert json.load(f)["alert"] is True
 
     # second drain over the same checkpoint: loads the store, nothing
     # new to process, outputs unchanged

@@ -736,6 +736,63 @@ def test_stream_binding_guards_foreign_checkpoints(spark, tmp_path):
     idx2.close()
 
 
+def test_first_bind_rejects_direct_ingest_epochs(spark, tmp_path):
+    """A store built via direct ingest() calls carries applied epochs
+    with stream_id=None. First-binding a stream checkpoint to it must
+    NOT honor that bookkeeping — epochs 0..N would read as already
+    applied, epoch_applied() would short-circuit the probe of brand-new
+    batches, and stored_decisions() would replay stale decisions over
+    them (silent corpus corruption). It raises like any foreign
+    checkpoint; rebind=True runs the same compact+reset path."""
+    import os
+
+    store = str(tmp_path / "mhidx")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)  # no bind
+    idx.close()
+
+    idx2 = MinHashIndex.load(spark, store)
+    assert idx2._stream_id is None and idx2.epoch_applied(0)
+    with pytest.raises(ValueError, match="direct ingest"):
+        idx2.bind_stream("/ckpt/new")
+    # the refused bind left the store unmutated
+    assert idx2._stream_id is None and idx2.epoch_applied(0)
+
+    idx2.bind_stream("/ckpt/new", allow_rebind=True)
+    # epoch bookkeeping reset: the new stream probes from its own 0
+    assert not idx2.epoch_applied(0)
+    assert idx2.next_epoch() == 0
+    assert idx2.stored_decisions(0) is None
+    segs = sorted(os.listdir(os.path.join(store, "bands")))
+    assert segs == ["compacted-1"]
+    # held corpus kept: the new stream's epoch 0 dups against doc 1
+    dec = idx2.ingest(_docs(spark, [(3, DOC)]), epoch=0)
+    assert {(r.doc_id, r.dup_of) for r in dec.collect()} == {(3, 1)}
+    idx2.close()
+
+
+def test_stream_out_dir_must_differ_from_store_dir(spark, tmp_path):
+    """out_dir == store_dir would couple the stream's decisions/epoch=N
+    writes with the index's committed decision dirs — and wedge the
+    committed-epoch replay path (read + overwrite of the same path).
+    The stream refuses at start, before binding or any other
+    mutation."""
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    store = str(tmp_path / "both")
+    idx = MinHashIndex(spark, store_dir=store)
+    with pytest.raises(ValueError, match="store_dir"):
+        start_dedup_stream(
+            spark,
+            idx,
+            str(tmp_path / "docs"),
+            str(tmp_path / "ckpt"),
+            store,
+        )
+    assert idx._stream_id is None  # refused before bind_stream
+    idx.close()
+
+
 def test_duplicate_epoch_ingest_raises(spark):
     idx = MinHashIndex(spark)
     idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
