@@ -1,8 +1,19 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is executed to completion
-with a count-style action (no driver-side collect of full results).
+Prints ONE COMPACT JSON line: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ..., "detail": path}.
+Each query is executed to completion with a count-style action (no
+driver-side collect of full results).
+
+The driver snapshots only the LAST ~2000 chars of output (r6 lesson:
+the full artifact with per-run samples blew that budget and
+BENCH_r06.json landed with parsed:null) — so the printed line carries
+every METRIC (medians, ratios, canary summary, flag count) and stays
+under the budget, while the complete noise-self-diagnosing artifact
+(per-run samples, full noise-flag text, canary samples) is written to
+the side file named in "detail" (default BENCH_DETAIL.json next to
+this script; override with $SPARK_GRAFT_BENCH_DETAIL), which is
+committed with the round snapshot.
 
 Every section is fault-isolated: a broken query records
 {"errors": {name: msg}} instead of aborting the run, and the JSON line
@@ -629,7 +640,87 @@ def main() -> None:
             print(f"# NOISE FLAG: {fl}", file=sys.stderr)
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # full artifact → side file; compact line → stdout (see module
+    # docstring: the driver's tail capture is ~2000 chars)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, detail_path)
+    except Exception as e:  # noqa: BLE001 — the stdout line must survive
+        errors["detail_write"] = f"{type(e).__name__}: {e}"
+        out["errors"] = errors
+    print(json.dumps(_compact(out, detail_path), separators=(",", ":")))
+
+
+# metric keys of the scaling section worth carrying on the compact
+# line (medians + ratios; *_samples and dir paths stay in the detail)
+_SCALING_COMPACT = (
+    "full_sync_small", "steady_batch_small", "full_sync_3x",
+    "steady_batch_3x", "full_sync_ratio", "steady_batch_ratio",
+    "full_sync_ratio_3x_vs_big", "steady_batch_ratio_3x_vs_big",
+)
+_BATCH_COMPACT = ("events_1x", "events_4x", "steady_1x", "steady_4x",
+                  "event_ratio", "time_ratio")
+# stay comfortably inside the driver's ~2000-char tail even with a few
+# trailing stderr chars captured after the line
+_COMPACT_BUDGET = 1800
+
+
+def _compact(out: dict, detail_path: str) -> dict:
+    """Every metric, none of the bulk: medians/ratios/canary summary
+    ride the stdout line; samples and flag prose live in ``detail``.
+    If the line still exceeds the budget (e.g. dozens of errors), drop
+    diagnostics in fixed order — never the per-query metrics."""
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "runs_per_query": out["runs_per_query"],
+        "queries": out["queries"],
+        # the detail file is repo-relative for the committed snapshot
+        "detail": os.path.basename(detail_path),
+    }
+    if "streaming_drain" in out:
+        c["streaming_drain"] = out["streaming_drain"]
+    if "scaling" in out:
+        c["scaling"] = {
+            k: out["scaling"][k]
+            for k in _SCALING_COMPACT
+            if out["scaling"].get(k) is not None
+        }
+    if "batch_scaling" in out:
+        c["batch_scaling"] = {
+            k: out["batch_scaling"][k]
+            for k in _BATCH_COMPACT
+            if out["batch_scaling"].get(k) is not None
+        }
+    if "canary" in out:
+        c["canary"] = {
+            k: out["canary"][k]
+            for k in ("start", "end", "end_over_start")
+            if out["canary"].get(k) is not None
+        }
+    if "noise_flags" in out:
+        c["noise_flags_n"] = len(out["noise_flags"])
+        c["noise_flags"] = out["noise_flags"]
+    if "errors" in out:
+        c["errors"] = {k: v[:80] for k, v in out["errors"].items()}
+    # shed diagnostics (never metrics) until the line fits
+    for drop in ("noise_flags", "errors", "canary", "batch_scaling"):
+        if len(json.dumps(c, separators=(",", ":"))) <= _COMPACT_BUDGET:
+            break
+        if drop == "errors" and drop in c:
+            c["errors"] = sorted(c["errors"])  # keys only
+            continue
+        c.pop(drop, None)
+    return c
 
 
 if __name__ == "__main__":

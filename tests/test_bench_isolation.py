@@ -8,7 +8,7 @@ import bench
 from pgsync_spark.queries import REGISTRY, QueryDef
 
 
-def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
+def test_bench_isolates_broken_query(spark, monkeypatch, capsys, tmp_path):
     def boom(spark, sf_dir):
         raise RuntimeError("deliberately broken")
 
@@ -18,6 +18,8 @@ def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
     )
     monkeypatch.setattr(bench, "STEADY_BATCHES", 1)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    detail_path = str(tmp_path / "detail.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", detail_path)
     # keep the test on its subject (per-query fault isolation): skip the
     # scaling/synth sections, which would otherwise benchmark two more
     # SF dirs and write a synthesized corpus under /tmp
@@ -29,6 +31,10 @@ def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
     line = [
         ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
     ][-1]
+    # r6 verdict item 1: the stdout line must survive the driver's
+    # ~2000-char tail capture (BENCH_r06.json parsed:null was the full
+    # artifact blowing that budget)
+    assert len(line) <= bench._COMPACT_BUDGET
     out = json.loads(line)
     assert out["metric"] == "headline_queries_total"
     assert "broken_query" in out["errors"]
@@ -39,16 +45,88 @@ def test_bench_isolates_broken_query(spark, monkeypatch, capsys):
     assert "incremental_full_sync" in out["queries"]
     assert "incremental_cdc_batch" in out["queries"]
     assert "incremental_steady_batch" in out["queries"]
-    # r5 verdict item 1: the artifact is noise-self-diagnosing — every
-    # metric ships its raw per-run samples and an ambient canary is
-    # timed at both ends of the run
-    assert out["query_samples"]["count_scan"], "per-run samples recorded"
-    assert len(out["query_samples"]["incremental_full_sync"]) == 3
+    # the canary SUMMARY rides the compact line
     assert out["canary"]["start"] > 0 and out["canary"]["end"] > 0
-    assert len(out["canary"]["start_samples"]) == bench.CANARY_RUNS
     assert out["canary"]["end_over_start"] > 0
+    assert out["detail"] == "detail.json"
+    # r5 verdict item 1: the FULL artifact stays noise-self-diagnosing —
+    # per-run samples and canary samples live in the detail side file
+    with open(detail_path) as f:
+        detail = json.load(f)
+    assert detail["queries"] == out["queries"]
+    assert detail["query_samples"]["count_scan"], "per-run samples recorded"
+    assert len(detail["query_samples"]["incremental_full_sync"]) == 3
+    assert len(detail["canary"]["start_samples"]) == bench.CANARY_RUNS
     # the broken query produced no samples entry (it never completed)
-    assert "broken_query" not in out["query_samples"]
+    assert "broken_query" not in detail["query_samples"]
+
+
+def test_compact_line_fits_budget_at_real_size():
+    """The compact line must hold EVERY metric of a full-size run
+    (every HEADLINE query + incremental section + scaling/batch/canary
+    summaries) inside the tail-capture budget, and shed only
+    diagnostics when pathological error text would blow it."""
+    queries = {name: 12.345 for name in bench.HEADLINE}
+    queries.update(
+        incremental_full_sync=15.773,
+        incremental_cdc_batch=9.102,
+        incremental_steady_batch=4.143,
+    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": 0.1,
+        "runs_per_query": 3,
+        "queries": queries,
+        "query_samples": {n: [12.1, 12.3, 14.9] for n in queries},
+        "canary": {
+            "start": 0.0712, "end": 0.0698, "end_over_start": 0.98,
+            "start_samples": [0.07] * 5, "end_samples": [0.07] * 5,
+        },
+        "scaling": {
+            "small_sf_dir": "/root/testdata/sf0.01",
+            "full_sync_small": 1.29, "steady_batch_small": 3.24,
+            "full_sync_small_samples": [1.3, 1.29, 1.31],
+            "steady_batch_small_samples": [3.2] * 5,
+            "full_sync_big": 4.68, "steady_batch_big": 4.14,
+            "full_sync_ratio": 3.61, "steady_batch_ratio": 1.28,
+            "synth3x_dir": "/tmp/synth", "full_sync_3x": 7.18,
+            "steady_batch_3x": 5.27,
+            "full_sync_3x_samples": [7.2] * 3,
+            "steady_batch_3x_samples": [5.3] * 5,
+            "full_sync_ratio_3x_vs_big": 1.53,
+            "steady_batch_ratio_3x_vs_big": 1.27,
+        },
+        "batch_scaling": {
+            "events_1x": 1800, "events_4x": 7128, "steady_1x": 4.1,
+            "steady_4x": 5.2, "samples_1x": [4.1] * 5,
+            "samples_4x": [5.2] * 5, "event_ratio": 3.96,
+            "time_ratio": 1.27,
+        },
+        "streaming_drain": 15.5,
+        "noise_flags": ["canary drift 0.45x between start and end: ..."],
+    }
+    c = bench._compact(dict(full), "/root/repo/BENCH_DETAIL.json")
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    # every metric present: medians, ratios, drain, canary summary
+    assert c["queries"] == queries
+    assert "query_samples" not in c  # bulk stays in the detail file
+    assert c["scaling"]["full_sync_ratio"] == 3.61
+    assert c["batch_scaling"]["time_ratio"] == 1.27
+    assert c["canary"] == {"start": 0.0712, "end": 0.0698,
+                           "end_over_start": 0.98}
+    assert c["streaming_drain"] == 15.5
+    assert c["noise_flags_n"] == 1 and c["noise_flags"]
+    assert c["detail"] == "BENCH_DETAIL.json"
+
+    # pathological error text sheds diagnostics, never metrics
+    full["errors"] = {f"q{i}": "x" * 500 for i in range(40)}
+    c = bench._compact(dict(full), "BENCH_DETAIL.json")
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= bench._COMPACT_BUDGET, len(line)
+    assert c["queries"] == queries
 
 
 def test_noise_flags_physical_plausibility():
