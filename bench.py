@@ -65,6 +65,9 @@ HEADLINE = [
     "hybrid_search_rrf",
     "dsir_select",
     "ccnet_perplexity_buckets",
+    # round-7: the at-scale CCNet form (sampled thresholds, no corpus
+    # window) priced next to the exact form it replaces at 100 TB
+    "ccnet_perplexity_buckets_sampled",
     # round-6 second continuation: ANN eval + drift + export binning
     "ann_recall_eval",
     "corpus_drift_kl",

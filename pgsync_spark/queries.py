@@ -2367,9 +2367,9 @@ PPL_BUCKETS = 256
 PPL_REF_LANG = "en"
 
 
-@register(
-    "ccnet_perplexity_buckets",
-    f"""WITH docs AS (
+# the shared scored-frame CTE chain (through `ce`): both CCNet bucket
+# assigners' oracles extend it with their own assignment tail
+_CCNET_CE_SQL = f"""WITH docs AS (
           SELECT doc_id, lang, {hashing.tokens_sql('text')} AS t
           FROM documents
         ),
@@ -2402,44 +2402,14 @@ PPL_REF_LANG = "en"
           SELECT doc_id, lang,
                  CAST(sum(cost_micro) // count(*) AS BIGINT) AS ce_micro
           FROM cost GROUP BY doc_id, lang
-        )
-        SELECT doc_id, lang, ce_micro,
-               CASE NTILE(3) OVER (
-                 PARTITION BY lang ORDER BY ce_micro, doc_id)
-                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-               END AS ppl_bucket
-        FROM ce""",
-)
-def ccnet_perplexity_buckets(spark, sf_dir):
-    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
-    Extracting High Quality Monolingual Datasets from Web Crawl
-    Data"): score every doc by its cross-entropy under a reference
-    language model, then split each language into head/middle/tail
-    terciles — the classic LM-quality partition a web-crawl curation
-    pipeline applies before mixing. The deterministic stand-in for
-    KenLM: a hashed-bigram model (h32 % {PPL_BUCKETS} buckets, Laplace
-    smoothing) trained on the corpus's own '{PPL_REF_LANG}' slice —
-    the same target-slice convention as dsir_select; a real KenLM
-    scorer swaps in via the plugin chain.
+        )"""
 
-    Engine portability (the dsir_select discipline): per-bucket cost
-    -ln p(bucket) is snapped to fixed-point micro-nats ONCE per bucket
-    (<= {PPL_BUCKETS} ln() evaluations total), each doc's total cost is
-    an exact BIGINT sum, and the per-token normalization is integer
-    division (both operands non-negative, so Spark `div` and DuckDB
-    `//` agree exactly) — tercile ordering cannot diverge between
-    engines on float sum order.
 
-    Scale shape: bigrams are built by zip_with over the in-scan token
-    array (no self-join); the reference histogram is one map-side-
-    combined groupBy with <= {PPL_BUCKETS} output rows, broadcast back
-    (with the 1-row total) onto the exploded corpus; per-doc totals are
-    one uniform doc_id groupBy — the one corpus-sized shuffle, same as
-    dsir_select. The per-language ntile window is the deliberate trade
-    for an exact oracle at test SF: at 100 TB swap it for sampled
-    tercile thresholds (CCNet itself fits thresholds on a sample, then
-    assigns by comparison — a zero-shuffle map over the scored docs);
-    the scored frame and the bucket rule are unchanged."""
+def _ccnet_scored(spark, sf_dir):
+    """The shared CCNet scored frame (doc_id, lang, ce_micro): hashed-
+    bigram cross-entropy in exact fixed-point micro-nats. Both bucket
+    assigners (exact ntile terciles; sampled thresholds) consume this
+    unchanged — see ccnet_perplexity_buckets for the full story."""
     df = Catalog(spark, sf_dir).df("documents")
     docs = df.select(
         "doc_id", "lang", hashing.tokens(F.col("text")).alias("t")
@@ -2496,6 +2466,50 @@ def ccnet_perplexity_buckets(spark, sf_dir):
             F.expr("CAST(tm div nb AS BIGINT)").alias("ce_micro"),
         )
     )
+    return ce
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    _CCNET_CE_SQL + """
+        SELECT doc_id, lang, ce_micro,
+               CASE NTILE(3) OVER (
+                 PARTITION BY lang ORDER BY ce_micro, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS ppl_bucket
+        FROM ce""",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every doc by its cross-entropy under a reference
+    language model, then split each language into head/middle/tail
+    terciles — the classic LM-quality partition a web-crawl curation
+    pipeline applies before mixing. The deterministic stand-in for
+    KenLM: a hashed-bigram model (h32 % {PPL_BUCKETS} buckets, Laplace
+    smoothing) trained on the corpus's own '{PPL_REF_LANG}' slice —
+    the same target-slice convention as dsir_select; a real KenLM
+    scorer swaps in via the plugin chain.
+
+    Engine portability (the dsir_select discipline): per-bucket cost
+    -ln p(bucket) is snapped to fixed-point micro-nats ONCE per bucket
+    (<= {PPL_BUCKETS} ln() evaluations total), each doc's total cost is
+    an exact BIGINT sum, and the per-token normalization is integer
+    division (both operands non-negative, so Spark `div` and DuckDB
+    `//` agree exactly) — tercile ordering cannot diverge between
+    engines on float sum order.
+
+    Scale shape: bigrams are built by zip_with over the in-scan token
+    array (no self-join); the reference histogram is one map-side-
+    combined groupBy with <= {PPL_BUCKETS} output rows, broadcast back
+    (with the 1-row total) onto the exploded corpus; per-doc totals are
+    one uniform doc_id groupBy — the one corpus-sized shuffle, same as
+    dsir_select. This EXACT form's per-language ntile window is the
+    deliberate trade for positionally-exact terciles at test SF; the
+    100 TB default is ccnet_perplexity_buckets_sampled below (CCNet's
+    own method: fit thresholds on a sample, assign by comparison),
+    which shares the scored frame and drops the corpus window."""
+    ce = _ccnet_scored(spark, sf_dir)
     n = F.ntile(3).over(W.partitionBy("lang").orderBy("ce_micro", "doc_id"))
     return ce.select(
         "doc_id",
@@ -2503,6 +2517,106 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         "ce_micro",
         F.when(n == 1, "head")
         .when(n == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# deterministic threshold-fitting sample: docs whose h32(doc_id) falls
+# in one of PPL_SAMPLE_MOD residue classes (1/MOD of the corpus). 2 at
+# test SF (the smallest language has ~60 docs and the agreement test
+# needs a real sample, not the corpus); at 100 TB this dial goes to
+# ~10^3 — a 0.1% sample of a web crawl is still millions of docs per
+# language, far past tercile-threshold convergence.
+PPL_SAMPLE_MOD = 2
+
+
+@register(
+    "ccnet_perplexity_buckets_sampled",
+    _CCNET_CE_SQL + f""",
+        s AS (
+          SELECT lang, ce_micro, doc_id FROM ce
+          WHERE ({hashing.h32_sql('CAST(doc_id AS VARCHAR)')}
+                 % {PPL_SAMPLE_MOD}) = 0
+        ),
+        r AS (
+          SELECT lang, ce_micro,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY ce_micro, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM s
+        ),
+        th AS (
+          SELECT lang,
+                 max(CASE WHEN rn <= (n + 2) // 3
+                     THEN ce_micro END) AS t1,
+                 max(CASE WHEN rn <= (2 * n + 2) // 3
+                     THEN ce_micro END) AS t2
+          FROM r GROUP BY lang
+        )
+        SELECT ce.doc_id, ce.lang, ce.ce_micro,
+               CASE WHEN ce.ce_micro <= th.t1 THEN 'head'
+                    WHEN ce.ce_micro <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM ce LEFT JOIN th ON ce.lang = th.lang""",
+)
+def ccnet_perplexity_buckets_sampled(spark, sf_dir):
+    """The 100 TB form of CCNet bucketing — CCNet's own method (Wenzek
+    et al. 2019 fit their perplexity cutoffs on a sample of each
+    language, then assign every doc by comparison): per-language
+    tercile THRESHOLDS are fitted on a deterministic 1/{PPL_SAMPLE_MOD}
+    hash-sample of the scored frame, and the corpus is bucketed by two
+    comparisons against the broadcast thresholds.
+
+    Why this is the at-scale default while the exact form is the
+    test-SF oracle trade: the exact form's ntile window hash-partitions
+    the WHOLE scored corpus by language and sorts each language in one
+    partition's sort — at web-crawl scale "partition = one language"
+    means the English slice (half the corpus) lands on one task. Here
+    the only window runs over the sample (1/{PPL_SAMPLE_MOD} at test
+    SF, ~10^-3 at scale); the corpus-side assignment is a broadcast
+    join + two comparisons, zero added exchanges over the scored frame
+    itself. Everything stays engine-exact (the sample membership is a
+    deterministic doc_id hash, thresholds are rank positions in BIGINT
+    micro-nats, ceil(n/3) = (n+2) div 3 in both engines), so this path
+    keeps a full value-matching oracle rather than an agreement bound.
+
+    Determinism corner: a language with NO sampled docs gets NULL
+    thresholds and lands whole in 'tail' (both engines: NULL comparison
+    falls through CASE) — conservative, and unreachable once the
+    sample holds >= 1 doc per language (test-asserted at sf0.01).
+    Assignment agreement vs the exact terciles is >= 95% at sf0.01
+    (test-asserted); the residual is boundary docs whose sampled
+    threshold sits a few ranks off the exact tercile edge."""
+    ce = _ccnet_scored(spark, sf_dir)
+    s = ce.filter(
+        hashing.h32(F.col("doc_id").cast("string"))
+        % F.lit(PPL_SAMPLE_MOD)
+        == 0
+    )
+    win = W.partitionBy("lang").orderBy("ce_micro", "doc_id")
+    r = s.select(
+        "lang",
+        "ce_micro",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    th = r.groupBy("lang").agg(
+        F.max(
+            F.when(F.expr("rn <= CAST((n + 2) div 3 AS BIGINT)"),
+                   F.col("ce_micro"))
+        ).alias("t1"),
+        F.max(
+            F.when(F.expr("rn <= CAST((2 * n + 2) div 3 AS BIGINT)"),
+                   F.col("ce_micro"))
+        ).alias("t2"),
+    )
+    return ce.join(F.broadcast(th), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "ce_micro",
+        F.when(F.col("ce_micro") <= F.col("t1"), "head")
+        .when(F.col("ce_micro") <= F.col("t2"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

@@ -3,7 +3,7 @@ does the same at sf0.01) + plan-shape assertions for scale."""
 
 import pytest
 
-from pgsync_spark.queries import REGISTRY
+from pgsync_spark.queries import PPL_SAMPLE_MOD, REGISTRY
 from pgsync_spark.testing import compare
 
 from conftest import SF_DIR
@@ -495,6 +495,67 @@ def test_ccnet_perplexity_semantics_and_plan(spark):
     # every exchange.
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
+    assert final.count("Exchange hashpartitioning") <= 4, final
+
+
+def test_ccnet_sampled_thresholds_agreement_and_plan(spark):
+    """The 100 TB CCNet path (ccnet_perplexity_buckets_sampled: fit
+    per-lang tercile thresholds on a deterministic hash-sample, assign
+    the corpus by comparison — CCNet's own method): (a) assignment
+    agrees with the exact ntile terciles >= 95% where the sample is
+    statistically meaningful (sf0.1, 5k docs; measured 97.3%) and
+    >= 90% at the oracle SF (sf0.01, 500 docs — a 1/2 sample of a
+    ~64-doc language caps agreement near 94% by order-statistic
+    variance alone, salt-sweep measured 0.89-0.944; the hash is fixed
+    so the number is deterministic and the bound is a regression
+    floor); (b) every language lands docs in the threshold sample at
+    the oracle SF, so the NULL-thresholds->tail fallback is
+    unreachable (each lang shows all three buckets); (c) the exact
+    form's corpus-wide ntile window is GONE: no ntile anywhere, the
+    only window runs over the pmod hash-sample, and assignment
+    reaches the corpus via broadcast join."""
+    from conftest import SF_DIR
+
+    exact = REGISTRY["ccnet_perplexity_buckets"]
+    sampled = REGISTRY["ccnet_perplexity_buckets_sampled"]
+
+    def agreement(sf_dir: str) -> float:
+        e = {r["doc_id"]: r["ppl_bucket"]
+             for r in exact.fn(spark, sf_dir).collect()}
+        s = {r["doc_id"]: r["ppl_bucket"]
+             for r in sampled.fn(spark, sf_dir).collect()}
+        assert set(e) == set(s)  # same docs, both assigners total
+        return sum(e[d] == s[d] for d in e) / len(e)
+
+    assert agreement("/root/testdata/sf0.1") >= 0.95
+    assert agreement(SF_DIR) >= 0.90
+
+    df = sampled.fn(spark, SF_DIR)
+    rows = df.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["ppl_bucket"])
+    for lang, buckets in by_lang.items():
+        assert buckets == {"head", "middle", "tail"}, (lang, buckets)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ntile" not in final, final
+    # the sample predicate (h32(doc_id) % MOD = 0) appears EXACTLY
+    # once — as a Filter pushed through the threshold branch's doc
+    # aggregation to its scan, so that branch scores only the sample
+    # (at MOD~10^3 that pass is ~0.1% of the corpus); the corpus-side
+    # assignment branch is unfiltered and windowless, taking the
+    # thresholds via broadcast
+    mod_filters = [
+        ln for ln in final.splitlines()
+        if f"% {PPL_SAMPLE_MOD})" in ln
+    ]
+    assert len(mod_filters) == 1 and "Filter" in mod_filters[0], final
+    assert "BroadcastHashJoin" in final
+    # corpus-side exchanges unchanged vs the exact form's budget: two
+    # doc aggs (sample scoring + corpus scoring), the reference
+    # histogram, and the sample's own tiny lang window
     assert final.count("Exchange hashpartitioning") <= 4, final
 
 
