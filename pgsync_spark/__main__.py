@@ -147,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
         "stats over this column (e.g. source)",
     )
     p.add_argument(
+        "--probe-hamming", type=int, default=None, choices=(0, 1, 2),
+        help="with --dedup-index embedding: multi-probe width for the "
+        "banded LSH dedup probe (0 = own bucket only, default 1 = "
+        "+every 1-bit band perturbation, 2 = +2-bit)",
+    )
+    p.add_argument(
         "--drift-alert-kl", type=float, default=None,
         help="with --drift-column: epochs whose KL(batch ‖ corpus) "
         "exceeds this threshold are marked alert:true in their stats "
@@ -256,6 +262,19 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             index = cls.load(spark, args.store_dir)
         else:
             index = cls(spark)
+        if args.probe_hamming is not None:
+            if not hasattr(index, "probe_hamming"):
+                print(
+                    "--probe-hamming applies only to "
+                    "--dedup-index embedding",
+                    file=sys.stderr,
+                )
+                index.close()  # load() may have persisted key parts
+                return 2
+            # load() builds with the default; the width is a probe-time
+            # behavior, not store state, so setting it here covers both
+            # construction paths
+            index.probe_hamming = args.probe_hamming
         try:
             q = start_dedup_stream(
                 spark,

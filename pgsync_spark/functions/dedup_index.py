@@ -622,10 +622,32 @@ class EmbeddingIndex(_AppendOnlyIndex):
     - The verify payload is the embedding itself (vals frame
       (vec_id, embedding)); candidates join back by id so vectors are
       never dragged through the candidate shuffle.
+    - Multi-probe by default (``probe_hamming=1``, the Lv et al. 2007
+      fix ann_recall_eval motivates): each new key probes its band
+      bucket plus every Hamming<=h perturbation, so a near-dup pair
+      split by one sign flip in every band is still a candidate.
+      Probing widens on the BATCH side only (the probe list explodes
+      over the small frame); stored survivor keys stay unperturbed,
+      and exact-cosine verify is unchanged — width buys candidate
+      RECALL, never false drops. 0 restores the single-probe r6
+      behavior.
     """
 
     _KEYS_NAME = "bands"
     _VALS_NAME = "vectors"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | None = None,
+        probe_hamming: int | None = None,
+    ):
+        super().__init__(spark, store_dir)
+        if probe_hamming is None:
+            from .similarity import PROBE_HAMMING
+
+            probe_hamming = PROBE_HAMMING
+        self.probe_hamming = probe_hamming
 
     @staticmethod
     def _band_keys(df: DataFrame) -> DataFrame:
@@ -673,10 +695,27 @@ class EmbeddingIndex(_AppendOnlyIndex):
             batch.unpersist()
             return decisions
 
+        # multi-probe expansion on the batch side only: a new key
+        # probes its bucket plus every Hamming<=probe_hamming
+        # perturbation within its band's sign bits; held keys (and the
+        # survivor keys appended below) are never perturbed
+        probe_keys = new_keys
+        if self.probe_hamming:
+            from .similarity import PLANES_PER_BAND, probe_buckets
+
+            probe_keys = new_keys.select(
+                "vec_id",
+                "band",
+                F.explode(
+                    probe_buckets(
+                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
+                    )
+                ).alias("bucket"),
+            )
         cand = (
             held_keys.select(F.col("vec_id").alias("old_id"), "band", "bucket")
             .join(
-                new_keys.select(
+                probe_keys.select(
                     F.col("vec_id").alias("new_id"), "band", "bucket"
                 ),
                 ["band", "bucket"],

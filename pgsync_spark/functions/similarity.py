@@ -125,6 +125,52 @@ def _bucket_sql(col: str) -> str:
     )
 
 
+# default probe width for every multi-probe path (retrieval topk and
+# EmbeddingIndex dedup probes): own bucket + all Hamming-1
+# perturbations. ann_recall_eval is the evidence: single-probe
+# sign-LSH recall collapses to 0.0 on this corpus while Hamming-1 is
+# strictly better at ~(bits+1)/2^bits of the corpus per query.
+PROBE_HAMMING = 1
+
+
+def _probe_masks(n_bits: int, hamming: int) -> list[int]:
+    """XOR masks enumerating every bucket within Hamming distance
+    ``hamming`` of a query bucket over an ``n_bits`` sign code (mask 0
+    = the bucket itself). Supports 0-2; probe count 1, bits+1,
+    bits+1+C(bits,2)."""
+    if not 0 <= hamming <= 2:
+        raise ValueError(f"probe_hamming must be 0, 1, or 2: {hamming}")
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << i for i in range(n_bits)]
+    if hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    return masks
+
+
+def probe_buckets(col, n_bits: int, hamming: int) -> F.Column:
+    """Array of bucket ids to probe for a query bucket column."""
+    return F.array(
+        *[col.bitwiseXOR(F.lit(m)) for m in _probe_masks(n_bits, hamming)]
+    )
+
+
+def probe_buckets_sql(expr: str, n_bits: int, hamming: int) -> str:
+    """DuckDB list literal mirroring probe_buckets element-for-element."""
+    return (
+        "["
+        + ", ".join(
+            f"xor({expr}, {m})" if m else expr
+            for m in _probe_masks(n_bits, hamming)
+        )
+        + "]"
+    )
+
+
 def _lsh_probe_topk(df: DataFrame, probes) -> DataFrame:
     """Shared LSH probe skeleton: bucket the corpus once, expand each
     query's probe list on the (broadcast) QUERY side via ``probes`` —
@@ -452,12 +498,16 @@ def semantic_dedup_canonical_sql() -> str:
     """
 
 
-def incremental_semantic_probe_sql(n_batches: int = 3) -> str:
+def incremental_semantic_probe_sql(
+    n_batches: int = 3, probe_hamming: int = PROBE_HAMMING
+) -> str:
     """Oracle for EmbeddingIndex (dedup_index.py) over ``embeddings``
     with ingestion batches vec_id % n_batches, unrolled stage by
     stage: stage k's index side is the SURVIVORS of batches < k
     (first-batch-wins recursion), candidates blocked by the same
-    banded sign-LSH cells, verified by exact cosine >= NEARDUP_COS."""
+    banded sign-LSH cells — the NEW side's bucket expanded to its
+    Hamming<=probe_hamming probe set, mirroring the index's
+    multi-probe default — verified by exact cosine >= NEARDUP_COS."""
     m = n_batches
     keys = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
@@ -484,7 +534,11 @@ def incremental_semantic_probe_sql(n_batches: int = 3) -> str:
               SELECT DISTINCT k1.vec_id AS old_id, k2.vec_id AS new_id
               FROM keys k1
               JOIN {prev} s ON k1.vec_id = s.vec_id
-              JOIN keys k2 ON k1.band = k2.band AND k1.bucket = k2.bucket
+              JOIN keys k2 ON k1.band = k2.band
+               AND list_contains(
+                     {probe_buckets_sql('k2.bucket', PLANES_PER_BAND,
+                                        probe_hamming)},
+                     k1.bucket)
               WHERE k2.vec_id % {m} = {k}
             )"""
         )
@@ -566,6 +620,11 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         ("ivf", ann_ivf_topk),
         ("lsh", ann_lsh_topk),
         ("lsh_multiprobe", ann_lsh_multiprobe_topk),
+        # the probe-width dial priced one step wider: Hamming-2 probes
+        # 1 + planes + C(planes,2) buckets (~14% of a uniform corpus
+        # at 8 planes) — what you pay when Hamming-1 recall still
+        # isn't enough
+        ("lsh_multiprobe2", lambda d: ann_lsh_multiprobe_topk(d, 2)),
     )
     for method, fn in methods:
         hits = (
@@ -613,26 +672,29 @@ def ann_recall_eval_sql() -> str:
         WITH exact AS ({ann_bruteforce_topk_sql()}),
              ivf AS ({ann_ivf_topk_sql()}),
              lsh AS ({ann_lsh_topk_sql()}),
-             lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()})
+             lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()}),
+             lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)})
         {one('ivf')} UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
+        UNION ALL {one('lsh_multiprobe2')}
     """
 
 
-def ann_lsh_multiprobe_topk(df: DataFrame) -> DataFrame:
+def ann_lsh_multiprobe_topk(
+    df: DataFrame, probe_hamming: int = PROBE_HAMMING
+) -> DataFrame:
     """Multi-probe LSH (Lv et al. 2007, "Multi-probe LSH"): each query
-    probes its own bucket PLUS every Hamming-distance-1 perturbation
-    (N_PLANES + 1 buckets of the 2^N_PLANES total) — the standard fix
-    for single-probe sign-LSH's recall collapse that ann_recall_eval
-    surfaces (0.0 on this corpus). Candidate volume grows by
-    (planes+1)x over single-probe but stays ~(planes+1)/2^planes of
-    the corpus; the corpus side is still bucketed once and never
-    shuffles (probe list explodes on the broadcast QUERY side only)."""
-    probe_list = F.array(
-        F.col("qb"), *[
-            F.col("qb").bitwiseXOR(F.lit(2 ** i)) for i in range(N_PLANES)
-        ]
-    )
+    probes its own bucket PLUS every perturbation within Hamming
+    distance ``probe_hamming`` (default 1: N_PLANES + 1 buckets of
+    the 2^N_PLANES total) — the standard fix for single-probe
+    sign-LSH's recall collapse that ann_recall_eval surfaces (0.0 on
+    this corpus). Candidate volume grows by the probe count over
+    single-probe but stays ~probes/2^planes of the corpus; the corpus
+    side is still bucketed once and never shuffles (the probe list
+    explodes on the broadcast QUERY side only). The width dial trades
+    candidates for recall: the eval prices Hamming-1 and Hamming-2
+    side by side."""
+    probe_list = probe_buckets(F.col("qb"), N_PLANES, probe_hamming)
     return _lsh_probe_topk(
         df,
         lambda q: q.select(
@@ -641,7 +703,7 @@ def ann_lsh_multiprobe_topk(df: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_multiprobe_topk_sql() -> str:
+def ann_lsh_multiprobe_topk_sql(probe_hamming: int = PROBE_HAMMING) -> str:
     cos = round6_sql(
         _dot_sql("q.qv", "c.embedding")
         + " / ("
@@ -650,9 +712,7 @@ def ann_lsh_multiprobe_topk_sql() -> str:
         + _norm_sql("c.embedding")
         + ")"
     )
-    probe_list = "[bucket" + "".join(
-        f", xor(bucket, {2 ** i})" for i in range(N_PLANES)
-    ) + "]"
+    probe_list = probe_buckets_sql("bucket", N_PLANES, probe_hamming)
     return f"""
         WITH bucketed AS (
           SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket

@@ -542,6 +542,7 @@ def test_cli_dedup_stream_embedding_and_class_guard(spark, tmp_path):
         [
             "--dedup-stream", str(docs_dir),
             "--dedup-index", "embedding",
+            "--probe-hamming", "2",  # the width dial rides the CLI
             "--checkpoint-dir", str(tmp_path / "vckpt"),
             "--dedup-out", out,
             "--store-dir", store,
@@ -567,6 +568,20 @@ def test_cli_dedup_stream_embedding_and_class_guard(spark, tmp_path):
             ],
             spark=spark,
         )
+
+    # --probe-hamming on a minhash index: guarded error, not a silent
+    # no-op (minhash buckets carry no Hamming structure)
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--probe-hamming", "1",
+            "--checkpoint-dir", str(tmp_path / "mckpt"),
+            "--dedup-out", str(tmp_path / "mout"),
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
 
 
 def test_cli_export_shards_from_dedup_output(spark, tmp_path):

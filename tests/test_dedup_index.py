@@ -736,6 +736,38 @@ def test_stream_binding_guards_foreign_checkpoints(spark, tmp_path):
     idx2.close()
 
 
+def test_embedding_index_multiprobe_catches_band_splits(spark):
+    """The multi-probe default (probe_hamming=1): a near-identical
+    pair whose sign code differs by exactly ONE bit in EVERY band is
+    invisible to single-probe banded LSH (no band matches exactly —
+    the blind spot ann_recall_eval surfaces for retrieval), but
+    Hamming-1 probing makes it a candidate and the exact-cosine
+    verify drops it. probe_hamming=0 restores the r6 behavior."""
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+    from pgsync_spark.functions.similarity import NEARDUP_COS
+
+    v1 = [1.0] * 64
+    # flip the first dim of each 4-dim band by a hair: all four band
+    # buckets land at Hamming distance exactly 1, cosine stays ~0.97
+    v2 = [-0.01 if i in (0, 4, 8, 12) else 1.0 for i in range(64)]
+    schema = "vec_id bigint, embedding array<float>"
+    b0 = spark.createDataFrame([(1, v1)], schema)
+    b1 = spark.createDataFrame([(2, v2)], schema)
+
+    idx0 = EmbeddingIndex(spark, probe_hamming=0)
+    idx0.ingest(b0)
+    assert idx0.ingest(b1).count() == 0  # single-probe: blind
+    idx0.close()
+
+    idx1 = EmbeddingIndex(spark)
+    assert idx1.probe_hamming == 1  # the default IS multi-probe
+    idx1.ingest(b0)
+    rows = idx1.ingest(b1).collect()
+    assert [(r.vec_id, r.dup_of) for r in rows] == [(2, 1)]
+    assert rows[0].cosine >= NEARDUP_COS
+    idx1.close()
+
+
 def test_first_bind_rejects_direct_ingest_epochs(spark, tmp_path):
     """A store built via direct ingest() calls carries applied epochs
     with stream_id=None. First-binding a stream checkpoint to it must

@@ -567,17 +567,24 @@ def test_ann_recall_eval_semantics(spark):
     from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
 
     rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 3 * N_QUERIES
+    assert len(rows) == 4 * N_QUERIES
     by_method = {}
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
         assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-9
         by_method.setdefault(r["method"], []).append(r["n_hits"])
-    assert set(by_method) == {"ivf", "lsh", "lsh_multiprobe"}
+    assert set(by_method) == {
+        "ivf", "lsh", "lsh_multiprobe", "lsh_multiprobe2",
+    }
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
     # multi-probe exists BECAUSE the eval showed single-probe at ~0:
     # probing the Hamming-1 buckets must strictly improve here
     assert sum(by_method["lsh_multiprobe"]) > sum(by_method["lsh"])
+    # and the width dial is monotone: Hamming-2's candidate superset
+    # can only add exact-scored hits
+    assert sum(by_method["lsh_multiprobe2"]) >= sum(
+        by_method["lsh_multiprobe"]
+    )
 
 
 def test_corpus_drift_kl_semantics(spark):
