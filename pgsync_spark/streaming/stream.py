@@ -145,6 +145,14 @@ def start_dedup_stream(
     this threshold are marked ``"alert": true`` in their stats file
     and logged at WARNING — the monitor acts instead of only
     recording. Epoch 0 never alerts (it defines the corpus).
+
+    Producer discipline: stage files OUTSIDE ``docs_dir`` and rename
+    them in (rename is atomic within a filesystem). The file source
+    lists the directory continuously; a file written in place can be
+    ingested half-written as its own torn epoch, after which the
+    completed file's rows arrive as a second epoch whose prefix
+    "duplicates" the torn one (measured in the r7 soak harness as
+    misaligned epochs + mass drops).
     """
     import json
     import math
