@@ -66,8 +66,10 @@ HEADLINE = [
     "dsir_select",
     "ccnet_perplexity_buckets",
     # round-7: the at-scale CCNet form (sampled thresholds, no corpus
-    # window) priced next to the exact form it replaces at 100 TB
+    # window) priced next to the exact form it replaces at 100 TB,
+    # plus the fastText-style model filter (zero-exchange in-scan map)
     "ccnet_perplexity_buckets_sampled",
+    "text_quality_classifier",
     # round-6 second continuation: ANN eval + drift + export binning
     "ann_recall_eval",
     "corpus_drift_kl",

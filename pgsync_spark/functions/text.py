@@ -199,6 +199,89 @@ def quality_filter_sql() -> str:
     """
 
 
+# -- model-based quality scoring (the fastText-filter pipeline step) --------
+# Hashed bag-of-words LINEAR classifier: feature index = h32(token) %
+# QC_DIM, doc score = mean feature weight in milli-units. This is the
+# "model-based quality filter" stage of CCNet/FineWeb-style pipelines
+# (a linear model over hashed token features IS fastText's
+# architecture); the weights here are a deterministic md5-derived
+# pseudo-model so both engines score bit-identically — a real trained
+# model drops in by replacing QC_WEIGHTS_MILLI, and the operator's
+# plan shape (weights ride the plan as a 256-int literal array; pure
+# in-scan map, ZERO exchanges) is what the engine pins.
+QC_DIM = 256
+# keep threshold in milli-units. A real deployment fits this cut on a
+# labeled dev set; here it sits at the pseudo-model's corpus median
+# (~-198 at sf0.01) so the decision column exercises both branches
+# instead of collapsing to one class.
+QC_KEEP_MILLI = -198.0
+
+
+def _qc_weights_milli() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qw{j}".encode()).hexdigest()[:8], 16) % 2001
+        - 1000
+        for j in range(QC_DIM)
+    ]
+
+
+QC_WEIGHTS_MILLI = _qc_weights_milli()
+
+
+def quality_classifier(df: DataFrame) -> DataFrame:
+    """Per-doc classifier score + keep decision. Exact BIGINT weight
+    sum; the mean is one int/int double division (identical IEEE
+    result in both engines), rounded for the compare."""
+    w = F.array(*[F.lit(x) for x in QC_WEIGHTS_MILLI])
+    tok = tokens(F.col("text"))
+    total = F.aggregate(
+        F.transform(
+            tok,
+            lambda t: F.element_at(
+                w, (h32(t) % F.lit(QC_DIM) + F.lit(1)).cast("int")
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(tok)
+    score = round6(
+        total.cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        score.alias("score_milli"),
+        F.coalesce(
+            score >= F.lit(QC_KEEP_MILLI), F.lit(False)
+        ).alias("keep"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    weights = "[" + ", ".join(str(x) for x in QC_WEIGHTS_MILLI) + "]"
+    total = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(toks, t -> CAST(({weights})"
+        f"[({h32_sql('t')} % {QC_DIM}) + 1] AS BIGINT))), "
+        f"(a, b) -> a + b)"
+    )
+    score = round6_sql(
+        f"CAST({total} AS DOUBLE) "
+        f"/ nullif(CAST(len(toks) AS DOUBLE), 0.0)"
+    )
+    return f"""
+        SELECT doc_id, lang, len(toks) AS n_tokens,
+               {score} AS score_milli,
+               COALESCE({score} >= {QC_KEEP_MILLI}, FALSE) AS keep
+        FROM (SELECT doc_id, lang, {tokens_sql('text')} AS toks
+              FROM documents)
+    """
+
+
 NGRAM_TOPK = 20
 
 

@@ -372,6 +372,11 @@ _doc_query(_tx.text_stats, _tx.text_stats_sql(), "text_stats")
 _doc_query(_tx.lang_id, _tx.lang_id_sql(), "text_lang_id")
 _doc_query(_tx.fingerprint, _tx.fingerprint_sql(), "text_fingerprint")
 _doc_query(_tx.quality_filter, _tx.quality_filter_sql(), "text_quality_filter")
+_doc_query(
+    _tx.quality_classifier,
+    _tx.quality_classifier_sql(),
+    "text_quality_classifier",
+)
 _doc_query(_tx.ngram_topk, _tx.ngram_topk_sql(), "text_ngram_topk")
 _doc_query(_tx.pii_redact, _tx.pii_redact_sql(), "text_pii_redact")
 _doc_query(_dd.dedup_exact, _dd.dedup_exact_sql(), "dedup_exact")

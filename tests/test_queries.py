@@ -498,6 +498,41 @@ def test_ccnet_perplexity_semantics_and_plan(spark):
     assert final.count("Exchange hashpartitioning") <= 4, final
 
 
+def test_quality_classifier_semantics_and_plan(spark):
+    """text_quality_classifier (the fastText-style model filter): the
+    keep decision is exactly score >= QC_KEEP_MILLI, identical texts
+    score identically, both classes are populated (the threshold sits
+    inside the score distribution, not degenerate), and the plan has
+    ZERO exchanges — the weight table rides the plan as a literal
+    array, pure in-scan map."""
+    from pgsync_spark.functions.text import QC_KEEP_MILLI
+
+    df = REGISTRY["text_quality_classifier"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r["keep"] == (
+            r["score_milli"] is not None
+            and r["score_milli"] >= QC_KEEP_MILLI
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+    # determinism: duplicated text scores identically
+    from pgsync_spark.functions.text import quality_classifier
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en"),
+         (2, "alpha beta gamma delta", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    s = {r["doc_id"]: r["score_milli"]
+         for r in quality_classifier(d).collect()}
+    assert s[1] == s[2]
+
+
 def test_ccnet_sampled_thresholds_agreement_and_plan(spark):
     """The 100 TB CCNet path (ccnet_perplexity_buckets_sampled: fit
     per-lang tercile thresholds on a deterministic hash-sample, assign
