@@ -70,6 +70,9 @@ HEADLINE = [
     # plus the fastText-style model filter (zero-exchange in-scan map)
     "ccnet_perplexity_buckets_sampled",
     "text_quality_classifier",
+    # round-7: incremental inverted index — prices 3-batch ingest +
+    # held-state query vs text_bm25_topk's one-shot scan just above
+    "bm25_incremental_topk",
     # round-6 second continuation: ANN eval + drift + export binning
     "ann_recall_eval",
     "corpus_drift_kl",

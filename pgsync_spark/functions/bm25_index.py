@@ -1,0 +1,196 @@
+"""Incremental BM25 inverted index — streaming-maintained lexical
+retrieval state, the search-index sibling of the dedup indexes (the
+reference maintains its search index incrementally the same way: every
+sync batch upserts documents into Elasticsearch and queries hit the
+continuously-updated index, ref: pgsync/sync.py poll loop +
+search_client.py bulk; this is that lifecycle with the index state
+owned by the engine itself).
+
+State rides the shared `_AppendOnlyIndex` machinery (append-only
+segments, atomic CURRENT manifest, epoch bookkeeping, `compact()`,
+`bind_stream`) from dedup_index.py:
+
+- postings (keys frame): ``(band, term, doc_id, tf, dl)`` — band =
+  h32(term) % BM25_INDEX_BANDS is the on-disk partition key
+  (partitionBy("band") in the base class), so a query's scan prunes to
+  its terms' directories exactly like the dedup band dirs.
+  ``dl`` is denormalized onto each posting so scoring never joins the
+  corpus-sized docstats side.
+- docstats (vals frame): ``(doc_id, dl, lang, source)`` — one row per
+  ingested doc. Docs with zero tokens hold no postings but still count
+  toward N / avgdl, exactly like the one-shot scorer.
+
+BM25 is incremental BY ADDITIVITY: N, sum_dl, df(term), tf are all
+per-doc sums, so an index built from ANY batch split scores
+bit-identically to the one-shot batch scorer (queries.py
+_bm25_scored, whose fixed-point micro-nat discipline topk() mirrors
+expression-for-expression). That equivalence is the oracle:
+bm25_incremental_topk ingests in 3 batches and must hash-match
+text_bm25_topk's one-shot DuckDB SQL.
+
+Scale shape: ingest is one O(batch) explode→(doc,term) count (index
+BUILD pays the tf shuffle once per batch, so queries never do);
+query-time cost is a partition-pruned postings slice over |terms|
+bands, two 1-row stat aggregates broadcast back, and a TakeOrdered
+top-k — the held corpus is never rescanned or reshuffled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup_index import _AppendOnlyIndex
+from .hashing import h32, tokens
+
+# on-disk partition fan-out for postings; a query prunes to
+# |terms| / BM25_INDEX_BANDS of the directory tree
+BM25_INDEX_BANDS = 32
+
+_EMPTY_DECISIONS = "doc_id bigint"
+
+
+def _band_of(term: str) -> int:
+    """Python-side mirror of h32(term) % BM25_INDEX_BANDS for query
+    planning (the predicate must be a literal for partition pruning)."""
+    return (
+        int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+        % BM25_INDEX_BANDS
+    )
+
+
+class BM25Index(_AppendOnlyIndex):
+    """See module docstring. ingest() never drops docs (a search index
+    accepts everything) — decisions are structurally empty, which
+    keeps the base class's exactly-once epoch replay semantics intact
+    for streaming front-ends."""
+
+    _KEYS_NAME = "postings"
+    _VALS_NAME = "docstats"
+
+    def ingest(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Index ``batch_df`` (doc_id, text, lang, source): append its
+        postings + doc stats as one epoch. Returns the (empty)
+        decisions frame for contract symmetry with the dedup indexes."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        toks = tokens(F.col("text"))
+        docstats = batch_df.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            "lang",
+            "source",
+        )
+        postings = (
+            batch_df.select(
+                "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select(
+                (h32(F.col("term")) % F.lit(BM25_INDEX_BANDS)).alias("band"),
+                "term",
+                "doc_id",
+                "tf",
+                "dl",
+            )
+        )
+        decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
+        self._append(postings, docstats, decisions, epoch)
+        return decisions
+
+    def topk(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
+        """BM25 top-k over the held corpus for ``terms`` — the same
+        fixed-point micro-nat arithmetic as queries._bm25_scored
+        (floor-snapped idf per term, bigint per-term contributions),
+        so results are bit-identical to one-shot scoring of the same
+        docs. Output: (doc_id, lang, source, score_micro, rank)."""
+        # constants live with the one-shot scorer — single source of
+        # truth for the parity the oracle asserts (import at call time:
+        # queries.py imports this module's sibling packages at build)
+        from ..queries import BM25_B, BM25_K1, BM25_K1_PLUS_1, BM25_ONE_MINUS_B
+
+        keys, vals = self.keys, self.vals
+        if keys is None:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id bigint, lang string, source string, "
+                "score_micro bigint, rank int",
+            )
+        bands = sorted({_band_of(t) for t in terms})
+        sl = keys.filter(
+            F.col("band").isin(bands) & F.col("term").isin(list(terms))
+        )
+        cand = sl.groupBy("doc_id", "dl").agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("tf"))),
+                    F.lit(0).cast("long"),
+                ).alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        dfs = sl.agg(
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"df{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        stats = (
+            vals.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .crossJoin(dfs)
+            .withColumn(
+                "avgdl",
+                F.col("sum_dl").cast("double")
+                / F.col("n_docs").cast("double"),
+            )
+        )
+        scored = cand.crossJoin(F.broadcast(stats))
+
+        def term_micro(i: int):
+            dfq = F.coalesce(F.col(f"df{i}"), F.lit(0).cast("long"))
+            tf = F.col(f"tf{i}")
+            idf_micro = F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - dfq + F.lit(0.5))
+                    / (dfq + F.lit(0.5))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint")
+            tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
+                tf
+                + F.lit(float(BM25_K1))
+                * (
+                    F.lit(float(BM25_ONE_MINUS_B))
+                    + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
+                )
+            )
+            return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
+
+        score = term_micro(0)
+        for i in range(1, len(terms)):
+            score = score + term_micro(i)
+        top = (
+            scored.select("doc_id", score.alias("score_micro"))
+            .filter(F.col("score_micro") > 0)
+            .orderBy(F.col("score_micro").desc(), "doc_id")
+            .limit(k)
+        )
+        w = W.orderBy(F.col("score_micro").desc(), "doc_id")
+        return (
+            vals.select("doc_id", "lang", "source")
+            .join(F.broadcast(top), "doc_id")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("doc_id", "lang", "source", "score_micro", "rank")
+        )

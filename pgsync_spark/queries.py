@@ -2250,6 +2250,47 @@ def text_bm25_topk(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+@register(
+    "bm25_incremental_topk",
+    # BM25 state is additive (N, sum_dl, df, tf are per-doc sums), so
+    # the incrementally-built index must score bit-identically to the
+    # ONE-SHOT scorer over the same docs — the oracle is literally
+    # text_bm25_topk's SQL
+    f"""SELECT doc_id, lang, source, score_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM ({_bm25_scored_sql()})
+        WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id LIMIT 10""",
+)
+def bm25_incremental_topk(spark, sf_dir):
+    """The streaming-maintained form of text_bm25_topk: documents
+    arrive in 3 batches (doc_id % 3 as arrival order) into a
+    BM25Index — an append-only inverted index (postings partitioned
+    by term band on disk, per-doc stats alongside) riding the same
+    exactly-once epoch machinery as the dedup indexes — then the
+    fixed query runs against the HELD state. Must hash-match the
+    one-shot scorer's oracle: BM25's sufficient statistics are all
+    additive, and the index's fixed-point scoring mirrors
+    _bm25_scored expression-for-expression.
+
+    Scale shape (functions/bm25_index.py): ingest pays one O(batch)
+    explode→(doc,term) shuffle per batch so queries never rescan the
+    corpus; query time is a band-pruned postings slice, two 1-row
+    stat aggregates broadcast back, and a TakeOrdered top-k."""
+    from .functions.bm25_index import BM25Index
+
+    df = Catalog(spark, sf_dir).df("documents")
+    idx = BM25Index(spark)
+    for k in range(3):
+        idx.ingest(df.filter(F.col("doc_id") % 3 == k))
+    out = idx.topk(BM25_QUERY_TERMS, k=10)
+    from .caching import owned as _owned
+
+    # the index's checkpointed parts live until the result is released
+    return _owned(out, idx._key_parts + idx._val_parts)
+
+
 DSIR_BUCKETS = 64
 DSIR_TARGET_LANG = "en"
 DSIR_SELECT_N = 100

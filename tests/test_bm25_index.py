@@ -1,0 +1,119 @@
+"""BM25Index (incremental inverted index): additivity vs the one-shot
+scorer, store-backed restart, compaction, band-partitioned layout."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pgsync_spark.functions.bm25_index import (
+    BM25_INDEX_BANDS,
+    BM25Index,
+    _band_of,
+)
+from pgsync_spark.queries import BM25_QUERY_TERMS, REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oneshot(spark):
+    return [
+        tuple(r)
+        for r in REGISTRY["text_bm25_topk"].fn(spark, SF_DIR).collect()
+    ]
+
+
+def test_incremental_matches_oneshot_across_restart_and_compact(
+    spark, tmp_path
+):
+    """The additivity contract end to end: build across two processes
+    (close + load between batches), query the held state, compact —
+    every stage scores bit-identically to one-shot BM25 over the same
+    docs."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    store = str(tmp_path / "bm25")
+
+    idx = BM25Index(spark, store_dir=store)
+    idx.ingest(docs.filter(F.col("doc_id") % 3 == 0))
+    idx.ingest(docs.filter(F.col("doc_id") % 3 == 1))
+    idx.close()
+
+    idx2 = BM25Index.load(spark, store)
+    idx2.ingest(docs.filter(F.col("doc_id") % 3 == 2))
+    expected = _oneshot(spark)
+    got = [tuple(r) for r in idx2.topk(BM25_QUERY_TERMS).collect()]
+    assert got == expected
+
+    idx2.compact()
+    assert len(idx2._segments) == 1
+    got = [tuple(r) for r in idx2.topk(BM25_QUERY_TERMS).collect()]
+    assert got == expected
+    idx2.close()
+
+    # and a cold reload of the compacted store still answers
+    idx3 = BM25Index.load(spark, store)
+    got = [tuple(r) for r in idx3.topk(BM25_QUERY_TERMS).collect()]
+    assert got == expected
+    idx3.close()
+
+
+def test_postings_band_layout_and_query_pruning(spark, tmp_path):
+    """Postings land under band=N partition dirs (the on-disk pruning
+    unit), the query's plan filters on the literal band set of its
+    terms, and zero-token docs still count toward N/avgdl via
+    docstats."""
+    store = str(tmp_path / "bm25")
+    idx = BM25Index(spark, store_dir=store)
+    idx.ingest(
+        spark.createDataFrame(
+            [
+                (1, "spark query engine", "en", "s0"),
+                (2, "", "en", "s0"),  # zero tokens: stats-only doc
+            ],
+            "doc_id bigint, text string, lang string, source string",
+        )
+    )
+    seg = os.path.join(store, "postings", "epoch=0")
+    bands = {b for b in os.listdir(seg) if b.startswith("band=")}
+    assert bands == {
+        f"band={_band_of(t)}" for t in ("spark", "query", "engine")
+    }
+
+    out = idx.topk(("spark",), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert f"band#" in final and str(_band_of("spark")) in final
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # N=2 (the empty doc counts): idf = ln(1 + (2-1+0.5)/(1+0.5))
+    import math
+
+    idf_micro = math.floor(math.log(1 + 1.5 / 1.5) * 1e6 + 0.5)
+    assert rows[0]["score_micro"] <= 2_200_000  # tf-normalized < k1+1 x idf
+    assert rows[0]["score_micro"] > 0 and idf_micro == 693147
+    idx.close()
+
+
+def test_empty_index_topk_is_typed_empty(spark):
+    idx = BM25Index(spark)
+    out = idx.topk(BM25_QUERY_TERMS)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "source", "score_micro", "rank"]
+    idx.close()
+
+
+def test_band_of_mirrors_h32(spark):
+    """The Python-side band (query planning literal) must equal the
+    engine-side band (h32 % BANDS) for every term, or pruning would
+    silently skip real postings."""
+    from pgsync_spark.functions.hashing import h32
+
+    terms = ["spark", "vector", "query", "the", "für", "零"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["band"]
+        for r in df.select(
+            "term",
+            (h32(F.col("term")) % F.lit(BM25_INDEX_BANDS)).alias("band"),
+        ).collect()
+    }
+    assert got == {t: _band_of(t) for t in terms}
