@@ -131,10 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
         "index durable and the pipeline exactly-once",
     )
     p.add_argument(
-        "--dedup-index", choices=("minhash", "embedding"),
+        "--dedup-index", choices=("minhash", "embedding", "bm25"),
         default="minhash",
-        help="near-dup index for --dedup-stream: MinHash over text "
-        "docs, or sign-LSH over embedding vectors",
+        help="index maintained by --dedup-stream: MinHash near-dup "
+        "over text docs, sign-LSH near-dup over embedding vectors, "
+        "or a BM25 inverted search index (indexes everything — "
+        "decisions stay empty; the same exactly-once epoch pipeline "
+        "keeps a continuously-queryable lexical index)",
     )
     p.add_argument(
         "--dedup-out", default=None,
@@ -238,6 +241,7 @@ def _write_docs(runner, args, out=sys.stdout) -> None:
 def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
     """The --dedup-stream mode: JSON doc stream → incremental dedup
     index probe → accepted/decisions(/stats) under --dedup-out."""
+    from .functions.bm25_index import BM25Index
     from .functions.dedup_index import EmbeddingIndex, MinHashIndex
     from .streaming.stream import DEDUP_DOCS_SCHEMA, start_dedup_stream
 
@@ -246,11 +250,15 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name="pgsync_spark_dedup")
-    cls = MinHashIndex if args.dedup_index == "minhash" else EmbeddingIndex
+    cls = {
+        "minhash": MinHashIndex,
+        "embedding": EmbeddingIndex,
+        "bm25": BM25Index,
+    }[args.dedup_index]
     schema = (
-        DEDUP_DOCS_SCHEMA
-        if args.dedup_index == "minhash"
-        else "vec_id bigint, embedding array<float>"
+        "vec_id bigint, embedding array<float>"
+        if args.dedup_index == "embedding"
+        else DEDUP_DOCS_SCHEMA
     )
     try:
         if args.store_dir:

@@ -101,6 +101,79 @@ def test_empty_index_topk_is_typed_empty(spark):
     idx.close()
 
 
+def test_bm25_index_through_the_streaming_pipeline(spark, tmp_path):
+    """start_dedup_stream drives a BM25Index unchanged (empty
+    decisions -> every doc accepted; same exactly-once epoch commits,
+    markers, compaction): the training-data ingestion stream IS the
+    search-index maintenance loop. After two micro-batches the held
+    index answers queries over everything streamed, and a second
+    drain over the same checkpoint resumes the store."""
+    import json
+
+    from pgsync_spark.streaming.stream import start_dedup_stream
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows = [
+        (1, "spark query engine fundamentals", "en", "s0"),
+        (2, "unrelated cooking recipes", "en", "s1"),
+        (3, "vector query planning in spark", "en", "s0"),
+    ]
+    with open(docs_dir / "b0.json", "w") as f:
+        for r in rows[:2]:
+            f.write(json.dumps(dict(zip(
+                ("doc_id", "text", "lang", "source"), r))) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps(dict(zip(
+            ("doc_id", "text", "lang", "source"), rows[2]))) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    store = str(tmp_path / "bm25")
+    idx = BM25Index(spark, store_dir=store)
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    accepted = spark.read.parquet(str(tmp_path / "out" / "accepted"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2, 3]
+    got = idx.topk(("spark", "query"), k=3).collect()
+    # docs 1 and 3 hold both terms (doc 1 shorter -> higher tf norm),
+    # doc 2 holds neither and scores 0 (excluded)
+    assert [r["doc_id"] for r in got] == [1, 3]
+    assert idx._segments == ["compacted-2"]  # compact_every fired
+    idx.close()
+
+    # resume: a third file, same checkpoint, reloaded store
+    with open(docs_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": "spark spark spark",
+                            "lang": "en", "source": "s1"}) + "\n")
+    os.utime(docs_dir / "b2.json", (3_000_000, 3_000_000))
+    idx2 = BM25Index.load(spark, store)
+    q = start_dedup_stream(
+        spark,
+        idx2,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = idx2.topk(("spark",), k=5).collect()
+    assert {r["doc_id"] for r in got} == {1, 3, 4}
+    assert got[0]["doc_id"] == 4  # tf=3 of dl=3 wins
+    idx2.close()
+
+
 def test_band_of_mirrors_h32(spark):
     """The Python-side band (query planning literal) must equal the
     engine-side band (h32 % BANDS) for every term, or pruning would

@@ -584,6 +584,43 @@ def test_cli_dedup_stream_embedding_and_class_guard(spark, tmp_path):
     assert rc == 2
 
 
+def test_cli_dedup_stream_bm25_index(spark, tmp_path):
+    """--dedup-index bm25: the same stream pipeline maintains a BM25
+    inverted index (everything accepted, store-backed, queryable after
+    the drain)."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "spark query engine",
+                            "lang": "en", "source": "s0"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "cooking recipes",
+                            "lang": "en", "source": "s1"}) + "\n")
+
+    out = str(tmp_path / "bout")
+    store = str(tmp_path / "bstore")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "bm25",
+            "--checkpoint-dir", str(tmp_path / "bckpt"),
+            "--dedup-out", out,
+            "--store-dir", store,
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 2]
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert json.load(f)["index"] == "BM25Index"
+    from pgsync_spark.functions.bm25_index import BM25Index
+
+    idx = BM25Index.load(spark, store)
+    assert [r["doc_id"] for r in idx.topk(("spark",), k=5).collect()] == [1]
+    idx.close()
+
+
 def test_cli_export_shards_from_dedup_output(spark, tmp_path):
     """The full shell-driveable pipeline: dedup stream -> accepted/
     parquet -> --export-shards manifest + versioned shard dirs."""
