@@ -73,6 +73,8 @@ HEADLINE = [
     # round-7: incremental inverted index — prices 3-batch ingest +
     # held-state query vs text_bm25_topk's one-shot scan just above
     "bm25_incremental_topk",
+    # round-7: PQ-ADC retrieval (4-byte codes, asymmetric distance)
+    "ann_pq_adc_topk",
     # round-6 second continuation: ANN eval + drift + export binning
     "ann_recall_eval",
     "corpus_drift_kl",

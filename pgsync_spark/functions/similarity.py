@@ -625,6 +625,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # at 8 planes) — what you pay when Hamming-1 recall still
         # isn't enough
         ("lsh_multiprobe2", lambda d: ann_lsh_multiprobe_topk(d, 2)),
+        # PQ-ADC competes on the SAME metric: vectors are normalized,
+        # so ascending L2-squared is descending cosine and its recall
+        # measures pure quantization loss (4 bytes/vector vs 256)
+        ("pq_adc", ann_pq_adc_topk),
     )
     for method, fn in methods:
         hits = (
@@ -673,10 +677,12 @@ def ann_recall_eval_sql() -> str:
              ivf AS ({ann_ivf_topk_sql()}),
              lsh AS ({ann_lsh_topk_sql()}),
              lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()}),
-             lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)})
+             lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)}),
+             pq_adc AS ({ann_pq_adc_topk_sql()})
         {one('ivf')} UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
         UNION ALL {one('lsh_multiprobe2')}
+        UNION ALL {one('pq_adc')}
     """
 
 
@@ -729,6 +735,227 @@ def ann_lsh_multiprobe_topk_sql(probe_hamming: int = PROBE_HAMMING) -> str:
                                     ORDER BY {cos} DESC, c.vec_id) AS rank
           FROM probes q JOIN bucketed c
             ON c.bucket = q.pb AND c.vec_id <> q.query_id
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+# -- product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") -------------------------------------------------
+# Vectors are L2-NORMALIZED first, so squared-L2 ordering is exactly
+# cosine ordering (||a-b||² = 2-2cos on unit vectors) and PQ recall is
+# directly comparable to the exact-cosine baseline in ann_recall_eval.
+# Each normalized vector splits into PQ_M subvectors; subspace m's
+# codebook is the same deterministic corpus-rows convention as IVF
+# (vec_ids [PQ_CB_START, PQ_CB_START+PQ_KS), sliced to subspace m) —
+# k-means float iteration isn't bit-reproducible across engines, and
+# the operator shapes (encode = in-scan argmin over plan-literal
+# centroids; ADC = table lookups) are identical with trained
+# codebooks. 8 subspaces x 16 codes = 4 bytes/vector, a 64x
+# compression of the 64-dim float corpus.
+PQ_M = 8  # subspaces (64 dims / 8)
+PQ_SUBDIM = 8
+PQ_KS = 16  # codes per subspace (4 bits)
+PQ_CB_START = N_QUERIES + IVF_CELLS  # after queries + IVF codebook
+
+
+def _normalized(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double") / _norm(col))
+
+
+def _normalized_sql(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> CAST(x AS DOUBLE) / {_norm_sql(col)})"
+    )
+
+
+def _pq_centroids(df: DataFrame) -> list[list[list[float]]]:
+    """[m][c] -> the 8 normalized-double components of sub-centroid c
+    in subspace m, collected from the codebook rows (PQ_KS rows — the
+    same bounded codebook-sized collect as the shard-manifest
+    read-back; the values become plan literals, so encode runs
+    in-scan with zero exchanges). Collecting the NORMALIZED doubles
+    from the engine guarantees the literals are bit-identical to what
+    the oracle derives in SQL."""
+    rows = (
+        df.filter(
+            (F.col("vec_id") >= PQ_CB_START)
+            & (F.col("vec_id") < PQ_CB_START + PQ_KS)
+        )
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["nv"] for r in rows}
+    if len(by_id) != PQ_KS:
+        raise ValueError(
+            f"PQ codebook needs vec_ids [{PQ_CB_START}, "
+            f"{PQ_CB_START + PQ_KS}): found {sorted(by_id)}"
+        )
+    return [
+        [
+            by_id[PQ_CB_START + c][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for c in range(PQ_KS)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _sub_dist2_micro(sub, cent: list[float]) -> F.Column:
+    """floor(||sub - cent||² * 1e6 + 0.5) as BIGINT — fixed-point so
+    cross-subspace sums are exact integer arithmetic (float sum order
+    differs between engines; integer sums are associative)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(v)) for v in cent]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+
+def _sub_dist2_micro_sql(sub: str, cent: str) -> str:
+    return (
+        f"CAST(floor(list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({sub}, {cent}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        f"(a, b) -> a + b) * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+def pq_encode(df: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the index of the
+    nearest sub-centroid (micro-L2², ties to the smaller code). Pure
+    in-scan map — centroids ride the plan as literals, ZERO exchanges
+    (the quality_classifier discipline applied to vectors)."""
+    cents = _pq_centroids(df)
+    nv = _normalized(F.col("embedding"))
+    codes = []
+    for m in range(PQ_M):
+        sub = F.slice(nv, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_dist2_micro(sub, cents[m][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(PQ_KS)
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return df.select("vec_id", F.array(*codes).alias("codes"))
+
+
+def _pq_sql_ctes() -> str:
+    """Shared oracle CTEs: normalized vectors, sub-centroids (derived
+    from the table — the oracle cannot embed data literals), per-
+    subspace micro distances, argmin codes."""
+    nv = _normalized_sql("embedding")
+    sub = lambda m: f"nv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"  # noqa: E731
+    cent_rows = " UNION ALL ".join(
+        f"SELECT {m} AS m, vec_id - {PQ_CB_START} AS c, "
+        f"{sub(m)} AS cent FROM norm "
+        f"WHERE vec_id >= {PQ_CB_START} AND vec_id < {PQ_CB_START + PQ_KS}"
+        for m in range(PQ_M)
+    )
+    sub_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {sub(m)} AS sub FROM norm"
+        for m in range(PQ_M)
+    )
+    return f"""
+        norm AS (
+          SELECT vec_id, {nv} AS nv FROM embeddings
+        ),
+        cent AS ({cent_rows}),
+        subs AS ({sub_union}),
+        dist AS (
+          SELECT s.vec_id, s.m, cent.c,
+                 {_sub_dist2_micro_sql('s.sub', 'cent.cent')} AS d
+          FROM subs s JOIN cent ON cent.m = s.m
+        ),
+        enc AS (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, c) AS rn
+            FROM dist
+          ) WHERE rn = 1
+        ),
+        codes AS (
+          SELECT vec_id, list(c ORDER BY m) AS codes
+          FROM enc GROUP BY vec_id
+        )"""
+
+
+def pq_encode_sql() -> str:
+    return f"""
+        WITH {_pq_sql_ctes()}
+        SELECT vec_id, codes FROM codes
+    """
+
+
+def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay full precision; each
+    candidate's distance is the sum of per-subspace micro-L2² between
+    the query's subvector and the candidate's CODE centroid — 16
+    table entries per (query, subspace) instead of a 64-dim exact
+    score per pair. On unit vectors ascending L2² is descending
+    cosine, so output ranks are directly recall-comparable to the
+    exact baseline. Corpus side: the encoded frame never shuffles
+    (queries broadcast; per-query top-k is the brute-force window
+    shape over 4-byte codes instead of 256-byte vectors)."""
+    cents = _pq_centroids(df)
+    codes = pq_encode(df).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    q = df.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _normalized(F.col("embedding")).alias("qn"),
+    )
+    pairs = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        qsub = F.slice(F.col("qn"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        table = F.array(
+            *[_sub_dist2_micro(qsub, cents[m][c]) for c in range(PQ_KS)]
+        )
+        term = F.element_at(
+            table, (F.element_at(F.col("codes"), m + 1) + F.lit(1))
+        )
+        adc = term if adc is None else adc + term
+    scored = pairs.select(
+        "query_id", "neighbor_id", adc.alias("adc_micro")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )
+
+
+def ann_pq_adc_topk_sql() -> str:
+    qsub = lambda m: f"q.nv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"  # noqa: E731
+    return f"""
+        WITH {_pq_sql_ctes()},
+        adc_terms AS (
+          SELECT q.vec_id AS query_id, codes.vec_id AS neighbor_id, ct.m,
+                 {_sub_dist2_micro_sql('(CASE ct.m ' + ' '.join(
+                     f"WHEN {m} THEN {qsub(m)}" for m in range(PQ_M)
+                 ) + ' END)', 'ct.cent')} AS d
+          FROM codes
+          JOIN norm q ON q.vec_id < {N_QUERIES}
+                     AND q.vec_id <> codes.vec_id
+          JOIN cent ct ON ct.c = codes.codes[ct.m + 1]
+        )
+        SELECT query_id, neighbor_id, adc_micro, rank FROM (
+          SELECT query_id, neighbor_id, sum(d) AS adc_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(d), neighbor_id) AS INT) AS rank
+          FROM adc_terms GROUP BY query_id, neighbor_id
         ) WHERE rank <= {TOP_K}
     """
 

@@ -602,14 +602,14 @@ def test_ann_recall_eval_semantics(spark):
     from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
 
     rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 4 * N_QUERIES
+    assert len(rows) == 5 * N_QUERIES
     by_method = {}
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
         assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-9
         by_method.setdefault(r["method"], []).append(r["n_hits"])
     assert set(by_method) == {
-        "ivf", "lsh", "lsh_multiprobe", "lsh_multiprobe2",
+        "ivf", "lsh", "lsh_multiprobe", "lsh_multiprobe2", "pq_adc",
     }
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
     # multi-probe exists BECAUSE the eval showed single-probe at ~0:
