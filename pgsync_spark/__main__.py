@@ -329,6 +329,14 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.drift_alert_kl is not None and not args.drift_column:
+            # alerting without a monitored column would arm nothing —
+            # reject like the other dependent-flag guards
+            print(
+                "--drift-alert-kl requires --drift-column",
+                file=sys.stderr,
+            )
+            return 2
         if args.store_dir and os.path.abspath(
             args.dedup_out
         ) == os.path.abspath(args.store_dir):

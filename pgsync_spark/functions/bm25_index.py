@@ -37,14 +37,12 @@ top-k — the held corpus is never rescanned or reshuffled.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .dedup_index import _AppendOnlyIndex
-from .hashing import h32, tokens
+from .hashing import h32, h32_py, tokens
 
 # on-disk partition fan-out for postings; a query prunes to
 # |terms| / BM25_INDEX_BANDS of the directory tree
@@ -56,10 +54,7 @@ _EMPTY_DECISIONS = "doc_id bigint"
 def _band_of(term: str) -> int:
     """Python-side mirror of h32(term) % BM25_INDEX_BANDS for query
     planning (the predicate must be a literal for partition pruning)."""
-    return (
-        int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
-        % BM25_INDEX_BANDS
-    )
+    return h32_py(term) % BM25_INDEX_BANDS
 
 
 class BM25Index(_AppendOnlyIndex):
@@ -117,7 +112,10 @@ class BM25Index(_AppendOnlyIndex):
         from ..queries import BM25_B, BM25_K1, BM25_K1_PLUS_1, BM25_ONE_MINUS_B
 
         keys, vals = self.keys, self.vals
-        if keys is None:
+        if keys is None or not terms:
+            # empty index, or a query whose every term was filtered
+            # away upstream (stopword removal): a typed empty result,
+            # not a Spark analysis crash over zero agg columns
             return self.spark.createDataFrame(
                 [],
                 "doc_id bigint, lang string, source string, "

@@ -277,15 +277,14 @@ class _AppendOnlyIndex:
                 "segments", [f"epoch={e}" for e in sorted(idx._epochs)]
             )
             for seg in idx._segments:
+                # each side independently (a segment may hold only one:
+                # BM25 batches of stats-only docs write vals, no keys)
                 kp = os.path.join(store_dir, cls._KEYS_NAME, seg)
-                if not os.path.isdir(kp):
-                    continue
-                idx._key_parts.append(spark.read.parquet(kp).persist())
-                idx._val_parts.append(
-                    spark.read.parquet(
-                        os.path.join(store_dir, cls._VALS_NAME, seg)
-                    ).persist()
-                )
+                if os.path.isdir(kp):
+                    idx._key_parts.append(spark.read.parquet(kp).persist())
+                vp = os.path.join(store_dir, cls._VALS_NAME, seg)
+                if os.path.isdir(vp):
+                    idx._val_parts.append(spark.read.parquet(vp).persist())
         return idx
 
     @property
@@ -325,16 +324,25 @@ class _AppendOnlyIndex:
         keys = keys.localCheckpoint(eager=True)
         vals = vals.localCheckpoint(eager=True)
         n_keys = keys.count()
+        n_vals = vals.count()
+        from .. import caching
+
+        # each side gates on ITS OWN emptiness (r7 review): the dedup
+        # indexes keep keys/vals pairwise empty-or-not (no survivors →
+        # both empty), but BM25Index appends docstats for batches whose
+        # postings are empty — all-zero-token docs still count toward
+        # N/avgdl, and gating vals on n_keys silently dropped those doc
+        # stats (breaking the additivity oracle after such a batch).
+        # An empty side is still released: appending it would deepen
+        # every later union's plan and diverge from load(), which
+        # skips segment-less sides.
         if n_keys:
-            # an all-dropped batch holds no state: appending its empty
-            # frames anyway would deepen every later probe's union (and
-            # diverge from load(), which skips segment-less epochs)
             self._key_parts.append(keys)
+        else:
+            caching.release_local_checkpoint(keys)
+        if n_vals:
             self._val_parts.append(vals)
         else:
-            from .. import caching
-
-            caching.release_local_checkpoint(keys)
             caching.release_local_checkpoint(vals)
         if self.store_dir is None:
             # in-process replay support for store-less indexes: retain
@@ -357,6 +365,7 @@ class _AppendOnlyIndex:
                         self.store_dir, self._KEYS_NAME, f"epoch={epoch}"
                     )
                 )
+            if n_vals:
                 vals.write.mode("overwrite").parquet(
                     os.path.join(
                         self.store_dir, self._VALS_NAME, f"epoch={epoch}"
@@ -365,7 +374,7 @@ class _AppendOnlyIndex:
             decisions.write.mode("overwrite").parquet(
                 os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
             )
-            if n_keys:
+            if n_keys or n_vals:
                 self._segments.append(f"epoch={epoch}")
         self._epochs.add(epoch)
         if self.store_dir is not None:
@@ -389,7 +398,7 @@ class _AppendOnlyIndex:
         after compaction, so stream replay semantics survive."""
         import shutil
 
-        if not self._key_parts:
+        if not self._key_parts and not self._val_parts:
             return
         # force (the bind_stream rebind path) must still rewrite even a
         # SINGLE epoch=N segment: the rebound stream reuses epoch
@@ -400,8 +409,14 @@ class _AppendOnlyIndex:
             and self.store_dir is not None
             and any(s.startswith("epoch=") for s in self._segments)
         )
-        if len(self._key_parts) <= 1 and not needs_rename:
+        if (
+            len(self._key_parts) <= 1
+            and len(self._val_parts) <= 1
+            and not needs_rename
+        ):
             return
+        # either side may be None (one-sided segments: BM25 batches of
+        # stats-only docs hold vals, no keys)
         keys, vals = self.keys, self.vals
         if self.store_dir is not None:
             seg = f"compacted-{self.next_epoch()}"
@@ -414,20 +429,23 @@ class _AppendOnlyIndex:
                 # from crashed compacts are skipped too, harmlessly
                 n += 1
                 seg = f"compacted-{self.next_epoch()}-{n}"
-            keys.write.mode("overwrite").partitionBy("band").parquet(
-                os.path.join(self.store_dir, self._KEYS_NAME, seg)
-            )
-            vals.write.mode("overwrite").parquet(
-                os.path.join(self.store_dir, self._VALS_NAME, seg)
-            )
-            new_keys = self.spark.read.parquet(
-                os.path.join(self.store_dir, self._KEYS_NAME, seg)
-            ).persist()
-            new_vals = self.spark.read.parquet(
-                os.path.join(self.store_dir, self._VALS_NAME, seg)
-            ).persist()
-            new_keys.count()
-            new_vals.count()
+            new_keys = new_vals = None
+            if keys is not None:
+                keys.write.mode("overwrite").partitionBy("band").parquet(
+                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                )
+                new_keys = self.spark.read.parquet(
+                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                ).persist()
+                new_keys.count()
+            if vals is not None:
+                vals.write.mode("overwrite").parquet(
+                    os.path.join(self.store_dir, self._VALS_NAME, seg)
+                )
+                new_vals = self.spark.read.parquet(
+                    os.path.join(self.store_dir, self._VALS_NAME, seg)
+                ).persist()
+                new_vals.count()
             old_segments, self._segments = self._segments, [seg]
             self._commit_manifest()
             self._swap_parts(new_keys, new_vals)
@@ -441,17 +459,24 @@ class _AppendOnlyIndex:
             # eager checkpoint (not persist): the union's lineage spans
             # every old part — truncate it so the compacted frame is a
             # leaf and old parts' blocks can actually be freed
-            new_keys = keys.localCheckpoint(eager=True)
-            new_vals = vals.localCheckpoint(eager=True)
+            new_keys = (
+                keys.localCheckpoint(eager=True) if keys is not None else None
+            )
+            new_vals = (
+                vals.localCheckpoint(eager=True) if vals is not None else None
+            )
             self._swap_parts(new_keys, new_vals)
 
-    def _swap_parts(self, new_keys: DataFrame, new_vals: DataFrame) -> None:
+    def _swap_parts(
+        self, new_keys: DataFrame | None, new_vals: DataFrame | None
+    ) -> None:
         from .. import caching
 
         for f in self._key_parts + self._val_parts:
             if not caching.release_local_checkpoint(f):
                 f.unpersist()
-        self._key_parts, self._val_parts = [new_keys], [new_vals]
+        self._key_parts = [new_keys] if new_keys is not None else []
+        self._val_parts = [new_vals] if new_vals is not None else []
 
     def close(self) -> None:
         from .. import caching

@@ -26,6 +26,16 @@ def perm_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def h32_py(s: str) -> int:
+    """Python-side mirror of h32 — for driver-side planning literals
+    (BM25 band pruning predicates, pseudo-model weights, synthetic
+    embeddings). One definition: a drifted copy would silently
+    mis-bucket against the engine-side md5 convention."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def h32(col: Column) -> Column:
     """First 8 hex chars of md5 as a bigint in [0, 2^32)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

@@ -823,12 +823,17 @@ def _sub_dist2_micro_sql(sub: str, cent: str) -> str:
     )
 
 
-def pq_encode(df: DataFrame) -> DataFrame:
+def pq_encode(
+    df: DataFrame, cents: list[list[list[float]]] | None = None
+) -> DataFrame:
     """(vec_id, codes array<int>): per subspace, the index of the
     nearest sub-centroid (micro-L2², ties to the smaller code). Pure
     in-scan map — centroids ride the plan as literals, ZERO exchanges
-    (the quality_classifier discipline applied to vectors)."""
-    cents = _pq_centroids(df)
+    (the quality_classifier discipline applied to vectors). Pass
+    ``cents`` when already collected (ann_pq_adc_topk shares one
+    codebook collect between encode and its ADC tables)."""
+    if cents is None:
+        cents = _pq_centroids(df)
     nv = _normalized(F.col("embedding"))
     codes = []
     for m in range(PQ_M):
@@ -905,7 +910,7 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
     (queries broadcast; per-query top-k is the brute-force window
     shape over 4-byte codes instead of 256-byte vectors)."""
     cents = _pq_centroids(df)
-    codes = pq_encode(df).select(
+    codes = pq_encode(df, cents).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
     q = df.filter(F.col("vec_id") < N_QUERIES).select(

@@ -218,13 +218,9 @@ QC_KEEP_MILLI = -198.0
 
 
 def _qc_weights_milli() -> list[int]:
-    import hashlib
+    from .hashing import h32_py
 
-    return [
-        int(hashlib.md5(f"qw{j}".encode()).hexdigest()[:8], 16) % 2001
-        - 1000
-        for j in range(QC_DIM)
-    ]
+    return [h32_py(f"qw{j}") % 2001 - 1000 for j in range(QC_DIM)]
 
 
 QC_WEIGHTS_MILLI = _qc_weights_milli()

@@ -23,6 +23,8 @@ hash-verifiable end-to-end.
 from __future__ import annotations
 
 import hashlib
+
+from .functions.hashing import h32_py
 import math
 import re as _re
 import unicodedata
@@ -40,7 +42,7 @@ def hash_embedding(text: str, dims: int) -> list[int]:
     ``hash_embedding_sql`` exactly."""
     out = []
     for i in range(dims):
-        h = int(hashlib.md5(f"{text}|{i}".encode()).hexdigest()[:8], 16)
+        h = h32_py(f"{text}|{i}")
         x = 2.0 * (h / 4294967296.0) - 1.0
         out.append(math.floor(x * 1e6 + 0.5))
     return out

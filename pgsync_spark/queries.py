@@ -2286,11 +2286,14 @@ def bm25_incremental_topk(spark, sf_dir):
     idx = BM25Index(spark)
     for k in range(3):
         idx.ingest(df.filter(F.col("doc_id") % 3 == k))
-    out = idx.topk(BM25_QUERY_TERMS, k=10)
-    from .caching import owned as _owned
-
-    # the index's checkpointed parts live until the result is released
-    return _owned(out, idx._key_parts + idx._val_parts)
+    # materialize the 10-row answer, then close(): the index parts are
+    # eager localCheckpoints that plain unpersist/release() cannot free
+    # (caching.py's documented block-leak class) — close() routes them
+    # through release_local_checkpoint; the tiny result block is the
+    # ContextCleaner's (the dedup_clusters convention)
+    out = idx.topk(BM25_QUERY_TERMS, k=10).localCheckpoint(eager=True)
+    idx.close()
+    return out
 
 
 DSIR_BUCKETS = 64

@@ -98,7 +98,60 @@ def test_empty_index_topk_is_typed_empty(spark):
     out = idx.topk(BM25_QUERY_TERMS)
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang", "source", "score_micro", "rank"]
+    # an all-stopwords query (empty terms) on a NON-empty index is the
+    # same typed empty, not a zero-agg-columns analysis crash
+    idx.ingest(
+        spark.createDataFrame(
+            [(1, "spark", "en", "s0")],
+            "doc_id bigint, text string, lang string, source string",
+        )
+    )
+    out = idx.topk(())
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "source", "score_micro", "rank"]
     idx.close()
+
+
+def test_stats_only_batch_still_counts_toward_n(spark, tmp_path):
+    """r7 review finding: a batch whose every doc has ZERO tokens holds
+    no postings but must still extend N / sum_dl — the additivity the
+    oracle rests on. Pre-fix, the shared _append gated docstats on the
+    postings count, silently dropping those docs from the stats (and
+    the loss survived restart)."""
+    import math
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    store = str(tmp_path / "bm25")
+    idx = BM25Index(spark, store_dir=store)
+    idx.ingest(spark.createDataFrame([(1, "spark", "en", "s0")], schema))
+    idx.ingest(
+        spark.createDataFrame(
+            [(2, "", "en", "s0"), (3, "   ", "en", "s1")], schema
+        )
+    )
+    assert idx.vals is not None and idx.vals.count() == 3
+
+    # score hand-computed at N=3 (the zero-token docs in the stats):
+    # avgdl = 1/3, tfn = 2.2 / (1 + 1.2*(0.25 + 0.75*3)) = 0.55,
+    # idf = ln(1 + (3 - 1 + 0.5)/1.5)
+    expected = math.floor(
+        math.floor(math.log(1 + 2.5 / 1.5) * 1e6 + 0.5) * 0.55 + 0.5
+    )
+    rows = idx.topk(("spark",), 5).collect()
+    assert [(r["doc_id"], r["score_micro"]) for r in rows] == [(1, expected)]
+    idx.close()
+
+    # the stats-only segment survives restart (vals dir without a keys
+    # dir) and compaction of a one-sided part list
+    idx2 = BM25Index.load(spark, store)
+    assert idx2.vals.count() == 3
+    rows2 = idx2.topk(("spark",), 5).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+    idx2.compact()
+    assert [tuple(r) for r in idx2.topk(("spark",), 5).collect()] == [
+        tuple(r) for r in rows
+    ]
+    idx2.close()
 
 
 def test_bm25_index_through_the_streaming_pipeline(spark, tmp_path):

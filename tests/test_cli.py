@@ -141,6 +141,17 @@ def test_cli_arg_validation(spark, tmp_path):
     # --dedup-stream without its required dirs
     rc = main(["--dedup-stream", str(tmp_path / "docs")], spark=spark)
     assert rc == 2
+    # --drift-alert-kl without --drift-column would arm nothing
+    rc = main(
+        [
+            "--dedup-stream", str(tmp_path / "docs"),
+            "--checkpoint-dir", str(tmp_path / "ck"),
+            "--dedup-out", str(tmp_path / "do"),
+            "--drift-alert-kl", "0.1",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
     # --dedup-out aliasing --store-dir: both hold decisions/epoch=N,
     # rejected before a session spins
     rc = main(
