@@ -630,9 +630,12 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # measures pure quantization loss (4 bytes/vector vs 256)
         ("pq_adc", ann_pq_adc_topk),
     )
+    method_frames = []
     for method, fn in methods:
+        mdf = fn(df)
+        method_frames.append(mdf)
         hits = (
-            fn(df)
+            mdf
             .select("query_id", "neighbor_id")
             .join(F.broadcast(exact), ["query_id", "neighbor_id"])
             .groupBy("query_id")
@@ -650,6 +653,11 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     from functools import reduce as _reduce
 
     out = _reduce(DataFrame.unionByName, parts)
+    for mdf in method_frames:
+        # a method may persist its own intermediates (pq_adc's codes
+        # frame): transfer that ownership to the eval result so one
+        # release frees everything
+        caching.adopt(out, mdf)
     return caching.owned(out, [exact])
 
 
@@ -799,23 +807,13 @@ def _pq_centroids(df: DataFrame) -> list[list[list[float]]]:
     ]
 
 
-def _sub_dist2_micro(sub, cent: list[float]) -> F.Column:
+def _sub_dist2_micro_sql(sub: str, cent: str) -> str:
     """floor(||sub - cent||² * 1e6 + 0.5) as BIGINT — fixed-point so
     cross-subspace sums are exact integer arithmetic (float sum order
-    differs between engines; integer sums are associative)."""
-    d2 = F.aggregate(
-        F.zip_with(
-            sub,
-            F.array(*[F.lit(float(v)) for v in cent]),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-
-
-def _sub_dist2_micro_sql(sub: str, cent: str) -> str:
+    differs between engines; integer sums are associative). The Spark
+    side computes the identical value via _sub_dist2_micro_scalar
+    (same left-to-right order; see pq_encode for why it is scalar
+    expressions, not a list fold)."""
     return (
         f"CAST(floor(list_reduce(list_prepend(0.0, list_transform("
         f"list_zip({sub}, {cent}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
@@ -827,28 +825,64 @@ def pq_encode(
     df: DataFrame, cents: list[list[list[float]]] | None = None
 ) -> DataFrame:
     """(vec_id, codes array<int>): per subspace, the index of the
-    nearest sub-centroid (micro-L2², ties to the smaller code). Pure
-    in-scan map — centroids ride the plan as literals, ZERO exchanges
-    (the quality_classifier discipline applied to vectors). Pass
-    ``cents`` when already collected (ann_pq_adc_topk shares one
-    codebook collect between encode and its ADC tables)."""
+    nearest sub-centroid (micro-L2², ties to the smaller code). Map
+    over the scan, ZERO exchanges — centroids ride the plan as
+    literals (the quality_classifier discipline applied to vectors).
+    Pass ``cents`` when already collected (ann_pq_adc_topk shares one
+    codebook collect between encode and its ADC tables).
+
+    Evaluation shape (measured, r7): the distance arithmetic is
+    SCALAR expressions — element_at + primitive double ops, which
+    whole-stage codegen compiles — over a persisted (embedding, nrm)
+    base row. The naive array form (normalize into an array, then
+    zip_with/aggregate per centroid) re-evaluates the 64-element norm
+    fold inside every higher-order lambda: ~50 ms/row interpreted,
+    99 s for 2000 rows on one partition vs ~1 s this way. The per-row
+    norm is computed ONCE behind the persist boundary (at 100 TB the
+    same boundary is a stored column: materialize nrm — or pre-
+    normalized vectors — when writing the corpus). The returned frame
+    owns the persisted base (caching.release frees it)."""
+    from ..caching import owned
+
     if cents is None:
         cents = _pq_centroids(df)
-    nv = _normalized(F.col("embedding"))
+    base = df.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).persist()
     codes = []
     for m in range(PQ_M):
-        sub = F.slice(nv, m * PQ_SUBDIM + 1, PQ_SUBDIM)
         cands = F.array(
             *[
                 F.struct(
-                    _sub_dist2_micro(sub, cents[m][c]).alias("d"),
+                    _sub_dist2_micro_scalar(
+                        F.col("embedding"), F.col("nrm"), m, cents[m][c]
+                    ).alias("d"),
                     F.lit(c).alias("c"),
                 )
                 for c in range(PQ_KS)
             ]
         )
         codes.append(F.array_min(cands)["c"])
-    return df.select("vec_id", F.array(*codes).alias("codes"))
+    return owned(
+        base.select("vec_id", F.array(*codes).alias("codes")), [base]
+    )
+
+
+def _sub_dist2_micro_scalar(
+    emb, nrm, m: int, cent: list[float]
+) -> F.Column:
+    """The scalar (codegen-friendly) form of _sub_dist2_micro over the
+    raw embedding + its precomputed norm: identical IEEE result —
+    x_d = cast(emb[d])/nrm is exactly the normalized element, and the
+    left-to-right (((0+t1)+t2)+...) sum is the fold's order."""
+    acc = F.lit(0.0)
+    for d, cval in enumerate(cent):
+        x = (
+            F.element_at(emb, m * PQ_SUBDIM + d + 1).cast("double") / nrm
+        )
+        diff = x - F.lit(float(cval))
+        acc = acc + diff * diff
+    return F.floor(acc * F.lit(1e6) + F.lit(0.5)).cast("bigint")
 
 
 def _pq_sql_ctes() -> str:
@@ -899,46 +933,119 @@ def pq_encode_sql() -> str:
     """
 
 
+def _adc_tables_micro(
+    df: DataFrame, cents: list[list[list[float]]]
+) -> dict[int, list[list[int]]]:
+    """The classic PQ serving step: per QUERY, the full distance table
+    — tables[query_id][m][c] = micro-L2² between the query's subvector
+    m and sub-centroid (m, c). Computed on the DRIVER from the
+    collected normalized query vectors (bounded by N_QUERIES, the same
+    bounded-collect budget as the codebook): M·KS·SUBDIM float ops per
+    query once, so the per-candidate cost in the scan is 8 integer
+    array lookups instead of 128 interpreted higher-order-function
+    sub-distance evaluations (the first form measured minutes at
+    sf0.1; this is why real PQ implementations precompute tables).
+    Python floats ARE IEEE doubles and the loop mirrors the engine's
+    left-to-right fold exactly, so the tables are bit-identical to
+    what the oracle derives in SQL."""
+    import math
+
+    rows = (
+        df.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .collect()
+    )
+    tables: dict[int, list[list[int]]] = {}
+    for r in rows:
+        nv = r["nv"]
+        tables[r["vec_id"]] = [
+            [
+                _dist2_micro_py(
+                    nv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM], cents[m][c]
+                )
+                for c in range(PQ_KS)
+            ]
+            for m in range(PQ_M)
+        ]
+    return tables
+
+
+def _dist2_micro_py(a: list[float], b: list[float]) -> int:
+    """Python mirror of _sub_dist2_micro: left-to-right double fold,
+    floor(d²·1e6 + 0.5)."""
+    import math
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return math.floor(acc * 1e6 + 0.5)
+
+
 def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
     """Asymmetric-distance top-k: queries stay full precision; each
     candidate's distance is the sum of per-subspace micro-L2² between
-    the query's subvector and the candidate's CODE centroid — 16
-    table entries per (query, subspace) instead of a 64-dim exact
-    score per pair. On unit vectors ascending L2² is descending
-    cosine, so output ranks are directly recall-comparable to the
-    exact baseline. Corpus side: the encoded frame never shuffles
-    (queries broadcast; per-query top-k is the brute-force window
-    shape over 4-byte codes instead of 256-byte vectors)."""
+    the query's subvector and the candidate's CODE centroid, read from
+    the query's precomputed distance table (_adc_tables_micro) — 8
+    literal-array lookups per candidate instead of a 64-dim exact
+    score. On unit vectors ascending L2² is descending cosine, so
+    output ranks are directly recall-comparable to the exact
+    baseline. Corpus side: the encoded frame never shuffles (the
+    query-table frame broadcasts; per-query top-k is the brute-force
+    window shape over 4-byte codes instead of 256-byte vectors)."""
     cents = _pq_centroids(df)
-    codes = pq_encode(df, cents).select(
+    tables = _adc_tables_micro(df, cents)
+    # persist the 4-byte codes BEFORE the query crossJoin: the encode
+    # argmin would otherwise re-evaluate per (doc × query) OUTPUT row.
+    # Ownership rides the result (caching.owned/adopt).
+    enc = pq_encode(df, cents)
+    codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
+    ).persist()
+    # (query_id, qpos) rides a tiny literal frame; the tables
+    # themselves are one 3-level literal array indexed [qpos][m][code]
+    qids = sorted(tables)
+    q = df.sparkSession.createDataFrame(
+        [(qid, i + 1) for i, qid in enumerate(qids)],
+        "query_id bigint, qpos int",
     )
-    q = df.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _normalized(F.col("embedding")).alias("qn"),
+    lit_tables = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[F.lit(tables[qid][m][c]) for c in range(PQ_KS)]
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+            for qid in qids
+        ]
     )
     pairs = codes.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    qt = F.element_at(lit_tables, F.col("qpos"))
     adc = None
     for m in range(PQ_M):
-        qsub = F.slice(F.col("qn"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        table = F.array(
-            *[_sub_dist2_micro(qsub, cents[m][c]) for c in range(PQ_KS)]
-        )
         term = F.element_at(
-            table, (F.element_at(F.col("codes"), m + 1) + F.lit(1))
+            F.element_at(qt, m + 1),
+            (F.element_at(F.col("codes"), m + 1) + F.lit(1)),
         )
         adc = term if adc is None else adc + term
     scored = pairs.select(
         "query_id", "neighbor_id", adc.alias("adc_micro")
     )
     w = W.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+    from ..caching import adopt, owned
+
+    # own the codes cache AND adopt the encode frame's scope (the
+    # persisted (embedding, nrm) base) so one release frees everything
+    return adopt(owned(out, [codes]), enc)
 
 
 def ann_pq_adc_topk_sql() -> str:
