@@ -75,17 +75,18 @@ class BM25Index(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
-        toks = tokens(F.col("text"))
-        docstats = batch_df.select(
+        # ONE tokenize pass feeds both frames (r7 review: independent
+        # plans re-ran the scan+tokenize per _append materialization);
+        # _append eagerly checkpoints both, so the base releases here
+        base = batch_df.select(
             "doc_id",
-            F.size(toks).alias("dl"),
+            tokens(F.col("text")).alias("toks"),
             "lang",
             "source",
-        )
+        ).withColumn("dl", F.size("toks")).persist()
+        docstats = base.select("doc_id", "dl", "lang", "source")
         postings = (
-            batch_df.select(
-                "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
-            )
+            base.select("doc_id", "dl", F.explode("toks").alias("term"))
             .groupBy("doc_id", "dl", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
             .select(
@@ -97,7 +98,10 @@ class BM25Index(_AppendOnlyIndex):
             )
         )
         decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
-        self._append(postings, docstats, decisions, epoch)
+        try:
+            self._append(postings, docstats, decisions, epoch)
+        finally:
+            base.unpersist()
         return decisions
 
     def topk(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
@@ -106,10 +110,11 @@ class BM25Index(_AppendOnlyIndex):
         (floor-snapped idf per term, bigint per-term contributions),
         so results are bit-identical to one-shot scoring of the same
         docs. Output: (doc_id, lang, source, score_micro, rank)."""
-        # constants live with the one-shot scorer — single source of
-        # truth for the parity the oracle asserts (import at call time:
-        # queries.py imports this module's sibling packages at build)
-        from ..queries import BM25_B, BM25_K1, BM25_K1_PLUS_1, BM25_ONE_MINUS_B
+        # the term expression lives with the one-shot scorer — ONE
+        # tree for the bit-parity the oracle asserts, never two
+        # hand-synchronized copies (import at call time: queries.py
+        # imports this module's sibling packages at build)
+        from ..queries import bm25_term_micro
 
         keys, vals = self.keys, self.vals
         if keys is None or not terms:
@@ -155,26 +160,15 @@ class BM25Index(_AppendOnlyIndex):
         scored = cand.crossJoin(F.broadcast(stats))
 
         def term_micro(i: int):
-            dfq = F.coalesce(F.col(f"df{i}"), F.lit(0).cast("long"))
-            tf = F.col(f"tf{i}")
-            idf_micro = F.floor(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - dfq + F.lit(0.5))
-                    / (dfq + F.lit(0.5))
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("bigint")
-            tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
-                tf
-                + F.lit(float(BM25_K1))
-                * (
-                    F.lit(float(BM25_ONE_MINUS_B))
-                    + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
-                )
+            return bm25_term_micro(
+                F.col(f"tf{i}"),
+                # a term absent from the whole held corpus has no df
+                # row: 0, like the one-shot scorer's sum over no hits
+                F.coalesce(F.col(f"df{i}"), F.lit(0).cast("long")),
+                F.col("n_docs"),
+                F.col("dl"),
+                F.col("avgdl"),
             )
-            return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
 
         score = term_micro(0)
         for i in range(1, len(terms)):

@@ -238,8 +238,12 @@ class _AppendOnlyIndex:
 
         idx = cls(spark, store_dir)
         manifest = os.path.join(store_dir, "CURRENT")
-        if not os.path.exists(manifest) and os.path.isdir(
-            os.path.join(store_dir, cls._KEYS_NAME)
+        if not os.path.exists(manifest) and (
+            os.path.isdir(os.path.join(store_dir, cls._KEYS_NAME))
+            # vals-only stores are legitimate since the per-side
+            # gating (BM25 stats-only segments) — a torn copy that
+            # kept only docstats must refuse too, not load empty
+            or os.path.isdir(os.path.join(store_dir, cls._VALS_NAME))
         ):
             # data dirs without a manifest = a store written by the
             # pre-manifest append-mode format (or a torn copy).

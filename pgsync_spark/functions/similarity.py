@@ -948,8 +948,6 @@ def _adc_tables_micro(
     Python floats ARE IEEE doubles and the loop mirrors the engine's
     left-to-right fold exactly, so the tables are bit-identical to
     what the oracle derives in SQL."""
-    import math
-
     rows = (
         df.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", _normalized(F.col("embedding")).alias("nv"))

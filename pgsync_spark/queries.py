@@ -2108,6 +2108,31 @@ def _eq_lit(t: str):
     return lambda x: x == F.lit(t)
 
 
+def bm25_term_micro(tf, dfq, n_docs, dl, avgdl):
+    """ONE query term's fixed-point BM25 contribution — floor-snapped
+    idf micro-nats × tf normalization, floored to bigint BEFORE the
+    cross-term sum (see _bm25_scored for why). This is the single
+    expression tree both the one-shot scorer and BM25Index.topk build
+    from: the bit-parity contract between them (the additivity oracle)
+    must not rest on two hand-synchronized copies."""
+    idf_micro = F.floor(
+        F.log(
+            F.lit(1.0) + (n_docs - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
+        tf
+        + F.lit(float(BM25_K1))
+        * (
+            F.lit(float(BM25_ONE_MINUS_B))
+            + F.lit(float(BM25_B)) * (dl / avgdl)
+        )
+    )
+    return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
+
+
 def _bm25_scored(df):
     """Per-doc BM25 micro-score frame (doc_id, lang, source,
     score_micro) for the fixed query BM25_QUERY_TERMS.
@@ -2153,25 +2178,13 @@ def _bm25_scored(df):
     )
 
     def term_micro(i: int):
-        dfq = F.col(f"df{i}")
-        tf = F.col(f"tf{i}")
-        idf_micro = F.floor(
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
-            )
-            * F.lit(1e6)
-            + F.lit(0.5)
-        ).cast("bigint")
-        tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
-            tf
-            + F.lit(float(BM25_K1))
-            * (
-                F.lit(float(BM25_ONE_MINUS_B))
-                + F.lit(float(BM25_B)) * (F.col("dl") / F.col("avgdl"))
-            )
+        return bm25_term_micro(
+            F.col(f"tf{i}"),
+            F.col(f"df{i}"),
+            F.col("n_docs"),
+            F.col("dl"),
+            F.col("avgdl"),
         )
-        return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
 
     score = term_micro(0)
     for i in range(1, len(BM25_QUERY_TERMS)):
