@@ -831,58 +831,59 @@ def pq_encode(
     Pass ``cents`` when already collected (ann_pq_adc_topk shares one
     codebook collect between encode and its ADC tables).
 
-    Evaluation shape (measured, r7): the distance arithmetic is
-    SCALAR expressions — element_at + primitive double ops, which
-    whole-stage codegen compiles — over a persisted (embedding, nrm)
-    base row. The naive array form (normalize into an array, then
-    zip_with/aggregate per centroid) re-evaluates the 64-element norm
-    fold inside every higher-order lambda: ~50 ms/row interpreted,
-    99 s for 2000 rows on one partition vs ~1 s this way. The per-row
-    norm is computed ONCE behind the persist boundary (at 100 TB the
-    same boundary is a stored column: materialize nrm — or pre-
-    normalized vectors — when writing the corpus). The returned frame
-    owns the persisted base (caching.release frees it)."""
-    from ..caching import owned
+    Evaluation shape (measured, r7 — two dead ends before this form):
+    the M·KS·SUBDIM distance argmin is one Arrow-batched mapInPandas
+    over numpy, vectorized ACROSS ROWS with the per-row op order
+    exactly the engine fold's (dims accumulate left-to-right; all
+    sums are <= 64 elements so no pairwise-summation reordering) — so
+    the codes are bit-identical to the DuckDB oracle's list-fold
+    arithmetic, which the hash gate proves every run. The pure-
+    expression forms both lose: higher-order array lambdas are
+    interpreted per element (~50 ms/row — the 64-element norm fold
+    re-evaluates inside every lambda; 99 s for 2000 rows), and the
+    equivalent scalar element_at tree has ~3k nodes, which blows
+    whole-stage codegen's method limit ("Failed to compile the
+    generated Java code") and falls back to interpreted eval per run.
+    This is the sanctioned Python crossing: numpy does in microseconds
+    per row what the JVM expression interpreter does in milliseconds,
+    and the crossing is one Arrow batch pass with zero exchanges."""
+    import numpy as np
+    import pandas as pd
 
     if cents is None:
         cents = _pq_centroids(df)
-    base = df.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    ).persist()
-    codes = []
-    for m in range(PQ_M):
-        cands = F.array(
-            *[
-                F.struct(
-                    _sub_dist2_micro_scalar(
-                        F.col("embedding"), F.col("nrm"), m, cents[m][c]
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(PQ_KS)
-            ]
-        )
-        codes.append(F.array_min(cands)["c"])
-    return owned(
-        base.select("vec_id", F.array(*codes).alias("codes")), [base]
+    m_, ks, sub = PQ_M, PQ_KS, PQ_SUBDIM
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # norm: sequential accumulation over dims = the fold order
+            acc = np.zeros(n)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * x[:, d]
+            nrm = np.sqrt(acc)
+            codes = np.empty((n, m_), dtype=np.int32)
+            for m in range(m_):
+                dists = np.empty((n, ks), dtype=np.int64)
+                for c in range(ks):
+                    a = np.zeros(n)
+                    for d in range(sub):
+                        diff = x[:, m * sub + d] / nrm - cents[m][c][d]
+                        a = a + diff * diff
+                    dists[:, c] = np.floor(a * 1e6 + 0.5).astype(np.int64)
+                # first minimum = smallest code on ties, matching the
+                # (d, c) struct-min / ROW_NUMBER(d, c) tiebreak
+                codes[:, m] = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        enc, "vec_id bigint, codes array<int>"
     )
-
-
-def _sub_dist2_micro_scalar(
-    emb, nrm, m: int, cent: list[float]
-) -> F.Column:
-    """The scalar (codegen-friendly) form of _sub_dist2_micro over the
-    raw embedding + its precomputed norm: identical IEEE result —
-    x_d = cast(emb[d])/nrm is exactly the normalized element, and the
-    left-to-right (((0+t1)+t2)+...) sum is the fold's order."""
-    acc = F.lit(0.0)
-    for d, cval in enumerate(cent):
-        x = (
-            F.element_at(emb, m * PQ_SUBDIM + d + 1).cast("double") / nrm
-        )
-        diff = x - F.lit(float(cval))
-        acc = acc + diff * diff
-    return F.floor(acc * F.lit(1e6) + F.lit(0.5)).cast("bigint")
 
 
 def _pq_sql_ctes() -> str:
