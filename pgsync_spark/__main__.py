@@ -179,6 +179,17 @@ def build_parser() -> argparse.ArgumentParser:
         "rejects land under <out>/rejected/epoch=N",
     )
     p.add_argument(
+        "--bm25-topk", metavar="QUERY", default=None,
+        help="query a stored BM25 index (--store-dir, built by "
+        "--dedup-stream --dedup-index bm25): tokenize QUERY like the "
+        "engine (lowercase whitespace split), print the top-k docs as "
+        "JSON lines",
+    )
+    p.add_argument(
+        "--topk-k", type=int, default=10,
+        help="result count for --bm25-topk (default 10)",
+    )
+    p.add_argument(
         "--export-shards", metavar="DOCS_DIR", default=None,
         help="read parquet documents (doc_id, text, ...) from this "
         "directory — e.g. a dedup stream's accepted/ output — and "
@@ -318,10 +329,54 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
+    """--bm25-topk: load the stored inverted index and answer one
+    query — the read side of the --dedup-stream --dedup-index bm25
+    maintenance loop."""
+    import json
+
+    from .functions.bm25_index import BM25Index
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_bm25")
+    try:
+        # the engine tokenizer is lowercase whitespace split — mirror
+        # it so query terms hit the same postings the docs produced
+        terms = tuple(args.bm25_topk.lower().split())
+        idx = BM25Index.load(spark, args.store_dir)
+        try:
+            for r in idx.topk(terms, k=args.topk_k).collect():
+                print(json.dumps(r.asDict(), sort_keys=True), file=out)
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
     args = build_parser().parse_args(argv)
+    if args.bm25_topk is not None:
+        if not args.store_dir:
+            print("--bm25-topk requires --store-dir", file=sys.stderr)
+            return 2
+        if not args.bm25_topk.strip():
+            print("--bm25-topk needs at least one term", file=sys.stderr)
+            return 2
+        if args.dedup_stream or args.config or args.daemon:
+            print(
+                "--bm25-topk is its own mode; remove the sync/stream "
+                "flags",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_bm25_topk(args, spark, out)
     if args.dedup_stream:
         if not (args.checkpoint_dir and args.dedup_out):
             print(

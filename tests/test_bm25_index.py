@@ -3,6 +3,7 @@ scorer, store-backed restart, compaction, band-partitioned layout."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pgsync_spark.functions.bm25_index import (
@@ -233,6 +234,32 @@ def test_bm25_index_through_the_streaming_pipeline(spark, tmp_path):
     assert {r["doc_id"] for r in got} == {1, 3, 4}
     assert got[0]["doc_id"] == 4  # tf=3 of dl=3 wins
     idx2.close()
+
+
+@pytest.mark.parametrize("n_batches", [2, 5])
+def test_additivity_holds_for_arbitrary_splits(spark, n_batches):
+    """The additivity contract is split-independent: ANY partition of
+    the corpus into ingestion batches (here: hash-assigned, unequal
+    sizes, arrival order by hash value — nothing like the %3 oracle
+    split) must score bit-identically to one-shot BM25. This is the
+    property the oracle's fixed split cannot cover by itself."""
+    from pyspark.sql import functions as F
+
+    from pgsync_spark.functions.hashing import h32
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    expected = _oneshot(spark)
+    idx = BM25Index(spark)
+    part = h32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    sizes = []
+    for k in range(n_batches):
+        b = docs.filter(part % n_batches == k)
+        sizes.append(b.count())
+        idx.ingest(b)
+    assert min(sizes) > 0 and len(set(sizes)) > 1  # real, unequal split
+    got = [tuple(r) for r in idx.topk(BM25_QUERY_TERMS).collect()]
+    assert got == expected
+    idx.close()
 
 
 def test_band_of_mirrors_h32(spark):

@@ -631,6 +631,29 @@ def test_cli_dedup_stream_bm25_index(spark, tmp_path):
     assert [r["doc_id"] for r in idx.topk(("spark",), k=5).collect()] == [1]
     idx.close()
 
+    # the read side as a user command: query the stored index
+    import io
+
+    buf = io.StringIO()
+    rc = main(
+        ["--bm25-topk", "Spark ENGINE", "--store-dir", store],
+        spark=spark,
+        out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [r["doc_id"] for r in rows] == [1]  # tokenized like the engine
+    assert rows[0]["rank"] == 1 and rows[0]["score_micro"] > 0
+    # guards: no store / blank query / mode mixing
+    assert main(["--bm25-topk", "x"], spark=spark) == 2
+    assert main(
+        ["--bm25-topk", "  ", "--store-dir", store], spark=spark
+    ) == 2
+    assert main(
+        ["--bm25-topk", "x", "--store-dir", store, "--daemon"],
+        spark=spark,
+    ) == 2
+
 
 def test_cli_export_shards_from_dedup_output(spark, tmp_path):
     """The full shell-driveable pipeline: dedup stream -> accepted/
