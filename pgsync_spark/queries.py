@@ -2309,6 +2309,82 @@ def bm25_incremental_topk(spark, sf_dir):
     return out
 
 
+SKEW_TOP_N = 20
+
+
+@register(
+    "key_skew_profile",
+    f"""WITH counts AS (
+          SELECT o_custkey AS key, count(*) AS cnt
+          FROM orders GROUP BY o_custkey
+        ),
+        stats AS (
+          SELECT count(*) AS distinct_keys, sum(cnt) AS total_rows,
+                 max(cnt) AS max_cnt
+          FROM counts
+        ),
+        topn AS (
+          SELECT key, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+          FROM counts ORDER BY cnt DESC, key LIMIT {SKEW_TOP_N}
+        )
+        SELECT t.key, t.cnt, CAST(t.rank AS INT) AS rank,
+               CAST((t.cnt * 1000000) // s.total_rows AS BIGINT)
+                 AS share_micro,
+               s.distinct_keys, s.total_rows,
+               CAST((s.max_cnt * s.distinct_keys * 1000000)
+                    // s.total_rows AS BIGINT) AS skew_micro
+        FROM topn t, stats s""",
+)
+def key_skew_profile(spark, sf_dir):
+    """Join/shuffle planning diagnostic: the heavy-hitter profile of a
+    join key (orders.o_custkey here — the FK the flagship denorm
+    shuffles on). Top-{SKEW_TOP_N} keys with counts and corpus share,
+    plus the skew summary every salting/AQE decision needs riding each
+    row: distinct_keys, total_rows, and skew_micro = max key frequency
+    over the mean (1e6 = perfectly uniform). This is the measurement
+    you run BEFORE sizing spark.sql.shuffle.partitions or deciding a
+    key needs salting — the engine's own docs (README "Skew") assume
+    it exists.
+
+    Scale shape: ONE map-side-combined groupBy on the key (the only
+    corpus shuffle — identical to the shuffle being diagnosed, so if
+    this runs, the join will); the summary is a partial-aggregated
+    1-row reduction over the counts frame, the top-N is TakeOrdered
+    (per-partition heaps), and both re-enter via a 1-row crossJoin
+    broadcast. Integer micro-ratios (BIGINT div) keep the oracle
+    bit-exact."""
+    df = Catalog(spark, sf_dir).df("orders")
+    counts = df.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    topn = counts.orderBy(F.col("cnt").desc(), "key").limit(SKEW_TOP_N)
+    w = W.orderBy(F.col("cnt").desc(), "key")
+    return (
+        topn.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            F.expr(
+                "CAST((cnt * 1000000) div total_rows AS BIGINT)"
+            ).alias("share_micro"),
+            "distinct_keys",
+            "total_rows",
+            F.expr(
+                "CAST((max_cnt * distinct_keys * 1000000) "
+                "div total_rows AS BIGINT)"
+            ).alias("skew_micro"),
+        )
+    )
+
+
 DSIR_BUCKETS = 64
 DSIR_TARGET_LANG = "en"
 DSIR_SELECT_N = 100
