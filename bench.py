@@ -75,6 +75,7 @@ HEADLINE = [
     "bm25_incremental_topk",
     # round-7: PQ-ADC retrieval (4-byte codes, asymmetric distance)
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # round-7: shuffle-planning diagnostic (one key groupBy + TakeOrdered)
     "key_skew_profile",
     # round-6 second continuation: ANN eval + drift + export binning

@@ -629,6 +629,9 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # so ascending L2-squared is descending cosine and its recall
         # measures pure quantization loss (4 bytes/vector vs 256)
         ("pq_adc", ann_pq_adc_topk),
+        # prune x compress composed (the FAISS IVF-PQ serving shape):
+        # its recall shows the two losses stacking
+        ("ivfpq", ann_ivfpq_topk),
     )
     method_frames = []
     for method, fn in methods:
@@ -686,11 +689,13 @@ def ann_recall_eval_sql() -> str:
              lsh AS ({ann_lsh_topk_sql()}),
              lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()}),
              lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)}),
-             pq_adc AS ({ann_pq_adc_topk_sql()})
+             pq_adc AS ({ann_pq_adc_topk_sql()}),
+             ivfpq AS ({ann_ivfpq_topk_sql()})
         {one('ivf')} UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
         UNION ALL {one('lsh_multiprobe2')}
         UNION ALL {one('pq_adc')}
+        UNION ALL {one('ivfpq')}
     """
 
 
@@ -1000,10 +1005,27 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
     codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     ).persist()
-    # (query_id, qpos) rides a tiny literal frame; the tables
-    # themselves are one 3-level literal array indexed [qpos][m][code]
+    qf, qt = _adc_query_frame(df.sparkSession, tables)
+    pairs = codes.crossJoin(F.broadcast(qf)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
+    )
+    out = _adc_rank(scored)
+    from ..caching import adopt, owned
+
+    # own the codes cache AND adopt the encode frame's scope so one
+    # release frees everything
+    return adopt(owned(out, [codes]), enc)
+
+
+def _adc_query_frame(spark, tables):
+    """(query frame with a 1-based qpos column, the per-query table
+    column): tables ride the plan as ONE 3-level literal array indexed
+    [qpos][m][code]; the tiny (query_id, qpos) frame broadcasts."""
     qids = sorted(tables)
-    q = df.sparkSession.createDataFrame(
+    qf = spark.createDataFrame(
         [(qid, i + 1) for i, qid in enumerate(qids)],
         "query_id bigint, qpos int",
     )
@@ -1020,10 +1042,13 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
             for qid in qids
         ]
     )
-    pairs = codes.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    qt = F.element_at(lit_tables, F.col("qpos"))
+    return qf, F.element_at(lit_tables, F.col("qpos"))
+
+
+def _adc_micro(qt) -> F.Column:
+    """Sum of the 8 per-subspace table lookups for a candidate's
+    codes — the shared ADC scoring expression (pq_adc and ivfpq must
+    never drift apart, same rule as bm25_term_micro)."""
     adc = None
     for m in range(PQ_M):
         term = F.element_at(
@@ -1031,20 +1056,110 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
             (F.element_at(F.col("codes"), m + 1) + F.lit(1)),
         )
         adc = term if adc is None else adc + term
-    scored = pairs.select(
-        "query_id", "neighbor_id", adc.alias("adc_micro")
-    )
+    return adc
+
+
+def _adc_rank(scored: DataFrame) -> DataFrame:
     w = W.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+def ann_ivfpq_topk(df: DataFrame) -> DataFrame:
+    """IVF-PQ — the FAISS serving composition: IVF cell PRUNING (a
+    query touches only its IVF_NPROBE cells' members, ~nprobe/cells of
+    the corpus) × PQ-ADC COMPRESSION (candidates scored by 8 table
+    lookups over 4-byte codes, never touching the 256-byte vectors).
+    The two dials are independent: nprobe buys probe recall, code
+    budget buys scoring fidelity — ann_recall_eval prices this next to
+    each dial alone (ivf = prune + exact rerank; pq_adc = no pruning +
+    compressed scoring). Same engine-exact discipline throughout
+    (deterministic codebooks, integer micro distances, rounded-cosine
+    cell ranks), so the oracle is a full value match."""
+    cents = _pq_centroids(df)
+    tables = _adc_tables_micro(df, cents)
+    enc = pq_encode(df, cents)
+    codes = enc.select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    ).persist()
+    scores = _cell_scores(df)
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    qprobe = ranked.filter(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    cand = (
+        qprobe.join(assign, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qf, qt = _adc_query_frame(df.sparkSession, tables)
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro"))
+    )
+    out = _adc_rank(scored)
     from ..caching import adopt, owned
 
-    # own the codes cache AND adopt the encode frame's scope (the
-    # persisted (embedding, nrm) base) so one release frees everything
     return adopt(owned(out, [codes]), enc)
+
+
+def ann_ivfpq_topk_sql() -> str:
+    cell_cos = round6_sql(
+        _dot_sql("e.embedding", "c.cv")
+        + " / ("
+        + _norm_sql("e.embedding")
+        + " * "
+        + _norm_sql("c.cv")
+        + ")"
+    )
+    qsub = lambda m: f"q.nv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"  # noqa: E731
+    return f"""
+        WITH {_pq_sql_ctes()},
+        ivfcent AS (
+          SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.cell_id, {cell_cos} AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {cell_cos} DESC, c.cell_id) AS rn
+          FROM embeddings e CROSS JOIN ivfcent c
+        ),
+        assign AS (SELECT vec_id AS neighbor_id, cell_id
+                   FROM ranked WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, cell_id FROM ranked
+                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM qprobe p JOIN assign a ON a.cell_id = p.cell_id
+          WHERE a.neighbor_id <> p.query_id
+        ),
+        adc_terms AS (
+          SELECT cand.query_id, cand.neighbor_id, ct.m,
+                 {_sub_dist2_micro_sql('(CASE ct.m ' + ' '.join(
+                     f"WHEN {m} THEN {qsub(m)}" for m in range(PQ_M)
+                 ) + ' END)', 'ct.cent')} AS d
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.neighbor_id
+          JOIN norm q ON q.vec_id = cand.query_id
+          JOIN cent ct ON ct.c = codes.codes[ct.m + 1]
+        )
+        SELECT query_id, neighbor_id, adc_micro, rank FROM (
+          SELECT query_id, neighbor_id, sum(d) AS adc_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(d), neighbor_id) AS INT) AS rank
+          FROM adc_terms GROUP BY query_id, neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
 
 
 def ann_pq_adc_topk_sql() -> str:

@@ -406,6 +406,7 @@ _emb_query(
 )
 _emb_query(_sim.pq_encode, _sim.pq_encode_sql(), "embedding_pq_codes")
 _emb_query(_sim.ann_pq_adc_topk, _sim.ann_pq_adc_topk_sql(), "ann_pq_adc_topk")
+_emb_query(_sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), "ann_ivfpq_topk")
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 _emb_query(
     _sim.cluster_balanced_sample,

@@ -602,7 +602,7 @@ def test_ann_recall_eval_semantics(spark):
     from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
 
     rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 5 * N_QUERIES
+    assert len(rows) == 6 * N_QUERIES
     by_method = {}
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
@@ -610,7 +610,11 @@ def test_ann_recall_eval_semantics(spark):
         by_method.setdefault(r["method"], []).append(r["n_hits"])
     assert set(by_method) == {
         "ivf", "lsh", "lsh_multiprobe", "lsh_multiprobe2", "pq_adc",
+        "ivfpq",
     }
+    # composition can only lose vs each dial alone: ivfpq's candidate
+    # set is a subset of pq_adc's, scored identically
+    assert sum(by_method["ivfpq"]) <= sum(by_method["pq_adc"])
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
     # multi-probe exists BECAUSE the eval showed single-probe at ~0:
     # probing the Hamming-1 buckets must strictly improve here
