@@ -725,10 +725,16 @@ def _compact(out: dict, detail_path: str) -> dict:
         c["noise_flags"] = out["noise_flags"]
     if "errors" in out:
         c["errors"] = {k: v[:80] for k, v in out["errors"].items()}
-    # shed diagnostics (never metrics) until the line fits
-    for drop in ("noise_flags", "errors", "canary", "batch_scaling"):
+    # shed until the line fits: first the FREE step (query medians to
+    # 2dp — ~1 char per query, precision no comparison uses), then
+    # diagnostics in fixed order (never the metrics themselves)
+    for drop in ("round2", "noise_flags", "errors", "canary",
+                 "batch_scaling"):
         if len(json.dumps(c, separators=(",", ":"))) <= _COMPACT_BUDGET:
             break
+        if drop == "round2":
+            c["queries"] = {k: round(v, 2) for k, v in c["queries"].items()}
+            continue
         if drop == "errors" and drop in c:
             c["errors"] = sorted(c["errors"])  # keys only
             continue

