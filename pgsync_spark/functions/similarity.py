@@ -891,6 +891,26 @@ def pq_encode(
     )
 
 
+def pq_codes_json(df: DataFrame) -> DataFrame:
+    """Registry boundary for pq_encode: same codes, emitted as a JSON
+    string (`to_json`) instead of a raw array<int>. The driver's
+    oracle harness canonicalizes results with a pandas multi-column
+    sort, which cannot hash list-valued cells — minhash_signatures
+    set the precedent (dedup.py:196). The array-returning pq_encode
+    stays the internal helper for ann_pq_adc_topk / ann_ivfpq_topk,
+    whose registry outputs are already scalar."""
+    return pq_encode(df).select(
+        "vec_id", F.to_json(F.col("codes")).alias("pq_codes")
+    )
+
+
+def pq_codes_json_sql() -> str:
+    return f"""
+        WITH {_pq_sql_ctes()}
+        SELECT vec_id, to_json(codes) AS pq_codes FROM codes
+    """
+
+
 def _pq_sql_ctes() -> str:
     """Shared oracle CTEs: normalized vectors, sub-centroids (derived
     from the table — the oracle cannot embed data literals), per-

@@ -404,7 +404,7 @@ _emb_query(
     _sim.ann_lsh_multiprobe_topk_sql(),
     "ann_lsh_multiprobe_topk",
 )
-_emb_query(_sim.pq_encode, _sim.pq_encode_sql(), "embedding_pq_codes")
+_emb_query(_sim.pq_codes_json, _sim.pq_codes_json_sql(), "embedding_pq_codes")
 _emb_query(_sim.ann_pq_adc_topk, _sim.ann_pq_adc_topk_sql(), "ann_pq_adc_topk")
 _emb_query(_sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), "ann_ivfpq_topk")
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
@@ -987,7 +987,7 @@ from .plugin_examples import hash_embedding_sql as _hash_emb_sql
 @register(
     "chunk_embeddings",
     f"""SELECT doc_id, chunk_id,
-               {_hash_emb_sql('chunk_text', CHUNK_EMB_DIMS)} AS embedding
+               to_json({_hash_emb_sql('chunk_text', CHUNK_EMB_DIMS)}) AS embedding
         FROM (
           SELECT doc_id, chunk_id,
                  substring(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})
@@ -1026,8 +1026,11 @@ def chunk_embeddings(spark, sf_dir):
     return chunks.select(
         "doc_id",
         "chunk_id",
-        F.array(
-            *[_hash_dim(chunk_text, i) for i in range(CHUNK_EMB_DIMS)]
+        # to_json at the registry boundary: the driver's pandas
+        # canonicalizer cannot hash list-valued cells (the
+        # minhash_signatures precedent, dedup.py:196).
+        F.to_json(
+            F.array(*[_hash_dim(chunk_text, i) for i in range(CHUNK_EMB_DIMS)])
         ).alias("embedding"),
     )
 
@@ -1707,12 +1710,12 @@ def text_repetition_stats(spark, sf_dir):
         )
         SELECT vec_id,
                {round6_sql('scale')} AS scale,
-               CASE WHEN scale = 0
+               to_json(CASE WHEN scale = 0
                     THEN list_transform(embedding, x -> 0)
                     ELSE list_transform(embedding,
                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
                                      AS INTEGER))
-               END AS q
+               END) AS q
         FROM s""",
 )
 def embedding_quantize_int8(spark, sf_dir):
@@ -1746,7 +1749,9 @@ def embedding_quantize_int8(spark, sf_dir):
     return s.select(
         "vec_id",
         hashing.round6(F.col("_scale")).alias("scale"),
-        q.alias("q"),
+        # to_json at the registry boundary (canonicalizer contract —
+        # the minhash_signatures precedent, dedup.py:196).
+        F.to_json(q).alias("q"),
     )
 
 

@@ -13,6 +13,22 @@ from conftest import SF_DIR
 def test_query_matches_oracle(spark, name):
     qdef = REGISTRY[name]
     df = qdef.fn(spark, SF_DIR)
+    # Output contract: atomic columns only. The driver's pandas
+    # canonicalizer (multi-column sort_values) cannot hash list/
+    # struct/map cells — emit to_json(...) at the registry boundary
+    # (the minhash_signatures precedent). Enforced here so no future
+    # registry addition can repeat the embedding_pq_codes red row.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-atomic column(s) {bad}; wrap in to_json() "
+        "on both the Spark and oracle sides"
+    )
     if qdef.oracle is None:
         assert df.count() >= 0
         return
