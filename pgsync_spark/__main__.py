@@ -346,7 +346,23 @@ def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
         # the engine tokenizer is lowercase whitespace split — mirror
         # it so query terms hit the same postings the docs produced
         terms = tuple(args.bm25_topk.lower().split())
-        idx = BM25Index.load(spark, args.store_dir)
+        try:
+            if not os.path.exists(
+                os.path.join(args.store_dir, "CURRENT")
+            ):
+                # load() returns an EMPTY index for a missing dir —
+                # a typo'd path must not masquerade as zero results
+                raise ValueError(
+                    "no CURRENT manifest (not a BM25 store, or the "
+                    "path is wrong)"
+                )
+            idx = BM25Index.load(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            # missing/unreadable/foreign store: the rc=2 stderr-message
+            # pattern every other CLI guard uses, not a raw traceback
+            print(f"--bm25-topk: cannot load {args.store_dir}: {e}",
+                  file=sys.stderr)
+            return 2
         try:
             for r in idx.topk(terms, k=args.topk_k).collect():
                 print(json.dumps(r.asDict(), sort_keys=True), file=out)

@@ -10,15 +10,33 @@ State rides the shared `_AppendOnlyIndex` machinery (append-only
 segments, atomic CURRENT manifest, epoch bookkeeping, `compact()`,
 `bind_stream`) from dedup_index.py:
 
-- postings (keys frame): ``(band, term, doc_id, tf, dl)`` — band =
+- postings (keys frame): ``(band, term, doc_id, tf, dl, ver)`` — band =
   h32(term) % BM25_INDEX_BANDS is the on-disk partition key
   (partitionBy("band") in the base class), so a query's scan prunes to
   its terms' directories exactly like the dedup band dirs.
   ``dl`` is denormalized onto each posting so scoring never joins the
-  corpus-sized docstats side.
-- docstats (vals frame): ``(doc_id, dl, lang, source)`` — one row per
-  ingested doc. Docs with zero tokens hold no postings but still count
-  toward N / avgdl, exactly like the one-shot scorer.
+  corpus-sized docstats side. ``ver`` is the epoch that wrote the
+  doc version the posting belongs to.
+- docstats (vals frame): ``(doc_id, dl, lang, source, ver, op)`` —
+  one row per ingested doc VERSION. Docs with zero tokens hold no
+  postings but still count toward N / avgdl, exactly like the
+  one-shot scorer. ``op`` is 'a' for bulk ``ingest()`` rows, 'u' for
+  ``apply_cdc`` upserts, 'd' for delete tombstones (dl=0, lang/source
+  NULL).
+
+UPDATE/DELETE (the reference's entire reason to exist is keeping a
+search index in sync under CDC — ref: pgsync/sync.py:1254-1343 delete
+paths, search_client.py:100-212 bulk delete actions) is append-only
+Lucene-style: ``apply_cdc`` appends new-version postings/stats and
+delete tombstones; nothing is rewritten in place. Query time folds a
+CDC OVERLAY: docs never touched by CDC (op='a' only) pass through a
+broadcast anti-join untouched, docs with CDC rows resolve to their
+max-``ver`` row (tombstone on top = dead). The overlay is sized by
+CDC traffic since the last ``compact()`` — compact() folds shadowed
+versions and tombstones away physically and resets the overlay to
+zero, exactly Lucene's merge. On-disk, the ``op != 'a'`` overlay scan
+prunes bulk segments at the parquet row-group level (op is constant
+'a' there, min/max stats skip them).
 
 BM25 is incremental BY ADDITIVITY: N, sum_dl, df(term), tf are all
 per-doc sums, so an index built from ANY batch split scores
@@ -75,16 +93,105 @@ class BM25Index(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
+        self._append_docs(batch_df, decisions, epoch, op="a")
+        return decisions
+
+    def apply_cdc(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Apply one CDC micro-batch: rows with ``op='d'`` delete
+        their doc (text/lang/source ignored), every other row is an
+        UPSERT (new version of the doc — or a plain insert; both are
+        one appended version, Lucene-style). ``batch_df``:
+        (doc_id, text, lang, source, op).
+
+        Contract: at most ONE row per doc_id — the producer folds
+        multi-event runs per doc first (streaming/cdc.py's LWW fold by
+        (txid, seq) is that producer; a raw batch with two rows for
+        one doc has no deterministic order here, so it raises rather
+        than guessing). Enforced with one O(batch) check.
+
+        Returns the DELETED doc_ids as the decisions frame — the docs
+        this epoch removed from the index, which is exactly what the
+        stream front-end's accepted/decisions split and the
+        stored_decisions replay path need (a replayed committed epoch
+        rebuilds its outputs from these without re-ingesting)."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        batch_df = batch_df.persist()
+        try:
+            dup = (
+                batch_df.groupBy("doc_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"apply_cdc batch has multiple rows for doc_id "
+                    f"{dup[0]['doc_id']}; fold per-doc runs (LWW) "
+                    "before applying — order within a batch is the "
+                    "producer's knowledge, not the index's"
+                )
+            dels = batch_df.filter(F.col("op") == "d").select("doc_id")
+            ups = batch_df.filter(F.col("op") != "d")
+            self._append_docs(ups, dels, epoch, op="u", dels=dels)
+            decisions = dels
+        finally:
+            batch_df.unpersist()
+        return decisions
+
+    def _append_docs(
+        self,
+        batch_df: DataFrame,
+        decisions: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None = None,
+    ) -> None:
         # ONE tokenize pass feeds both frames (r7 review: independent
         # plans re-ran the scan+tokenize per _append materialization);
         # _append eagerly checkpoints both, so the base releases here
-        base = batch_df.select(
+        base = (
+            batch_df.select(
+                "doc_id",
+                # NULL text tokenizes as empty, never as a NULL toks
+                # whose size(-1/NULL) would silently poison sum_dl /
+                # avgdl for every later query — one malformed streamed
+                # record must not corrupt corpus stats
+                tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+                "lang",
+                "source",
+            )
+            .withColumn("dl", F.size("toks"))
+            .persist()
+        )
+        ver = F.lit(epoch).cast("long")
+        docstats = base.select(
             "doc_id",
-            tokens(F.col("text")).alias("toks"),
+            "dl",
             "lang",
             "source",
-        ).withColumn("dl", F.size("toks")).persist()
-        docstats = base.select("doc_id", "dl", "lang", "source")
+            ver.alias("ver"),
+            F.lit(op).alias("op"),
+        )
+        if dels is not None:
+            # delete tombstones: versioned docstats rows with no
+            # postings — the overlay fold reads "tombstone on top" as
+            # "doc is dead" until compact() drops the doc physically
+            docstats = docstats.unionByName(
+                dels.select(
+                    "doc_id",
+                    F.lit(0).cast("int").alias("dl"),
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("string").alias("source"),
+                    ver.alias("ver"),
+                    F.lit("d").alias("op"),
+                )
+            )
         postings = (
             base.select("doc_id", "dl", F.explode("toks").alias("term"))
             .groupBy("doc_id", "dl", "term")
@@ -95,14 +202,63 @@ class BM25Index(_AppendOnlyIndex):
                 "doc_id",
                 "tf",
                 "dl",
+                ver.alias("ver"),
             )
         )
-        decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
         try:
             self._append(postings, docstats, decisions, epoch)
         finally:
             base.unpersist()
-        return decisions
+
+    def _overlay(self, vals: DataFrame) -> DataFrame:
+        """The CDC overlay: one row per doc TOUCHED by apply_cdc since
+        the last compact — (doc_id, ver, op, dl, lang, source) of its
+        latest version (max ver; op='d' means dead). Small by
+        construction (sized by CDC traffic, reset to zero by
+        compact()); the op != 'a' scan prunes bulk segments at the
+        parquet row-group level (op constant 'a' → min/max skip)."""
+        s = F.max(F.struct("ver", "op", "dl", "lang", "source")).alias("s")
+        return (
+            vals.filter(F.col("op") != "a")
+            .groupBy("doc_id")
+            .agg(s)
+            .select(
+                "doc_id",
+                F.col("s.ver").alias("ver"),
+                F.col("s.op").alias("op"),
+                F.col("s.dl").alias("dl"),
+                F.col("s.lang").alias("lang"),
+                F.col("s.source").alias("source"),
+            )
+        )
+
+    def _live_vals(self, vals: DataFrame, overlay: DataFrame) -> DataFrame:
+        """Current-corpus docstats: untouched docs pass a broadcast
+        anti-join; touched docs resolve to their overlay row (dead
+        ones dropped). Scan-shaped — no corpus shuffle."""
+        clean = vals.filter(F.col("op") == "a").join(
+            F.broadcast(overlay.select("doc_id")), "doc_id", "left_anti"
+        )
+        alive = overlay.filter(F.col("op") != "d").select(
+            "doc_id", "dl", "lang", "source", "ver", F.lit("a").alias("op")
+        )
+        return clean.unionByName(alive)
+
+    def _live_keys(self, keys: DataFrame, overlay: DataFrame) -> DataFrame:
+        """Current-version postings: untouched docs' rows pass the
+        anti-join; touched docs keep only rows whose ver matches their
+        overlay version (a tombstoned doc matches nothing)."""
+        clean = keys.join(
+            F.broadcast(overlay.select("doc_id")), "doc_id", "left_anti"
+        )
+        current = keys.join(
+            F.broadcast(
+                overlay.filter(F.col("op") != "d").select("doc_id", "ver")
+            ),
+            ["doc_id", "ver"],
+            "left_semi",
+        )
+        return clean.unionByName(current)
 
     def topk(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
         """BM25 top-k over the held corpus for ``terms`` — the same
@@ -127,9 +283,16 @@ class BM25Index(_AppendOnlyIndex):
                 "score_micro bigint, rank int",
             )
         bands = sorted({_band_of(t) for t in terms})
+        overlay = self._overlay(vals)
+        vals = self._live_vals(vals, overlay)
         sl = keys.filter(
             F.col("band").isin(bands) & F.col("term").isin(list(terms))
         )
+        # CDC fold AFTER term pruning: the anti/semi overlay joins run
+        # over the |terms|-band slice, not the whole postings corpus —
+        # same result (the fold is per-row), strictly cheaper. With no
+        # CDC traffic the overlay is empty and both joins pass through.
+        sl = self._live_keys(sl, overlay)
         cand = sl.groupBy("doc_id", "dl").agg(
             *[
                 F.coalesce(
@@ -186,3 +349,48 @@ class BM25Index(_AppendOnlyIndex):
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .select("doc_id", "lang", "source", "score_micro", "rank")
         )
+
+    def compact(self, force: bool = False) -> None:
+        """Base compaction + the Lucene merge step: physically fold
+        the CDC overlay away — shadowed doc versions and tombstoned
+        docs are dropped from both frames, every surviving row resets
+        to op='a', and the query-time overlay returns to zero rows.
+        The fold is the same broadcast anti/semi shape as the query
+        path (no corpus shuffle) and materializes via eager
+        localCheckpoint BEFORE _swap_parts releases the old parts'
+        blocks (a lazy fold over released localCheckpoints would hit
+        missing blocks — lineage is truncated, there is nothing to
+        recompute from). Cutover atomicity is the base's: dirty rows
+        only exist in epoch=N segments appended since the last
+        compact, so force=True always reaches the base's
+        needs_rename rewrite and the on-disk store can never diverge
+        from the folded in-memory state."""
+        from .. import caching
+
+        vals = self.vals
+        if vals is not None:
+            dirty = vals.filter(F.col("op") != "a")
+            if not dirty.isEmpty():
+                overlay = self._overlay(vals)
+                fv = self._live_vals(vals, overlay).localCheckpoint(
+                    eager=True
+                )
+                fk = None
+                keys = self.keys
+                if keys is not None:
+                    fk = self._live_keys(keys, overlay).localCheckpoint(
+                        eager=True
+                    )
+                    if fk.count() == 0:
+                        # a partitioned write of an empty frame leaves
+                        # an unreadable dir — drop the side (the
+                        # base's _append gates the same way)
+                        caching.release_local_checkpoint(fk)
+                        fk = None
+                # vals stays even when empty: the non-partitioned
+                # write round-trips an empty frame with schema, and an
+                # all-deleted corpus must still flip the manifest off
+                # the old segments
+                self._swap_parts(fk, fv)
+                force = True
+        super().compact(force=force)

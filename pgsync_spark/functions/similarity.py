@@ -616,6 +616,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     )
     qids = exact.select("query_id").distinct()
     parts = []
+    # ONE codebook collect + ADC-table build + persisted codes frame
+    # feeds both PQ methods (r7 advice: each re-collected and
+    # re-persisted identical state); the eval result owns the cache
+    pq = _pq_artifacts(df)
     methods = (
         ("ivf", ann_ivf_topk),
         ("lsh", ann_lsh_topk),
@@ -628,10 +632,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # PQ-ADC competes on the SAME metric: vectors are normalized,
         # so ascending L2-squared is descending cosine and its recall
         # measures pure quantization loss (4 bytes/vector vs 256)
-        ("pq_adc", ann_pq_adc_topk),
+        ("pq_adc", lambda d: ann_pq_adc_topk(d, shared=pq)),
         # prune x compress composed (the FAISS IVF-PQ serving shape):
         # its recall shows the two losses stacking
-        ("ivfpq", ann_ivfpq_topk),
+        ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq)),
     )
     method_frames = []
     for method, fn in methods:
@@ -657,11 +661,13 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
 
     out = _reduce(DataFrame.unionByName, parts)
     for mdf in method_frames:
-        # a method may persist its own intermediates (pq_adc's codes
-        # frame): transfer that ownership to the eval result so one
-        # release frees everything
+        # a method may persist its own intermediates: transfer that
+        # ownership to the eval result so one release frees everything
         caching.adopt(out, mdf)
-    return caching.owned(out, [exact])
+    # pq[3] is the shared codes cache; pq[2] the encode frame whose
+    # scope (if any) rides along
+    caching.adopt(out, pq[2])
+    return caching.owned(out, [exact, pq[3]])
 
 
 def ann_recall_eval_sql() -> str:
@@ -870,6 +876,20 @@ def pq_encode(
             for d in range(x.shape[1]):
                 acc = acc + x[:, d] * x[:, d]
             nrm = np.sqrt(acc)
+            if (nrm == 0).any():
+                # an all-zero embedding divides to NaN/Inf subdistances
+                # and numpy argmin's NaN placement need not match the
+                # oracle's ORDER BY — fail loudly at encode time so the
+                # bit-parity contract can't be silently broken by
+                # degenerate input
+                bad = pdf["vec_id"].iloc[
+                    int(np.flatnonzero(nrm == 0)[0])
+                ]
+                raise ValueError(
+                    f"pq_encode: zero-norm embedding (vec_id={bad}) "
+                    "cannot be normalized; filter degenerate vectors "
+                    "before encoding"
+                )
             codes = np.empty((n, m_), dtype=np.int32)
             for m in range(m_):
                 dists = np.empty((n, ks), dtype=np.int64)
@@ -1005,7 +1025,24 @@ def _dist2_micro_py(a: list[float], b: list[float]) -> int:
     return math.floor(acc * 1e6 + 0.5)
 
 
-def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
+def _pq_artifacts(df: DataFrame):
+    """The shared PQ serving state — (cents, tables, enc, codes):
+    codebook collect, per-query ADC tables, the encode frame, and the
+    persisted 4-byte codes (persisted BEFORE any query crossJoin — the
+    encode argmin would otherwise re-evaluate per (doc × query) OUTPUT
+    row). ann_recall_eval computes this ONCE and hands it to both
+    pq_adc and ivfpq (r7 advice: each method re-collected the codebook
+    and ADC tables and persisted its own identical codes frame)."""
+    cents = _pq_centroids(df)
+    tables = _adc_tables_micro(df, cents)
+    enc = pq_encode(df, cents)
+    codes = enc.select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    ).persist()
+    return cents, tables, enc, codes
+
+
+def ann_pq_adc_topk(df: DataFrame, shared=None) -> DataFrame:
     """Asymmetric-distance top-k: queries stay full precision; each
     candidate's distance is the sum of per-subspace micro-L2² between
     the query's subvector and the candidate's CODE centroid, read from
@@ -1016,15 +1053,7 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
     baseline. Corpus side: the encoded frame never shuffles (the
     query-table frame broadcasts; per-query top-k is the brute-force
     window shape over 4-byte codes instead of 256-byte vectors)."""
-    cents = _pq_centroids(df)
-    tables = _adc_tables_micro(df, cents)
-    # persist the 4-byte codes BEFORE the query crossJoin: the encode
-    # argmin would otherwise re-evaluate per (doc × query) OUTPUT row.
-    # Ownership rides the result (caching.owned/adopt).
-    enc = pq_encode(df, cents)
-    codes = enc.select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
-    ).persist()
+    cents, tables, enc, codes = shared or _pq_artifacts(df)
     qf, qt = _adc_query_frame(df.sparkSession, tables)
     pairs = codes.crossJoin(F.broadcast(qf)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1033,6 +1062,8 @@ def ann_pq_adc_topk(df: DataFrame) -> DataFrame:
         "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
     )
     out = _adc_rank(scored)
+    if shared is not None:
+        return out  # the caller owns the shared artifacts' lifetime
     from ..caching import adopt, owned
 
     # own the codes cache AND adopt the encode frame's scope so one
@@ -1088,7 +1119,7 @@ def _adc_rank(scored: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivfpq_topk(df: DataFrame) -> DataFrame:
+def ann_ivfpq_topk(df: DataFrame, shared=None) -> DataFrame:
     """IVF-PQ — the FAISS serving composition: IVF cell PRUNING (a
     query touches only its IVF_NPROBE cells' members, ~nprobe/cells of
     the corpus) × PQ-ADC COMPRESSION (candidates scored by 8 table
@@ -1099,12 +1130,7 @@ def ann_ivfpq_topk(df: DataFrame) -> DataFrame:
     compressed scoring). Same engine-exact discipline throughout
     (deterministic codebooks, integer micro distances, rounded-cosine
     cell ranks), so the oracle is a full value match."""
-    cents = _pq_centroids(df)
-    tables = _adc_tables_micro(df, cents)
-    enc = pq_encode(df, cents)
-    codes = enc.select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
-    ).persist()
+    cents, tables, enc, codes = shared or _pq_artifacts(df)
     scores = _cell_scores(df)
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
     ranked = scores.withColumn("rn", F.row_number().over(w))
@@ -1126,6 +1152,8 @@ def ann_ivfpq_topk(df: DataFrame) -> DataFrame:
         .select("query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro"))
     )
     out = _adc_rank(scored)
+    if shared is not None:
+        return out  # the caller owns the shared artifacts' lifetime
     from ..caching import adopt, owned
 
     return adopt(owned(out, [codes]), enc)

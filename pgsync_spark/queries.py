@@ -2315,6 +2315,74 @@ def bm25_incremental_topk(spark, sf_dir):
     return out
 
 
+# deterministic CDC mutation for bm25_cdc_topk: docs with
+# doc_id % 7 == 3 get query terms appended (an UPDATE that must move
+# them up the ranking), docs with doc_id % 7 == 5 are DELETED
+_CDC_UPD_SUFFIX = " spark vector query engine"
+
+
+@register(
+    "bm25_cdc_topk",
+    # oracle = the ONE-SHOT scorer over the post-CDC corpus: a CTE
+    # named `documents` shadows the base view with the mutation applied
+    # (the denorm-oracle discipline — prove the incremental path by
+    # recomputing from mutated tables)
+    f"""WITH documents AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3
+                      THEN text || '{_CDC_UPD_SUFFIX}' ELSE text END AS text,
+                 lang, source
+          FROM main.documents WHERE doc_id % 7 <> 5
+        )
+        SELECT doc_id, lang, source, score_micro,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        FROM ({_bm25_scored_sql()})
+        WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id LIMIT 10""",
+)
+def bm25_cdc_topk(spark, sf_dir):
+    """bm25_incremental_topk taken through the CDC lifecycle the
+    reference exists for (keeping a search index in sync under
+    UPDATE/DELETE — ref: pgsync/sync.py:1254-1343 delete paths,
+    search_client.py:100-212 bulk delete actions): bulk-ingest the
+    corpus in 2 batches, then apply one CDC epoch that UPDATES every
+    doc_id % 7 == 3 (query terms appended — they must move up the
+    ranking) and DELETES every doc_id % 7 == 5, then query the held
+    state. Must hash-match the one-shot scorer over the post-CDC
+    corpus — updated-away and deleted docs excluded, new versions
+    scored, N/avgdl/df all reflecting the current corpus.
+
+    Scale shape (functions/bm25_index.py): the CDC epoch is O(batch)
+    appended versions + tombstones; the query folds a broadcast
+    overlay sized by CDC traffic since the last compact (anti/semi
+    joins over the term-pruned slice — zero added shuffle)."""
+    from .functions.bm25_index import BM25Index
+
+    df = Catalog(spark, sf_dir).df("documents")
+    idx = BM25Index(spark)
+    for k in range(2):
+        idx.ingest(df.filter(F.col("doc_id") % 2 == k))
+    ups = df.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_CDC_UPD_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        F.lit("u").alias("op"),
+    )
+    dels = df.filter(F.col("doc_id") % 7 == 5).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("d").alias("op"),
+    )
+    idx.apply_cdc(ups.unionByName(dels))
+    out = idx.topk(BM25_QUERY_TERMS, k=10).localCheckpoint(eager=True)
+    idx.close()
+    return out
+
+
 SKEW_TOP_N = 20
 
 

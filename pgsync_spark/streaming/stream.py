@@ -68,6 +68,12 @@ def start_cdc_stream(
 
 DEDUP_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
 
+# CDC-shaped doc stream for search-index maintenance (BM25Index):
+# op is 'd' for delete (text/lang/source ignored), anything else is an
+# upsert. Pass as ``schema=`` to start_dedup_stream; batches carrying
+# an ``op`` column route to index.apply_cdc instead of ingest.
+CDC_DOCS_SCHEMA = DEDUP_DOCS_SCHEMA + ", op string"
+
 
 def start_dedup_stream(
     spark: SparkSession,
@@ -319,6 +325,13 @@ def start_dedup_stream(
                 # rejects foreign checkpoints — but never guess
                 batch_df.unpersist()
                 return
+        elif "op" in kept.columns and hasattr(index, "apply_cdc"):
+            # CDC-shaped stream (rows carry op: upsert/'d'): updates
+            # and deletes flow into the index's versioned/tombstone
+            # path; decisions = the deleted doc_ids, so the accepted
+            # output below is exactly the upserted docs and the
+            # committed-epoch replay rebuilds both sides unchanged
+            decisions = index.apply_cdc(kept, epoch=epoch_id)
         else:
             decisions = index.ingest(kept, epoch=epoch_id)
         id_col = decisions.columns[0]  # doc_id / vec_id

@@ -177,3 +177,39 @@ def test_noise_flags_physical_plausibility():
         {"event_ratio": 3.96, "time_ratio": 1.2, "steady_1x": 3.56},
         {"incremental_steady_batch": 3.9},
     ) == []
+
+
+def test_compact_line_fits_with_many_extra_queries(tmp_path):
+    """r7 advice: the shed loop needs levers past batch_scaling. A
+    synthetic artifact with ~30 EXTRA hypothetical queries, full
+    diagnostics, and a dozen errors must still compact to a line
+    inside the budget — the per-query metrics always surviving."""
+    queries = {name: 1.234567 for name in bench.HEADLINE}
+    queries.update(
+        {f"hypothetical_query_name_{i:02d}": 1.234567 for i in range(8)}
+    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "sf": 0.1,
+        "runs_per_query": 2,
+        "queries": queries,
+        "streaming_drain": 15.123,
+        "scaling": {k: 1.234 for k in bench._SCALING_COMPACT},
+        "batch_scaling": {k: 1.234 for k in bench._BATCH_COMPACT},
+        "canary": {"start": 0.1, "end": 0.2, "end_over_start": 2.0},
+        "noise_flags": [f"flag {i}: something noisy happened" for i in
+                        range(5)],
+        "errors": {f"query_{i}": "RuntimeError: " + "x" * 200 for i in
+                   range(12)},
+    }
+    line = json.dumps(
+        bench._compact(out, str(tmp_path / "d.json")),
+        separators=(",", ":"),
+    )
+    assert len(line) <= bench._COMPACT_BUDGET
+    c = json.loads(line)
+    # the metrics themselves are never shed
+    assert set(c["queries"]) == set(queries)
+    assert c["noise_flags_n"] == 5

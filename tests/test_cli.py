@@ -653,6 +653,17 @@ def test_cli_dedup_stream_bm25_index(spark, tmp_path):
         ["--bm25-topk", "x", "--store-dir", store, "--daemon"],
         spark=spark,
     ) == 2
+    # missing / non-store --store-dir: rc=2 stderr message, never a
+    # raw traceback and never a silent zero-result empty index
+    assert main(
+        ["--bm25-topk", "x", "--store-dir", str(tmp_path / "nope")],
+        spark=spark,
+    ) == 2
+    (tmp_path / "notastore").mkdir()
+    assert main(
+        ["--bm25-topk", "x", "--store-dir", str(tmp_path / "notastore")],
+        spark=spark,
+    ) == 2
 
 
 def test_cli_export_shards_from_dedup_output(spark, tmp_path):

@@ -758,3 +758,22 @@ def test_training_shard_loader(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in MANIFEST"):
         read_training_shards(spark, out, [999_999_999])
+
+
+def test_pq_encode_rejects_zero_norm_vectors(spark):
+    """r7 advice: an all-zero embedding would divide to NaN subdistances
+    whose argmin placement need not match the oracle — encode fails
+    loudly instead of silently diverging between engines."""
+    import pytest
+
+    from pgsync_spark.functions.similarity import pq_encode
+
+    rows = [
+        (i, [float((i * 7 + d) % 13 + 1) for d in range(64)])
+        for i in range(1, 40)  # covers the codebook id range
+    ] + [(0, [0.0] * 64)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        pq_encode(df).collect()
