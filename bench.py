@@ -80,6 +80,9 @@ HEADLINE = [
     # round-7: PQ-ADC retrieval (4-byte codes, asymmetric distance)
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    # round-8: trained (integer-Lloyd) codebook — same serving plan,
+    # prices the training collect + fit on top of pq_adc
+    "ann_pq_adc_trained_topk",
     # round-7: shuffle-planning diagnostic (one key groupBy + TakeOrdered)
     "key_skew_profile",
     # round-6 second continuation: ANN eval + drift + export binning

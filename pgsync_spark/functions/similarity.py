@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .hashing import round6, round6_sql
+from .hashing import h32, h32_sql, round6, round6_sql
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -633,6 +633,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # so ascending L2-squared is descending cosine and its recall
         # measures pure quantization loss (4 bytes/vector vs 256)
         ("pq_adc", lambda d: ann_pq_adc_topk(d, shared=pq)),
+        # the TRAINED codebook priced against the hash codebook just
+        # above — identical serving plan and byte budget, so the
+        # recall delta is purely what Lloyd training buys
+        ("pq_adc_trained", lambda d: ann_pq_adc_trained_topk(d)),
         # prune x compress composed (the FAISS IVF-PQ serving shape):
         # its recall shows the two losses stacking
         ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq)),
@@ -696,11 +700,13 @@ def ann_recall_eval_sql() -> str:
              lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()}),
              lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)}),
              pq_adc AS ({ann_pq_adc_topk_sql()}),
+             pq_adc_trained AS ({ann_pq_adc_trained_topk_sql()}),
              ivfpq AS ({ann_ivfpq_topk_sql()})
         {one('ivf')} UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
         UNION ALL {one('lsh_multiprobe2')}
         UNION ALL {one('pq_adc')}
+        UNION ALL {one('pq_adc_trained')}
         UNION ALL {one('ivfpq')}
     """
 
@@ -1229,6 +1235,303 @@ def ann_pq_adc_topk_sql() -> str:
                  CAST(ROW_NUMBER() OVER (
                    PARTITION BY query_id
                    ORDER BY sum(d), neighbor_id) AS INT) AS rank
+          FROM adc_terms GROUP BY query_id, neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+# -- trained PQ codebook (Lloyd / k-means, integer-exact) --------------------
+# The hash-derived codebook above is engine-exact but untrained; real
+# PQ deployments fit the codebook to the data (Jégou et al. §III).
+# Float k-means is NOT bit-reproducible across engines (mean = float
+# sum whose order differs), so training here runs in MICRO-QUANTIZED
+# integer space: each normalized coordinate snaps to
+# floor(nv*1e6 + 0.5) ONCE (a per-row IEEE expression both engines
+# share), and every Lloyd step after that is exact integer arithmetic
+# — int64 distance sums (associative, order-free) and
+# floor(double(int_sum)/count) centroid means. The oracle replays the
+# SAME T iterations in SQL and lands on bit-identical centroids, so
+# trained-PQ results stay full value matches.
+#
+# Scale shape: training is driver-side numpy over a HASH-SAMPLE
+# (h32(vec_id) % PQT_SAMPLE_MOD — CCNet's sampled-fit discipline;
+# raise the mod at scale, guarded by PQT_MAX_SAMPLE), the trained
+# centroids broadcast as plan literals exactly like the hash codebook,
+# and encode stays one Arrow-batched zero-exchange pass.
+PQT_SAMPLE_MOD = 2
+PQT_ITERS = 2
+PQT_MAX_SAMPLE = 100_000
+
+
+def _quantize_micro(nv_rows):
+    """float64 (n, 64) normalized matrix -> int64 micro coords. The
+    floor(x*1e6 + 0.5) expression is evaluated identically in DuckDB
+    (same IEEE multiply/add/floor), so both engines quantize any given
+    normalized vector to the same integers."""
+    import numpy as np
+
+    x = np.asarray(nv_rows, dtype=np.float64)
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def _pq_trained_centroids(df: DataFrame) -> list[list[list[int]]]:
+    """[m][c][d] -> int64 micro centroid coords after PQT_ITERS Lloyd
+    iterations over the hash-sample, initialized from the hash
+    codebook rows. Deterministic and engine-exact (see section
+    comment): argmin ties resolve to the smaller code (numpy argmin =
+    first minimum = the oracle's ORDER BY dd, c)."""
+    import numpy as np
+
+    sample = (
+        df.filter(
+            h32(F.col("vec_id").cast("string")) % PQT_SAMPLE_MOD == 0
+        )
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        # row ORDER is irrelevant to training (int64 sums are
+        # associative, per-point argmin independent), so no sort; the
+        # limit only exists to detect an over-budget sample and raise
+        .limit(PQT_MAX_SAMPLE + 1)
+        .collect()
+    )
+    if len(sample) > PQT_MAX_SAMPLE:
+        raise ValueError(
+            f"PQ training sample exceeds PQT_MAX_SAMPLE="
+            f"{PQT_MAX_SAMPLE}; raise PQT_SAMPLE_MOD for this corpus"
+        )
+    q = _quantize_micro([r["nv"] for r in sample])
+    cents = np.asarray(
+        [_quantize_micro(sub) for sub in _pq_centroids(df)], dtype=np.int64
+    )  # (M, KS, SUBDIM)
+    for _ in range(PQT_ITERS):
+        for m in range(PQ_M):
+            sub = q[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]  # (n, 8)
+            dd = ((sub[:, None, :] - cents[m][None, :, :]) ** 2).sum(
+                axis=2
+            )  # (n, KS) int64 — exact
+            a = dd.argmin(axis=1)  # first minimum = smallest code
+            for c in range(PQ_KS):
+                pts = sub[a == c]
+                if len(pts):
+                    s = pts.sum(axis=0)  # int64, exact
+                    # floor(double(sum)/count): the one division, same
+                    # IEEE expression as the oracle's CAST(...)/count
+                    cents[m][c] = np.floor(
+                        s.astype(np.float64) / len(pts)
+                    ).astype(np.int64)
+                # empty cluster: keep the previous centroid
+    return cents.tolist()
+
+
+def pq_encode_trained(
+    df: DataFrame, cents: list[list[list[int]]] | None = None
+) -> DataFrame:
+    """(vec_id, codes array<int>) under the TRAINED codebook — same
+    Arrow-batched zero-exchange shape as pq_encode, but distances are
+    pure int64 (quantize once, subtract, square, sum): nothing after
+    the per-row quantization can diverge between engines."""
+    import numpy as np
+    import pandas as pd
+
+    if cents is None:
+        cents = _pq_trained_centroids(df)
+    ca = np.asarray(cents, dtype=np.int64)
+    m_, sub_ = PQ_M, PQ_SUBDIM
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # the engine's normalization fold (see pq_encode)
+            acc = np.zeros(n)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * x[:, d]
+            nrm = np.sqrt(acc)
+            if (nrm == 0).any():
+                bad = pdf["vec_id"].iloc[int(np.flatnonzero(nrm == 0)[0])]
+                raise ValueError(
+                    f"pq_encode_trained: zero-norm embedding "
+                    f"(vec_id={bad}); filter degenerate vectors first"
+                )
+            qx = np.floor((x / nrm[:, None]) * 1e6 + 0.5).astype(np.int64)
+            codes = np.empty((n, m_), dtype=np.int32)
+            for m in range(m_):
+                s = qx[:, m * sub_ : (m + 1) * sub_]
+                dd = ((s[:, None, :] - ca[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        enc, "vec_id bigint, codes array<int>"
+    )
+
+
+def _adc_tables_trained(
+    df: DataFrame, cents: list[list[list[int]]]
+) -> dict[int, list[list[int]]]:
+    """Per-query ADC tables under the trained codebook — pure int64
+    (quantized query subvector vs integer centroids), driver-side,
+    bounded by N_QUERIES like _adc_tables_micro."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .collect()
+    )
+    ca = np.asarray(cents, dtype=np.int64)
+    tables: dict[int, list[list[int]]] = {}
+    for r in rows:
+        qv = _quantize_micro([r["nv"]])[0]
+        tables[r["vec_id"]] = [
+            [
+                int(
+                    (
+                        (
+                            qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                            - ca[m][c]
+                        )
+                        ** 2
+                    ).sum()
+                )
+                for c in range(PQ_KS)
+            ]
+            for m in range(PQ_M)
+        ]
+    return tables
+
+
+def _pq_trained_artifacts(df: DataFrame):
+    """(cents, tables, enc, codes) under the trained codebook — the
+    trained twin of _pq_artifacts, shared the same way by
+    ann_recall_eval."""
+    cents = _pq_trained_centroids(df)
+    tables = _adc_tables_trained(df, cents)
+    enc = pq_encode_trained(df, cents)
+    codes = enc.select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    ).persist()
+    return cents, tables, enc, codes
+
+
+def ann_pq_adc_trained_topk(df: DataFrame, shared=None) -> DataFrame:
+    """ann_pq_adc_topk under a TRAINED codebook: identical serving
+    plan (persisted 4-byte codes × broadcast per-query literal tables,
+    8 lookups per candidate), codebook fit by integer-exact Lloyd so
+    the oracle replays training bit-for-bit. ann_recall_eval prices
+    this against the hash-codebook form — the measured value of
+    training, at zero serving-cost difference."""
+    cents, tables, enc, codes = shared or _pq_trained_artifacts(df)
+    qf, qt = _adc_query_frame(df.sparkSession, tables)
+    pairs = codes.crossJoin(F.broadcast(qf)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
+    )
+    out = _adc_rank(scored)
+    if shared is not None:
+        return out  # the caller owns the shared artifacts' lifetime
+    from ..caching import adopt, owned
+
+    return adopt(owned(out, [codes]), enc)
+
+
+def _pq_trained_sql_ctes() -> str:
+    """The oracle's training replay: quantize -> T unrolled Lloyd
+    iterations (integer distances, floor-mean updates, empty clusters
+    keep their centroid) -> corpus codes + per-(query,m,c) distances,
+    all in long (vec_id, m, d, q) form. Ends with `ecode` (codes) and
+    `edist` (query ADC terms ride the same rows)."""
+    nv = _normalized_sql("embedding")
+    h = h32_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""norm AS (
+          SELECT vec_id, {nv} AS nv FROM embeddings
+        ),
+        qpts AS (
+          SELECT vec_id, m, d,
+                 CAST(floor(nv[m * {PQ_SUBDIM} + d + 1] * 1e6 + 0.5)
+                      AS BIGINT) AS q
+          FROM norm,
+               (SELECT unnest(range({PQ_M})) AS m),
+               (SELECT unnest(range({PQ_SUBDIM})) AS d)
+        ),
+        samp AS (
+          SELECT * FROM qpts WHERE {h} % {PQT_SAMPLE_MOD} = 0
+        ),
+        cent0 AS (
+          SELECT m, vec_id - {PQ_CB_START} AS c, d, q FROM qpts
+          WHERE vec_id >= {PQ_CB_START}
+            AND vec_id < {PQ_CB_START + PQ_KS}
+        )"""
+    ]
+    for t in range(1, PQT_ITERS + 1):
+        parts.append(f"""dist{t} AS (
+          SELECT s.vec_id, s.m, c.c,
+                 sum((s.q - c.q) * (s.q - c.q)) AS dd
+          FROM samp s JOIN cent{t - 1} c ON c.m = s.m AND c.d = s.d
+          GROUP BY s.vec_id, s.m, c.c
+        ),
+        asg{t} AS (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, c) AS rn
+            FROM dist{t}
+          ) WHERE rn = 1
+        ),
+        mean{t} AS (
+          SELECT a.m, a.c, s.d,
+                 CAST(floor(CAST(sum(s.q) AS DOUBLE) / count(*))
+                      AS BIGINT) AS q
+          FROM asg{t} a
+          JOIN samp s ON s.vec_id = a.vec_id AND s.m = a.m
+          GROUP BY a.m, a.c, s.d
+        ),
+        cent{t} AS (
+          SELECT p.m, p.c, p.d, COALESCE(n.q, p.q) AS q
+          FROM cent{t - 1} p
+          LEFT JOIN mean{t} n
+            ON n.m = p.m AND n.c = p.c AND n.d = p.d
+        )""")
+    parts.append(f"""edist AS (
+          SELECT p.vec_id, p.m, c.c,
+                 sum((p.q - c.q) * (p.q - c.q)) AS dd
+          FROM qpts p
+          JOIN cent{PQT_ITERS} c ON c.m = p.m AND c.d = p.d
+          GROUP BY p.vec_id, p.m, c.c
+        ),
+        ecode AS (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dd, c) AS rn
+            FROM edist
+          ) WHERE rn = 1
+        )""")
+    return ",\n        ".join(parts)
+
+
+def ann_pq_adc_trained_topk_sql() -> str:
+    return f"""
+        WITH {_pq_trained_sql_ctes()},
+        adc_terms AS (
+          SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id, qd.dd
+          FROM ecode e
+          JOIN edist qd ON qd.m = e.m AND qd.c = e.c
+                       AND qd.vec_id < {N_QUERIES}
+                       AND qd.vec_id <> e.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_micro, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(sum(dd) AS BIGINT) AS adc_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(dd), neighbor_id) AS INT) AS rank
           FROM adc_terms GROUP BY query_id, neighbor_id
         ) WHERE rank <= {TOP_K}
     """

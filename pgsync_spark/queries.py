@@ -406,6 +406,11 @@ _emb_query(
 )
 _emb_query(_sim.pq_codes_json, _sim.pq_codes_json_sql(), "embedding_pq_codes")
 _emb_query(_sim.ann_pq_adc_topk, _sim.ann_pq_adc_topk_sql(), "ann_pq_adc_topk")
+_emb_query(
+    _sim.ann_pq_adc_trained_topk,
+    _sim.ann_pq_adc_trained_topk_sql(),
+    "ann_pq_adc_trained_topk",
+)
 _emb_query(_sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), "ann_ivfpq_topk")
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 _emb_query(
