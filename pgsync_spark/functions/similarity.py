@@ -618,8 +618,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     parts = []
     # ONE codebook collect + ADC-table build + persisted codes frame
     # feeds both PQ methods (r7 advice: each re-collected and
-    # re-persisted identical state); the eval result owns the cache
+    # re-persisted identical state); the eval result owns the cache.
+    # Same sharing for the trained twins.
     pq = _pq_artifacts(df)
+    pqt = _pq_trained_artifacts(df)
     methods = (
         ("ivf", ann_ivf_topk),
         ("lsh", ann_lsh_topk),
@@ -636,7 +638,8 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # the TRAINED codebook priced against the hash codebook just
         # above — identical serving plan and byte budget, so the
         # recall delta is purely what Lloyd training buys
-        ("pq_adc_trained", lambda d: ann_pq_adc_trained_topk(d)),
+        ("pq_adc_trained", lambda d: ann_pq_adc_trained_topk(d, shared=pqt)),
+        ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(d, shared=pqt)),
         # prune x compress composed (the FAISS IVF-PQ serving shape):
         # its recall shows the two losses stacking
         ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq)),
@@ -668,10 +671,11 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # a method may persist its own intermediates: transfer that
         # ownership to the eval result so one release frees everything
         caching.adopt(out, mdf)
-    # pq[3] is the shared codes cache; pq[2] the encode frame whose
+    # [3] is each shared codes cache; [2] the encode frame whose
     # scope (if any) rides along
     caching.adopt(out, pq[2])
-    return caching.owned(out, [exact, pq[3]])
+    caching.adopt(out, pqt[2])
+    return caching.owned(out, [exact, pq[3], pqt[3]])
 
 
 def ann_recall_eval_sql() -> str:
@@ -701,13 +705,15 @@ def ann_recall_eval_sql() -> str:
              lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)}),
              pq_adc AS ({ann_pq_adc_topk_sql()}),
              pq_adc_trained AS ({ann_pq_adc_trained_topk_sql()}),
-             ivfpq AS ({ann_ivfpq_topk_sql()})
+             ivfpq AS ({ann_ivfpq_topk_sql()}),
+             ivfpq_trained AS ({ann_ivfpq_trained_topk_sql()})
         {one('ivf')} UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
         UNION ALL {one('lsh_multiprobe2')}
         UNION ALL {one('pq_adc')}
         UNION ALL {one('pq_adc_trained')}
         UNION ALL {one('ivfpq')}
+        UNION ALL {one('ivfpq_trained')}
     """
 
 
@@ -1165,7 +1171,10 @@ def ann_ivfpq_topk(df: DataFrame, shared=None) -> DataFrame:
     return adopt(owned(out, [codes]), enc)
 
 
-def ann_ivfpq_topk_sql() -> str:
+def _ivf_cand_sql_ctes() -> str:
+    """IVF cell assignment + nprobe candidate CTEs (shared by the
+    hash- and trained-codebook IVF-PQ oracles — one tree, never two
+    hand-synchronized copies). Ends with `cand`."""
     cell_cos = round6_sql(
         _dot_sql("e.embedding", "c.cv")
         + " / ("
@@ -1174,10 +1183,7 @@ def ann_ivfpq_topk_sql() -> str:
         + _norm_sql("c.cv")
         + ")"
     )
-    qsub = lambda m: f"q.nv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"  # noqa: E731
-    return f"""
-        WITH {_pq_sql_ctes()},
-        ivfcent AS (
+    return f"""ivfcent AS (
           SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
           WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
         ),
@@ -1195,7 +1201,14 @@ def ann_ivfpq_topk_sql() -> str:
           SELECT p.query_id, a.neighbor_id
           FROM qprobe p JOIN assign a ON a.cell_id = p.cell_id
           WHERE a.neighbor_id <> p.query_id
-        ),
+        )"""
+
+
+def ann_ivfpq_topk_sql() -> str:
+    qsub = lambda m: f"q.nv[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]"  # noqa: E731
+    return f"""
+        WITH {_pq_sql_ctes()},
+        {_ivf_cand_sql_ctes()},
         adc_terms AS (
           SELECT cand.query_id, cand.neighbor_id, ct.m,
                  {_sub_dist2_micro_sql('(CASE ct.m ' + ' '.join(
@@ -1514,6 +1527,62 @@ def _pq_trained_sql_ctes() -> str:
           ) WHERE rn = 1
         )""")
     return ",\n        ".join(parts)
+
+
+def pq_codes_trained_json(df: DataFrame) -> DataFrame:
+    """Registry boundary for pq_encode_trained — to_json'd codes (the
+    atomic-column output contract, see pq_codes_json)."""
+    return pq_encode_trained(df).select(
+        "vec_id", F.to_json(F.col("codes")).alias("pq_codes")
+    )
+
+
+def pq_codes_trained_json_sql() -> str:
+    return f"""
+        WITH {_pq_trained_sql_ctes()},
+        agg AS (
+          SELECT vec_id, list(c ORDER BY m) AS codes
+          FROM ecode GROUP BY vec_id
+        )
+        SELECT vec_id, to_json(codes) AS pq_codes FROM agg
+    """
+
+
+def ann_ivfpq_trained_topk(df: DataFrame, shared=None) -> DataFrame:
+    """IVF-PQ under the TRAINED codebook: the same prune × compress
+    composition as ann_ivfpq_topk with the Lloyd-trained codes/tables
+    swapped in — completing the trained serving story (recall eval
+    prices all four: pq_adc, pq_adc_trained, ivfpq, ivfpq_trained)."""
+    own = shared is None
+    art = shared or _pq_trained_artifacts(df)
+    out = ann_ivfpq_topk(df, shared=art)
+    if own:
+        from ..caching import adopt, owned
+
+        out = adopt(owned(out, [art[3]]), art[2])
+    return out
+
+
+def ann_ivfpq_trained_topk_sql() -> str:
+    return f"""
+        WITH {_pq_trained_sql_ctes()},
+        {_ivf_cand_sql_ctes()},
+        adc_terms AS (
+          SELECT cand.query_id, cand.neighbor_id, qd.dd
+          FROM cand
+          JOIN ecode e ON e.vec_id = cand.neighbor_id
+          JOIN edist qd ON qd.vec_id = cand.query_id
+                       AND qd.m = e.m AND qd.c = e.c
+        )
+        SELECT query_id, neighbor_id, adc_micro, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(sum(dd) AS BIGINT) AS adc_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(dd), neighbor_id) AS INT) AS rank
+          FROM adc_terms GROUP BY query_id, neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
 
 
 def ann_pq_adc_trained_topk_sql() -> str:

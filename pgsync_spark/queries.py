@@ -411,6 +411,16 @@ _emb_query(
     _sim.ann_pq_adc_trained_topk_sql(),
     "ann_pq_adc_trained_topk",
 )
+_emb_query(
+    _sim.ann_ivfpq_trained_topk,
+    _sim.ann_ivfpq_trained_topk_sql(),
+    "ann_ivfpq_trained_topk",
+)
+_emb_query(
+    _sim.pq_codes_trained_json,
+    _sim.pq_codes_trained_json_sql(),
+    "embedding_pq_codes_trained",
+)
 _emb_query(_sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), "ann_ivfpq_topk")
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 _emb_query(
