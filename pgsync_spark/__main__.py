@@ -179,6 +179,13 @@ def build_parser() -> argparse.ArgumentParser:
         "rejects land under <out>/rejected/epoch=N",
     )
     p.add_argument(
+        "--cdc-ops", action="store_true",
+        help="with --dedup-stream: the doc stream is CDC-shaped (an "
+        "op column; 'd' deletes the doc, anything else upserts) — "
+        "updates/deletes flow into the index's versioned overlay "
+        "(BM25 postings, minhash/embedding dedup state)",
+    )
+    p.add_argument(
         "--bm25-topk", metavar="QUERY", default=None,
         help="query a stored BM25 index (--store-dir, built by "
         "--dedup-stream --dedup-index bm25): tokenize QUERY like the "
@@ -271,6 +278,11 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         if args.dedup_index == "embedding"
         else DEDUP_DOCS_SCHEMA
     )
+    if args.cdc_ops:
+        # CDC-shaped stream: rows carry op ('d' = delete, else upsert);
+        # the stream routes such batches to index.apply_cdc — all three
+        # index classes support the lifecycle (r8)
+        schema += ", op string"
     try:
         if args.store_dir:
             # ALWAYS via load(): it resumes a committed store, starts

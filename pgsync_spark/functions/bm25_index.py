@@ -138,6 +138,7 @@ class BM25Index(_AppendOnlyIndex):
                 )
             dels = batch_df.filter(F.col("op") == "d").select("doc_id")
             ups = batch_df.filter(F.col("op") != "d")
+            self._has_cdc = True  # manifest records it with the commit
             self._append_docs(ups, dels, epoch, op="u", dels=dels)
             decisions = dels
         finally:
@@ -210,56 +211,6 @@ class BM25Index(_AppendOnlyIndex):
         finally:
             base.unpersist()
 
-    def _overlay(self, vals: DataFrame) -> DataFrame:
-        """The CDC overlay: one row per doc TOUCHED by apply_cdc since
-        the last compact — (doc_id, ver, op, dl, lang, source) of its
-        latest version (max ver; op='d' means dead). Small by
-        construction (sized by CDC traffic, reset to zero by
-        compact()); the op != 'a' scan prunes bulk segments at the
-        parquet row-group level (op constant 'a' → min/max skip)."""
-        s = F.max(F.struct("ver", "op", "dl", "lang", "source")).alias("s")
-        return (
-            vals.filter(F.col("op") != "a")
-            .groupBy("doc_id")
-            .agg(s)
-            .select(
-                "doc_id",
-                F.col("s.ver").alias("ver"),
-                F.col("s.op").alias("op"),
-                F.col("s.dl").alias("dl"),
-                F.col("s.lang").alias("lang"),
-                F.col("s.source").alias("source"),
-            )
-        )
-
-    def _live_vals(self, vals: DataFrame, overlay: DataFrame) -> DataFrame:
-        """Current-corpus docstats: untouched docs pass a broadcast
-        anti-join; touched docs resolve to their overlay row (dead
-        ones dropped). Scan-shaped — no corpus shuffle."""
-        clean = vals.filter(F.col("op") == "a").join(
-            F.broadcast(overlay.select("doc_id")), "doc_id", "left_anti"
-        )
-        alive = overlay.filter(F.col("op") != "d").select(
-            "doc_id", "dl", "lang", "source", "ver", F.lit("a").alias("op")
-        )
-        return clean.unionByName(alive)
-
-    def _live_keys(self, keys: DataFrame, overlay: DataFrame) -> DataFrame:
-        """Current-version postings: untouched docs' rows pass the
-        anti-join; touched docs keep only rows whose ver matches their
-        overlay version (a tombstoned doc matches nothing)."""
-        clean = keys.join(
-            F.broadcast(overlay.select("doc_id")), "doc_id", "left_anti"
-        )
-        current = keys.join(
-            F.broadcast(
-                overlay.filter(F.col("op") != "d").select("doc_id", "ver")
-            ),
-            ["doc_id", "ver"],
-            "left_semi",
-        )
-        return clean.unionByName(current)
-
     def topk(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
         """BM25 top-k over the held corpus for ``terms`` — the same
         fixed-point micro-nat arithmetic as queries._bm25_scored
@@ -283,16 +234,18 @@ class BM25Index(_AppendOnlyIndex):
                 "score_micro bigint, rank int",
             )
         bands = sorted({_band_of(t) for t in terms})
-        overlay = self._overlay(vals)
-        vals = self._live_vals(vals, overlay)
         sl = keys.filter(
             F.col("band").isin(bands) & F.col("term").isin(list(terms))
         )
-        # CDC fold AFTER term pruning: the anti/semi overlay joins run
-        # over the |terms|-band slice, not the whole postings corpus —
-        # same result (the fold is per-row), strictly cheaper. With no
-        # CDC traffic the overlay is empty and both joins pass through.
-        sl = self._live_keys(sl, overlay)
+        if self._has_cdc:
+            # CDC fold (shared _AppendOnlyIndex overlay machinery),
+            # applied AFTER term pruning: the anti/semi overlay joins
+            # run over the |terms|-band slice, not the whole postings
+            # corpus — same result (the fold is per-row), strictly
+            # cheaper. Skipped entirely on append-only indexes.
+            overlay = self._cdc_overlay(vals)
+            vals = self._cdc_live(vals, overlay)
+            sl = self._cdc_live(sl, overlay)
         cand = sl.groupBy("doc_id", "dl").agg(
             *[
                 F.coalesce(
@@ -350,47 +303,3 @@ class BM25Index(_AppendOnlyIndex):
             .select("doc_id", "lang", "source", "score_micro", "rank")
         )
 
-    def compact(self, force: bool = False) -> None:
-        """Base compaction + the Lucene merge step: physically fold
-        the CDC overlay away — shadowed doc versions and tombstoned
-        docs are dropped from both frames, every surviving row resets
-        to op='a', and the query-time overlay returns to zero rows.
-        The fold is the same broadcast anti/semi shape as the query
-        path (no corpus shuffle) and materializes via eager
-        localCheckpoint BEFORE _swap_parts releases the old parts'
-        blocks (a lazy fold over released localCheckpoints would hit
-        missing blocks — lineage is truncated, there is nothing to
-        recompute from). Cutover atomicity is the base's: dirty rows
-        only exist in epoch=N segments appended since the last
-        compact, so force=True always reaches the base's
-        needs_rename rewrite and the on-disk store can never diverge
-        from the folded in-memory state."""
-        from .. import caching
-
-        vals = self.vals
-        if vals is not None:
-            dirty = vals.filter(F.col("op") != "a")
-            if not dirty.isEmpty():
-                overlay = self._overlay(vals)
-                fv = self._live_vals(vals, overlay).localCheckpoint(
-                    eager=True
-                )
-                fk = None
-                keys = self.keys
-                if keys is not None:
-                    fk = self._live_keys(keys, overlay).localCheckpoint(
-                        eager=True
-                    )
-                    if fk.count() == 0:
-                        # a partitioned write of an empty frame leaves
-                        # an unreadable dir — drop the side (the
-                        # base's _append gates the same way)
-                        caching.release_local_checkpoint(fk)
-                        fk = None
-                # vals stays even when empty: the non-partitioned
-                # write round-trips an empty frame with schema, and an
-                # all-deleted corpus must still flip the manifest off
-                # the old segments
-                self._swap_parts(fk, fv)
-                force = True
-        super().compact(force=force)

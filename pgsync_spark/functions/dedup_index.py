@@ -76,6 +76,18 @@ def _fingerprint(sh):
     )
 
 
+def _with_cdc_cols(df: DataFrame, op: bool) -> DataFrame:
+    """Normalize a segment written by the pre-CDC format (r7 and
+    earlier: no ver/op columns) to the r8 versioned schema — ver=-1
+    (never a real epoch) and op='a', exactly what those rows mean.
+    A no-op for segments that already carry the columns."""
+    if "ver" not in df.columns:
+        df = df.withColumn("ver", F.lit(-1).cast("long"))
+    if op and "op" not in df.columns:
+        df = df.withColumn("op", F.lit("a"))
+    return df
+
+
 class _AppendOnlyIndex:
     """State discipline shared by the stateful dedup indexes: per-batch
     persisted frames in memory (held batches never re-cached; unioned
@@ -98,6 +110,7 @@ class _AppendOnlyIndex:
     _KEYS_NAME = "bands"  # slim (id, band, bucket) — the probe join
     _VALS_NAME = "vals"  # fat per-id payload — verify only
     _DEC_NAME = "decisions"
+    _ID_COL = "doc_id"  # the per-row identity (EmbeddingIndex: vec_id)
 
     def __init__(self, spark: SparkSession, store_dir: str | None = None):
         self.spark = spark
@@ -117,6 +130,9 @@ class _AppendOnlyIndex:
         # paired with — epoch NUMBERS are meaningful only within one
         # checkpoint lineage (see bind_stream)
         self._stream_id: str | None = None
+        # True once any apply_cdc epoch committed: gates the CDC
+        # overlay fold so the append-only hot path never pays for it
+        self._has_cdc = False
 
     # -- epoch manifest ------------------------------------------------------
 
@@ -134,10 +150,65 @@ class _AppendOnlyIndex:
                     "segments": self._segments,
                     "stream_id": self._stream_id,
                     "index": type(self).__name__,
+                    "has_cdc": self._has_cdc,
                 },
                 f,
             )
         os.replace(tmp, self._manifest_path())
+
+    # -- CDC overlay (versioned rows + tombstones, Lucene-style) -------------
+    #
+    # apply_cdc (BM25Index today; MinHash/Embedding via their probe
+    # fold) appends NEW-VERSION rows (op='u', ver=epoch) and delete
+    # tombstones (op='d') instead of rewriting held state. Readers
+    # fold the overlay: rows of untouched ids pass a broadcast
+    # anti-join; touched ids keep only rows matching their latest
+    # version (a tombstone on top = dead). The overlay is sized by CDC
+    # traffic since the last compact() — compact folds it physically
+    # (shadowed versions and tombstones dropped, op reset to 'a') and
+    # the overlay returns to zero. On disk the op != 'a' scan prunes
+    # bulk segments at the parquet row-group level (op constant 'a').
+
+    def _cdc_overlay(self, vals: DataFrame) -> DataFrame:
+        """(id, ver, op) of each CDC-touched id's LATEST version —
+        max-ver per id over the op != 'a' rows (ver is unique per id
+        across epochs; within an epoch apply_cdc enforces one row per
+        id)."""
+        s = F.max(F.struct("ver", "op")).alias("s")
+        return (
+            vals.filter(F.col("op") != "a")
+            .groupBy(self._ID_COL)
+            .agg(s)
+            .select(
+                self._ID_COL,
+                F.col("s.ver").alias("ver"),
+                F.col("s.op").alias("op"),
+            )
+        )
+
+    def _cdc_live(
+        self,
+        frame: DataFrame,
+        overlay: DataFrame,
+        extra_dead: DataFrame | None = None,
+    ) -> DataFrame:
+        """Fold ``frame`` (any keys/vals frame carrying (_ID_COL, ver))
+        to current-version rows: untouched ids pass the anti-join,
+        touched ids keep only their latest live version's rows.
+        ``extra_dead`` (single id column): ids treated dead regardless
+        — an apply_cdc probe passes its own batch's ids so an update
+        never matches its own superseded version."""
+        idc = self._ID_COL
+        dead = overlay.select(idc)
+        alive = overlay.filter(F.col("op") != "d").select(idc, "ver")
+        if extra_dead is not None:
+            dead = dead.unionByName(extra_dead.select(idc)).distinct()
+            alive = alive.join(
+                F.broadcast(extra_dead.select(idc)), idc, "left_anti"
+            )
+        clean = frame.join(F.broadcast(dead), idc, "left_anti")
+        current = frame.join(F.broadcast(alive), [idc, "ver"], "left_semi")
+        return clean.unionByName(current)
 
     def bind_stream(self, stream_id: str, allow_rebind: bool = False) -> None:
         """Pair the index's REPLAY bookkeeping with one stream
@@ -269,6 +340,7 @@ class _AppendOnlyIndex:
                 )
             idx._epochs = set(m["epochs"])
             idx._stream_id = m.get("stream_id")
+            idx._has_cdc = m.get("has_cdc", False)
             # read committed segment dirs individually: an uncommitted
             # (crashed mid-write) directory is never touched, not even
             # for schema inference. An epoch whose batch was dropped
@@ -285,10 +357,18 @@ class _AppendOnlyIndex:
                 # BM25 batches of stats-only docs write vals, no keys)
                 kp = os.path.join(store_dir, cls._KEYS_NAME, seg)
                 if os.path.isdir(kp):
-                    idx._key_parts.append(spark.read.parquet(kp).persist())
+                    idx._key_parts.append(
+                        _with_cdc_cols(
+                            spark.read.parquet(kp), op=False
+                        ).persist()
+                    )
                 vp = os.path.join(store_dir, cls._VALS_NAME, seg)
                 if os.path.isdir(vp):
-                    idx._val_parts.append(spark.read.parquet(vp).persist())
+                    idx._val_parts.append(
+                        _with_cdc_cols(
+                            spark.read.parquet(vp), op=True
+                        ).persist()
+                    )
         return idx
 
     @property
@@ -399,11 +479,55 @@ class _AppendOnlyIndex:
         delete leaves orphans that are never read). The applied-epoch
         set and the per-epoch decision dirs are untouched —
         ``epoch_applied`` / ``stored_decisions`` answer identically
-        after compaction, so stream replay semantics survive."""
+        after compaction, so stream replay semantics survive.
+
+        With CDC state held (``_has_cdc``), compaction is also the
+        Lucene merge: the overlay folds physically FIRST — shadowed
+        versions and tombstoned ids drop from both frames, survivors
+        reset to op='a' — then the folded single frames cut over. The
+        fold materializes via eager localCheckpoint BEFORE
+        _swap_parts releases the old parts' blocks (a lazy fold over
+        released localCheckpoints has nothing to recompute from), and
+        dirty rows only exist in epoch=N segments appended since the
+        last compact, so force=True always reaches the needs_rename
+        rewrite and disk can never diverge from the folded memory."""
         import shutil
 
         if not self._key_parts and not self._val_parts:
             return
+        if self._has_cdc:
+            from .. import caching
+
+            vals = self.vals
+            if (
+                vals is not None
+                and "op" in vals.columns
+                and not vals.filter(F.col("op") != "a").isEmpty()
+            ):
+                overlay = self._cdc_overlay(vals)
+                fv = (
+                    self._cdc_live(vals, overlay)
+                    .withColumn("op", F.lit("a"))
+                    .localCheckpoint(eager=True)
+                )
+                fk = None
+                keys = self.keys
+                if keys is not None:
+                    fk = self._cdc_live(keys, overlay).localCheckpoint(
+                        eager=True
+                    )
+                    if fk.count() == 0:
+                        # a partitioned write of an empty frame leaves
+                        # an unreadable dir — drop the side (_append
+                        # gates the same way)
+                        caching.release_local_checkpoint(fk)
+                        fk = None
+                # vals stays even when empty: the non-partitioned write
+                # round-trips an empty frame with schema, and an
+                # all-deleted corpus must still flip the manifest off
+                # the old segments
+                self._swap_parts(fk, fv)
+                force = True
         # force (the bind_stream rebind path) must still rewrite even a
         # SINGLE epoch=N segment: the rebound stream reuses epoch
         # numbers, and its epoch=N write would clobber a dir the
@@ -526,6 +650,66 @@ class MinHashIndex(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        return self._probe_and_append(batch_df, epoch, "a", None)
+
+    def apply_cdc(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Apply one CDC micro-batch (doc_id, text, lang, source, op):
+        rows with op='d' DELETE their doc from the live corpus (its
+        keys/shingles stop blocking future near-dups — a removed doc
+        is not grounds to drop new arrivals); every other row is an
+        UPSERT — the doc's old version stops blocking, the NEW text is
+        probed against the live index (minus this batch's own ids, so
+        an update never matches its own superseded version) and enters
+        iff it survives. An upsert whose new text IS a near-dup of a
+        live doc drops (decision row) AND tombstones the old version —
+        the doc leaves the corpus either way.
+
+        Historical decisions stand (docs already dropped as dups of a
+        now-deleted doc stay dropped — the stream already emitted
+        them; the reference's delete path likewise only removes the
+        doc itself, ref: pgsync/sync.py:1254-1343).
+
+        Contract and mechanics shared with BM25Index.apply_cdc: at
+        most one row per doc_id (LWW-fold upstream), decisions carry
+        the removed ids (deletes with NULL dup_of/jaccard + dropped
+        upserts with their dup), versioned rows + tombstones fold at
+        probe/compact time via the base overlay."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        batch_df = batch_df.persist()
+        try:
+            dup = (
+                batch_df.groupBy(self._ID_COL)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"apply_cdc batch has multiple rows for "
+                    f"{self._ID_COL} {dup[0][self._ID_COL]}; fold "
+                    "per-doc runs (LWW) before applying"
+                )
+            dels = batch_df.filter(F.col("op") == "d").select(
+                self._ID_COL
+            ).localCheckpoint(eager=True)
+            ups = batch_df.filter(F.col("op") != "d").drop("op")
+            self._has_cdc = True  # manifest records it with the commit
+            return self._probe_and_append(ups, epoch, "u", dels)
+        finally:
+            batch_df.unpersist()
+
+    def _probe_and_append(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None,
+    ) -> DataFrame:
         sigs, cached = _signatures(batch_df)
         sigs = sigs.withColumn("fp", _fingerprint(F.col("sh"))).persist()
         cached = cached + [sigs]
@@ -533,21 +717,39 @@ class MinHashIndex(_AppendOnlyIndex):
 
         held_bands, held_sh = self.bands, self.shingles
         if held_bands is None:
-            decisions = self.spark.createDataFrame([], _DECISION_SCHEMA)
-            self._append(
-                new_bands, sigs.select("doc_id", "sh", "fp"), decisions, epoch
-            )
+            decisions = self._dedup_decisions_empty(dels)
+            self._append_versioned(sigs, decisions, epoch, op, dels)
             for c in cached:
                 c.unpersist()
             return decisions
 
+        overlay = None
+        if self._has_cdc:
+            # fold the CDC overlay so the probe sees only the LIVE
+            # corpus: shadowed versions and tombstoned docs never
+            # block, and an update never matches its own superseded
+            # version (extra_dead = this batch's ids). Broadcast
+            # anti/semi joins — scan-shaped, no corpus shuffle;
+            # skipped entirely on append-only indexes.
+            extra_dead = sigs.select(self._ID_COL)
+            if dels is not None:
+                extra_dead = extra_dead.unionByName(dels)
+            overlay = self._cdc_overlay(held_sh).persist()
+            held_bands = self._cdc_live(held_bands, overlay, extra_dead)
+            held_sh = self._cdc_live(held_sh, overlay, extra_dead)
         # candidate generation: shared with minhash_crosscorpus_pairs —
         # one grouped shuffle on (band, bucket), per-side hot-bucket
         # caps, inline index-side × batch-side pair expansion, drops
         # observed/logged so an operator can SEE the incremental index
         # losing LSH recall to boilerplate heat.
         cand = _crosscorpus_candidates(
-            held_bands, new_bands, "old_id", "new_id", "minhash_index_probe"
+            # slim to the banding triple: held keys carry ver (the CDC
+            # version column) which the two-sided union must not see
+            held_bands.select("doc_id", "band", "bucket"),
+            new_bands,
+            "old_id",
+            "new_id",
+            "minhash_index_probe",
         )
         ver = (
             cand.join(
@@ -609,22 +811,76 @@ class MinHashIndex(_AppendOnlyIndex):
                 F.col("m.old_id").alias("dup_of"),
                 F.col("m.jaccard").alias("jaccard"),
             )
-            .persist()
         )
+        if dels is not None:
+            decisions = decisions.unionByName(
+                self._dedup_decisions_empty(dels)
+            )
+        decisions = decisions.persist()
         decisions.count()
+        if overlay is not None:
+            overlay.unpersist()
 
         surv_sigs = sigs.join(
             decisions.select("doc_id"), "doc_id", "left_anti"
         )
-        self._append(
-            _band_frame(surv_sigs),
-            surv_sigs.select("doc_id", "sh", "fp"),
-            decisions,
-            epoch,
-        )
+        self._append_versioned(surv_sigs, decisions, epoch, op, dels)
         for c in cached:
             c.unpersist()
         return owned(decisions, [decisions])
+
+    def _dedup_decisions_empty(self, dels: DataFrame | None) -> DataFrame:
+        """Decisions for a probe with no duplicate drops: empty, plus
+        — in CDC mode — one row per DELETED doc (NULL dup_of/jaccard:
+        removed from the corpus, but not as anyone's duplicate), so
+        the stream's accepted/decisions split and stored_decisions
+        replay carry deletes like any other removal."""
+        empty = self.spark.createDataFrame([], _DECISION_SCHEMA)
+        if dels is None:
+            return empty
+        return empty.unionByName(
+            dels.select(
+                "doc_id",
+                F.lit(None).cast("bigint").alias("dup_of"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+        )
+
+    def _append_versioned(
+        self,
+        surv_sigs: DataFrame,
+        decisions: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None,
+    ) -> None:
+        """Append survivors with (ver=epoch, op) + delete/dropped-
+        upsert tombstones. In CDC mode every DROPPED upsert tombstones
+        too: the doc was updated, its old version is superseded, and
+        the new version lost to a live dup — the doc leaves the corpus
+        either way."""
+        ver = F.lit(epoch).cast("long")
+        vals = (
+            surv_sigs.select("doc_id", "sh", "fp")
+            .withColumn("ver", ver)
+            .withColumn("op", F.lit(op))
+        )
+        if op != "a":
+            # tombstone column types mirror the survivors' (the parts
+            # union is by name AND type)
+            sh_t = surv_sigs.schema["sh"].dataType
+            fp_t = surv_sigs.schema["fp"].dataType
+            vals = vals.unionByName(
+                decisions.select(
+                    "doc_id",
+                    F.lit(None).cast(sh_t).alias("sh"),
+                    F.lit(None).cast(fp_t).alias("fp"),
+                    ver.alias("ver"),
+                    F.lit("d").alias("op"),
+                )
+            )
+        keys = _band_frame(surv_sigs).withColumn("ver", ver)
+        self._append(keys, vals, decisions, epoch)
 
 
 _SEM_DECISION_SCHEMA = "vec_id bigint, dup_of bigint, cosine double"
@@ -664,6 +920,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
 
     _KEYS_NAME = "bands"
     _VALS_NAME = "vectors"
+    _ID_COL = "vec_id"
 
     def __init__(
         self,
@@ -704,26 +961,125 @@ class EmbeddingIndex(_AppendOnlyIndex):
         extend the index with the survivors, and return the DROP
         decisions (vec_id, dup_of, cosine) — dup_of the smallest
         accepted vector the new one verified against."""
-        from .similarity import NEARDUP_COS, _dot, _norm
-
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        return self._probe_and_append(batch_df, epoch, "a", None)
+
+    def apply_cdc(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Apply one CDC micro-batch (vec_id, embedding, op): op='d'
+        deletes the vector from the live corpus (it stops blocking
+        future near-dups); anything else is an UPSERT — old version
+        stops blocking, the new embedding is probed against the live
+        index (minus this batch's own ids) and enters iff it survives;
+        a dropped upsert tombstones the old version too. Same
+        contract/mechanics as MinHashIndex.apply_cdc (one row per
+        vec_id, LWW-folded upstream)."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        batch_df = batch_df.persist()
+        try:
+            dup = (
+                batch_df.groupBy("vec_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"apply_cdc batch has multiple rows for vec_id "
+                    f"{dup[0]['vec_id']}; fold per-id runs (LWW) "
+                    "before applying"
+                )
+            dels = batch_df.filter(F.col("op") == "d").select(
+                "vec_id"
+            ).localCheckpoint(eager=True)
+            ups = batch_df.filter(F.col("op") != "d").drop("op")
+            self._has_cdc = True  # manifest records it with the commit
+            return self._probe_and_append(ups, epoch, "u", dels)
+        finally:
+            batch_df.unpersist()
+
+    def _sem_decisions_empty(self, dels: DataFrame | None) -> DataFrame:
+        empty = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)
+        if dels is None:
+            return empty
+        return empty.unionByName(
+            dels.select(
+                "vec_id",
+                F.lit(None).cast("bigint").alias("dup_of"),
+                F.lit(None).cast("double").alias("cosine"),
+            )
+        )
+
+    def _append_versioned(
+        self,
+        surv: DataFrame,
+        decisions: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None,
+    ) -> None:
+        ver = F.lit(epoch).cast("long")
+        vals = (
+            surv.select("vec_id", "embedding")
+            .withColumn("ver", ver)
+            .withColumn("op", F.lit(op))
+        )
+        if op != "a":
+            # tombstone embedding type mirrors the batch's (float vs
+            # double element type must match for the parts union)
+            emb_t = surv.schema["embedding"].dataType
+            vals = vals.unionByName(
+                decisions.select(
+                    "vec_id",
+                    F.lit(None).cast(emb_t).alias("embedding"),
+                    ver.alias("ver"),
+                    F.lit("d").alias("op"),
+                )
+            )
+        keys = self._band_keys(surv).withColumn("ver", ver)
+        self._append(keys, vals, decisions, epoch)
+
+    def _probe_and_append(
+        self,
+        batch_df: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None,
+    ) -> DataFrame:
+        from .similarity import NEARDUP_COS, _dot, _norm
+
         batch = batch_df.select("vec_id", "embedding").persist()
         new_keys = self._band_keys(batch)
 
         held_keys, held_vecs = self.keys, self.vals
         if held_keys is None:
-            decisions = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)
+            decisions = self._sem_decisions_empty(dels)
             # the whole first batch survives. _append installs an eager
             # CHECKPOINT of it as held state, so the batch's own cache
             # is released here — holding it too would duplicate batch 0
             # in executor memory for the life of the index (a leak the
             # old persist()-returns-self contract masked).
-            self._append(new_keys, batch, decisions, epoch)
+            self._append_versioned(batch, decisions, epoch, op, dels)
             batch.unpersist()
             return decisions
 
+        overlay = None
+        if self._has_cdc:
+            # live-corpus fold before the probe (see MinHashIndex):
+            # shadowed/tombstoned vectors never block, and an update
+            # never matches its own superseded version
+            extra_dead = batch.select("vec_id")
+            if dels is not None:
+                extra_dead = extra_dead.unionByName(dels)
+            overlay = self._cdc_overlay(held_vecs).persist()
+            held_keys = self._cdc_live(held_keys, overlay, extra_dead)
+            held_vecs = self._cdc_live(held_vecs, overlay, extra_dead)
         # multi-probe expansion on the batch side only: a new key
         # probes its bucket plus every Hamming<=probe_hamming
         # perturbation within its band's sign bits; held keys (and the
@@ -785,11 +1141,17 @@ class EmbeddingIndex(_AppendOnlyIndex):
                 F.col("m.old_id").alias("dup_of"),
                 F.col("m.cosine").alias("cosine"),
             )
-            .persist()
         )
+        if dels is not None:
+            decisions = decisions.unionByName(
+                self._sem_decisions_empty(dels)
+            )
+        decisions = decisions.persist()
         decisions.count()
+        if overlay is not None:
+            overlay.unpersist()
 
         surv = batch.join(decisions.select("vec_id"), "vec_id", "left_anti")
-        self._append(self._band_keys(surv), surv, decisions, epoch)
+        self._append_versioned(surv, decisions, epoch, op, dels)
         batch.unpersist()
         return owned(decisions, [decisions])

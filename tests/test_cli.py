@@ -711,3 +711,53 @@ def test_cli_export_shards_from_dedup_output(spark, tmp_path):
     assert read_training_shards(spark, export).count() == 6
     # missing --export-out is a guarded error
     assert main(["--export-shards", out], spark=spark) == 2
+
+
+def test_cli_dedup_stream_cdc_ops(spark, tmp_path):
+    """--cdc-ops: the doc stream carries op rows; a delete removes the
+    doc from the maintained BM25 index and the --bm25-topk read side
+    reflects it."""
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "spark query engine",
+                            "lang": "en", "source": "s0",
+                            "op": "u"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "spark cooking",
+                            "lang": "en", "source": "s1",
+                            "op": "u"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "op": "d"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "bm25",
+            "--cdc-ops",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--dedup-out", out,
+            "--store-dir", store,
+            "--max-files-per-trigger", "1",
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    decisions = spark.read.parquet(os.path.join(out, "decisions"))
+    assert [r["doc_id"] for r in decisions.collect()] == [1]
+
+    import io
+
+    buf = io.StringIO()
+    rc = main(
+        ["--bm25-topk", "spark", "--store-dir", store],
+        spark=spark,
+        out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [r["doc_id"] for r in rows] == [2]  # doc 1 deleted

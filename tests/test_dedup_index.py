@@ -1101,3 +1101,244 @@ def test_streaming_dedup_fuzz_vs_serial_reference(spark, tmp_path, seed):
         ), f"seed {seed}"
     finally:
         idx.close()
+
+
+# --------------------------- CDC lifecycle (r8) ---------------------------
+
+THIRD = (
+    "red orange yellow green blue indigo violet cyan magenta teal "
+    "maroon olive navy coral salmon plum"
+)
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, op string"
+    )
+
+
+def test_minhash_cdc_delete_unblocks_future_dups(spark):
+    """A deleted doc stops blocking: its exact copy arriving later is
+    ACCEPTED (a removed doc is not grounds to drop new arrivals), and
+    the delete's decision row carries NULL dup_of/jaccard."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    # sanity: while doc 1 is live, its copy drops
+    assert idx.ingest(_docs(spark, [(3, DOC)])).count() == 1
+    dec = idx.apply_cdc(_cdc(spark, [(1, None, "d")]))
+    rows = dec.collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1
+    assert rows[0].dup_of is None and rows[0].jaccard is None
+    # the same text again: nothing live blocks it now
+    assert idx.ingest(_docs(spark, [(4, DOC)])).count() == 0
+    # and the new copy is index state: a FIFTH copy drops against it
+    d5 = idx.ingest(_docs(spark, [(5, DOC)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d5] == [(5, 4)]
+    idx.close()
+
+
+def test_minhash_cdc_update_swaps_blocking_version(spark):
+    """After an update, the OLD text stops blocking and the NEW text
+    blocks: the doc's identity persists, its content is current."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.apply_cdc(_cdc(spark, [(1, THIRD, "u")]))
+    # old content unblocked
+    assert idx.ingest(_docs(spark, [(3, DOC)])).count() == 0
+    # new content blocks, attributed to doc 1
+    d4 = idx.apply_cdc(_cdc(spark, [(4, THIRD, "u")])).collect()
+    assert [(r.doc_id, r.dup_of, r.jaccard) for r in d4] == [(4, 1, 1.0)]
+    idx.close()
+
+
+def test_minhash_cdc_update_does_not_match_own_old_version(spark):
+    """An update re-sending the SAME text must survive — the probe
+    excludes the batch's own superseded versions (otherwise every
+    no-op update would delete its doc as a dup of itself)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    dec = idx.apply_cdc(_cdc(spark, [(1, DOC, "u")]))
+    assert dec.count() == 0
+    # doc 1 still blocks its copy afterwards
+    d = idx.ingest(_docs(spark, [(3, DOC)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(3, 1)]
+    idx.close()
+
+
+def test_minhash_cdc_update_into_dup_drops_and_tombstones(spark):
+    """An update whose new text is a live doc's duplicate: decision
+    (doc, dup_of) AND the doc leaves the corpus entirely — its old
+    version stops blocking too."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    d = idx.apply_cdc(_cdc(spark, [(1, OTHER, "u")])).collect()
+    assert [(r.doc_id, r.dup_of, r.jaccard) for r in d] == [(1, 2, 1.0)]
+    # doc 1 is gone both ways: old text unblocked, and nothing under
+    # doc 1 blocks OTHER (doc 2 does)
+    assert idx.ingest(_docs(spark, [(3, DOC)])).count() == 0
+    d4 = idx.ingest(_docs(spark, [(4, OTHER)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d4] == [(4, 2)]
+    idx.close()
+
+
+def test_minhash_cdc_compact_folds_and_reloads(spark, tmp_path):
+    """compact() drops shadowed versions + tombstones physically; the
+    folded store reloads with identical probe behavior and zero
+    overlay rows."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.apply_cdc(
+        _cdc(spark, [(1, THIRD, "u"), (2, None, "d")])
+    )
+    idx.compact()
+    assert len(idx._segments) == 1
+    assert idx.vals.filter(F.col("op") != "a").count() == 0
+    assert idx.vals.filter(F.col("doc_id") == 2).count() == 0
+    # live corpus is exactly {1: THIRD}
+    assert idx.ingest(_docs(spark, [(5, OTHER)])).count() == 0
+    d = idx.ingest(_docs(spark, [(6, THIRD)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(6, 1)]
+    idx.close()
+
+    idx2 = MinHashIndex.load(spark, store)
+    assert idx2._has_cdc
+    d = idx2.ingest(_docs(spark, [(7, THIRD)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(7, 1)]
+    idx2.close()
+
+
+def test_minhash_cdc_replay_and_batch_contract(spark, tmp_path):
+    """CDC epochs ride the exactly-once machinery: committed decisions
+    read back via stored_decisions, a re-apply of the epoch raises,
+    and an unfolded multi-row-per-doc batch raises up front."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    batch = _cdc(spark, [(1, None, "d")])
+    idx.apply_cdc(batch, epoch=1)
+    stored = idx.stored_decisions(1)
+    assert [r.doc_id for r in stored.collect()] == [1]
+    with pytest.raises(ValueError, match="already applied"):
+        idx.apply_cdc(batch, epoch=1)
+    with pytest.raises(ValueError, match="multiple rows"):
+        idx.apply_cdc(
+            _cdc(spark, [(9, DOC, "u"), (9, None, "d")]), epoch=2
+        )
+    assert not idx.epoch_applied(2)
+    idx.close()
+
+
+def test_embedding_cdc_delete_update_semantics(spark):
+    """EmbeddingIndex through the same lifecycle: delete unblocks,
+    update swaps the blocking vector, a re-sent identical vector
+    survives its own update."""
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def unit(d):
+        v = [0.0] * 64
+        v[d] = 1.0
+        return v
+
+    v1, v2, v3 = unit(0), unit(1), unit(2)
+    idx = EmbeddingIndex(spark)
+    idx.ingest(vecs([(1, v1), (2, v2)]))
+    assert idx.ingest(vecs([(3, v1)])).count() == 1  # blocked by 1
+    # no-op update: must not match its own old version
+    assert idx.apply_cdc(
+        spark.createDataFrame(
+            [(1, v1, "u")],
+            "vec_id bigint, embedding array<double>, op string",
+        )
+    ).count() == 0
+    # update 1 -> v3: old vector unblocked, new vector blocks
+    idx.apply_cdc(
+        spark.createDataFrame(
+            [(1, v3, "u")],
+            "vec_id bigint, embedding array<double>, op string",
+        )
+    )
+    assert idx.ingest(vecs([(4, v1)])).count() == 0
+    d = idx.ingest(vecs([(5, v3)])).collect()
+    assert [(r.vec_id, r.dup_of) for r in d] == [(5, 1)]
+    # delete 2: its copy is accepted afterwards
+    dec = idx.apply_cdc(
+        spark.createDataFrame(
+            [(2, None, "d")],
+            "vec_id bigint, embedding array<double>, op string",
+        )
+    ).collect()
+    assert [(r.vec_id, r.dup_of, r.cosine) for r in dec] == [
+        (2, None, None)
+    ]
+    assert idx.ingest(vecs([(6, v2)])).count() == 0
+    idx.close()
+
+
+def test_minhash_cdc_through_streaming_pipeline(spark, tmp_path):
+    """start_dedup_stream with the CDC schema drives
+    MinHashIndex.apply_cdc: upserts probe/enter, deletes land in
+    decisions/ (excluded from accepted/), and the post-CDC index
+    blocks exactly the live corpus."""
+    import json
+    import os
+
+    from pgsync_spark.streaming.stream import (
+        CDC_DOCS_SCHEMA,
+        start_dedup_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    b0 = [
+        {"doc_id": 1, "text": DOC, "lang": "en", "source": "s0",
+         "op": "u"},
+        {"doc_id": 2, "text": OTHER, "lang": "en", "source": "s0",
+         "op": "u"},
+    ]
+    b1 = [
+        {"doc_id": 1, "text": THIRD, "lang": "en", "source": "s0",
+         "op": "u"},
+        {"doc_id": 2, "op": "d"},
+        {"doc_id": 3, "text": DOC, "lang": "en", "source": "s1",
+         "op": "u"},  # old DOC text is unblocked by 1's update
+    ]
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b0))
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = MinHashIndex(spark, store_dir=str(tmp_path / "store"))
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema=CDC_DOCS_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    import os as _os
+
+    accepted = spark.read.parquet(str(tmp_path / "out" / "accepted"))
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [1, 1, 2, 3]
+    dec1 = spark.read.parquet(
+        str(tmp_path / "out" / "decisions" / "epoch=1")
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in dec1] == [(2, None)]
+    # live corpus = {1: THIRD, 3: DOC}: copies of both drop, OTHER is free
+    assert idx.ingest(_docs(spark, [(10, OTHER)])).count() == 0
+    d = idx.ingest(_docs(spark, [(11, THIRD)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(11, 1)]
+    idx.close()
