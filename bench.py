@@ -377,10 +377,12 @@ def _noise_flags(
                 "conditions changed during the run"
             )
     for name, samples in query_samples.items():
-        if name == "incremental_full_sync":
-            # reported stat is min-of-3 and run 1 doubles as the
-            # page-cache warmer: a cold-vs-warm spread is expected and
-            # already discarded by the min
+        if name in ("incremental_full_sync", "streaming_drain"):
+            # reported stat is a MIN (min-of-3 / min-of-2), so a
+            # cold-vs-warm or single-burst spread is expected and
+            # already discarded by the min — the median/min flag
+            # below would misfire on exactly the noise the min exists
+            # to shed
             continue
         if len(samples) >= 2 and min(samples) > 0:
             # median/min, not max/min: the first run of every query

@@ -281,8 +281,16 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
     if args.cdc_ops:
         # CDC-shaped stream: rows carry op ('d' = delete, else upsert);
         # the stream routes such batches to index.apply_cdc — all three
-        # index classes support the lifecycle (r8)
-        schema += ", op string"
+        # index classes support the lifecycle (r8). The docs shape IS
+        # the public CDC_DOCS_SCHEMA constant (one definition; only the
+        # embedding schema derives locally).
+        from .streaming.stream import CDC_DOCS_SCHEMA
+
+        schema = (
+            schema + ", op string"
+            if args.dedup_index == "embedding"
+            else CDC_DOCS_SCHEMA
+        )
     try:
         if args.store_dir:
             # ALWAYS via load(): it resumes a committed store, starts

@@ -93,6 +93,7 @@ class BM25Index(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        self._check_cdc_readd(batch_df)
         decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
         self._append_docs(batch_df, decisions, epoch, op="a")
         return decisions
@@ -120,10 +121,16 @@ class BM25Index(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
-        batch_df = batch_df.persist()
+        # persist a DERIVED frame, never the caller's own object: in
+        # foreachBatch the caller already persisted batch_df, and a
+        # persist/unpersist pair on the same plan would evict the
+        # stream's cache mid-epoch (r8 review finding)
+        cdc = batch_df.select(
+            "doc_id", "text", "lang", "source", "op"
+        ).persist()
         try:
             dup = (
-                batch_df.groupBy("doc_id")
+                cdc.groupBy("doc_id")
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -136,13 +143,13 @@ class BM25Index(_AppendOnlyIndex):
                     "before applying — order within a batch is the "
                     "producer's knowledge, not the index's"
                 )
-            dels = batch_df.filter(F.col("op") == "d").select("doc_id")
-            ups = batch_df.filter(F.col("op") != "d")
+            dels = cdc.filter(F.col("op") == "d").select("doc_id")
+            ups = cdc.filter(F.col("op") != "d")
             self._has_cdc = True  # manifest records it with the commit
             self._append_docs(ups, dels, epoch, op="u", dels=dels)
             decisions = dels
         finally:
-            batch_df.unpersist()
+            cdc.unpersist()
         return decisions
 
     def _append_docs(

@@ -186,6 +186,34 @@ class _AppendOnlyIndex:
             )
         )
 
+    def _check_cdc_readd(self, batch_ids: DataFrame) -> None:
+        """Bulk ``ingest()`` on an index with CDC history must not
+        touch ids that history covers: the overlay folds only op!='a'
+        rows, so an op='a' re-add of an updated/deleted id would be
+        INVISIBLE to every reader (the id's overlay row still shadows
+        it) and silently discarded by the next compact (r8 review
+        finding). Raise instead — re-adds go through apply_cdc
+        (op='u'), whose versioned rows participate in the fold."""
+        if not self._has_cdc:
+            return
+        vals = self.vals
+        if vals is None or "op" not in vals.columns:
+            return
+        hit = (
+            self._cdc_overlay(vals)
+            .join(F.broadcast(batch_ids.select(self._ID_COL)), self._ID_COL)
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            raise ValueError(
+                f"ingest() batch contains {self._ID_COL} "
+                f"{hit[0][self._ID_COL]}, which has CDC history "
+                "(updated or deleted); re-add it via apply_cdc "
+                "(op='u') — a bulk op='a' row would be shadowed by "
+                "the overlay and dropped at the next compact"
+            )
+
     def _cdc_live(
         self,
         frame: DataFrame,
@@ -528,6 +556,14 @@ class _AppendOnlyIndex:
                 # the old segments
                 self._swap_parts(fk, fv)
                 force = True
+            # the overlay is now provably empty either way (folded
+            # above, or there were no dirty rows at all): drop the
+            # flag so readers/probes return to the append-only fast
+            # path — leaving it set costs an overlay scan + two joins
+            # per query FOREVER (r8 review finding). The next manifest
+            # commit (this compact's cutover, or the next epoch)
+            # persists the reset.
+            self._has_cdc = False
         # force (the bind_stream rebind path) must still rewrite even a
         # SINGLE epoch=N segment: the rebound stream reuses epoch
         # numbers, and its epoch=N write would clobber a dir the
@@ -650,6 +686,7 @@ class MinHashIndex(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        self._check_cdc_readd(batch_df)
         return self._probe_and_append(batch_df, epoch, "a", None)
 
     def apply_cdc(
@@ -679,10 +716,16 @@ class MinHashIndex(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
-        batch_df = batch_df.persist()
+        # derived persist, never the caller's own frame: in
+        # foreachBatch the stream already persisted batch_df, and a
+        # persist/unpersist pair on the same plan would evict its
+        # cache mid-epoch (r8 review finding). dels stays a lazy plan
+        # over this cache — an eager checkpoint here would leak its
+        # blocks (nothing releases it after the epoch commits).
+        cdc = batch_df.select(*batch_df.columns).persist()
         try:
             dup = (
-                batch_df.groupBy(self._ID_COL)
+                cdc.groupBy(self._ID_COL)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -694,14 +737,12 @@ class MinHashIndex(_AppendOnlyIndex):
                     f"{self._ID_COL} {dup[0][self._ID_COL]}; fold "
                     "per-doc runs (LWW) before applying"
                 )
-            dels = batch_df.filter(F.col("op") == "d").select(
-                self._ID_COL
-            ).localCheckpoint(eager=True)
-            ups = batch_df.filter(F.col("op") != "d").drop("op")
+            dels = cdc.filter(F.col("op") == "d").select(self._ID_COL)
+            ups = cdc.filter(F.col("op") != "d").drop("op")
             self._has_cdc = True  # manifest records it with the commit
             return self._probe_and_append(ups, epoch, "u", dels)
         finally:
-            batch_df.unpersist()
+            cdc.unpersist()
 
     def _probe_and_append(
         self,
@@ -964,6 +1005,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
+        self._check_cdc_readd(batch_df)
         return self._probe_and_append(batch_df, epoch, "a", None)
 
     def apply_cdc(
@@ -980,10 +1022,11 @@ class EmbeddingIndex(_AppendOnlyIndex):
         if epoch is None:
             epoch = self.next_epoch()
         self._check_epoch(epoch)
-        batch_df = batch_df.persist()
+        # derived persist + lazy dels — see MinHashIndex.apply_cdc
+        cdc = batch_df.select(*batch_df.columns).persist()
         try:
             dup = (
-                batch_df.groupBy("vec_id")
+                cdc.groupBy("vec_id")
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -995,14 +1038,12 @@ class EmbeddingIndex(_AppendOnlyIndex):
                     f"{dup[0]['vec_id']}; fold per-id runs (LWW) "
                     "before applying"
                 )
-            dels = batch_df.filter(F.col("op") == "d").select(
-                "vec_id"
-            ).localCheckpoint(eager=True)
-            ups = batch_df.filter(F.col("op") != "d").drop("op")
+            dels = cdc.filter(F.col("op") == "d").select("vec_id")
+            ups = cdc.filter(F.col("op") != "d").drop("op")
             self._has_cdc = True  # manifest records it with the commit
             return self._probe_and_append(ups, epoch, "u", dels)
         finally:
-            batch_df.unpersist()
+            cdc.unpersist()
 
     def _sem_decisions_empty(self, dels: DataFrame | None) -> DataFrame:
         empty = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)

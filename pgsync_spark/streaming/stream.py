@@ -304,10 +304,16 @@ def start_dedup_stream(
         kept = batch_df
         if pre_filter is not None:
             # quality gate BEFORE the probe: rejects never pay for
-            # signatures or enter the index; NULL predicate = reject
+            # signatures or enter the index; NULL predicate = reject.
+            # CDC DELETE markers are exempt — they carry no doc (NULL
+            # text would always fail a quality predicate), and a
+            # swallowed tombstone leaves the deleted doc live in the
+            # index forever (r8 review finding).
             keep = F.coalesce(
                 F.expr(pre_filter).cast("boolean"), F.lit(False)
             )
+            if "op" in batch_df.columns:
+                keep = (F.col("op") == "d") | keep
             kept = batch_df.filter(keep)
             batch_df.filter(~keep).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "rejected", f"epoch={epoch_id}")

@@ -123,11 +123,13 @@ def test_compact_line_fits_budget_at_real_size():
     assert c["canary"] == {"start": 0.0712, "end": 0.0698,
                            "end_over_start": 0.98}
     assert c["streaming_drain"] == 15.5
-    assert c["noise_flags_n"] == 1 and c["noise_flags"]
+    # the flag COUNT always rides the line; the prose is the first
+    # diagnostic shed as the query list grows (r8: 45 metrics) — it
+    # lives in BENCH_DETAIL.json either way
+    assert c["noise_flags_n"] == 1
     assert c["detail"] == "BENCH_DETAIL.json"
 
-    # rounding ran BEFORE any diagnostic was dropped: flags intact
-    assert c["noise_flags_n"] == 1 and "noise_flags" in c
+    assert c["noise_flags_n"] == 1
 
     # pathological error text sheds diagnostics, never metrics
     full["errors"] = {f"q{i}": "x" * 500 for i in range(40)}

@@ -1202,8 +1202,12 @@ def test_minhash_cdc_compact_folds_and_reloads(spark, tmp_path):
     assert [(r.doc_id, r.dup_of) for r in d] == [(6, 1)]
     idx.close()
 
+    # compact reset the CDC flag (overlay provably empty) and the
+    # manifest cutover persisted the reset: the reloaded store probes
+    # on the append-only fast path with identical results
+    assert not idx._has_cdc
     idx2 = MinHashIndex.load(spark, store)
-    assert idx2._has_cdc
+    assert not idx2._has_cdc
     d = idx2.ingest(_docs(spark, [(7, THIRD)])).collect()
     assert [(r.doc_id, r.dup_of) for r in d] == [(7, 1)]
     idx2.close()
@@ -1341,4 +1345,70 @@ def test_minhash_cdc_through_streaming_pipeline(spark, tmp_path):
     assert idx.ingest(_docs(spark, [(10, OTHER)])).count() == 0
     d = idx.ingest(_docs(spark, [(11, THIRD)])).collect()
     assert [(r.doc_id, r.dup_of) for r in d] == [(11, 1)]
+    idx.close()
+
+
+def test_bulk_ingest_of_cdc_touched_id_raises(spark):
+    """r8 review finding: an op='a' re-add of an id with CDC history
+    would be invisible to the overlay fold and silently discarded at
+    the next compact — ingest() refuses instead (apply_cdc op='u' is
+    the re-add path)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.apply_cdc(_cdc(spark, [(1, None, "d")]))
+    with pytest.raises(ValueError, match="CDC history"):
+        idx.ingest(_docs(spark, [(1, DOC)]))
+    # untouched NEW ids still bulk-ingest fine on a CDC index
+    assert idx.ingest(_docs(spark, [(7, THIRD)])).count() == 0
+    # after compact the history is folded away and the flag drops:
+    # the id is genuinely gone, a plain re-add is sound again
+    idx.compact()
+    assert not idx._has_cdc
+    assert idx.ingest(_docs(spark, [(1, DOC)])).count() == 0
+    idx.close()
+
+
+def test_cdc_delete_passes_pre_filter_gate(spark, tmp_path):
+    """r8 review finding: a quality pre_filter must never swallow a
+    CDC delete marker (NULL text always fails the predicate) — the
+    tombstone reaches the index and the doc actually dies."""
+    import json
+    import os
+
+    from pgsync_spark.functions.bm25_index import BM25Index
+    from pgsync_spark.streaming.stream import (
+        CDC_DOCS_SCHEMA,
+        start_dedup_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "spark query engine",
+                            "lang": "en", "source": "s0",
+                            "op": "u"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "op": "d"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = BM25Index(spark, store_dir=str(tmp_path / "store"))
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema=CDC_DOCS_SCHEMA,
+        max_files_per_trigger=1,
+        pre_filter="length(text) >= 5",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert idx.topk(("spark",), k=5).count() == 0  # deleted for real
+    # and the delete row is not in rejected/
+    rej = os.path.join(str(tmp_path / "out"), "rejected")
+    for sub in os.listdir(rej):
+        rows = spark.read.parquet(os.path.join(rej, sub)).collect()
+        assert all(r["op"] != "d" for r in rows)
     idx.close()

@@ -618,7 +618,7 @@ def test_ann_recall_eval_semantics(spark):
     from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
 
     rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 6 * N_QUERIES
+    assert len(rows) == 8 * N_QUERIES
     by_method = {}
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
@@ -626,10 +626,16 @@ def test_ann_recall_eval_semantics(spark):
         by_method.setdefault(r["method"], []).append(r["n_hits"])
     assert set(by_method) == {
         "ivf", "lsh", "lsh_multiprobe", "lsh_multiprobe2", "pq_adc",
-        "ivfpq",
+        "pq_adc_trained", "ivfpq", "ivfpq_trained",
     }
-    # composition can only lose vs each dial alone: ivfpq's candidate
-    # set is a subset of pq_adc's, scored identically
+    # ivfpq's candidate set is a subset of pq_adc's, scored
+    # identically — empirically it loses here (pinned). NOTE the
+    # subset argument bounds CANDIDATES, not top-k hits: pruning can
+    # accidentally IMPROVE recall@k when the quantized scorer is
+    # imperfect (a wrong-but-good-ADC candidate pruned away lets a
+    # true neighbor into the top-k) — the trained codebook at
+    # sf0.001 is a live counterexample (ivfpq_trained 11 hits vs
+    # pq_adc_trained 8), so no such assertion for the trained pair.
     assert sum(by_method["ivfpq"]) <= sum(by_method["pq_adc"])
     assert sum(by_method["ivf"]) >= sum(by_method["lsh"])
     # multi-probe exists BECAUSE the eval showed single-probe at ~0:
