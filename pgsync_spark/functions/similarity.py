@@ -270,7 +270,33 @@ def _cell_scores(df: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(df: DataFrame) -> DataFrame:
+def _ivf_ranked(df: DataFrame) -> DataFrame:
+    """Per-vector cell ranking (vec_id, cell_id, cos, rn) — rn=1 is
+    the vector's IVF cell, rn<=nprobe its probe set. One corpus-sized
+    window; ann_recall_eval computes it ONCE and shares it across the
+    ivf / ivfpq / ivfpq_trained legs (r8: three identical windows
+    collapsed to one)."""
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+    return _cell_scores(df).withColumn("rn", F.row_number().over(w))
+
+
+def _ivf_candidates(ranked: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id) — each query × the members of its
+    IVF_NPROBE nearest cells, self excluded."""
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    qprobe = ranked.filter(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    return (
+        qprobe.join(assign, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ann_ivf_topk(df: DataFrame, ranked: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     codebook cell once; a query probes only its IVF_NPROBE nearest
     cells and exact-ranks the candidates. At 100 TB the corpus scan is
@@ -279,18 +305,7 @@ def ann_ivf_topk(df: DataFrame) -> DataFrame:
     map-side top-k as the brute-force path. Rounded-cosine ties break
     by cell_id, so the approximation itself is engine-deterministic
     and the DuckDB oracle reproduces it exactly."""
-    scores = _cell_scores(df)
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
-    ranked = scores.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id"
-    )
-    qprobe = ranked.filter(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cell_id")
-    cand = qprobe.join(assign, "cell_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id")
+    cand = _ivf_candidates(ranked if ranked is not None else _ivf_ranked(df))
     e1 = df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     e2 = df.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
     scored = cand.join(F.broadcast(e1.filter(F.col("query_id") < N_QUERIES)), "query_id").join(
@@ -622,8 +637,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     # Same sharing for the trained twins.
     pq = _pq_artifacts(df)
     pqt = _pq_trained_artifacts(df)
+    # ONE corpus cell-ranking window shared by all three IVF legs
+    ranked = _ivf_ranked(df).persist()
     methods = (
-        ("ivf", ann_ivf_topk),
+        ("ivf", lambda d: ann_ivf_topk(d, ranked=ranked)),
         ("lsh", ann_lsh_topk),
         ("lsh_multiprobe", ann_lsh_multiprobe_topk),
         # the probe-width dial priced one step wider: Hamming-2 probes
@@ -639,10 +656,12 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # above — identical serving plan and byte budget, so the
         # recall delta is purely what Lloyd training buys
         ("pq_adc_trained", lambda d: ann_pq_adc_trained_topk(d, shared=pqt)),
-        ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(d, shared=pqt)),
+        ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(
+            d, shared=pqt, ranked=ranked
+        )),
         # prune x compress composed (the FAISS IVF-PQ serving shape):
         # its recall shows the two losses stacking
-        ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq)),
+        ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq, ranked=ranked)),
     )
     method_frames = []
     for method, fn in methods:
@@ -675,7 +694,7 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     # scope (if any) rides along
     caching.adopt(out, pq[2])
     caching.adopt(out, pqt[2])
-    return caching.owned(out, [exact, pq[3], pqt[3]])
+    return caching.owned(out, [exact, pq[3], pqt[3], ranked])
 
 
 def ann_recall_eval_sql() -> str:
@@ -1131,7 +1150,7 @@ def _adc_rank(scored: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivfpq_topk(df: DataFrame, shared=None) -> DataFrame:
+def ann_ivfpq_topk(df: DataFrame, shared=None, ranked=None) -> DataFrame:
     """IVF-PQ — the FAISS serving composition: IVF cell PRUNING (a
     query touches only its IVF_NPROBE cells' members, ~nprobe/cells of
     the corpus) × PQ-ADC COMPRESSION (candidates scored by 8 table
@@ -1143,20 +1162,7 @@ def ann_ivfpq_topk(df: DataFrame, shared=None) -> DataFrame:
     (deterministic codebooks, integer micro distances, rounded-cosine
     cell ranks), so the oracle is a full value match."""
     cents, tables, enc, codes = shared or _pq_artifacts(df)
-    scores = _cell_scores(df)
-    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
-    ranked = scores.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id"
-    )
-    qprobe = ranked.filter(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "cell_id")
-    cand = (
-        qprobe.join(assign, "cell_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
+    cand = _ivf_candidates(ranked if ranked is not None else _ivf_ranked(df))
     qf, qt = _adc_query_frame(df.sparkSession, tables)
     scored = (
         cand.join(codes, "neighbor_id")
@@ -1548,14 +1554,14 @@ def pq_codes_trained_json_sql() -> str:
     """
 
 
-def ann_ivfpq_trained_topk(df: DataFrame, shared=None) -> DataFrame:
+def ann_ivfpq_trained_topk(df: DataFrame, shared=None, ranked=None) -> DataFrame:
     """IVF-PQ under the TRAINED codebook: the same prune × compress
     composition as ann_ivfpq_topk with the Lloyd-trained codes/tables
     swapped in — completing the trained serving story (recall eval
     prices all four: pq_adc, pq_adc_trained, ivfpq, ivfpq_trained)."""
     own = shared is None
     art = shared or _pq_trained_artifacts(df)
-    out = ann_ivfpq_topk(df, shared=art)
+    out = ann_ivfpq_topk(df, shared=art, ranked=ranked)
     if own:
         from ..caching import adopt, owned
 
