@@ -144,7 +144,11 @@ class BM25Index(_AppendOnlyIndex):
                     "producer's knowledge, not the index's"
                 )
             dels = cdc.filter(F.col("op") == "d").select("doc_id")
-            ups = cdc.filter(F.col("op") != "d")
+            # NULL-safe: the contract is "'d' deletes, ANYTHING ELSE
+            # upserts" — a NULL/missing op is an upsert, not a row
+            # that silently vanishes from both branches (r8 review
+            # pass 2 finding)
+            ups = cdc.filter(~F.col("op").eqNullSafe("d"))
             self._has_cdc = True  # manifest records it with the commit
             self._append_docs(ups, dels, epoch, op="u", dels=dels)
             decisions = dels

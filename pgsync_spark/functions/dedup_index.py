@@ -76,6 +76,15 @@ def _fingerprint(sh):
     )
 
 
+def _reset_ver(df: DataFrame | None) -> DataFrame | None:
+    """ver -> the -1 sentinel (strictly older than every real epoch).
+    Applied to every compact rewrite — see compact() for why stale
+    epoch numbers on compacted rows are a rebind hazard."""
+    if df is None or "ver" not in df.columns:
+        return df
+    return df.withColumn("ver", F.lit(-1).cast("long"))
+
+
 def _with_cdc_cols(df: DataFrame, op: bool) -> DataFrame:
     """Normalize a segment written by the pre-CDC format (r7 and
     earlier: no ver/op columns) to the r8 versioned schema — ver=-1
@@ -568,10 +577,18 @@ class _AppendOnlyIndex:
         # SINGLE epoch=N segment: the rebound stream reuses epoch
         # numbers, and its epoch=N write would clobber a dir the
         # manifest still lists
-        needs_rename = (
-            force
-            and self.store_dir is not None
-            and any(s.startswith("epoch=") for s in self._segments)
+        needs_rename = force and (
+            # store-backed: epoch=N dirs must vacate for a rebound
+            # stream's reused epoch numbers
+            (
+                self.store_dir is not None
+                and any(s.startswith("epoch=") for s in self._segments)
+            )
+            # store-less: a forced (rebind) compact must still rewrite
+            # a single held part — its rows can carry real epoch vers
+            # that a rebound stream's reused epoch numbers would
+            # collide with (the _reset_ver hazard below)
+            or (self.store_dir is None and bool(self._val_parts))
         )
         if (
             len(self._key_parts) <= 1
@@ -582,6 +599,17 @@ class _AppendOnlyIndex:
         # either side may be None (one-sided segments: BM25 batches of
         # stats-only docs hold vals, no keys)
         keys, vals = self.keys, self.vals
+        # every compact rewrite resets ver to the -1 sentinel (the
+        # same value the pre-CDC load shim uses): compacted rows are
+        # all live and versionless, and a REBOUND stream reuses epoch
+        # numbers — keeping old vers would let a rebound apply_cdc's
+        # (id, ver=N) overlay row semi-join-match a compacted survivor
+        # that happened to be written at the old epoch N, resurrecting
+        # and duplicating the stale version (r8 review pass 2,
+        # confirmed live). -1 is strictly older than every real epoch,
+        # so the max-ver fold always prefers genuine CDC rows.
+        keys = _reset_ver(keys)
+        vals = _reset_ver(vals)
         if self.store_dir is not None:
             seg = f"compacted-{self.next_epoch()}"
             n = 0
@@ -738,7 +766,9 @@ class MinHashIndex(_AppendOnlyIndex):
                     "per-doc runs (LWW) before applying"
                 )
             dels = cdc.filter(F.col("op") == "d").select(self._ID_COL)
-            ups = cdc.filter(F.col("op") != "d").drop("op")
+            # NULL-safe: NULL/missing op is an upsert (see
+            # BM25Index.apply_cdc), never a silently-vanished row
+            ups = cdc.filter(~F.col("op").eqNullSafe("d")).drop("op")
             self._has_cdc = True  # manifest records it with the commit
             return self._probe_and_append(ups, epoch, "u", dels)
         finally:
@@ -768,13 +798,19 @@ class MinHashIndex(_AppendOnlyIndex):
         if self._has_cdc:
             # fold the CDC overlay so the probe sees only the LIVE
             # corpus: shadowed versions and tombstoned docs never
-            # block, and an update never matches its own superseded
-            # version (extra_dead = this batch's ids). Broadcast
-            # anti/semi joins — scan-shaped, no corpus shuffle;
-            # skipped entirely on append-only indexes.
-            extra_dead = sigs.select(self._ID_COL)
-            if dels is not None:
-                extra_dead = extra_dead.unionByName(dels)
+            # block. On the apply_cdc path (op != 'a') the batch's own
+            # ids are excluded too — an UPDATE must never match its
+            # own superseded version. On a bulk ingest the exclusion
+            # must NOT apply: the held copy of a re-ingested id is
+            # still live and must self-block the duplicate, exactly
+            # like the append-only path (r8 review pass 2 finding).
+            # Broadcast anti/semi joins — scan-shaped, no corpus
+            # shuffle; skipped entirely on append-only indexes.
+            extra_dead = None
+            if op != "a":
+                extra_dead = sigs.select(self._ID_COL)
+                if dels is not None:
+                    extra_dead = extra_dead.unionByName(dels)
             overlay = self._cdc_overlay(held_sh).persist()
             held_bands = self._cdc_live(held_bands, overlay, extra_dead)
             held_sh = self._cdc_live(held_sh, overlay, extra_dead)
@@ -1039,7 +1075,8 @@ class EmbeddingIndex(_AppendOnlyIndex):
                     "before applying"
                 )
             dels = cdc.filter(F.col("op") == "d").select("vec_id")
-            ups = cdc.filter(F.col("op") != "d").drop("op")
+            # NULL-safe (see BM25Index.apply_cdc)
+            ups = cdc.filter(~F.col("op").eqNullSafe("d")).drop("op")
             self._has_cdc = True  # manifest records it with the commit
             return self._probe_and_append(ups, epoch, "u", dels)
         finally:
@@ -1113,11 +1150,15 @@ class EmbeddingIndex(_AppendOnlyIndex):
         overlay = None
         if self._has_cdc:
             # live-corpus fold before the probe (see MinHashIndex):
-            # shadowed/tombstoned vectors never block, and an update
-            # never matches its own superseded version
-            extra_dead = batch.select("vec_id")
-            if dels is not None:
-                extra_dead = extra_dead.unionByName(dels)
+            # shadowed/tombstoned vectors never block; own-batch ids
+            # excluded ONLY on the apply_cdc path (an update must not
+            # match its superseded version; a bulk re-ingest must
+            # still be self-blocked by its live held copy)
+            extra_dead = None
+            if op != "a":
+                extra_dead = batch.select("vec_id")
+                if dels is not None:
+                    extra_dead = extra_dead.unionByName(dels)
             overlay = self._cdc_overlay(held_vecs).persist()
             held_keys = self._cdc_live(held_keys, overlay, extra_dead)
             held_vecs = self._cdc_live(held_vecs, overlay, extra_dead)

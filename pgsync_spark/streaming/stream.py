@@ -315,9 +315,22 @@ def start_dedup_stream(
             if "op" in batch_df.columns:
                 keep = (F.col("op") == "d") | keep
             kept = batch_df.filter(keep)
-            batch_df.filter(~keep).write.mode("overwrite").parquet(
+            rejected = batch_df.filter(~keep)
+            rejected.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "rejected", f"epoch={epoch_id}")
             )
+            if "op" in batch_df.columns and hasattr(index, "apply_cdc"):
+                # a CDC upsert whose NEW content fails the quality
+                # gate must not freeze the doc's stale old version in
+                # the index (the same failure class as a swallowed
+                # tombstone) — demote it to a DELETE: the doc's
+                # current content no longer qualifies, so it leaves
+                # the index; the original row is already in rejected/
+                # for audit. For a brand-new doc this tombstones an
+                # id the index never held — a harmless no-op row.
+                kept = kept.unionByName(
+                    rejected.withColumn("op", F.lit("d"))
+                )
         if index.epoch_applied(epoch_id):
             # replay of a committed epoch: the batch is already index
             # state — rebuild the outputs from the committed decisions

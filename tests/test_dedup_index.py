@@ -1412,3 +1412,132 @@ def test_cdc_delete_passes_pre_filter_gate(spark, tmp_path):
         rows = spark.read.parquet(os.path.join(rej, sub)).collect()
         assert all(r["op"] != "d" for r in rows)
     idx.close()
+
+
+def test_apply_cdc_null_op_is_upsert(spark):
+    """r8 review pass 2: a NULL/missing op is an UPSERT ('d' deletes,
+    anything else upserts) — not a row that silently vanishes from
+    both branches."""
+    idx = MinHashIndex(spark)
+    idx.apply_cdc(_cdc(spark, [(1, DOC, None), (2, OTHER, "u")]))
+    held = {r.doc_id for r in idx.shingles.select("doc_id").collect()}
+    assert held == {1, 2}
+    # and the NULL-op doc actually blocks its copy
+    d = idx.ingest(_docs(spark, [(3, DOC)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(3, 1)]
+    idx.close()
+
+
+def test_rebind_does_not_resurrect_stale_versions(spark, tmp_path):
+    """r8 review pass 2 (confirmed live pre-fix): compact used to keep
+    real epoch numbers as ver, so a REBOUND stream reusing epoch 0
+    produced an overlay row (id, ver=0) that semi-join-matched a
+    compacted survivor written at the old epoch 0 — resurrecting and
+    duplicating the stale version. compact now resets ver to -1."""
+    from pgsync_spark.functions.bm25_index import BM25Index
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    store = str(tmp_path / "bm25")
+    idx = BM25Index(spark, store_dir=store)
+    idx.ingest(
+        spark.createDataFrame([(7, "oldword here", "en", "s0")], schema),
+        epoch=0,
+    )
+    # direct-ingest epochs: first bind itself requires the rebind
+    # opt-in (r7 ADVICE guard)
+    idx.bind_stream("ckptA", allow_rebind=True)
+    idx.close()
+
+    idx2 = BM25Index.load(spark, store)
+    idx2.bind_stream("ckptB", allow_rebind=True)  # compacts + resets
+    assert idx2.vals.filter(F.col("ver") != -1).count() == 0
+    # the rebound stream's epoch numbering restarts at 0
+    idx2.apply_cdc(
+        spark.createDataFrame(
+            [(7, "newword only", "en", "s0", "u")], schema + ", op string"
+        ),
+        epoch=0,
+    )
+    assert idx2.topk(("oldword",), k=5).count() == 0  # stale text dead
+    got = idx2.topk(("newword",), k=5).collect()
+    assert [r["doc_id"] for r in got] == [7]  # once, not duplicated
+    # N = 1 live doc (docstats not double-counted)
+    idx2.close()
+
+
+def test_storeless_rebind_also_resets_vers(spark):
+    """The same rebind hazard for a store-less index: the forced
+    compact must rewrite even a single held part."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    idx.bind_stream("ckptA", allow_rebind=True)
+    assert idx.vals.filter(F.col("ver") != -1).count() == 0
+    idx.close()
+
+
+def test_bulk_reingest_still_self_blocked_on_cdc_index(spark):
+    """r8 review pass 2: with CDC history present, a bulk ingest()
+    re-containing a LIVE doc's id+text must still drop it as a dup of
+    the held copy (the own-batch exclusion applies only to apply_cdc,
+    where an update must not match its superseded version)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.apply_cdc(_cdc(spark, [(9, THIRD, "u")]))  # sets _has_cdc
+    d = idx.ingest(_docs(spark, [(1, DOC)])).collect()
+    assert [(r.doc_id, r.dup_of, r.jaccard) for r in d] == [(1, 1, 1.0)]
+    # and the index did not grow a second live copy of doc 1
+    assert idx.vals.filter(F.col("doc_id") == 1).count() == 1
+    idx.close()
+
+
+def test_pre_filter_failing_update_tombstones_stale_version(
+    spark, tmp_path
+):
+    """r8 review pass 2: an UPDATE whose new text fails the quality
+    gate must not freeze the doc's old version in the index — the
+    stream demotes it to a delete (audited in rejected/)."""
+    import json
+    import os
+
+    from pgsync_spark.functions.bm25_index import BM25Index
+    from pgsync_spark.streaming.stream import (
+        CDC_DOCS_SCHEMA,
+        start_dedup_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "spark engine fundamentals long enough",
+            "lang": "en", "source": "s0", "op": "u"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "short", "lang": "en", "source": "s0",
+            "op": "u"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = BM25Index(spark, store_dir=str(tmp_path / "store"))
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema=CDC_DOCS_SCHEMA,
+        max_files_per_trigger=1,
+        pre_filter="length(text) >= 20",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the stale long version is gone (not frozen), and the failing
+    # short version never entered
+    assert idx.topk(("spark",), k=5).count() == 0
+    assert idx.topk(("short",), k=5).count() == 0
+    # the original failing row is audited in rejected/
+    rej = spark.read.parquet(
+        str(tmp_path / "out" / "rejected" / "epoch=1")
+    ).collect()
+    assert [(r.doc_id, r.text) for r in rej] == [(1, "short")]
+    idx.close()
