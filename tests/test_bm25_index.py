@@ -559,3 +559,83 @@ def test_cdc_through_the_streaming_pipeline(spark, tmp_path):
     assert idx2.topk(("spark", "query")).count() == 0
     assert idx2.vals.filter(F.col("op") == "a").count() == 0  # CDC-only
     idx2.close()
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_bm25_cdc_fuzz_matches_oneshot(spark, seed):
+    """Seeded random CDC lifecycle fuzz: interleaved bulk ingests,
+    updates, deletes, CDC inserts, RESURRECTIONS of deleted ids, and a
+    mid-sequence compact — after every sequence the held state must
+    score bit-identically to a one-shot index over the model corpus
+    (the additivity+overlay contract under arbitrary histories, not
+    just the hand-written scenarios)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "query", "vector", "engine", "index", "data",
+             "tokens", "cdc", "stream", "delta"]
+
+    def text():
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(3, 12))
+        )
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    model: dict[int, str] = {}
+    deleted: list[int] = []
+    idx = BM25Index(spark)
+    next_id = 0
+    for epoch in range(8):
+        if rng.random() < 0.4 or not model:
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                did, next_id = next_id, next_id + 1
+                t = text()
+                model[did] = t
+                rows.append((did, t, "en", f"s{did % 3}"))
+            idx.ingest(spark.createDataFrame(rows, schema))
+        else:
+            batch: dict[int, tuple] = {}
+            for did in rng.sample(
+                sorted(model), k=min(len(model), rng.randint(1, 4))
+            ):
+                if rng.random() < 0.4:
+                    batch[did] = (did, None, None, None, "d")
+                    deleted.append(did)
+                    model.pop(did)
+                else:
+                    t = text()
+                    model[did] = t
+                    batch[did] = (
+                        did, t, "en", f"s{did % 3}",
+                        rng.choice(["u", None]),  # NULL op = upsert
+                    )
+            for _ in range(rng.randint(0, 2)):  # CDC inserts
+                did, next_id = next_id, next_id + 1
+                t = text()
+                model[did] = t
+                batch[did] = (did, t, "en", f"s{did % 3}", "u")
+            if deleted and rng.random() < 0.5:  # resurrection
+                did = rng.choice(deleted)
+                if did not in batch:
+                    deleted.remove(did)
+                    t = text()
+                    model[did] = t
+                    batch[did] = (did, t, "en", f"s{did % 3}", "u")
+            idx.apply_cdc(
+                spark.createDataFrame(
+                    list(batch.values()), schema + ", op string"
+                )
+            )
+        if epoch == 4:
+            idx.compact()
+
+    corpus = spark.createDataFrame(
+        [(k, v, "en", f"s{k % 3}") for k, v in model.items()], schema
+    )
+    for terms in (("spark",), ("query", "vector"), ("cdc", "engine")):
+        got = [tuple(r) for r in idx.topk(terms).collect()]
+        assert got == _fresh_oneshot_topk(spark, corpus, terms), (
+            seed, terms
+        )
+    idx.close()
