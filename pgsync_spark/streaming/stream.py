@@ -145,7 +145,12 @@ def start_dedup_stream(
     under ``out_dir/rejected/epoch=N`` for audit; a NULL predicate
     counts as reject, never a silent drop. The expression is
     deterministic over the batch, so the stored-decision replay path
-    re-applies it exactly.
+    re-applies it exactly. On a CDC-shaped stream (op column): DELETE
+    markers are exempt from the gate (a tombstone carries no doc and
+    must reach the index), and a gated-out UPSERT is DEMOTED to a
+    delete — the doc's current content no longer qualifies, so its
+    stale held version must not keep serving; the original row still
+    lands in rejected/.
 
     ``drift_alert_kl``: with ``drift_column``, epochs whose KL exceeds
     this threshold are marked ``"alert": true`` in their stats file

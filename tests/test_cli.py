@@ -761,3 +761,60 @@ def test_cli_dedup_stream_cdc_ops(spark, tmp_path):
     assert rc == 0
     rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
     assert [r["doc_id"] for r in rows] == [2]  # doc 1 deleted
+
+
+def test_cli_dedup_stream_cdc_ops_embedding(spark, tmp_path):
+    """--cdc-ops with --dedup-index embedding: the vector stream
+    carries op rows; an update swaps the blocking vector and a delete
+    unblocks — through the CLI end to end."""
+    def unit(d):
+        v = [0.0] * 64
+        v[d] = 1.0
+        return v
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": unit(0),
+                            "op": "u"}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": unit(1),
+                            "op": "u"}) + "\n")
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": unit(2),
+                            "op": "u"}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "op": "d"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "embedding",
+            "--cdc-ops",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--dedup-out", out,
+            "--store-dir", store,
+            "--max-files-per-trigger", "1",
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    decisions = spark.read.parquet(os.path.join(out, "decisions"))
+    assert [r["vec_id"] for r in decisions.collect()] == [2]
+
+    from pgsync_spark.functions.dedup_index import EmbeddingIndex
+
+    idx = EmbeddingIndex.load(spark, store)
+    vecs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    # old v1 content unblocked (vec 1 was updated away), new blocks
+    assert idx.ingest(vecs([(10, unit(0))])).count() == 0
+    d = idx.ingest(vecs([(11, unit(2))])).collect()
+    assert [(r.vec_id, r.dup_of) for r in d] == [(11, 1)]
+    # deleted vec 2's content unblocked
+    assert idx.ingest(vecs([(12, unit(1))])).count() == 0
+    idx.close()
