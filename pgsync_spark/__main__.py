@@ -181,7 +181,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--cdc-ops", action="store_true",
         help="with --dedup-stream: the doc stream is CDC-shaped (an "
-        "op column; 'd' deletes the doc, anything else upserts) — "
+        "op column; 'd' deletes the doc, u/c/i/r/a or NULL upserts, anything else raises) — "
         "updates/deletes flow into the index's versioned overlay "
         "(BM25 postings, minhash/embedding dedup state)",
     )

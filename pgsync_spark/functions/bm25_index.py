@@ -102,9 +102,12 @@ class BM25Index(_AppendOnlyIndex):
         self, batch_df: DataFrame, epoch: int | None = None
     ) -> DataFrame:
         """Apply one CDC micro-batch: rows with ``op='d'`` delete
-        their doc (text/lang/source ignored), every other row is an
-        UPSERT (new version of the doc — or a plain insert; both are
-        one appended version, Lucene-style). ``batch_df``:
+        their doc (text/lang/source ignored); ``op`` in UPSERT_OPS or
+        NULL is an UPSERT (new version of the doc — or a plain
+        insert; both are one appended version, Lucene-style). Any
+        other op RAISES — ``op='t'`` is table-level (use
+        ``truncate()``), and an unrecognized op silently upserting
+        would index a garbage row. ``batch_df``:
         (doc_id, text, lang, source, op).
 
         Contract: at most ONE row per doc_id — the producer folds
@@ -129,32 +132,31 @@ class BM25Index(_AppendOnlyIndex):
             "doc_id", "text", "lang", "source", "op"
         ).persist()
         try:
-            dup = (
-                cdc.groupBy("doc_id")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"apply_cdc batch has multiple rows for doc_id "
-                    f"{dup[0]['doc_id']}; fold per-doc runs (LWW) "
-                    "before applying — order within a batch is the "
-                    "producer's knowledge, not the index's"
-                )
+            # ONE driver action: per-id uniqueness, op vocabulary
+            # ('d' deletes, UPSERT_OPS/NULL upsert, anything else —
+            # including table-level 't' — raises), emptiness (an
+            # empty batch must not re-arm the overlay fold)
+            nonempty = self._validate_cdc_batch(cdc)
             dels = cdc.filter(F.col("op") == "d").select("doc_id")
-            # NULL-safe: the contract is "'d' deletes, ANYTHING ELSE
-            # upserts" — a NULL/missing op is an upsert, not a row
+            # NULL-safe: a NULL/missing op is an upsert, not a row
             # that silently vanishes from both branches (r8 review
             # pass 2 finding)
             ups = cdc.filter(~F.col("op").eqNullSafe("d"))
-            self._has_cdc = True  # manifest records it with the commit
+            if nonempty:
+                self._has_cdc = True  # manifest records it at commit
+                self._pending_overlay_delta = True
             self._append_docs(ups, dels, epoch, op="u", dels=dels)
             decisions = dels
         finally:
+            self._pending_overlay_delta = False
             cdc.unpersist()
+        self._maybe_autocompact()
         return decisions
+
+    def _delete_decisions(self, ids: DataFrame) -> DataFrame:
+        """truncate() hook: a search index's decisions are just the
+        removed ids (the same shape apply_cdc returns)."""
+        return ids.select("doc_id")
 
     def _append_docs(
         self,

@@ -1100,3 +1100,164 @@ def incremental_probe_sql(n_batches: int = 3) -> str:
         SELECT doc_id, CAST(batch AS INT) AS batch, dup_of, jaccard
         FROM ({union})
     """
+
+
+# the CDC mutation the dedup_cdc_probe registry query applies: docs
+# matching CDC_UPD_PRED get CDC_SUFFIX appended (an UPDATE — the old
+# text must stop blocking, the new text blocks iff it survives); docs
+# matching CDC_DEL_PRED are DELETED. Both restricted to the two
+# pre-CDC ingestion batches (doc_id % 3 < 2) so the post-CDC bulk
+# ingest of batch 2 never trips the CDC-history readd guard.
+CDC_SUFFIX = " spark vector query engine"
+CDC_UPD_PRED = "doc_id % 3 < 2 AND doc_id % 7 = 3"
+CDC_DEL_PRED = "doc_id % 3 < 2 AND doc_id % 7 = 5"
+
+
+def cdc_probe_sql() -> str:
+    """Oracle for MinHashIndex.apply_cdc (dedup_index.py) — the
+    incremental_probe_sql recursion extended with one CDC epoch,
+    unrolled over a VERSIONED document set (ver 0 = original text,
+    ver 1 = CDC-updated text):
+
+    - stage 1: batch doc_id % 3 == 1 probes the batch-0 survivors
+      (identical to incremental_probe_sql's stage 1);
+    - stage 2 (the CDC epoch): the updated docs' NEW text probes the
+      live set MINUS the batch's own ids and the deleted ids (an
+      update never matches its own superseded version, a delete stops
+      blocking instantly); deletes emit NULL-metric decisions; a
+      dropped upsert leaves the corpus entirely;
+    - stage 3: batch doc_id % 3 == 2 probes the post-CDC live set
+      (mixed versions: survivors at ver 0, accepted updates at ver 1).
+
+    Same per-stage hot-bucket caps and exact-fingerprint lane as the
+    append-only oracle, applied to the live (folded) index side
+    exactly as the Spark probe applies them after its overlay fold."""
+    tok = tokens_sql("text")
+    comb = combine_shingles_sql("th", 3)
+    perms = ", ".join(
+        f"list_min(list_transform(sh, h -> {perm_sql('h', i)}))"
+        for i in range(N_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, ver, {b} AS band,
+               md5(concat_ws(',', {', '.join(f'CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)' for r in range(ROWS_PER_BAND))})) AS bucket
+            FROM sigs"""
+        for b in range(N_BANDS)
+    )
+    jac = round6_sql(
+        "CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(s1.sh || s2.sh)) AS DOUBLE)"
+    )
+
+    def stage(k: int, idx_set: str, batch_pred: str, fp_pred: str,
+              batch_ver: int) -> list[str]:
+        return [
+            f"""i{k} AS (
+              SELECT doc_id, ver, band, bucket FROM (
+                SELECT b.doc_id, b.ver, b.band, b.bucket,
+                       COUNT(*) OVER (PARTITION BY b.band, b.bucket) AS w
+                FROM br b JOIN {idx_set} s
+                  ON b.doc_id = s.doc_id AND b.ver = s.ver
+              ) WHERE w <= {MAX_BUCKET_WIDTH}
+            )""",
+            f"""b{k} AS (
+              SELECT doc_id, band, bucket FROM (
+                SELECT doc_id, band, bucket,
+                       COUNT(*) OVER (PARTITION BY band, bucket) AS w
+                FROM br WHERE {batch_pred}
+              ) WHERE w <= {MAX_BUCKET_WIDTH}
+            )""",
+            f"""v{k} AS (
+              SELECT c.new_id, c.old_id, {jac} AS jaccard
+              FROM (SELECT DISTINCT i{k}.doc_id AS old_id,
+                           i{k}.ver AS old_ver, b{k}.doc_id AS new_id
+                    FROM i{k} JOIN b{k}
+                      ON i{k}.band = b{k}.band
+                     AND i{k}.bucket = b{k}.bucket) c
+              JOIN shs s1 ON s1.doc_id = c.old_id AND s1.ver = c.old_ver
+              JOIN shs s2 ON s2.doc_id = c.new_id
+               AND s2.ver = {batch_ver}
+              WHERE {jac} >= {JACCARD_THRESHOLD}
+              UNION
+              SELECT fn.doc_id AS new_id, fo.doc_id AS old_id,
+                     1.0 AS jaccard
+              FROM fps fo
+              JOIN {idx_set} sv
+                ON fo.doc_id = sv.doc_id AND fo.ver = sv.ver
+              JOIN fps fn ON fn.fp = fo.fp AND fn.ver = {batch_ver}
+              WHERE {fp_pred}
+            )""",
+            f"""d{k} AS (
+              SELECT new_id, min(old_id) AS dup_of
+              FROM v{k} GROUP BY new_id
+            )""",
+            f"""dj{k} AS (
+              SELECT d{k}.new_id AS doc_id, {k} AS stage,
+                     d{k}.dup_of, v{k}.jaccard
+              FROM d{k} JOIN v{k}
+                ON v{k}.new_id = d{k}.new_id
+               AND v{k}.old_id = d{k}.dup_of
+            )""",
+        ]
+
+    ctes = [
+        f"""docs_v AS (
+          SELECT doc_id, 0 AS ver, text FROM documents
+          UNION ALL
+          SELECT doc_id, 1 AS ver, text || '{CDC_SUFFIX}' AS text
+          FROM documents WHERE {CDC_UPD_PRED}
+        )""",
+        f"toks AS (SELECT doc_id, ver, {tok} AS tok FROM docs_v)",
+        f"""th_t AS (SELECT doc_id, ver,
+               list_transform(tok, t -> {h32_sql('t')}) AS th FROM toks)""",
+        f"shs AS (SELECT doc_id, ver, list_distinct({comb}) AS sh FROM th_t)",
+        f"""sigs AS (SELECT doc_id, ver, sh, [{perms}] AS sig
+             FROM shs WHERE len(sh) > 0)""",
+        f"br AS ({band_rows})",
+        """fps AS (SELECT doc_id, ver,
+               md5(list_aggregate(list_sort(sh), 'string_agg', ',')) AS fp
+             FROM sigs)""",
+        """surv0 AS (SELECT doc_id, ver FROM sigs
+             WHERE doc_id % 3 = 0 AND ver = 0)""",
+        *stage(1, "surv0", "doc_id % 3 = 1 AND ver = 0",
+               "fn.doc_id % 3 = 1", 0),
+        """surv1 AS (
+          SELECT doc_id, ver FROM surv0
+          UNION ALL
+          SELECT doc_id, 0 AS ver FROM sigs
+          WHERE doc_id % 3 = 1 AND ver = 0
+            AND doc_id NOT IN (SELECT new_id FROM d1)
+        )""",
+        # extra_dead of the CDC probe: the batch's own ids (mirroring
+        # the Spark side exactly: the post-signature ids, i.e. ver=1
+        # sigs) plus the deleted ids
+        f"""dead2 AS (
+          SELECT doc_id FROM sigs WHERE ver = 1
+          UNION
+          SELECT doc_id FROM documents WHERE {CDC_DEL_PRED}
+        )""",
+        """idx2 AS (SELECT doc_id, ver FROM surv1
+             WHERE doc_id NOT IN (SELECT doc_id FROM dead2))""",
+        *stage(2, "idx2", "ver = 1", "TRUE", 1),
+        f"""dj2d AS (
+          SELECT doc_id, 2 AS stage, CAST(NULL AS BIGINT) AS dup_of,
+                 CAST(NULL AS DOUBLE) AS jaccard
+          FROM documents WHERE {CDC_DEL_PRED}
+        )""",
+        """surv2 AS (
+          SELECT doc_id, ver FROM idx2
+          UNION ALL
+          SELECT doc_id, 1 AS ver FROM sigs
+          WHERE ver = 1 AND doc_id NOT IN (SELECT new_id FROM d2)
+        )""",
+        *stage(3, "surv2", "doc_id % 3 = 2 AND ver = 0",
+               "fn.doc_id % 3 = 2", 0),
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {t}" for t in ("dj1", "dj2", "dj2d", "dj3")
+    )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT doc_id, CAST(stage AS INT) AS stage, dup_of, jaccard
+        FROM ({union})
+    """

@@ -65,6 +65,20 @@ from .hashing import round6
 
 _DECISION_SCHEMA = "doc_id bigint, dup_of bigint, jaccard double"
 
+# CDC overlay auto-compaction cap (rows of op != 'a' state since the
+# last compact): the overlay folds through BROADCAST anti/semi joins,
+# so its size must stay bounded no matter how the operator tunes
+# compact_every — the same rule as the relational engine's
+# KeyedOverlay size cap (streaming/incremental.py, r3 item 10). 64k
+# skinny (id, ver, op) rows is well inside every broadcast limit.
+DEFAULT_OVERLAY_CAP = 65536
+
+# apply_cdc op vocabulary: 'd' deletes; these (or NULL) upsert; 't'
+# and anything else raise — an unrecognized op silently upserting a
+# garbage row was the r8 verdict's parity-gap (a), and truncate is
+# table-level, not per-doc (see _AppendOnlyIndex.truncate).
+UPSERT_OPS = ("u", "c", "i", "r", "a")
+
 
 def _fingerprint(sh):
     """md5 of the sorted hashed-shingle set: equal fingerprint <=>
@@ -121,9 +135,20 @@ class _AppendOnlyIndex:
     _DEC_NAME = "decisions"
     _ID_COL = "doc_id"  # the per-row identity (EmbeddingIndex: vec_id)
 
-    def __init__(self, spark: SparkSession, store_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | None = None,
+        overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
+    ):
         self.spark = spark
         self.store_dir = store_dir
+        # auto-compact when CDC overlay rows exceed this (None
+        # disables — then compact_every is the operator's only dial
+        # and a CDC burst between cadence points grows every query's
+        # broadcast fold unboundedly; keep the default unless the
+        # maintenance cadence is owned elsewhere)
+        self.overlay_cap = overlay_cap
         self._key_parts: list[DataFrame] = []
         self._val_parts: list[DataFrame] = []
         self._epochs: set[int] = set()
@@ -142,6 +167,16 @@ class _AppendOnlyIndex:
         # True once any apply_cdc epoch committed: gates the CDC
         # overlay fold so the append-only hot path never pays for it
         self._has_cdc = False
+        # op != 'a' rows appended since the last compact — the size of
+        # the state the overlay fold broadcasts. Maintained without
+        # extra driver actions (_append already counts the epoch's val
+        # rows); persisted in the manifest so a reloaded store keeps
+        # the cap honest mid-cycle.
+        self._overlay_rows = 0
+        # set by apply_cdc before its commit: tells _append that this
+        # epoch's val rows are ALL overlay rows, so the counter updates
+        # before the manifest flip that persists it
+        self._pending_overlay_delta = False
 
     # -- epoch manifest ------------------------------------------------------
 
@@ -160,6 +195,7 @@ class _AppendOnlyIndex:
                     "stream_id": self._stream_id,
                     "index": type(self).__name__,
                     "has_cdc": self._has_cdc,
+                    "overlay_rows": self._overlay_rows,
                 },
                 f,
             )
@@ -223,6 +259,129 @@ class _AppendOnlyIndex:
                 "the overlay and dropped at the next compact"
             )
 
+    def _validate_cdc_batch(self, cdc: DataFrame) -> bool:
+        """apply_cdc's entry contract in ONE driver action: per-id
+        uniqueness (LWW-folded upstream), op vocabulary ('d' deletes,
+        UPSERT_OPS or NULL upsert, anything else RAISES — an unknown
+        op silently upserting a garbage row was the r8 verdict's
+        parity gap; 't' gets a pointer to truncate()), and batch
+        emptiness (the return value: True iff rows exist — an EMPTY
+        micro-batch must never set _has_cdc and re-arm the overlay
+        fold the last compact turned off, r8 advice)."""
+        idc = self._ID_COL
+        bad = F.col("op").isNotNull() & ~F.col("op").isin(
+            *UPSERT_OPS, "d", "t"
+        )
+        row = (
+            cdc.groupBy(idc)
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.max(F.when(bad, F.col("op"))).alias("bad_op"),
+                F.max((F.col("op") == "t").cast("int")).alias("trunc"),
+            )
+            .agg(
+                F.sum("c").alias("n"),
+                F.max(F.when(F.col("c") > 1, F.col(idc))).alias("dup_id"),
+                F.max("bad_op").alias("bad_op"),
+                F.max("trunc").alias("trunc"),
+            )
+            .first()
+        )
+        if row["dup_id"] is not None:
+            raise ValueError(
+                f"apply_cdc batch has multiple rows for {idc} "
+                f"{row['dup_id']}; fold per-doc runs (LWW) before "
+                "applying — order within a batch is the producer's "
+                "knowledge, not the index's"
+            )
+        if row["trunc"]:
+            raise ValueError(
+                "op='t' (truncate) is a TABLE-level event, not a "
+                "per-doc row — call index.truncate() to clear the "
+                "held corpus as its own committed epoch"
+            )
+        if row["bad_op"] is not None:
+            raise ValueError(
+                f"unknown CDC op {row['bad_op']!r}: 'd' deletes, one "
+                f"of {UPSERT_OPS} or NULL upserts — refusing to "
+                "guess (an unrecognized op that silently upserted "
+                "would index a garbage row)"
+            )
+        return row["n"] is not None
+
+    def _maybe_autocompact(self) -> None:
+        """compact() once overlay rows exceed ``overlay_cap`` — the
+        index analog of the relational engine's KeyedOverlay size cap.
+        The epoch-count cadence (a stream's compact_every) bounds the
+        AVERAGE overlay, but a CDC burst between cadence points grows
+        every query's broadcast fold unboundedly; the cap bounds the
+        worst case. Called by apply_cdc after its epoch commits, so a
+        crash between commit and compact replays as committed (the
+        compact re-triggers at the next CDC epoch)."""
+        if (
+            self.overlay_cap is not None
+            and self._overlay_rows > self.overlay_cap
+        ):
+            self.compact()
+
+    def truncate(self, epoch: int | None = None) -> DataFrame:
+        """Clear the WHOLE held corpus as one committed epoch — the
+        index-level analog of a relational TRUNCATE event (the
+        relational engine maps op='t' to table truncation,
+        streaming/cdc.py:314, ref: pgsync/sync.py:1295-1343 truncate
+        slices; the index-CDC path previously had no way to be told
+        "the corpus was cleared" short of deleting every id — r8
+        verdict parity gap (a)).
+
+        Returns decisions = every id live at the instant of the
+        truncate (NULL metric columns: removed, but not as anyone's
+        duplicate), so a stream front-end's accepted/decisions split
+        and the stored_decisions replay path treat truncation like
+        any other epoch. Cutover is atomic: decisions committed
+        first, then ONE manifest flip to the empty segment list (a
+        crash in between leaves the old corpus fully live and the
+        epoch unapplied); old segment dirs are deleted after the flip
+        and are never read if deletion is interrupted. All CDC
+        overlay state dies with the corpus — the next epoch starts on
+        the append-only fast path."""
+        import shutil
+
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        vals = self.vals
+        if vals is None:
+            live = self.spark.createDataFrame([], f"{self._ID_COL} bigint")
+        else:
+            if self._has_cdc and "op" in vals.columns:
+                vals = self._cdc_live(vals, self._cdc_overlay(vals))
+            live = vals.select(self._ID_COL).distinct()
+        # eager checkpoint BEFORE the parts it derives from are
+        # released below (the lineage-truncation discipline _append
+        # documents); the small block is the ContextCleaner's
+        decisions = self._delete_decisions(live).localCheckpoint(eager=True)
+        if self.store_dir is not None:
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, self._DEC_NAME, f"epoch={epoch}")
+            )
+        else:
+            self._last_decisions = (epoch, decisions)
+        old_segments, self._segments = self._segments, []
+        self._epochs.add(epoch)
+        self._has_cdc = False
+        self._overlay_rows = 0
+        self._pending_overlay_delta = False
+        if self.store_dir is not None:
+            self._commit_manifest()
+            for s in old_segments:
+                for name in (self._KEYS_NAME, self._VALS_NAME):
+                    shutil.rmtree(
+                        os.path.join(self.store_dir, name, s),
+                        ignore_errors=True,
+                    )
+        self._swap_parts(None, None)
+        return decisions
+
     def _cdc_live(
         self,
         frame: DataFrame,
@@ -234,7 +393,13 @@ class _AppendOnlyIndex:
         touched ids keep only their latest live version's rows.
         ``extra_dead`` (single id column): ids treated dead regardless
         — an apply_cdc probe passes its own batch's ids so an update
-        never matches its own superseded version."""
+        never matches its own superseded version.
+
+        The broadcast hints are SAFE by construction: the overlay is
+        bounded by ``overlay_cap`` + one batch (_maybe_autocompact
+        compacts past the cap even if the stream's compact_every
+        cadence never fires), so the dead/alive frames stay far under
+        any broadcast/driver-memory limit."""
         idc = self._ID_COL
         dead = overlay.select(idc)
         alive = overlay.filter(F.col("op") != "d").select(idc, "ver")
@@ -378,6 +543,7 @@ class _AppendOnlyIndex:
             idx._epochs = set(m["epochs"])
             idx._stream_id = m.get("stream_id")
             idx._has_cdc = m.get("has_cdc", False)
+            idx._overlay_rows = m.get("overlay_rows", -1)  # -1: pre-r9
             # read committed segment dirs individually: an uncommitted
             # (crashed mid-write) directory is never touched, not even
             # for schema inference. An epoch whose batch was dropped
@@ -406,6 +572,19 @@ class _AppendOnlyIndex:
                             spark.read.parquet(vp), op=True
                         ).persist()
                     )
+            if idx._overlay_rows < 0:
+                # manifest written before the counter existed: one
+                # load-time count re-seeds it (the op != 'a' scan
+                # prunes bulk segments at row-group stats), only
+                # needed when CDC state is actually held
+                vals = idx.vals
+                idx._overlay_rows = (
+                    vals.filter(F.col("op") != "a").count()
+                    if idx._has_cdc
+                    and vals is not None
+                    and "op" in vals.columns
+                    else 0
+                )
         return idx
 
     @property
@@ -497,6 +676,13 @@ class _AppendOnlyIndex:
             )
             if n_keys or n_vals:
                 self._segments.append(f"epoch={epoch}")
+        if self._pending_overlay_delta:
+            # a CDC epoch's val rows are ALL overlay rows (op='u'
+            # survivors + 'd' tombstones): fold the count in BEFORE
+            # the manifest flip below persists it, using the n_vals
+            # this method already counted — zero extra driver actions
+            self._overlay_rows += n_vals
+            self._pending_overlay_delta = False
         self._epochs.add(epoch)
         if self.store_dir is not None:
             self._commit_manifest()
@@ -532,15 +718,26 @@ class _AppendOnlyIndex:
 
         if not self._key_parts and not self._val_parts:
             return
+        stale_flag_cleared = False
         if self._has_cdc:
             from .. import caching
 
             vals = self.vals
-            if (
+            had_dirty = (
                 vals is not None
                 and "op" in vals.columns
                 and not vals.filter(F.col("op") != "a").isEmpty()
-            ):
+            )
+            if not had_dirty:
+                # the flag is stale (set, but zero dirty rows held —
+                # e.g. every CDC epoch since the last compact carried
+                # only rows that dropped): the reset below must reach
+                # the MANIFEST too, or a reloaded store pays the
+                # overlay scan + two joins per query forever (r8
+                # advice) — the early return skips the rewrite that
+                # would otherwise commit it
+                stale_flag_cleared = self.store_dir is not None
+            if had_dirty:
                 overlay = self._cdc_overlay(vals)
                 fv = (
                     self._cdc_live(vals, overlay)
@@ -569,10 +766,11 @@ class _AppendOnlyIndex:
             # above, or there were no dirty rows at all): drop the
             # flag so readers/probes return to the append-only fast
             # path — leaving it set costs an overlay scan + two joins
-            # per query FOREVER (r8 review finding). The next manifest
-            # commit (this compact's cutover, or the next epoch)
-            # persists the reset.
+            # per query FOREVER (r8 review finding). The reset reaches
+            # the manifest via this compact's cutover commit, or via
+            # the stale_flag_cleared commit at the early return.
             self._has_cdc = False
+            self._overlay_rows = 0
         # force (the bind_stream rebind path) must still rewrite even a
         # SINGLE epoch=N segment: the rebound stream reuses epoch
         # numbers, and its epoch=N write would clobber a dir the
@@ -595,6 +793,8 @@ class _AppendOnlyIndex:
             and len(self._val_parts) <= 1
             and not needs_rename
         ):
+            if stale_flag_cleared:
+                self._commit_manifest()
             return
         # either side may be None (one-sided segments: BM25 batches of
         # stats-only docs hold vals, no keys)
@@ -752,27 +952,25 @@ class MinHashIndex(_AppendOnlyIndex):
         # blocks (nothing releases it after the epoch commits).
         cdc = batch_df.select(*batch_df.columns).persist()
         try:
-            dup = (
-                cdc.groupBy(self._ID_COL)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"apply_cdc batch has multiple rows for "
-                    f"{self._ID_COL} {dup[0][self._ID_COL]}; fold "
-                    "per-doc runs (LWW) before applying"
-                )
+            # ONE driver action: per-id uniqueness, op vocabulary,
+            # emptiness (an empty batch must not re-arm the fold)
+            nonempty = self._validate_cdc_batch(cdc)
             dels = cdc.filter(F.col("op") == "d").select(self._ID_COL)
             # NULL-safe: NULL/missing op is an upsert (see
             # BM25Index.apply_cdc), never a silently-vanished row
             ups = cdc.filter(~F.col("op").eqNullSafe("d")).drop("op")
-            self._has_cdc = True  # manifest records it with the commit
-            return self._probe_and_append(ups, epoch, "u", dels)
+            if nonempty:
+                self._has_cdc = True  # manifest records it at commit
+                self._pending_overlay_delta = True
+            decisions = self._probe_and_append(ups, epoch, "u", dels)
         finally:
+            # _append consumed the delta flag at commit; clearing it
+            # here too covers a probe that raised pre-commit (a later
+            # bulk ingest must not count its rows as overlay)
+            self._pending_overlay_delta = False
             cdc.unpersist()
+        self._maybe_autocompact()
+        return decisions
 
     def _probe_and_append(
         self,
@@ -906,6 +1104,10 @@ class MinHashIndex(_AppendOnlyIndex):
             c.unpersist()
         return owned(decisions, [decisions])
 
+    def _delete_decisions(self, ids: DataFrame) -> DataFrame:
+        """truncate() hook: removal decisions for ``ids``."""
+        return self._dedup_decisions_empty(ids)
+
     def _dedup_decisions_empty(self, dels: DataFrame | None) -> DataFrame:
         """Decisions for a probe with no duplicate drops: empty, plus
         — in CDC mode — one row per DELETED doc (NULL dup_of/jaccard:
@@ -1004,8 +1206,9 @@ class EmbeddingIndex(_AppendOnlyIndex):
         spark: SparkSession,
         store_dir: str | None = None,
         probe_hamming: int | None = None,
+        overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
     ):
-        super().__init__(spark, store_dir)
+        super().__init__(spark, store_dir, overlay_cap=overlay_cap)
         if probe_hamming is None:
             from .similarity import PROBE_HAMMING
 
@@ -1049,7 +1252,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
     ) -> DataFrame:
         """Apply one CDC micro-batch (vec_id, embedding, op): op='d'
         deletes the vector from the live corpus (it stops blocking
-        future near-dups); anything else is an UPSERT — old version
+        future near-dups); an UPSERT_OPS/NULL op is an UPSERT — old version
         stops blocking, the new embedding is probed against the live
         index (minus this batch's own ids) and enters iff it survives;
         a dropped upsert tombstones the old version too. Same
@@ -1061,26 +1264,23 @@ class EmbeddingIndex(_AppendOnlyIndex):
         # derived persist + lazy dels — see MinHashIndex.apply_cdc
         cdc = batch_df.select(*batch_df.columns).persist()
         try:
-            dup = (
-                cdc.groupBy("vec_id")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"apply_cdc batch has multiple rows for vec_id "
-                    f"{dup[0]['vec_id']}; fold per-id runs (LWW) "
-                    "before applying"
-                )
+            nonempty = self._validate_cdc_batch(cdc)
             dels = cdc.filter(F.col("op") == "d").select("vec_id")
             # NULL-safe (see BM25Index.apply_cdc)
             ups = cdc.filter(~F.col("op").eqNullSafe("d")).drop("op")
-            self._has_cdc = True  # manifest records it with the commit
-            return self._probe_and_append(ups, epoch, "u", dels)
+            if nonempty:
+                self._has_cdc = True  # manifest records it at commit
+                self._pending_overlay_delta = True
+            decisions = self._probe_and_append(ups, epoch, "u", dels)
         finally:
+            self._pending_overlay_delta = False
             cdc.unpersist()
+        self._maybe_autocompact()
+        return decisions
+
+    def _delete_decisions(self, ids: DataFrame) -> DataFrame:
+        """truncate() hook: removal decisions for ``ids``."""
+        return self._sem_decisions_empty(ids)
 
     def _sem_decisions_empty(self, dels: DataFrame | None) -> DataFrame:
         empty = self.spark.createDataFrame([], _SEM_DECISION_SCHEMA)

@@ -599,6 +599,131 @@ def incremental_semantic_probe_sql(
     """
 
 
+# the CDC mutation semantic_dedup_cdc applies: vectors matching
+# SEM_CDC_UPD_PRED are UPDATED to the next id's embedding (vec_id+1 —
+# an exact copy of a possibly-live vector, so the update-into-dup path
+# actually fires; ids whose successor doesn't exist keep their own),
+# vectors matching SEM_CDC_DEL_PRED are DELETED. Both restricted to
+# the two pre-CDC batches (vec_id % 3 < 2).
+SEM_CDC_UPD_PRED = "vec_id % 3 < 2 AND vec_id % 7 = 3"
+SEM_CDC_DEL_PRED = "vec_id % 3 < 2 AND vec_id % 7 = 5"
+
+
+def cdc_semantic_probe_sql(probe_hamming: int = PROBE_HAMMING) -> str:
+    """Oracle for EmbeddingIndex.apply_cdc — the
+    incremental_semantic_probe_sql recursion extended with one CDC
+    epoch over a VERSIONED vector set (ver 0 = original embedding,
+    ver 1 = the updated one): stage 1 probes batch vec_id % 3 == 1
+    against the batch-0 survivors; stage 2 (the CDC epoch) probes the
+    updated vectors against the live set minus the batch's own ids
+    and the deleted ids, deletes emit NULL-metric decisions, dropped
+    upserts leave the corpus; stage 3 probes batch % 3 == 2 against
+    the post-CDC live set. Same banded sign-LSH cells with batch-side
+    Hamming<=h multi-probe as the append-only oracle."""
+    keys = " UNION ALL ".join(
+        f"SELECT vec_id, ver, {b} AS band, "
+        f"{_band_bucket_sql('embedding', b)} AS bucket FROM emb_v"
+        for b in range(N_BANDS)
+    )
+    cos = round6_sql(
+        _dot_sql("e1.embedding", "e2.embedding")
+        + " / ("
+        + _norm_sql("e1.embedding")
+        + " * "
+        + _norm_sql("e2.embedding")
+        + ")"
+    )
+
+    def stage(k: int, idx_set: str, batch_pred: str,
+              batch_ver: int) -> list[str]:
+        return [
+            f"""c{k} AS (
+              SELECT DISTINCT k1.vec_id AS old_id, k1.ver AS old_ver,
+                     k2.vec_id AS new_id
+              FROM keys k1
+              JOIN {idx_set} s
+                ON k1.vec_id = s.vec_id AND k1.ver = s.ver
+              JOIN keys k2 ON k1.band = k2.band
+               AND list_contains(
+                     {probe_buckets_sql('k2.bucket', PLANES_PER_BAND,
+                                        probe_hamming)},
+                     k1.bucket)
+              WHERE {batch_pred}
+            )""",
+            f"""v{k} AS (
+              SELECT c{k}.new_id, c{k}.old_id, {cos} AS cosine
+              FROM c{k}
+              JOIN emb_v e1
+                ON e1.vec_id = c{k}.old_id AND e1.ver = c{k}.old_ver
+              JOIN emb_v e2
+                ON e2.vec_id = c{k}.new_id AND e2.ver = {batch_ver}
+              WHERE {cos} >= {NEARDUP_COS}
+            )""",
+            f"""d{k} AS (
+              SELECT new_id, min(old_id) AS dup_of
+              FROM v{k} GROUP BY new_id
+            )""",
+            f"""dj{k} AS (
+              SELECT d{k}.new_id AS vec_id, {k} AS stage,
+                     d{k}.dup_of, v{k}.cosine
+              FROM d{k} JOIN v{k}
+                ON v{k}.new_id = d{k}.new_id
+               AND v{k}.old_id = d{k}.dup_of
+            )""",
+        ]
+
+    ctes = [
+        f"""emb_v AS (
+          SELECT vec_id, 0 AS ver, embedding FROM embeddings
+          UNION ALL
+          SELECT e.vec_id, 1 AS ver,
+                 COALESCE(e2.embedding, e.embedding) AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+          WHERE {SEM_CDC_UPD_PRED.replace('vec_id', 'e.vec_id')}
+        )""",
+        f"keys AS ({keys})",
+        """surv0 AS (SELECT vec_id, ver FROM emb_v
+             WHERE vec_id % 3 = 0 AND ver = 0)""",
+        *stage(1, "surv0", "k2.vec_id % 3 = 1 AND k2.ver = 0", 0),
+        """surv1 AS (
+          SELECT vec_id, ver FROM surv0
+          UNION ALL
+          SELECT vec_id, 0 AS ver FROM embeddings
+          WHERE vec_id % 3 = 1
+            AND vec_id NOT IN (SELECT new_id FROM d1)
+        )""",
+        f"""dead2 AS (
+          SELECT vec_id FROM emb_v WHERE ver = 1
+          UNION
+          SELECT vec_id FROM embeddings WHERE {SEM_CDC_DEL_PRED}
+        )""",
+        """idx2 AS (SELECT vec_id, ver FROM surv1
+             WHERE vec_id NOT IN (SELECT vec_id FROM dead2))""",
+        *stage(2, "idx2", "k2.ver = 1", 1),
+        f"""dj2d AS (
+          SELECT vec_id, 2 AS stage, CAST(NULL AS BIGINT) AS dup_of,
+                 CAST(NULL AS DOUBLE) AS cosine
+          FROM embeddings WHERE {SEM_CDC_DEL_PRED}
+        )""",
+        """surv2 AS (
+          SELECT vec_id, ver FROM idx2
+          UNION ALL
+          SELECT vec_id, 1 AS ver FROM emb_v
+          WHERE ver = 1 AND vec_id NOT IN (SELECT new_id FROM d2)
+        )""",
+        *stage(3, "surv2", "k2.vec_id % 3 = 2 AND k2.ver = 0", 0),
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {t}" for t in ("dj1", "dj2", "dj2d", "dj3")
+    )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT vec_id, CAST(stage AS INT) AS stage, dup_of, cosine
+        FROM ({union})
+    """
+
+
 def ann_recall_eval(df: DataFrame) -> DataFrame:
     """Recall@k of each approximate index (LSH bucket probe, IVF
     nprobe) against the exact brute-force neighbors — the evaluation
@@ -631,58 +756,80 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     )
     qids = exact.select("query_id").distinct()
     parts = []
-    # ONE codebook collect + ADC-table build + persisted codes frame
-    # feeds both PQ methods (r7 advice: each re-collected and
-    # re-persisted identical state); the eval result owns the cache.
-    # Same sharing for the trained twins.
-    pq = _pq_artifacts(df)
-    pqt = _pq_trained_artifacts(df)
-    # ONE corpus cell-ranking window shared by all three IVF legs
-    ranked = _ivf_ranked(df).persist()
-    methods = (
-        ("ivf", lambda d: ann_ivf_topk(d, ranked=ranked)),
-        ("lsh", ann_lsh_topk),
-        ("lsh_multiprobe", ann_lsh_multiprobe_topk),
-        # the probe-width dial priced one step wider: Hamming-2 probes
-        # 1 + planes + C(planes,2) buckets (~14% of a uniform corpus
-        # at 8 planes) — what you pay when Hamming-1 recall still
-        # isn't enough
-        ("lsh_multiprobe2", lambda d: ann_lsh_multiprobe_topk(d, 2)),
-        # PQ-ADC competes on the SAME metric: vectors are normalized,
-        # so ascending L2-squared is descending cosine and its recall
-        # measures pure quantization loss (4 bytes/vector vs 256)
-        ("pq_adc", lambda d: ann_pq_adc_topk(d, shared=pq)),
-        # the TRAINED codebook priced against the hash codebook just
-        # above — identical serving plan and byte budget, so the
-        # recall delta is purely what Lloyd training buys
-        ("pq_adc_trained", lambda d: ann_pq_adc_trained_topk(d, shared=pqt)),
-        ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(
-            d, shared=pqt, ranked=ranked
-        )),
-        # prune x compress composed (the FAISS IVF-PQ serving shape):
-        # its recall shows the two losses stacking
-        ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq, ranked=ranked)),
-    )
-    method_frames = []
-    for method, fn in methods:
-        mdf = fn(df)
-        method_frames.append(mdf)
-        hits = (
-            mdf
-            .select("query_id", "neighbor_id")
-            .join(F.broadcast(exact), ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    # every shared cache built below is tracked so a failure in ANY
+    # method leg releases all of them instead of leaking them for the
+    # session (r8 advice: the persisted scope grew from one cache to
+    # three and had no failure path)
+    held: list[DataFrame] = [exact]
+    scoped: list[DataFrame] = []
+    method_frames: list[DataFrame] = []
+    try:
+        # ONE codebook collect + ADC-table build + persisted codes
+        # frame feeds both PQ methods (r7 advice: each re-collected
+        # and re-persisted identical state); the eval result owns the
+        # cache. Same sharing for the trained twins.
+        pq = _pq_artifacts(df)
+        held.append(pq[3])
+        scoped.append(pq[2])
+        pqt = _pq_trained_artifacts(df)
+        held.append(pqt[3])
+        scoped.append(pqt[2])
+        # ONE corpus cell-ranking window shared by all three IVF legs
+        ranked = _ivf_ranked(df).persist()
+        held.append(ranked)
+        methods = (
+            ("ivf", lambda d: ann_ivf_topk(d, ranked=ranked)),
+            ("lsh", ann_lsh_topk),
+            ("lsh_multiprobe", ann_lsh_multiprobe_topk),
+            # the probe-width dial priced one step wider: Hamming-2
+            # probes 1 + planes + C(planes,2) buckets (~14% of a
+            # uniform corpus at 8 planes) — what you pay when
+            # Hamming-1 recall still isn't enough
+            ("lsh_multiprobe2", lambda d: ann_lsh_multiprobe_topk(d, 2)),
+            # PQ-ADC competes on the SAME metric: vectors are
+            # normalized, so ascending L2-squared is descending cosine
+            # and its recall measures pure quantization loss
+            # (4 bytes/vector vs 256)
+            ("pq_adc", lambda d: ann_pq_adc_topk(d, shared=pq)),
+            # the TRAINED codebook priced against the hash codebook
+            # just above — identical serving plan and byte budget, so
+            # the recall delta is purely what Lloyd training buys
+            ("pq_adc_trained",
+             lambda d: ann_pq_adc_trained_topk(d, shared=pqt)),
+            ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(
+                d, shared=pqt, ranked=ranked
+            )),
+            # prune x compress composed (the FAISS IVF-PQ serving
+            # shape): its recall shows the two losses stacking
+            ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq, ranked=ranked)),
         )
-        n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-        parts.append(
-            qids.join(F.broadcast(hits), "query_id", "left").select(
-                "query_id",
-                F.lit(method).alias("method"),
-                n.alias("n_hits"),
-                round6(n / F.lit(float(TOP_K))).alias("recall"),
+        for method, fn in methods:
+            mdf = fn(df)
+            method_frames.append(mdf)
+            hits = (
+                mdf
+                .select("query_id", "neighbor_id")
+                .join(F.broadcast(exact), ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hits"))
             )
-        )
+            n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+            parts.append(
+                qids.join(F.broadcast(hits), "query_id", "left").select(
+                    "query_id",
+                    F.lit(method).alias("method"),
+                    n.alias("n_hits"),
+                    round6(n / F.lit(float(TOP_K))).alias("recall"),
+                )
+            )
+    except BaseException:
+        for mdf in method_frames:
+            caching.release(mdf)
+        for s in scoped:
+            caching.release(s)
+        for f in held:
+            f.unpersist()
+        raise
     from functools import reduce as _reduce
 
     out = _reduce(DataFrame.unionByName, parts)
@@ -694,7 +841,7 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     # scope (if any) rides along
     caching.adopt(out, pq[2])
     caching.adopt(out, pqt[2])
-    return caching.owned(out, [exact, pq[3], pqt[3], ranked])
+    return caching.owned(out, held)
 
 
 def ann_recall_eval_sql() -> str:

@@ -3077,6 +3077,72 @@ from .functions.dedup import incremental_probe_sql as _inc_probe_sql  # noqa: E4
 REGISTRY["dedup_incremental_probe"].oracle = _inc_probe_sql(3)
 
 
+@register("dedup_cdc_probe", None)  # oracle attached below
+def dedup_cdc_probe(spark, sf_dir):
+    """dedup_incremental_probe taken through the CDC lifecycle — the
+    r8 verdict's #1: the dedup index's UPDATE/DELETE semantics (own-
+    version exclusion, delete-unblocks, update-into-dup tombstoning),
+    previously pytest-only, put on the official oracle surface.
+    Ingest doc_id % 3 ∈ {0, 1} in two batches, apply ONE CDC epoch
+    (UPDATE %7==3 of those ids: query terms appended — old text stops
+    blocking, new text probes the live set minus the batch's own ids;
+    DELETE %7==5 — they stop blocking instantly; an update whose new
+    text duplicates a live doc drops AND leaves the corpus), then
+    ingest batch %3==2 against the post-CDC live set. Output: all
+    drop/removal decisions (doc_id, stage, dup_of, jaccard) — must
+    hash-match the unrolled versioned-recursion DuckDB oracle
+    (functions/dedup.py cdc_probe_sql).
+
+    Scale shape (functions/dedup_index.py): the CDC epoch is O(batch)
+    appended versions + tombstones; its probe folds a broadcast
+    overlay (bounded by overlay_cap — auto-compaction past it) over
+    the banded candidate join — zero added corpus shuffle."""
+    from functools import reduce
+
+    from .functions.dedup import CDC_SUFFIX
+    from .functions.dedup_index import MinHashIndex
+    from .caching import owned as _owned
+
+    df = Catalog(spark, sf_dir).df("documents")
+    idx = MinHashIndex(spark)
+    raw, outs = [], []
+
+    def staged(dec, k):
+        raw.append(dec)
+        outs.append(
+            dec.select(
+                "doc_id",
+                F.lit(k).cast("int").alias("stage"),
+                "dup_of",
+                "jaccard",
+            )
+        )
+
+    idx.ingest(df.filter(F.col("doc_id") % 3 == 0))
+    staged(idx.ingest(df.filter(F.col("doc_id") % 3 == 1)), 1)
+    base = df.filter(F.col("doc_id") % 3 < 2)
+    ups = base.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(CDC_SUFFIX)).alias("text"),
+        F.lit("u").alias("op"),
+    )
+    dels = base.filter(F.col("doc_id") % 7 == 5).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("d").alias("op"),
+    )
+    staged(idx.apply_cdc(ups.unionByName(dels)), 2)
+    staged(idx.ingest(df.filter(F.col("doc_id") % 3 == 2)), 3)
+    out = reduce(DataFrame.unionByName, outs)
+    idx.close()
+    return _owned(out, raw)
+
+
+from .functions.dedup import cdc_probe_sql as _cdc_probe_sql  # noqa: E402
+
+REGISTRY["dedup_cdc_probe"].oracle = _cdc_probe_sql()
+
+
 @register("semantic_dedup_incremental", None)  # oracle attached below
 def semantic_dedup_incremental(spark, sf_dir):
     """Incremental SemDeDup: embeddings arrive in 3 batches (vec_id %
@@ -3119,6 +3185,77 @@ from .functions.similarity import (  # noqa: E402
 )
 
 REGISTRY["semantic_dedup_incremental"].oracle = _inc_sem_sql(3)
+
+
+@register("semantic_dedup_cdc", None)  # oracle attached below
+def semantic_dedup_cdc(spark, sf_dir):
+    """semantic_dedup_incremental through the CDC lifecycle (the r8
+    verdict's #1, embedding side): ingest vec_id % 3 ∈ {0, 1}, apply
+    ONE CDC epoch — UPDATE %7==3 of those ids to the NEXT id's
+    embedding (an exact copy of a possibly-live vector, so the
+    update-into-dup tombstone path actually fires; ids without a
+    successor keep their own vector, exercising the own-version
+    exclusion), DELETE %7==5 — then ingest batch %3==2 against the
+    post-CDC live set. Output: all removal decisions (vec_id, stage,
+    dup_of, cosine), hash-matching the unrolled versioned oracle
+    (functions/similarity.py cdc_semantic_probe_sql).
+
+    Scale shape: identical to semantic_dedup_incremental plus the
+    CDC epoch's broadcast overlay fold (bounded by overlay_cap)."""
+    from functools import reduce
+
+    from .functions.dedup_index import EmbeddingIndex
+    from .caching import owned as _owned
+
+    df = Catalog(spark, sf_dir).df("embeddings")
+    idx = EmbeddingIndex(spark)
+    raw, outs = [], []
+
+    def staged(dec, k):
+        raw.append(dec)
+        outs.append(
+            dec.select(
+                "vec_id",
+                F.lit(k).cast("int").alias("stage"),
+                "dup_of",
+                "cosine",
+            )
+        )
+
+    idx.ingest(df.filter(F.col("vec_id") % 3 == 0))
+    staged(idx.ingest(df.filter(F.col("vec_id") % 3 == 1)), 1)
+    base = df.filter(F.col("vec_id") % 3 < 2)
+    emb_t = df.schema["embedding"].dataType
+    nxt = df.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("next_emb"),
+    )
+    ups = (
+        base.filter(F.col("vec_id") % 7 == 3)
+        .join(nxt, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("next_emb", "embedding").alias("embedding"),
+            F.lit("u").alias("op"),
+        )
+    )
+    dels = base.filter(F.col("vec_id") % 7 == 5).select(
+        "vec_id",
+        F.lit(None).cast(emb_t).alias("embedding"),
+        F.lit("d").alias("op"),
+    )
+    staged(idx.apply_cdc(ups.unionByName(dels)), 2)
+    staged(idx.ingest(df.filter(F.col("vec_id") % 3 == 2)), 3)
+    out = reduce(DataFrame.unionByName, outs)
+    idx.close()
+    return _owned(out, raw)
+
+
+from .functions.similarity import (  # noqa: E402
+    cdc_semantic_probe_sql as _cdc_sem_sql,
+)
+
+REGISTRY["semantic_dedup_cdc"].oracle = _cdc_sem_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -69,9 +69,11 @@ def start_cdc_stream(
 DEDUP_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
 
 # CDC-shaped doc stream for search-index maintenance (BM25Index):
-# op is 'd' for delete (text/lang/source ignored), anything else is an
-# upsert. Pass as ``schema=`` to start_dedup_stream; batches carrying
-# an ``op`` column route to index.apply_cdc instead of ingest.
+# op is 'd' for delete (text/lang/source ignored); u/c/i/r/a or NULL
+# is an upsert; any other op raises in apply_cdc (op='t' is
+# table-level — index.truncate()). Pass as ``schema=`` to
+# start_dedup_stream; batches carrying an ``op`` column route to
+# index.apply_cdc instead of ingest.
 CDC_DOCS_SCHEMA = DEDUP_DOCS_SCHEMA + ", op string"
 
 
@@ -318,7 +320,14 @@ def start_dedup_stream(
                 F.expr(pre_filter).cast("boolean"), F.lit(False)
             )
             if "op" in batch_df.columns:
-                keep = (F.col("op") == "d") | keep
+                # eqNullSafe, not ==: a NULL op is an UPSERT (the
+                # apply_cdc contract), so it must take the gate like
+                # any upsert. Plain == yields NULL for NULL op, and
+                # NULL | false = NULL — the row would vanish from BOTH
+                # kept (filter drops NULL) and rejected (~NULL is NULL
+                # too): never indexed, never demoted to delete, never
+                # audited, its stale version left live (r8 advice).
+                keep = F.col("op").eqNullSafe("d") | keep
             kept = batch_df.filter(keep)
             rejected = batch_df.filter(~keep)
             rejected.write.mode("overwrite").parquet(

@@ -1541,3 +1541,197 @@ def test_pre_filter_failing_update_tombstones_stale_version(
     ).collect()
     assert [(r.doc_id, r.text) for r in rej] == [(1, "short")]
     idx.close()
+
+def test_apply_cdc_unknown_op_raises(spark):
+    """r9 (r8 verdict parity gap a): the op contract is a closed
+    vocabulary — an unrecognized op raises instead of silently
+    upserting a garbage row, and op='t' points at truncate()."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]))
+    with pytest.raises(ValueError, match="unknown CDC op 'x'"):
+        idx.apply_cdc(_cdc(spark, [(2, OTHER, "x")]))
+    with pytest.raises(ValueError, match="truncate"):
+        idx.apply_cdc(_cdc(spark, [(2, None, "t")]))
+    # the refused epochs never committed
+    assert idx.next_epoch() == 1
+    # the documented upsert letters all work
+    idx.apply_cdc(_cdc(spark, [(2, OTHER, "c")]))
+    idx.apply_cdc(_cdc(spark, [(3, THIRD, "i")]))
+    held = {r.doc_id for r in idx.shingles.select("doc_id").collect()}
+    assert held == {1, 2, 3}
+    idx.close()
+
+
+def test_empty_cdc_batch_does_not_arm_overlay(spark, tmp_path):
+    """r8 advice: an EMPTY micro-batch must not set _has_cdc — the
+    epoch still commits (stream bookkeeping), but readers stay on the
+    append-only fast path and a reloaded store does too."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    idx.apply_cdc(_cdc(spark, []), epoch=1)
+    assert idx.epoch_applied(1)  # the epoch is committed state
+    assert not idx._has_cdc
+    assert idx._overlay_rows == 0
+    idx.close()
+    idx2 = MinHashIndex.load(spark, store)
+    assert not idx2._has_cdc
+    assert idx2.epoch_applied(1)
+    idx2.close()
+
+
+def test_stale_cdc_flag_cleared_in_manifest_on_early_return(
+    spark, tmp_path
+):
+    """r8 advice: compact()'s no-dirty-rows early return must commit
+    the manifest when it clears a stale persisted flag — otherwise a
+    reloaded store pays the overlay fold per query forever."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC)]), epoch=0)
+    idx.compact()  # single compacted segment, no dirty rows
+    # simulate a pre-r9 store whose manifest carries a stale flag
+    idx._has_cdc = True
+    idx._commit_manifest()
+    idx.compact()  # no dirty rows, single segment -> early return
+    assert not idx._has_cdc
+    idx.close()
+    idx2 = MinHashIndex.load(spark, store)
+    assert not idx2._has_cdc  # the reset reached disk
+    idx2.close()
+
+
+def test_truncate_lifecycle_and_replay(spark, tmp_path):
+    """r8 verdict item 3: truncate() clears the corpus as one
+    committed epoch — decisions list every live doc, stored_decisions
+    replays them, the store reloads empty, and held text stops
+    blocking."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    dec = idx.truncate(epoch=1)
+    rows = sorted(dec.collect(), key=lambda r: r.doc_id)
+    assert [(r.doc_id, r.dup_of, r.jaccard) for r in rows] == [
+        (1, None, None),
+        (2, None, None),
+    ]
+    assert idx.epoch_applied(1)
+    stored = idx.stored_decisions(1)
+    assert sorted(r.doc_id for r in stored.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="already applied"):
+        idx.truncate(epoch=1)
+    # nothing blocks the old text now, and new ingest works
+    assert idx.ingest(_docs(spark, [(3, DOC)]), epoch=2).count() == 0
+    idx.close()
+    # the cutover reached disk: reload shows {3} only
+    idx2 = MinHashIndex.load(spark, store)
+    held = {r.doc_id for r in idx2.shingles.select("doc_id").collect()}
+    assert held == {3}
+    assert idx2.epoch_applied(1)
+    idx2.close()
+
+
+def test_truncate_decisions_reflect_cdc_overlay(spark):
+    """truncate() lists only docs LIVE at the instant of the truncate:
+    a doc already deleted via CDC is not re-reported, and the
+    post-truncate index starts on the append-only fast path (a bulk
+    re-add of a formerly CDC-touched id is sound again)."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    idx.apply_cdc(_cdc(spark, [(2, None, "d")]))
+    dec = idx.truncate()
+    assert [r.doc_id for r in dec.collect()] == [1]
+    assert not idx._has_cdc and idx._overlay_rows == 0
+    # id 2 had CDC history; after truncate it is genuinely gone and
+    # plain ingest accepts it without the readd guard firing
+    assert idx.ingest(_docs(spark, [(2, OTHER)])).count() == 0
+    idx.close()
+
+
+def test_overlay_cap_triggers_autocompact(spark, tmp_path):
+    """r8 verdict item 4: a CDC burst between compact_every cadence
+    points must not grow the broadcast fold unboundedly — the index
+    compacts itself once overlay rows exceed overlay_cap."""
+    store = str(tmp_path / "mh")
+    idx = MinHashIndex(spark, store_dir=store, overlay_cap=3)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]))
+    # each epoch: one upsert -> 1 overlay row (the new version)
+    idx.apply_cdc(_cdc(spark, [(1, THIRD, "u")]))
+    assert idx._has_cdc and idx._overlay_rows == 1
+    idx.apply_cdc(_cdc(spark, [(1, DOC, "u")]))
+    idx.apply_cdc(_cdc(spark, [(1, THIRD, "u")]))
+    assert idx._overlay_rows == 3  # at the cap, not yet over
+    assert idx._has_cdc
+    dec = idx.apply_cdc(_cdc(spark, [(1, DOC, "u")]))
+    dec.count()
+    # 4 > cap: the commit auto-compacted — overlay folded physically
+    assert not idx._has_cdc
+    assert idx._overlay_rows == 0
+    assert len(idx._segments) == 1
+    assert idx.vals.filter(F.col("op") != "a").count() == 0
+    # semantics intact: live corpus is {1: DOC, 2: OTHER}
+    d = idx.ingest(_docs(spark, [(9, DOC)])).collect()
+    assert [(r.doc_id, r.dup_of) for r in d] == [(9, 1)]
+    idx.close()
+    # the persisted counter survives reload mid-cycle
+    idx2 = MinHashIndex.load(spark, store)
+    assert idx2._overlay_rows == 0
+    idx2.apply_cdc(_cdc(spark, [(2, THIRD, "u")]))
+    assert idx2._overlay_rows == 1
+    idx2.close()
+    idx3 = MinHashIndex.load(spark, store)
+    assert idx3._overlay_rows == 1  # manifest carried it
+    idx3.close()
+
+
+def test_pre_filter_null_op_row_gated_not_vanished(spark, tmp_path):
+    """r8 advice (medium): a NULL-op CDC row that fails pre_filter
+    must take the upsert branch of the gate — audited in rejected/
+    and demoted to a delete — not vanish from both branches leaving
+    its stale version live."""
+    import json
+    import os
+
+    from pgsync_spark.functions.bm25_index import BM25Index
+    from pgsync_spark.streaming.stream import (
+        CDC_DOCS_SCHEMA,
+        start_dedup_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "spark engine fundamentals long enough",
+            "lang": "en", "source": "s0", "op": "u"}) + "\n")
+    # NULL op (key absent) + text failing the length gate
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "tiny", "lang": "en",
+            "source": "s0"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = BM25Index(spark, store_dir=str(tmp_path / "store"))
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema=CDC_DOCS_SCHEMA,
+        max_files_per_trigger=1,
+        pre_filter="length(text) >= 20",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the stale long version is dead (demoted delete reached the
+    # index) and the failing new version never entered
+    assert idx.topk(("spark",), k=5).count() == 0
+    assert idx.topk(("tiny",), k=5).count() == 0
+    # the NULL-op row is audited in rejected/
+    rej = spark.read.parquet(
+        str(tmp_path / "out" / "rejected" / "epoch=1")
+    ).collect()
+    assert [(r.doc_id, r.text) for r in rej] == [(1, "tiny")]
+    idx.close()
