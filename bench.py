@@ -83,6 +83,14 @@ HEADLINE = [
     # round-8: trained (integer-Lloyd) codebook — same serving plan,
     # prices the training collect + fit on top of pq_adc
     "ann_pq_adc_trained_topk",
+    # round-9: trained COARSE quantizer (same Lloyd machinery on the
+    # full vector) — prices training + one Arrow assignment pass vs
+    # the hash-cell ivfpq just above
+    "ann_ivf_trained_topk",
+    # (dedup_cdc_probe / semantic_dedup_cdc stay OFF the headline
+    # list, like dedup_incremental_probe before them: each prices a
+    # full 3-ingest index lifecycle (~20s at sf0.1) — oracle-gated in
+    # VALIDATE, but not a serving-latency headline)
     # round-7: shuffle-planning diagnostic (one key groupBy + TakeOrdered)
     "key_skew_profile",
     # round-6 second continuation: ANN eval + drift + export binning

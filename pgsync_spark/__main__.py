@@ -215,6 +215,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--shard-lanes", type=int, default=None,
         help="parallel writer lanes for --export-shards (default 4)",
     )
+    p.add_argument(
+        "--bm25-store", default=None, metavar="DIR",
+        help="maintain an ENGINE-OWNED BM25 index per configured tree "
+        "under DIR/<index> (the reference's sync→search-index "
+        "topology with the index state owned by the engine instead "
+        "of an external cluster): seeded from the initial sync, kept "
+        "current by every CDC batch (upserts + deletes + truncate), "
+        "queryable afterwards via --bm25-topk --store-dir DIR/<index>",
+    )
+    p.add_argument(
+        "--bm25-text-expr", default=None, metavar="SQL",
+        help="SQL expression over the sink-facing doc schema (_id, "
+        "doc JSON string) selecting the text to index for "
+        "--bm25-store, e.g. \"get_json_object(doc, '$.title')\" "
+        "(default: the serialized doc — coarse whitespace tokens)",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -447,6 +463,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--events-dir", args.events_dir),
                 ("--sink-dir", args.sink_dir),
                 ("--search-url", args.search_url),
+                ("--bm25-store", args.bm25_store),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),
@@ -474,6 +491,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--daemon", args.daemon),
                 ("--sink-dir", args.sink_dir),
                 ("--search-url", args.search_url),
+                ("--bm25-store", args.bm25_store),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),
@@ -540,10 +558,11 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         or args.validate
         or args.sink_dir
         or args.search_url
+        or args.bm25_store
     ):
         print(
             "nothing to do: pass --analyze, --validate, --print-mapping, "
-            "--sink-dir, or --search-url",
+            "--sink-dir, --search-url, or --bm25-store",
             file=sys.stderr,
         )
         return 2
@@ -661,30 +680,67 @@ def _run_sync(runner, args, out) -> int:
         for name, eng in runner.engines.items():
             print(f"[{name}] synced: {eng.docs.count()} docs", file=out)
 
-    if args.daemon:
-        from .streaming.stream import start_cdc_stream
+    maintainers: dict = {}
+    if args.bm25_store:
+        # engine-owned search index per tree (the reference's
+        # sync→index topology with the index state in-engine): seed a
+        # fresh store from the just-synced corpus, or reload an
+        # existing one and let CDC batches carry it forward. Delivery
+        # is at-least-once and the maintainer is effect-idempotent
+        # (streaming/index_sync.py), so a replayed batch converges.
+        from .functions.bm25_index import BM25Index
+        from .streaming.index_sync import SearchIndexMaintainer
 
-        query = start_cdc_stream(
-            spark,
-            runner,
-            args.events_dir,
-            args.checkpoint_dir,
-            max_files_per_trigger=args.max_files_per_trigger,
-            poll_interval=args.polling,
-        )
-        try:
-            if args.drain:
-                query.processAllAvailable()
-            else:
-                query.awaitTermination()
-        finally:
-            query.stop()
+        for name, eng in runner.engines.items():
+            path = os.path.join(args.bm25_store, name)
+            fresh = not os.path.exists(os.path.join(path, "CURRENT"))
+            idx = (
+                BM25Index(spark, store_dir=path)
+                if fresh
+                else BM25Index.load(spark, path)
+            )
+            m = SearchIndexMaintainer(
+                idx, text_expr=args.bm25_text_expr or "doc"
+            )
+            if fresh:
+                m.seed(eng.docs_for_sink())
+            eng.doc_consumers.append(m)
+            maintainers[name] = m
+            if args.verbose:
+                print(
+                    f"[{name}] engine-owned BM25 index at {path} "
+                    f"({'seeded' if fresh else 'loaded'})",
+                    file=out,
+                )
 
-    _write_docs(runner, args, out=out)
-    for name, store in stores.items():
-        version = store.save(runner.engines[name])
-        if args.verbose:
-            print(f"[{name}] saved state v{version}", file=out)
+    try:
+        if args.daemon:
+            from .streaming.stream import start_cdc_stream
+
+            query = start_cdc_stream(
+                spark,
+                runner,
+                args.events_dir,
+                args.checkpoint_dir,
+                max_files_per_trigger=args.max_files_per_trigger,
+                poll_interval=args.polling,
+            )
+            try:
+                if args.drain:
+                    query.processAllAvailable()
+                else:
+                    query.awaitTermination()
+            finally:
+                query.stop()
+
+        _write_docs(runner, args, out=out)
+        for name, store in stores.items():
+            version = store.save(runner.engines[name])
+            if args.verbose:
+                print(f"[{name}] saved state v{version}", file=out)
+    finally:
+        for m in maintainers.values():
+            m.index.close()
     if args.verbose and runner.checkpoint is not None:
         print(f"checkpoint: txid {runner.checkpoint}", file=out)
     return 0

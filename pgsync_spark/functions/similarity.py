@@ -296,16 +296,11 @@ def _ivf_candidates(ranked: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf_topk(df: DataFrame, ranked: DataFrame | None = None) -> DataFrame:
-    """IVF-style ANN: corpus vectors are assigned to their nearest
-    codebook cell once; a query probes only its IVF_NPROBE nearest
-    cells and exact-ranks the candidates. At 100 TB the corpus scan is
-    one broadcast-codebook pass (no shuffle), candidates shrink to
-    ~nprobe/cells of the corpus, and the exact re-rank uses the same
-    map-side top-k as the brute-force path. Rounded-cosine ties break
-    by cell_id, so the approximation itself is engine-deterministic
-    and the DuckDB oracle reproduces it exactly."""
-    cand = _ivf_candidates(ranked if ranked is not None else _ivf_ranked(df))
+def _ivf_exact_rerank(df: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared IVF serving tail: exact-cosine score the (query,
+    candidate) pairs and keep the per-query top-k — the query side
+    broadcasts, the corpus joins by id, so candidates never drag
+    embeddings through a shuffle."""
     e1 = df.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     e2 = df.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
     scored = cand.join(F.broadcast(e1.filter(F.col("query_id") < N_QUERIES)), "query_id").join(
@@ -323,6 +318,19 @@ def ann_ivf_topk(df: DataFrame, ranked: DataFrame | None = None) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_ivf_topk(df: DataFrame, ranked: DataFrame | None = None) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    codebook cell once; a query probes only its IVF_NPROBE nearest
+    cells and exact-ranks the candidates. At 100 TB the corpus scan is
+    one broadcast-codebook pass (no shuffle), candidates shrink to
+    ~nprobe/cells of the corpus, and the exact re-rank uses the same
+    map-side top-k as the brute-force path. Rounded-cosine ties break
+    by cell_id, so the approximation itself is engine-deterministic
+    and the DuckDB oracle reproduces it exactly."""
+    cand = _ivf_candidates(ranked if ranked is not None else _ivf_ranked(df))
+    return _ivf_exact_rerank(df, cand)
 
 
 def ann_ivf_topk_sql() -> str:
@@ -777,8 +785,15 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # ONE corpus cell-ranking window shared by all three IVF legs
         ranked = _ivf_ranked(df).persist()
         held.append(ranked)
+        # the TRAINED cell ranking, computed once (Lloyd fit + one
+        # Arrow assignment pass) — prices what training the coarse
+        # quantizer buys against the hash-cell ivf leg
+        tranked = ivf_assign_trained(df).persist()
+        held.append(tranked)
         methods = (
             ("ivf", lambda d: ann_ivf_topk(d, ranked=ranked)),
+            ("ivf_trained",
+             lambda d: ann_ivf_trained_topk(d, ranked=tranked)),
             ("lsh", ann_lsh_topk),
             ("lsh_multiprobe", ann_lsh_multiprobe_topk),
             # the probe-width dial priced one step wider: Hamming-2
@@ -866,6 +881,7 @@ def ann_recall_eval_sql() -> str:
     return f"""
         WITH exact AS ({ann_bruteforce_topk_sql()}),
              ivf AS ({ann_ivf_topk_sql()}),
+             ivf_trained AS ({ann_ivf_trained_topk_sql()}),
              lsh AS ({ann_lsh_topk_sql()}),
              lsh_multiprobe AS ({ann_lsh_multiprobe_topk_sql()}),
              lsh_multiprobe2 AS ({ann_lsh_multiprobe_topk_sql(2)}),
@@ -873,7 +889,8 @@ def ann_recall_eval_sql() -> str:
              pq_adc_trained AS ({ann_pq_adc_trained_topk_sql()}),
              ivfpq AS ({ann_ivfpq_topk_sql()}),
              ivfpq_trained AS ({ann_ivfpq_trained_topk_sql()})
-        {one('ivf')} UNION ALL {one('lsh')}
+        {one('ivf')} UNION ALL {one('ivf_trained')}
+        UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
         UNION ALL {one('lsh_multiprobe2')}
         UNION ALL {one('pq_adc')}
@@ -1755,6 +1772,244 @@ def ann_pq_adc_trained_topk_sql() -> str:
                    PARTITION BY query_id
                    ORDER BY sum(dd), neighbor_id) AS INT) AS rank
           FROM adc_terms GROUP BY query_id, neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF coarse quantizer (r8 verdict #5): the hash-picked IVF
+# cells are the recall ceiling of every composed method — reuse the
+# integer-exact Lloyd machinery on the FULL vector for the cell
+# codebook. Same discipline as trained PQ: hash-sample with a hard
+# budget, int64 distances, first-minimum argmin, floor means, empty
+# cluster keeps its centroid; centroids broadcast as literals and the
+# oracle replays training bit-for-bit.
+# ---------------------------------------------------------------------------
+
+EMB_DIM = PQ_M * PQ_SUBDIM  # 64
+IVFT_ITERS = PQT_ITERS
+
+
+def _ivf_trained_centroids(df: DataFrame) -> list[list[int]]:
+    """[c][d] -> int64 micro cell centroids after IVFT_ITERS Lloyd
+    iterations over the hash-sample, initialized from the hash-picked
+    IVF codebook vectors. Deterministic and engine-exact (see the
+    trained-PQ section comment)."""
+    import numpy as np
+
+    sample = (
+        df.filter(
+            h32(F.col("vec_id").cast("string")) % PQT_SAMPLE_MOD == 0
+        )
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .limit(PQT_MAX_SAMPLE + 1)
+        .collect()
+    )
+    if len(sample) > PQT_MAX_SAMPLE:
+        raise ValueError(
+            f"IVF training sample exceeds PQT_MAX_SAMPLE="
+            f"{PQT_MAX_SAMPLE}; raise PQT_SAMPLE_MOD for this corpus"
+        )
+    q = _quantize_micro([r["nv"] for r in sample])
+    init = (
+        df.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+        )
+        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["nv"] for r in init}
+    if len(by_id) != IVF_CELLS:
+        raise ValueError(
+            f"IVF codebook needs vec_ids [{N_QUERIES}, "
+            f"{N_QUERIES + IVF_CELLS}): found {sorted(by_id)}"
+        )
+    cents = _quantize_micro(
+        [by_id[N_QUERIES + c] for c in range(IVF_CELLS)]
+    )
+    for _ in range(IVFT_ITERS):
+        # per-cell distance columns (not an (n, cells, dim) cube —
+        # the broadcast temp would be ~cells× the sample's memory)
+        dd = np.empty((len(q), IVF_CELLS), dtype=np.int64)
+        for c in range(IVF_CELLS):
+            diff = q - cents[c]
+            dd[:, c] = (diff * diff).sum(axis=1)
+        a = dd.argmin(axis=1)  # first minimum = smallest cell id
+        for c in range(IVF_CELLS):
+            pts = q[a == c]
+            if len(pts):
+                cents[c] = np.floor(
+                    pts.sum(axis=0).astype(np.float64) / len(pts)
+                ).astype(np.int64)
+            # empty cluster: keep the previous centroid
+    return cents.tolist()
+
+
+def ivf_assign_trained(
+    df: DataFrame, cents: list[list[int]] | None = None
+) -> DataFrame:
+    """(vec_id, cell_id, rn) — each vector's IVF_NPROBE nearest
+    TRAINED cells by integer L2² over quantized normalized vectors
+    (unit vectors: ascending L2² = descending cosine, so the probe
+    geometry matches the hash-codebook _ivf_ranked). rn=1 is the
+    assignment, rn<=nprobe the probe set. One Arrow-batched
+    zero-exchange pass (the pq_encode_trained shape); ties break
+    toward the smaller cell id (stable argsort = the oracle's
+    ORDER BY dd, c)."""
+    import numpy as np
+    import pandas as pd
+
+    if cents is None:
+        cents = _ivf_trained_centroids(df)
+    ca = np.asarray(cents, dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            # the engine's normalization fold (see pq_encode)
+            acc = np.zeros(n)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * x[:, d]
+            nrm = np.sqrt(acc)
+            if (nrm == 0).any():
+                bad = pdf["vec_id"].iloc[int(np.flatnonzero(nrm == 0)[0])]
+                raise ValueError(
+                    f"ivf_assign_trained: zero-norm embedding "
+                    f"(vec_id={bad}); filter degenerate vectors first"
+                )
+            qx = np.floor((x / nrm[:, None]) * 1e6 + 0.5).astype(np.int64)
+            dd = np.empty((n, len(ca)), dtype=np.int64)
+            for c in range(len(ca)):
+                diff = qx - ca[c]
+                dd[:, c] = (diff * diff).sum(axis=1)
+            order = np.argsort(dd, axis=1, kind="stable")[:, :IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), IVF_NPROBE
+                    ),
+                    "cell_id": order.reshape(-1).astype("int64"),
+                    "rn": np.tile(
+                        np.arange(1, IVF_NPROBE + 1), n
+                    ).astype("int32"),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell_id bigint, rn int"
+    )
+
+
+def ann_ivf_trained_topk(
+    df: DataFrame, ranked: DataFrame | None = None
+) -> DataFrame:
+    """ann_ivf_topk with a TRAINED coarse quantizer: identical serving
+    plan (assign once, probe IVF_NPROBE cells, exact-cosine re-rank
+    via the shared tail) — the recall delta against the hash-cell ivf
+    leg in ann_recall_eval is purely what Lloyd buys the cell
+    geometry."""
+    cand = _ivf_candidates(
+        ranked if ranked is not None else ivf_assign_trained(df)
+    )
+    return _ivf_exact_rerank(df, cand)
+
+
+def _ivf_trained_sql_ctes() -> str:
+    """Oracle training replay for the trained coarse quantizer:
+    quantized full vectors -> IVFT_ITERS unrolled Lloyd iterations ->
+    per-vector trained-cell ranking ``itrk`` (vec_id, cell_id, rn)."""
+    nv = _normalized_sql("embedding")
+    h = h32_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""inorm AS (SELECT vec_id, {nv} AS nv FROM embeddings),
+        ipts AS (
+          SELECT vec_id, d,
+                 CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
+          FROM inorm, (SELECT unnest(range({EMB_DIM})) AS d)
+        ),
+        isamp AS (SELECT * FROM ipts WHERE {h} % {PQT_SAMPLE_MOD} = 0),
+        icent0 AS (
+          SELECT vec_id - {N_QUERIES} AS c, d, q FROM ipts
+          WHERE vec_id >= {N_QUERIES}
+            AND vec_id < {N_QUERIES + IVF_CELLS}
+        )"""
+    ]
+    for t in range(1, IVFT_ITERS + 1):
+        parts.append(f"""idist{t} AS (
+          SELECT s.vec_id, c.c, sum((s.q - c.q) * (s.q - c.q)) AS dd
+          FROM isamp s JOIN icent{t - 1} c ON c.d = s.d
+          GROUP BY s.vec_id, c.c
+        ),
+        iasg{t} AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dd, c) AS rn
+            FROM idist{t}
+          ) WHERE rn = 1
+        ),
+        imean{t} AS (
+          SELECT a.c, s.d,
+                 CAST(floor(CAST(sum(s.q) AS DOUBLE) / count(*))
+                      AS BIGINT) AS q
+          FROM iasg{t} a
+          JOIN isamp s ON s.vec_id = a.vec_id
+          GROUP BY a.c, s.d
+        ),
+        icent{t} AS (
+          SELECT p.c, p.d, COALESCE(n.q, p.q) AS q
+          FROM icent{t - 1} p
+          LEFT JOIN imean{t} n ON n.c = p.c AND n.d = p.d
+        )""")
+    parts.append(f"""ivdist AS (
+          SELECT p.vec_id, c.c, sum((p.q - c.q) * (p.q - c.q)) AS dd
+          FROM ipts p JOIN icent{IVFT_ITERS} c ON c.d = p.d
+          GROUP BY p.vec_id, c.c
+        ),
+        itrk AS (
+          SELECT vec_id, c AS cell_id, rn FROM (
+            SELECT vec_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dd, c) AS rn
+            FROM ivdist
+          ) WHERE rn <= {IVF_NPROBE}
+        )""")
+    return ",\n        ".join(parts)
+
+
+def ann_ivf_trained_topk_sql() -> str:
+    cos = round6_sql(
+        _dot_sql("e1.embedding", "e2.embedding")
+        + " / ("
+        + _norm_sql("e1.embedding")
+        + " * "
+        + _norm_sql("e2.embedding")
+        + ")"
+    )
+    return f"""
+        WITH {_ivf_trained_sql_ctes()},
+        assign AS (SELECT vec_id AS neighbor_id, cell_id
+                   FROM itrk WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, cell_id
+                   FROM itrk
+                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT q.query_id, a.neighbor_id
+          FROM qprobe q JOIN assign a ON a.cell_id = q.cell_id
+          WHERE a.neighbor_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {cos} DESC, c.neighbor_id) AS INT) AS rank
+          FROM cand c
+          JOIN embeddings e1 ON e1.vec_id = c.query_id
+          JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
         ) WHERE rank <= {TOP_K}
     """
 

@@ -393,6 +393,11 @@ _doc_query(
 _emb_query(_sim.ann_bruteforce_topk, _sim.ann_bruteforce_topk_sql(), "ann_bruteforce_topk")
 _emb_query(_sim.ann_lsh_topk, _sim.ann_lsh_topk_sql(), "ann_lsh_topk")
 _emb_query(_sim.ann_ivf_topk, _sim.ann_ivf_topk_sql(), "ann_ivf_topk")
+_emb_query(
+    _sim.ann_ivf_trained_topk,
+    _sim.ann_ivf_trained_topk_sql(),
+    "ann_ivf_trained_topk",
+)
 _emb_query(_sim.embedding_neardup_pairs, _sim.embedding_neardup_pairs_sql(), "embedding_neardup_pairs")
 _emb_query(
     _sim.semantic_dedup_canonical,

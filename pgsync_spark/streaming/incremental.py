@@ -235,6 +235,12 @@ class IncrementalEngine:
         from ..plugin import load_plugins
 
         self.plugins = load_plugins(list(tree.plugins or []))
+        # per-batch doc-delta consumers (streaming/index_sync.py
+        # SearchIndexMaintainer): each gets apply(upserts, deleted_ids)
+        # after the stores commit, and truncate() on a root TRUNCATE —
+        # the reference's sync→search-index leg with the index owned
+        # by the engine (ref: pgsync/sync.py:1495-1528)
+        self.doc_consumers: list = []
 
     # -- store plumbing ------------------------------------------------
     STORE_COMPACT_EVERY = 8
@@ -767,6 +773,12 @@ class IncrementalEngine:
             self._docs_store.reset(docs_ck, owns_base=True)
             self._lineage_store.reset(lin_ck, owns_base=True)
             self._maybe_release_shared()
+            for consumer in self.doc_consumers:
+                # the doc corpus was cleared as of this stream position
+                # — engine-owned indexes clear too; post-truncate
+                # events in this same batch re-enter below and reach
+                # the consumers as ordinary upserts
+                consumer.truncate()
             if sum(new_counts.values()) == 0:
                 # no new images anywhere in the batch — nothing after
                 # the truncate can materialize
@@ -928,6 +940,34 @@ class IncrementalEngine:
         )
         mark("stores_overlay")
         self._maybe_release_shared()
+        if self.doc_consumers:
+            # the sink-facing doc DELTA: recomputed docs through the
+            # tree's plugin chain (a plugin-dropped doc is simply not
+            # re-indexed — the reference drops at indexing time too,
+            # leaving whatever the sink held; ref: pgsync/sync.py:
+            # 1571-1572), plus the ids whose docs vanished (root row
+            # gone — the engine's implicit delete, made explicit for
+            # consumers). Both frames derive from this batch's eager
+            # checkpoints (new_combined / affected), so consumers run
+            # BEFORE the release below.
+            ups = new_docs
+            if self.plugins:
+                from ..plugin import apply_plugins
+
+                ups = apply_plugins(
+                    ups,
+                    self.plugins,
+                    index=self.tree.index or self.tree.root.table,
+                    passthrough=tuple(
+                        c for c in ups.columns if c == "_routing"
+                    ),
+                )
+            gone = affected_ids.join(
+                new_docs.select("_id"), "_id", "left_anti"
+            )
+            for consumer in self.doc_consumers:
+                consumer.apply(ups, gone)
+            mark("doc_consumers")
         # overlay checkpoints are eager — every batch temporary
         # (events, resolved keys, affected set, recompute output) is
         # fully copied out; free the blocks now
