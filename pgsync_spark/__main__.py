@@ -681,39 +681,44 @@ def _run_sync(runner, args, out) -> int:
             print(f"[{name}] synced: {eng.docs.count()} docs", file=out)
 
     maintainers: dict = {}
-    if args.bm25_store:
-        # engine-owned search index per tree (the reference's
-        # sync→index topology with the index state in-engine): seed a
-        # fresh store from the just-synced corpus, or reload an
-        # existing one and let CDC batches carry it forward. Delivery
-        # is at-least-once and the maintainer is effect-idempotent
-        # (streaming/index_sync.py), so a replayed batch converges.
-        from .functions.bm25_index import BM25Index
-        from .streaming.index_sync import SearchIndexMaintainer
-
-        for name, eng in runner.engines.items():
-            path = os.path.join(args.bm25_store, name)
-            fresh = not os.path.exists(os.path.join(path, "CURRENT"))
-            idx = (
-                BM25Index(spark, store_dir=path)
-                if fresh
-                else BM25Index.load(spark, path)
-            )
-            m = SearchIndexMaintainer(
-                idx, text_expr=args.bm25_text_expr or "doc"
-            )
-            if fresh:
-                m.seed(eng.docs_for_sink())
-            eng.doc_consumers.append(m)
-            maintainers[name] = m
-            if args.verbose:
-                print(
-                    f"[{name}] engine-owned BM25 index at {path} "
-                    f"({'seeded' if fresh else 'loaded'})",
-                    file=out,
-                )
-
     try:
+        if args.bm25_store:
+            # engine-owned search index per tree (the reference's
+            # sync→index topology with the index state in-engine):
+            # seed a fresh store from the just-synced corpus, or
+            # reload an existing one and let CDC batches carry it
+            # forward. Delivery is at-least-once and the maintainer
+            # is effect-idempotent (streaming/index_sync.py), so a
+            # replayed batch converges. Inside the try: a failure on
+            # the Nth tree's store must still close the earlier
+            # trees' loaded indexes (review finding).
+            from .functions.bm25_index import BM25Index
+            from .streaming.index_sync import SearchIndexMaintainer
+
+            for name, eng in runner.engines.items():
+                path = os.path.join(args.bm25_store, name)
+                fresh = not os.path.exists(
+                    os.path.join(path, "CURRENT")
+                )
+                idx = (
+                    BM25Index(spark, store_dir=path)
+                    if fresh
+                    else BM25Index.load(spark, path)
+                )
+                m = SearchIndexMaintainer(
+                    idx, text_expr=args.bm25_text_expr or "doc"
+                )
+                maintainers[name] = m
+                if fresh:
+                    m.seed(eng.docs_for_sink())
+                eng.doc_consumers.append(m)
+                if args.verbose:
+                    print(
+                        f"[{name}] engine-owned BM25 index at {path} "
+                        f"({'seeded' if fresh else 'loaded'})",
+                        file=out,
+                    )
+
         if args.daemon:
             from .streaming.stream import start_cdc_stream
 

@@ -281,12 +281,31 @@ class _AppendOnlyIndex:
             )
             .agg(
                 F.sum("c").alias("n"),
-                F.max(F.when(F.col("c") > 1, F.col(idc))).alias("dup_id"),
+                # stringified + NULL-coalesced: max(when(c>1, id))
+                # over a NULL-keyed duplicate group would itself be
+                # NULL and let the dup slip through (review finding —
+                # the r8 groupBy/collect check caught NULL keys)
+                F.max(
+                    F.when(
+                        F.col("c") > 1,
+                        F.coalesce(
+                            F.col(idc).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ).alias("dup_id"),
+                F.max(F.col(idc).isNull().cast("int")).alias("null_id"),
                 F.max("bad_op").alias("bad_op"),
                 F.max("trunc").alias("trunc"),
             )
             .first()
         )
+        if row["null_id"]:
+            raise ValueError(
+                f"apply_cdc batch has a row with NULL {idc}: a "
+                "versioned index has no identity to upsert or "
+                "tombstone — fix the producer (or the id cast) "
+                "upstream"
+            )
         if row["dup_id"] is not None:
             raise ValueError(
                 f"apply_cdc batch has multiple rows for {idc} "
@@ -309,7 +328,9 @@ class _AppendOnlyIndex:
             )
         return row["n"] is not None
 
-    def _maybe_autocompact(self) -> None:
+    def _maybe_autocompact(
+        self, decisions: DataFrame | None = None
+    ) -> DataFrame | None:
         """compact() once overlay rows exceed ``overlay_cap`` — the
         index analog of the relational engine's KeyedOverlay size cap.
         The epoch-count cadence (a stream's compact_every) bounds the
@@ -317,12 +338,32 @@ class _AppendOnlyIndex:
         every query's broadcast fold unboundedly; the cap bounds the
         worst case. Called by apply_cdc after its epoch commits, so a
         crash between commit and compact replays as committed (the
-        compact re-triggers at the next CDC epoch)."""
+        compact re-triggers at the next CDC epoch).
+
+        ``decisions``: the epoch's about-to-be-returned decisions
+        frame when its LINEAGE references the held parts (the dedup
+        probes' frames do; BM25's dels derive from the batch only).
+        compact's _swap_parts releases those parts' localCheckpoint
+        blocks, after which a lost cached decisions partition is
+        unrecoverable (review finding) — so when compaction actually
+        fires, the frame is cut over to an eager localCheckpoint
+        FIRST and the superseded cache released. Returns the frame to
+        hand to the caller (unchanged when no compaction runs)."""
         if (
-            self.overlay_cap is not None
-            and self._overlay_rows > self.overlay_cap
+            self.overlay_cap is None
+            or self._overlay_rows <= self.overlay_cap
         ):
-            self.compact()
+            return decisions
+        if decisions is not None:
+            from .. import caching
+
+            ck = decisions.localCheckpoint(eager=True)
+            caching.release(decisions)  # the persisted original
+            # the checkpointed frame owns no caches; its small blocks
+            # are the ContextCleaner's (the bm25 query convention)
+            decisions = ck
+        self.compact()
+        return decisions
 
     def truncate(self, epoch: int | None = None) -> DataFrame:
         """Clear the WHOLE held corpus as one committed epoch — the
@@ -969,8 +1010,7 @@ class MinHashIndex(_AppendOnlyIndex):
             # bulk ingest must not count its rows as overlay)
             self._pending_overlay_delta = False
             cdc.unpersist()
-        self._maybe_autocompact()
-        return decisions
+        return self._maybe_autocompact(decisions)
 
     def _probe_and_append(
         self,
@@ -1275,8 +1315,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
         finally:
             self._pending_overlay_delta = False
             cdc.unpersist()
-        self._maybe_autocompact()
-        return decisions
+        return self._maybe_autocompact(decisions)
 
     def _delete_decisions(self, ids: DataFrame) -> DataFrame:
         """truncate() hook: removal decisions for ``ids``."""

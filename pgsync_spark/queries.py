@@ -3104,7 +3104,7 @@ def dedup_cdc_probe(spark, sf_dir):
     the banded candidate join — zero added corpus shuffle."""
     from functools import reduce
 
-    from .functions.dedup import CDC_SUFFIX
+    from .functions.dedup import CDC_DEL_PRED, CDC_SUFFIX, CDC_UPD_PRED
     from .functions.dedup_index import MinHashIndex
     from .caching import owned as _owned
 
@@ -3125,13 +3125,14 @@ def dedup_cdc_probe(spark, sf_dir):
 
     idx.ingest(df.filter(F.col("doc_id") % 3 == 0))
     staged(idx.ingest(df.filter(F.col("doc_id") % 3 == 1)), 1)
-    base = df.filter(F.col("doc_id") % 3 < 2)
-    ups = base.filter(F.col("doc_id") % 7 == 3).select(
+    # the SAME predicate strings the oracle generator interpolates —
+    # editing the mutation in one place moves both sides in lockstep
+    ups = df.filter(F.expr(CDC_UPD_PRED)).select(
         "doc_id",
         F.concat(F.col("text"), F.lit(CDC_SUFFIX)).alias("text"),
         F.lit("u").alias("op"),
     )
-    dels = base.filter(F.col("doc_id") % 7 == 5).select(
+    dels = df.filter(F.expr(CDC_DEL_PRED)).select(
         "doc_id",
         F.lit(None).cast("string").alias("text"),
         F.lit("d").alias("op"),
@@ -3229,14 +3230,16 @@ def semantic_dedup_cdc(spark, sf_dir):
 
     idx.ingest(df.filter(F.col("vec_id") % 3 == 0))
     staged(idx.ingest(df.filter(F.col("vec_id") % 3 == 1)), 1)
-    base = df.filter(F.col("vec_id") % 3 < 2)
     emb_t = df.schema["embedding"].dataType
     nxt = df.select(
         (F.col("vec_id") - 1).alias("vec_id"),
         F.col("embedding").alias("next_emb"),
     )
+    from .functions.similarity import SEM_CDC_DEL_PRED, SEM_CDC_UPD_PRED
+
+    # predicate strings shared with the oracle generator (lockstep)
     ups = (
-        base.filter(F.col("vec_id") % 7 == 3)
+        df.filter(F.expr(SEM_CDC_UPD_PRED))
         .join(nxt, "vec_id", "left")
         .select(
             "vec_id",
@@ -3244,7 +3247,7 @@ def semantic_dedup_cdc(spark, sf_dir):
             F.lit("u").alias("op"),
         )
     )
-    dels = base.filter(F.col("vec_id") % 7 == 5).select(
+    dels = df.filter(F.expr(SEM_CDC_DEL_PRED)).select(
         "vec_id",
         F.lit(None).cast(emb_t).alias("embedding"),
         F.lit("d").alias("op"),

@@ -72,9 +72,26 @@ class SearchIndexMaintainer:
     def seed(self, docs: DataFrame | None) -> None:
         """Bulk-load the index from a full corpus (the engine's
         ``docs_for_sink()`` right after ``full_sync``) — op='a' rows,
-        zero overlay state, exactly like any other bulk ingest."""
-        if docs is not None:
-            self.index.ingest(self._doc_shape(docs))
+        zero overlay state, exactly like any other bulk ingest.
+
+        Raises on a NULL-producing ``id_expr`` (e.g. the default
+        BIGINT cast against a composite or string root PK): every
+        such doc would silently collapse onto one NULL identity in
+        the index (review finding). One O(1)-result action, once per
+        deployment; the per-batch CDC path is covered by apply_cdc's
+        own entry contract."""
+        if docs is None:
+            return
+        shaped = self._doc_shape(docs)
+        bad = shaped.filter(F.col("doc_id").isNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"id_expr {self.id_expr!r} produced a NULL doc_id — "
+                "for a composite or string root PK supply an id_expr "
+                "that maps _id to a unique BIGINT (e.g. a 64-bit "
+                "hash of _id)"
+            )
+        self.index.ingest(shaped)
 
     def apply(self, upserts: DataFrame, deleted_ids: DataFrame) -> None:
         """One engine batch's doc delta as one CDC epoch: ``upserts``

@@ -342,8 +342,25 @@ def start_dedup_stream(
                 # the index; the original row is already in rejected/
                 # for audit. For a brand-new doc this tombstones an
                 # id the index never held — a harmless no-op row.
+                # Demotion applies ONLY to legitimate upsert ops:
+                # rewriting an unknown (or table-level 't') op to 'd'
+                # here would turn garbage into a silent per-doc
+                # delete, bypassing apply_cdc's closed-vocabulary
+                # guard whenever the bad row happens to fail the gate
+                # (review finding) — such rows keep their op and
+                # raise downstream like any other contract breach.
+                from ..functions.dedup_index import UPSERT_OPS
+
+                demotable = F.col("op").isNull() | F.col("op").isin(
+                    *UPSERT_OPS
+                )
                 kept = kept.unionByName(
-                    rejected.withColumn("op", F.lit("d"))
+                    rejected.withColumn(
+                        "op",
+                        F.when(demotable, F.lit("d")).otherwise(
+                            F.col("op")
+                        ),
+                    )
                 )
         if index.epoch_applied(epoch_id):
             # replay of a committed epoch: the batch is already index

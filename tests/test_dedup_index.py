@@ -1735,3 +1735,68 @@ def test_pre_filter_null_op_row_gated_not_vanished(spark, tmp_path):
     ).collect()
     assert [(r.doc_id, r.text) for r in rej] == [(1, "tiny")]
     idx.close()
+
+def test_apply_cdc_null_id_raises(spark):
+    """r9 review finding: the one-action validator's max(when(c>1,
+    id)) is NULL for a NULL-keyed duplicate group — NULL ids must
+    raise outright (single or duplicated), never index as garbage
+    identities."""
+    idx = MinHashIndex(spark)
+    idx.ingest(_docs(spark, [(1, DOC)]))
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        idx.apply_cdc(_cdc(spark, [(None, OTHER, "u"), (None, THIRD, "u")]))
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        idx.apply_cdc(_cdc(spark, [(None, OTHER, "u")]))
+    assert idx.next_epoch() == 1  # nothing committed
+    held = {r.doc_id for r in idx.shingles.select("doc_id").collect()}
+    assert held == {1}
+    idx.close()
+
+
+def test_pre_filter_does_not_demote_unknown_ops(spark, tmp_path):
+    """r9 review finding: a rejected row with an op OUTSIDE the
+    closed vocabulary must keep its op and raise in apply_cdc — the
+    demote-to-delete path must not convert garbage ops into silent
+    per-doc deletes just because they failed the quality gate."""
+    import json
+    import os
+
+    from pgsync_spark.functions.bm25_index import BM25Index
+    from pgsync_spark.streaming.stream import (
+        CDC_DOCS_SCHEMA,
+        start_dedup_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "spark engine fundamentals long enough",
+            "lang": "en", "source": "s0", "op": "u"}) + "\n")
+    # op='x' with short text: fails the gate AND has a garbage op
+    with open(docs_dir / "b1.json", "w") as f:
+        f.write(json.dumps({
+            "doc_id": 1, "text": "bad", "lang": "en", "source": "s0",
+            "op": "x"}) + "\n")
+    os.utime(docs_dir / "b0.json", (1_000_000, 1_000_000))
+    os.utime(docs_dir / "b1.json", (2_000_000, 2_000_000))
+
+    idx = BM25Index(spark, store_dir=str(tmp_path / "store"))
+    q = start_dedup_stream(
+        spark,
+        idx,
+        str(docs_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema=CDC_DOCS_SCHEMA,
+        max_files_per_trigger=1,
+        pre_filter="length(text) >= 20",
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="unknown CDC op"):
+        q.processAllAvailable()
+    q.stop()
+    # doc 1 was NOT silently tombstoned by the refused batch
+    assert idx.topk(("spark",), k=5).count() == 1
+    idx.close()

@@ -168,3 +168,27 @@ def test_root_truncate_clears_engine_owned_index(spark, synced):
     got = [tuple(r) for r in idx.topk(QUERY, k=10).collect()]
     assert got == _oneshot_topk(spark, eng.docs_for_sink())
     assert {t[0] for t in got} == {777003}
+
+
+def test_seed_rejects_null_ids(spark):
+    """r9 review finding: a NULL-producing id_expr (composite/string
+    root PK) would silently collapse every doc onto one NULL identity
+    in the index. Under ANSI mode the DEFAULT strict cast already
+    throws NumberFormatException on its own (loud, not silent); the
+    seed() guard covers the NULL-producing forms — try_cast, or the
+    default under a non-ANSI session."""
+    import pyspark.errors
+
+    docs = spark.createDataFrame(
+        [("a|b", '{"t": 1}'), ("c|d", '{"t": 2}')], "_id string, doc string"
+    )
+    idx = BM25Index(spark)
+    m = SearchIndexMaintainer(idx)
+    with pytest.raises(pyspark.errors.PySparkException):
+        m.seed(docs)  # ANSI strict cast: loud failure
+    idx.close()
+    idx2 = BM25Index(spark)
+    m2 = SearchIndexMaintainer(idx2, id_expr="TRY_CAST(_id AS BIGINT)")
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        m2.seed(docs)  # NULL-producing expr: the guard fires
+    idx2.close()
