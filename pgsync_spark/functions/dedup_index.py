@@ -281,18 +281,13 @@ class _AppendOnlyIndex:
             )
             .agg(
                 F.sum("c").alias("n"),
-                # stringified + NULL-coalesced: max(when(c>1, id))
-                # over a NULL-keyed duplicate group would itself be
-                # NULL and let the dup slip through (review finding —
-                # the r8 groupBy/collect check caught NULL keys)
-                F.max(
-                    F.when(
-                        F.col("c") > 1,
-                        F.coalesce(
-                            F.col(idc).cast("string"), F.lit("NULL")
-                        ),
-                    )
-                ).alias("dup_id"),
+                F.max(F.when(F.col("c") > 1, F.col(idc))).alias(
+                    "dup_id"
+                ),
+                # NULL ids raise below BEFORE the dup check, which
+                # also covers the NULL-keyed duplicate group that
+                # max(when(c>1, id)) alone would miss (review finding
+                # — the r8 groupBy/collect check caught NULL keys)
                 F.max(F.col(idc).isNull().cast("int")).alias("null_id"),
                 F.max("bad_op").alias("bad_op"),
                 F.max("trunc").alias("trunc"),
@@ -359,6 +354,16 @@ class _AppendOnlyIndex:
 
             ck = decisions.localCheckpoint(eager=True)
             caching.release(decisions)  # the persisted original
+            if (
+                self._last_decisions is not None
+                and self._last_decisions[1] is decisions
+            ):
+                # the store-less replay slot holds the SAME superseded
+                # frame — cut it over too, or an in-process batch
+                # retry after this compact would replay a frame whose
+                # cache was just released and whose lineage bottoms
+                # out in freed blocks (review pass 2 finding)
+                self._last_decisions = (self._last_decisions[0], ck)
             # the checkpointed frame owns no caches; its small blocks
             # are the ContextCleaner's (the bm25 query convention)
             decisions = ck

@@ -82,16 +82,23 @@ class SearchIndexMaintainer:
         own entry contract."""
         if docs is None:
             return
-        shaped = self._doc_shape(docs)
-        bad = shaped.filter(F.col("doc_id").isNull()).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"id_expr {self.id_expr!r} produced a NULL doc_id — "
-                "for a composite or string root PK supply an id_expr "
-                "that maps _id to a unique BIGINT (e.g. a 64-bit "
-                "hash of _id)"
-            )
-        self.index.ingest(shaped)
+        # persisted across the null-check action and the ingest, so
+        # the shaping projection is evaluated once (review pass 2)
+        shaped = self._doc_shape(docs).persist()
+        try:
+            bad = shaped.filter(
+                F.col("doc_id").isNull()
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"id_expr {self.id_expr!r} produced a NULL doc_id "
+                    "— for a composite or string root PK supply an "
+                    "id_expr that maps _id to a unique BIGINT (e.g. "
+                    "a 64-bit hash of _id)"
+                )
+            self.index.ingest(shaped)
+        finally:
+            shaped.unpersist()
 
     def apply(self, upserts: DataFrame, deleted_ids: DataFrame) -> None:
         """One engine batch's doc delta as one CDC epoch: ``upserts``

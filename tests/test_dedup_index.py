@@ -1800,3 +1800,24 @@ def test_pre_filter_does_not_demote_unknown_ops(spark, tmp_path):
     # doc 1 was NOT silently tombstoned by the refused batch
     assert idx.topk(("spark",), k=5).count() == 1
     idx.close()
+
+def test_storeless_replay_survives_autocompact(spark):
+    """r9 review pass 2: _maybe_autocompact cuts the returned
+    decisions over to a checkpoint and releases the original — the
+    store-less _last_decisions replay slot must be cut over too, or
+    an in-process batch retry after the compact replays a frame whose
+    cache and lineage are both gone."""
+    idx = MinHashIndex(spark, overlay_cap=1)
+    idx.ingest(_docs(spark, [(1, DOC), (2, OTHER)]), epoch=0)
+    # 2 overlay rows > cap 1: autocompact fires inside apply_cdc
+    idx.apply_cdc(
+        _cdc(spark, [(1, THIRD, "u"), (2, None, "d")]), epoch=1
+    )
+    assert not idx._has_cdc  # compacted
+    stored = idx.stored_decisions(1)
+    assert stored is not None
+    # the replay frame is collectable after the compact released the
+    # superseded parts (was: block-not-found on the stale frame)
+    rows = sorted(r.doc_id for r in stored.collect())
+    assert rows == [2]
+    idx.close()
