@@ -1847,16 +1847,19 @@ def _ivf_trained_centroids(df: DataFrame) -> list[list[int]]:
 
 
 def ivf_assign_trained(
-    df: DataFrame, cents: list[list[int]] | None = None
+    df: DataFrame,
+    cents: list[list[int]] | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
-    """(vec_id, cell_id, rn) — each vector's IVF_NPROBE nearest
+    """(vec_id, cell_id, rn[, d2]) — each vector's IVF_NPROBE nearest
     TRAINED cells by integer L2² over quantized normalized vectors
     (unit vectors: ascending L2² = descending cosine, so the probe
     geometry matches the hash-codebook _ivf_ranked). rn=1 is the
-    assignment, rn<=nprobe the probe set. One Arrow-batched
-    zero-exchange pass (the pq_encode_trained shape); ties break
-    toward the smaller cell id (stable argsort = the oracle's
-    ORDER BY dd, c)."""
+    assignment, rn<=nprobe the probe set; ``with_dist`` adds the
+    integer distance itself (cluster_balanced_sample_trained orders
+    per-cell centrality by it). One Arrow-batched zero-exchange pass
+    (the pq_encode_trained shape); ties break toward the smaller cell
+    id (stable argsort = the oracle's ORDER BY dd, c)."""
     import numpy as np
     import pandas as pd
 
@@ -1887,21 +1890,25 @@ def ivf_assign_trained(
                 diff = qx - ca[c]
                 dd[:, c] = (diff * diff).sum(axis=1)
             order = np.argsort(dd, axis=1, kind="stable")[:, :IVF_NPROBE]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), IVF_NPROBE
-                    ),
-                    "cell_id": order.reshape(-1).astype("int64"),
-                    "rn": np.tile(
-                        np.arange(1, IVF_NPROBE + 1), n
-                    ).astype("int32"),
-                }
-            )
+            cols = {
+                "vec_id": np.repeat(
+                    pdf["vec_id"].to_numpy(), IVF_NPROBE
+                ),
+                "cell_id": order.reshape(-1).astype("int64"),
+                "rn": np.tile(
+                    np.arange(1, IVF_NPROBE + 1), n
+                ).astype("int32"),
+            }
+            if with_dist:
+                cols["d2"] = dd[
+                    np.arange(n)[:, None], order
+                ].reshape(-1)
+            yield pd.DataFrame(cols)
 
-    return df.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id bigint, cell_id bigint, rn int"
-    )
+    schema = "vec_id bigint, cell_id bigint, rn int"
+    if with_dist:
+        schema += ", d2 bigint"
+    return df.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
 def ann_ivf_trained_topk(
@@ -2050,6 +2057,49 @@ def cluster_balanced_sample(df: DataFrame) -> DataFrame:
         .filter(F.col("pick") <= CBS_PER_CELL)
         .select("vec_id", "cell_id", "cos", "pick")
     )
+
+
+def cluster_balanced_sample_trained(df: DataFrame) -> DataFrame:
+    """cluster_balanced_sample with the TRAINED cell codebook — the
+    curation recipe's production form (DataComp/Meta-SemDeDup cluster
+    their corpora with trained k-means, not hash-picked vectors):
+    assign every embedding to its nearest Lloyd-trained cell, keep the
+    CBS_PER_CELL most-central members per cell by ascending integer
+    L2² (unit vectors: ascending L2² = descending cosine, so
+    'most central' means the same thing as the hash-cell operator's
+    cos DESC). Output: (vec_id, cell_id, d2, pick).
+
+    Scale shape: one Arrow assignment pass (zero exchanges) + ONE
+    window keyed by cell_id — identical to the hash-cell form, the
+    training cost amortized exactly as in ann_ivf_trained_topk."""
+    ranked = ivf_assign_trained(df, with_dist=True)
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cell_id", "d2"
+    )
+    w = W.partitionBy("cell_id").orderBy("d2", "vec_id")
+    return (
+        assign.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= CBS_PER_CELL)
+        .select("vec_id", "cell_id", "d2", "pick")
+    )
+
+
+def cluster_balanced_sample_trained_sql() -> str:
+    return f"""
+        WITH {_ivf_trained_sql_ctes()},
+        assign AS (
+          SELECT v.vec_id, v.c AS cell_id, v.dd AS d2
+          FROM ivdist v
+          JOIN itrk t ON t.vec_id = v.vec_id
+                     AND t.cell_id = v.c AND t.rn = 1
+        )
+        SELECT vec_id, cell_id, d2, pick FROM (
+          SELECT vec_id, cell_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY cell_id
+                                    ORDER BY d2, vec_id) AS pick
+          FROM assign
+        ) WHERE pick <= {CBS_PER_CELL}
+    """
 
 
 def cluster_balanced_sample_sql() -> str:

@@ -433,6 +433,11 @@ _emb_query(
     _sim.cluster_balanced_sample_sql(),
     "cluster_balanced_sample",
 )
+_emb_query(
+    _sim.cluster_balanced_sample_trained,
+    _sim.cluster_balanced_sample_trained_sql(),
+    "cluster_balanced_sample_trained",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -54,12 +54,21 @@ class SearchIndexMaintainer:
         text_expr: str = "doc",
         lang_expr: str = "CAST(NULL AS STRING)",
         source_expr: str = "CAST(NULL AS STRING)",
+        compact_every: int | None = 8,
     ):
         self.index = index
         self.id_expr = id_expr
         self.text_expr = text_expr
         self.lang_expr = lang_expr
         self.source_expr = source_expr
+        # segment-maintenance cadence: every apply() appends one index
+        # segment (one more frame in the lazy union, one more overlay
+        # slice), so query latency climbs within a compaction cycle
+        # (soak: topk 2.2 -> 4.3s over 6 un-compacted batches) — the
+        # same dial start_dedup_stream exposes; the index's own
+        # overlay_cap still bounds the worst case independently
+        self.compact_every = compact_every
+        self._applied = 0
 
     def _doc_shape(self, docs: DataFrame) -> DataFrame:
         return docs.selectExpr(
@@ -118,6 +127,9 @@ class SearchIndexMaintainer:
             F.lit("d").alias("op"),
         )
         self.index.apply_cdc(ups.unionByName(dels))
+        self._applied += 1
+        if self.compact_every and self._applied % self.compact_every == 0:
+            self.index.compact()
 
     def truncate(self) -> None:
         """Root-table TRUNCATE: the doc corpus is cleared, so the
