@@ -163,8 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--compact-every", type=int, default=None,
-        help="with --dedup-stream: compact index segments every N "
-        "epochs",
+        help="compact index segments every N epochs/batches — applies "
+        "to --dedup-stream and to --bm25-store (whose maintainer "
+        "defaults to 8; 0 disables the cadence, leaving only the "
+        "overlay-size auto-compaction)",
     )
     p.add_argument(
         "--rebind", action="store_true",
@@ -706,7 +708,16 @@ def _run_sync(runner, args, out) -> int:
                     else BM25Index.load(spark, path)
                 )
                 m = SearchIndexMaintainer(
-                    idx, text_expr=args.bm25_text_expr or "doc"
+                    idx,
+                    text_expr=args.bm25_text_expr or "doc",
+                    # the shared segment-maintenance dial: unset keeps
+                    # the maintainer's default cadence; 0 disables
+                    # (overlay_cap still bounds the fold by size)
+                    **(
+                        {"compact_every": args.compact_every}
+                        if args.compact_every is not None
+                        else {}
+                    ),
                 )
                 maintainers[name] = m
                 if fresh:

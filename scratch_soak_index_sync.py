@@ -61,11 +61,14 @@ def main() -> None:
     n_orders = orders.count()
 
     def batch_events(k: int) -> list[dict]:
-        """~600 updates + ~150 deletes + 50 inserts per batch, keys
-        disjoint across batches (modulus residues)."""
+        """~600 updates + ~150 deletes + 50 inserts per batch. Update
+        keys exclude EVERY batch's delete residues (not just this
+        batch's), so no batch ever updates a row a prior batch
+        deleted — the soak tests the intended mix, not accidental
+        update-resurrection (review pass 3)."""
         upd = orders.filter(
             (F.col("o_orderkey") % 251 == k)
-            & (F.col("o_orderkey") % 997 != k)
+            & (F.col("o_orderkey") % 997 >= N_BATCHES)
         ).collect()
         dele = (
             orders.filter(F.col("o_orderkey") % 997 == k)

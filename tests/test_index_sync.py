@@ -192,3 +192,38 @@ def test_seed_rejects_null_ids(spark):
     with pytest.raises(ValueError, match="NULL doc_id"):
         m2.seed(docs)  # NULL-producing expr: the guard fires
     idx2.close()
+
+
+def test_maintainer_compact_cadence(spark):
+    """r9 review pass 3: the compact_every branch needs unit coverage
+    — two CDC applies at cadence 2 must collapse the index to one
+    segment, reset the overlay, and keep serving the same answers."""
+    eng_docs = spark.createDataFrame(
+        [("1", '{"o_orderpriority":"1-URGENT"}'),
+         ("2", '{"o_orderpriority":"2-HIGH"}')],
+        "_id string, doc string",
+    )
+    idx = BM25Index(spark)
+    m = SearchIndexMaintainer(idx, text_expr=TEXT_EXPR, compact_every=2)
+    m.seed(eng_docs)
+    up1 = spark.createDataFrame(
+        [("3", '{"o_orderpriority":"incrementalpriority"}')],
+        "_id string, doc string",
+    )
+    empty = spark.createDataFrame([], "_id string")
+    m.apply(up1, empty)
+    # store-less index: in-memory parts are the segment analog
+    assert len(idx._val_parts) > 1  # cadence not reached yet
+    up2 = spark.createDataFrame(
+        [("1", '{"o_orderpriority":"incrementalpriority"}')],
+        "_id string, doc string",
+    )
+    m.apply(up2, spark.createDataFrame([("2",)], "_id string"))
+    # second apply hit the cadence: one folded part, overlay reset
+    assert len(idx._val_parts) == 1
+    assert not idx._has_cdc and idx._overlay_rows == 0
+    got = idx.topk(("incrementalpriority",), k=10).collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]
+    # deleted doc 2 is physically gone post-fold
+    assert idx.vals.filter(F.col("doc_id") == 2).count() == 0
+    idx.close()
