@@ -814,6 +814,11 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
             ("ivfpq_trained", lambda d: ann_ivfpq_trained_topk(
                 d, shared=pqt, ranked=ranked
             )),
+            # both dials trained — isolates the coarse quantizer's
+            # contribution inside the composition
+            ("ivfpq_fully_trained", lambda d: ann_ivfpq_topk(
+                d, shared=pqt, ranked=tranked
+            )),
             # prune x compress composed (the FAISS IVF-PQ serving
             # shape): its recall shows the two losses stacking
             ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq, ranked=ranked)),
@@ -888,7 +893,8 @@ def ann_recall_eval_sql() -> str:
              pq_adc AS ({ann_pq_adc_topk_sql()}),
              pq_adc_trained AS ({ann_pq_adc_trained_topk_sql()}),
              ivfpq AS ({ann_ivfpq_topk_sql()}),
-             ivfpq_trained AS ({ann_ivfpq_trained_topk_sql()})
+             ivfpq_trained AS ({ann_ivfpq_trained_topk_sql()}),
+             ivfpq_fully_trained AS ({ann_ivfpq_fully_trained_topk_sql()})
         {one('ivf')} UNION ALL {one('ivf_trained')}
         UNION ALL {one('lsh')}
         UNION ALL {one('lsh_multiprobe')}
@@ -897,6 +903,7 @@ def ann_recall_eval_sql() -> str:
         UNION ALL {one('pq_adc_trained')}
         UNION ALL {one('ivfpq')}
         UNION ALL {one('ivfpq_trained')}
+        UNION ALL {one('ivfpq_fully_trained')}
     """
 
 
@@ -1737,6 +1744,56 @@ def ann_ivfpq_trained_topk_sql() -> str:
     return f"""
         WITH {_pq_trained_sql_ctes()},
         {_ivf_cand_sql_ctes()},
+        adc_terms AS (
+          SELECT cand.query_id, cand.neighbor_id, qd.dd
+          FROM cand
+          JOIN ecode e ON e.vec_id = cand.neighbor_id
+          JOIN edist qd ON qd.vec_id = cand.query_id
+                       AND qd.m = e.m AND qd.c = e.c
+        )
+        SELECT query_id, neighbor_id, adc_micro, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(sum(dd) AS BIGINT) AS adc_micro,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sum(dd), neighbor_id) AS INT) AS rank
+          FROM adc_terms GROUP BY query_id, neighbor_id
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+def ann_ivfpq_fully_trained_topk(
+    df: DataFrame, shared=None, ranked=None
+) -> DataFrame:
+    """BOTH dials trained — Lloyd cells for the pruning AND Lloyd
+    codes for the scoring (the full FAISS production configuration;
+    ivfpq_trained keeps hash cells, so the recall delta between the
+    two isolates what training the COARSE quantizer buys inside the
+    composition). Serving plan identical to ann_ivfpq_topk."""
+    own = shared is None
+    art = shared or _pq_trained_artifacts(df)
+    cand_ranked = ranked if ranked is not None else ivf_assign_trained(df)
+    out = ann_ivfpq_topk(df, shared=art, ranked=cand_ranked)
+    if own:
+        from ..caching import adopt, owned
+
+        out = adopt(owned(out, [art[3]]), art[2])
+    return out
+
+
+def ann_ivfpq_fully_trained_topk_sql() -> str:
+    return f"""
+        WITH {_pq_trained_sql_ctes()},
+        {_ivf_trained_sql_ctes()},
+        assign AS (SELECT vec_id AS neighbor_id, cell_id
+                   FROM itrk WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, cell_id FROM itrk
+                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT q.query_id, a.neighbor_id
+          FROM qprobe q JOIN assign a ON a.cell_id = q.cell_id
+          WHERE a.neighbor_id <> q.query_id
+        ),
         adc_terms AS (
           SELECT cand.query_id, cand.neighbor_id, qd.dd
           FROM cand

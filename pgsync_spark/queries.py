@@ -422,6 +422,11 @@ _emb_query(
     "ann_ivfpq_trained_topk",
 )
 _emb_query(
+    _sim.ann_ivfpq_fully_trained_topk,
+    _sim.ann_ivfpq_fully_trained_topk_sql(),
+    "ann_ivfpq_fully_trained_topk",
+)
+_emb_query(
     _sim.pq_codes_trained_json,
     _sim.pq_codes_trained_json_sql(),
     "embedding_pq_codes_trained",

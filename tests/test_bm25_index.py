@@ -564,11 +564,12 @@ def test_cdc_through_the_streaming_pipeline(spark, tmp_path):
 @pytest.mark.parametrize("seed", [7, 23])
 def test_bm25_cdc_fuzz_matches_oneshot(spark, seed):
     """Seeded random CDC lifecycle fuzz: interleaved bulk ingests,
-    updates, deletes, CDC inserts, RESURRECTIONS of deleted ids, and a
-    mid-sequence compact — after every sequence the held state must
-    score bit-identically to a one-shot index over the model corpus
-    (the additivity+overlay contract under arbitrary histories, not
-    just the hand-written scenarios)."""
+    updates, deletes, CDC inserts, RESURRECTIONS of deleted ids,
+    table-level TRUNCATEs (r9), and a mid-sequence compact — after
+    every sequence the held state must score bit-identically to a
+    one-shot index over the model corpus (the additivity+overlay
+    contract under arbitrary histories, not just the hand-written
+    scenarios)."""
     import random
 
     rng = random.Random(seed)
@@ -586,7 +587,16 @@ def test_bm25_cdc_fuzz_matches_oneshot(spark, seed):
     idx = BM25Index(spark)
     next_id = 0
     for epoch in range(8):
-        if rng.random() < 0.4 or not model:
+        r = rng.random()
+        if model and r < 0.15:
+            # table-level truncate (r9): the whole corpus clears as
+            # one epoch; bulk re-adds of formerly CDC-touched ids are
+            # legal again afterwards (overlay state died with it)
+            idx.truncate()
+            model.clear()
+            deleted.clear()
+            continue
+        if r < 0.55 or not model:
             rows = []
             for _ in range(rng.randint(1, 5)):
                 did, next_id = next_id, next_id + 1

@@ -618,7 +618,7 @@ def test_ann_recall_eval_semantics(spark):
     from pgsync_spark.functions.similarity import N_QUERIES, TOP_K
 
     rows = REGISTRY["ann_recall_eval"].fn(spark, SF_DIR).collect()
-    assert len(rows) == 9 * N_QUERIES
+    assert len(rows) == 10 * N_QUERIES
     by_method = {}
     for r in rows:
         assert 0 <= r["n_hits"] <= TOP_K
@@ -627,7 +627,7 @@ def test_ann_recall_eval_semantics(spark):
     assert set(by_method) == {
         "ivf", "ivf_trained", "lsh", "lsh_multiprobe",
         "lsh_multiprobe2", "pq_adc", "pq_adc_trained", "ivfpq",
-        "ivfpq_trained",
+        "ivfpq_trained", "ivfpq_fully_trained",
     }
     # ivfpq's candidate set is a subset of pq_adc's, scored
     # identically — empirically it loses here (pinned). NOTE the
@@ -810,6 +810,11 @@ def test_trained_pq_codebook_beats_hash_codebook(spark):
     # quantizer lifts IVF recall above the hash-picked cells at
     # identical serving cost (measured 0.52 vs 0.42 at sf0.01)
     assert by["ivf_trained"] > by["ivf"], by
+    # and inside the IVF-PQ composition, training the cells lifts the
+    # composed recall too (0.22 vs 0.14 at sf0.01) — the pruning dial
+    # was the binding loss, exactly what ivf_trained's lone number
+    # predicted
+    assert by["ivfpq_fully_trained"] > by["ivfpq_trained"], by
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     cents = _pq_trained_centroids(emb)
