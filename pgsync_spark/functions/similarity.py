@@ -816,7 +816,7 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
             )),
             # both dials trained — isolates the coarse quantizer's
             # contribution inside the composition
-            ("ivfpq_fully_trained", lambda d: ann_ivfpq_topk(
+            ("ivfpq_fully_trained", lambda d: ann_ivfpq_fully_trained_topk(
                 d, shared=pqt, ranked=tranked
             )),
             # prune x compress composed (the FAISS IVF-PQ serving
@@ -1772,12 +1772,20 @@ def ann_ivfpq_fully_trained_topk(
     composition). Serving plan identical to ann_ivfpq_topk."""
     own = shared is None
     art = shared or _pq_trained_artifacts(df)
-    cand_ranked = ranked if ranked is not None else ivf_assign_trained(df)
-    out = ann_ivfpq_topk(df, shared=art, ranked=cand_ranked)
-    if own:
+    extra = []
+    if ranked is None:
+        # persist: _ivf_candidates consumes the ranking twice (assign
+        # + qprobe) and the Arrow assignment pass is the dominant
+        # corpus scan (review pass 4)
+        ranked = ivf_assign_trained(df).persist()
+        extra.append(ranked)
+    out = ann_ivfpq_topk(df, shared=art, ranked=ranked)
+    if own or extra:
         from ..caching import adopt, owned
 
-        out = adopt(owned(out, [art[3]]), art[2])
+        out = owned(out, extra + ([art[3]] if own else []))
+        if own:
+            out = adopt(out, art[2])
     return out
 
 
@@ -1785,15 +1793,7 @@ def ann_ivfpq_fully_trained_topk_sql() -> str:
     return f"""
         WITH {_pq_trained_sql_ctes()},
         {_ivf_trained_sql_ctes()},
-        assign AS (SELECT vec_id AS neighbor_id, cell_id
-                   FROM itrk WHERE rn = 1),
-        qprobe AS (SELECT vec_id AS query_id, cell_id FROM itrk
-                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
-        cand AS (
-          SELECT q.query_id, a.neighbor_id
-          FROM qprobe q JOIN assign a ON a.cell_id = q.cell_id
-          WHERE a.neighbor_id <> q.query_id
-        ),
+        {_ivf_trained_cand_sql_ctes()},
         adc_terms AS (
           SELECT cand.query_id, cand.neighbor_id, qd.dd
           FROM cand
@@ -2045,6 +2045,23 @@ def _ivf_trained_sql_ctes() -> str:
     return ",\n        ".join(parts)
 
 
+def _ivf_trained_cand_sql_ctes() -> str:
+    """Trained-cell assignment + nprobe candidate CTEs (shared by the
+    trained-IVF and fully-trained-IVF-PQ oracles — the same one-tree
+    rule as _ivf_cand_sql_ctes). Requires _ivf_trained_sql_ctes()
+    (itrk) upstream; ends with `cand`."""
+    return f"""assign AS (SELECT vec_id AS neighbor_id, cell_id
+                   FROM itrk WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, cell_id
+                   FROM itrk
+                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT q.query_id, a.neighbor_id
+          FROM qprobe q JOIN assign a ON a.cell_id = q.cell_id
+          WHERE a.neighbor_id <> q.query_id
+        )"""
+
+
 def ann_ivf_trained_topk_sql() -> str:
     cos = round6_sql(
         _dot_sql("e1.embedding", "e2.embedding")
@@ -2056,16 +2073,7 @@ def ann_ivf_trained_topk_sql() -> str:
     )
     return f"""
         WITH {_ivf_trained_sql_ctes()},
-        assign AS (SELECT vec_id AS neighbor_id, cell_id
-                   FROM itrk WHERE rn = 1),
-        qprobe AS (SELECT vec_id AS query_id, cell_id
-                   FROM itrk
-                   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
-        cand AS (
-          SELECT q.query_id, a.neighbor_id
-          FROM qprobe q JOIN assign a ON a.cell_id = q.cell_id
-          WHERE a.neighbor_id <> q.query_id
-        )
+        {_ivf_trained_cand_sql_ctes()}
         SELECT query_id, neighbor_id, cosine, rank FROM (
           SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
                  CAST(ROW_NUMBER() OVER (
