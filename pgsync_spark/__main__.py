@@ -131,13 +131,15 @@ def build_parser() -> argparse.ArgumentParser:
         "index durable and the pipeline exactly-once",
     )
     p.add_argument(
-        "--dedup-index", choices=("minhash", "embedding", "bm25"),
+        "--dedup-index",
+        choices=("minhash", "embedding", "bm25", "vector"),
         default="minhash",
         help="index maintained by --dedup-stream: MinHash near-dup "
         "over text docs, sign-LSH near-dup over embedding vectors, "
-        "or a BM25 inverted search index (indexes everything — "
+        "a BM25 inverted search index, or an ANN vector serving "
+        "index (the two serving indexes accept everything — "
         "decisions stay empty; the same exactly-once epoch pipeline "
-        "keeps a continuously-queryable lexical index)",
+        "keeps a continuously-queryable index)",
     )
     p.add_argument(
         "--dedup-out", default=None,
@@ -224,7 +226,12 @@ def build_parser() -> argparse.ArgumentParser:
         "topology with the index state owned by the engine instead "
         "of an external cluster): seeded from the initial sync, kept "
         "current by every CDC batch (upserts + deletes + truncate), "
-        "queryable afterwards via --bm25-topk --store-dir DIR/<index>",
+        "queryable afterwards via --bm25-topk --store-dir DIR/<index>. "
+        "Reloading an EXISTING store after a full sync does NOT "
+        "reconcile it against the just-synced corpus — the stream "
+        "checkpoint is the source of truth, so the index lags until "
+        "its CDC batches replay (re-seed into a fresh DIR for an "
+        "immediately-consistent snapshot)",
     )
     p.add_argument(
         "--bm25-text-expr", default=None, metavar="SQL",
@@ -232,6 +239,16 @@ def build_parser() -> argparse.ArgumentParser:
         "doc JSON string) selecting the text to index for "
         "--bm25-store, e.g. \"get_json_object(doc, '$.title')\" "
         "(default: the serialized doc — coarse whitespace tokens)",
+    )
+    p.add_argument(
+        "--bm25-analyzer", default=None,
+        choices=("whitespace", "standard"),
+        help="tokenizer for a FRESH --bm25-store index: whitespace "
+        "(lowercase + whitespace split; the default) or standard "
+        "(lowercase + ASCII-alnum runs, so 'Priority.' matches "
+        "'priority'). The analyzer is index state — an existing "
+        "store keeps the analyzer it was built with, and passing a "
+        "different one here is an error, not a silent re-tokenize",
     )
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -279,6 +296,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
     index probe → accepted/decisions(/stats) under --dedup-out."""
     from .functions.bm25_index import BM25Index
     from .functions.dedup_index import EmbeddingIndex, MinHashIndex
+    from .functions.vector_index import VectorIndex
     from .streaming.stream import DEDUP_DOCS_SCHEMA, start_dedup_stream
 
     owns_spark = spark is None
@@ -290,10 +308,12 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         "minhash": MinHashIndex,
         "embedding": EmbeddingIndex,
         "bm25": BM25Index,
+        "vector": VectorIndex,
     }[args.dedup_index]
+    vec_shaped = args.dedup_index in ("embedding", "vector")
     schema = (
         "vec_id bigint, embedding array<float>"
-        if args.dedup_index == "embedding"
+        if vec_shaped
         else DEDUP_DOCS_SCHEMA
     )
     if args.cdc_ops:
@@ -305,9 +325,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         from .streaming.stream import CDC_DOCS_SCHEMA
 
         schema = (
-            schema + ", op string"
-            if args.dedup_index == "embedding"
-            else CDC_DOCS_SCHEMA
+            schema + ", op string" if vec_shaped else CDC_DOCS_SCHEMA
         )
     try:
         if args.store_dir:
@@ -323,7 +341,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             if not hasattr(index, "probe_hamming"):
                 print(
                     "--probe-hamming applies only to "
-                    "--dedup-index embedding",
+                    "--dedup-index embedding/vector",
                     file=sys.stderr,
                 )
                 index.close()  # load() may have persisted key parts
@@ -381,9 +399,6 @@ def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
 
         spark = get_spark(app_name="pgsync_spark_bm25")
     try:
-        # the engine tokenizer is lowercase whitespace split — mirror
-        # it so query terms hit the same postings the docs produced
-        terms = tuple(args.bm25_topk.lower().split())
         try:
             if not os.path.exists(
                 os.path.join(args.store_dir, "CURRENT")
@@ -402,6 +417,10 @@ def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
                   file=sys.stderr)
             return 2
         try:
+            # analyze the query with the analyzer THE STORE was built
+            # with (manifest-restored by load) — terms tokenized
+            # differently from the postings match nothing
+            terms = idx.analyze_terms(args.bm25_topk)
             for r in idx.topk(terms, k=args.topk_k).collect():
                 print(json.dumps(r.asDict(), sort_keys=True), file=out)
         finally:
@@ -695,7 +714,10 @@ def _run_sync(runner, args, out) -> int:
             # the Nth tree's store must still close the earlier
             # trees' loaded indexes (review finding).
             from .functions.bm25_index import BM25Index
-            from .streaming.index_sync import SearchIndexMaintainer
+            from .streaming.index_sync import (
+                SearchIndexMaintainer,
+                default_id_expr,
+            )
 
             for name, eng in runner.engines.items():
                 path = os.path.join(args.bm25_store, name)
@@ -703,12 +725,39 @@ def _run_sync(runner, args, out) -> int:
                     os.path.join(path, "CURRENT")
                 )
                 idx = (
-                    BM25Index(spark, store_dir=path)
+                    BM25Index(
+                        spark,
+                        store_dir=path,
+                        analyzer=args.bm25_analyzer or "whitespace",
+                    )
                     if fresh
                     else BM25Index.load(spark, path)
                 )
+                if (
+                    not fresh
+                    and args.bm25_analyzer is not None
+                    and args.bm25_analyzer != idx.analyzer
+                ):
+                    # postings tokenized one way are unreadable under
+                    # another — refuse rather than silently mixing
+                    # analyzers within one store (rc=2 stderr pattern;
+                    # the finally below closes earlier trees' indexes)
+                    idx.close()
+                    print(
+                        f"[{name}] existing BM25 store at {path} was "
+                        f"built with analyzer={idx.analyzer!r}; "
+                        f"--bm25-analyzer {args.bm25_analyzer} cannot "
+                        "re-tokenize it — re-seed into a fresh DIR",
+                        file=sys.stderr,
+                    )
+                    return 2
                 m = SearchIndexMaintainer(
                     idx,
+                    # schema-derived, so the same tree keys the same
+                    # store identically every run: integral single-PK
+                    # trees cast _id directly; composite/string PKs
+                    # take the 60-bit hash recipe (HASH64_ID_EXPR)
+                    id_expr=default_id_expr(eng),
                     text_expr=args.bm25_text_expr or "doc",
                     # the shared segment-maintenance dial: unset keeps
                     # the maintainer's default cadence; 0 disables

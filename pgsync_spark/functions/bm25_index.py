@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .dedup_index import _AppendOnlyIndex
-from .hashing import h32, h32_py, tokens
+from .hashing import analyze, h32, h32_py
 
 # on-disk partition fan-out for postings; a query prunes to
 # |terms| / BM25_INDEX_BANDS of the directory tree
@@ -79,10 +79,42 @@ class BM25Index(_AppendOnlyIndex):
     """See module docstring. ingest() never drops docs (a search index
     accepts everything) — decisions are structurally empty, which
     keeps the base class's exactly-once epoch replay semantics intact
-    for streaming front-ends."""
+    for streaming front-ends.
+
+    ``analyzer`` names the tokenizer (hashing.ANALYZERS): "whitespace"
+    (lowercase + whitespace split — the historical default) or
+    "standard" (lowercase + ASCII-alnum runs, so 'Priority.' and
+    'priority' collide — the engine's analogue of the reference
+    sink's analyzer settings, ref: pgsync/search_client.py:261-303,
+    constants.py:132-162). The analyzer is INDEX STATE: it is
+    persisted in the manifest and restored by load() — postings
+    tokenized one way are unreadable under another, so a loaded store
+    always re-binds the analyzer that wrote it. Query text must be
+    analyzed the same way (``analyze_terms``)."""
 
     _KEYS_NAME = "postings"
     _VALS_NAME = "docstats"
+
+    def __init__(self, *args, analyzer: str = "whitespace", **kwargs):
+        from .hashing import _check_analyzer
+
+        super().__init__(*args, **kwargs)
+        _check_analyzer(analyzer)
+        self.analyzer = analyzer
+
+    def _manifest_extra(self) -> dict:
+        return {"analyzer": self.analyzer}
+
+    def _load_manifest_extra(self, m: dict) -> None:
+        # pre-analyzer manifests were all whitespace-tokenized
+        self.analyzer = m.get("analyzer", "whitespace")
+
+    def analyze_terms(self, text: str) -> tuple[str, ...]:
+        """Analyze QUERY text with the index's own analyzer — terms
+        tokenized differently from the postings match nothing."""
+        from .hashing import analyze_py
+
+        return tuple(analyze_py(text, self.analyzer))
 
     def ingest(
         self, batch_df: DataFrame, epoch: int | None = None
@@ -176,7 +208,9 @@ class BM25Index(_AppendOnlyIndex):
                 # whose size(-1/NULL) would silently poison sum_dl /
                 # avgdl for every later query — one malformed streamed
                 # record must not corrupt corpus stats
-                tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+                analyze(
+                    F.coalesce(F.col("text"), F.lit("")), self.analyzer
+                ).alias("toks"),
                 "lang",
                 "source",
             )

@@ -183,6 +183,15 @@ class _AppendOnlyIndex:
     def _manifest_path(self) -> str:
         return os.path.join(self.store_dir, "CURRENT")
 
+    def _manifest_extra(self) -> dict:
+        """Subclass hook: extra keys persisted in the manifest (e.g.
+        BM25Index's analyzer — index state is only interpretable by
+        the configuration that wrote it)."""
+        return {}
+
+    def _load_manifest_extra(self, m: dict) -> None:
+        """Subclass hook: restore `_manifest_extra` state at load."""
+
     def _commit_manifest(self) -> None:
         import json
 
@@ -196,6 +205,7 @@ class _AppendOnlyIndex:
                     "index": type(self).__name__,
                     "has_cdc": self._has_cdc,
                     "overlay_rows": self._overlay_rows,
+                    **self._manifest_extra(),
                 },
                 f,
             )
@@ -589,6 +599,7 @@ class _AppendOnlyIndex:
             idx._epochs = set(m["epochs"])
             idx._stream_id = m.get("stream_id")
             idx._has_cdc = m.get("has_cdc", False)
+            idx._load_manifest_extra(m)
             idx._overlay_rows = m.get("overlay_rows", -1)  # -1: pre-r9
             # read committed segment dirs individually: an uncommitted
             # (crashed mid-write) directory is never touched, not even

@@ -78,6 +78,123 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split_regex(lower({expr}), '\\s+'), x -> x <> '')"
 
 
+# ---------------------------------------------------------------------------
+# Analyzers — the engine's (tiny) analogue of the reference sink's
+# analyzer surface (ref: pgsync/search_client.py:261-303 index
+# settings; analysis vocabulary pgsync/constants.py:132-162). Each
+# analyzer exists in THREE mirrored forms (Spark Column, DuckDB SQL,
+# driver-side Python) so an index built with one is oracle-replayable
+# and query terms can be analyzed the same way the corpus was.
+# ---------------------------------------------------------------------------
+
+ANALYZERS = ("whitespace", "standard")
+# "standard": lowercase + ASCII-alnum runs (a Lucene-standard-ish
+# word splitter) — 'Priority.' and 'priority' collide, '1-URGENT'
+# yields ('1', 'urgent'). Deliberately ASCII: [a-z0-9] behaves
+# identically in Spark, DuckDB, and Python re, which is what keeps
+# the oracle gate meaningful; non-ASCII letters are dropped the same
+# way by all three.
+_STANDARD_RE = "[a-z0-9]+"
+
+
+def _check_analyzer(analyzer: str) -> None:
+    if analyzer not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {analyzer!r}; one of {ANALYZERS}"
+        )
+
+
+def analyze(col: Column, analyzer: str = "whitespace") -> Column:
+    """Tokenize ``col`` with the named analyzer (array<string>)."""
+    _check_analyzer(analyzer)
+    if analyzer == "whitespace":
+        return tokens(col)
+    return F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
+
+
+def analyze_sql(expr: str, analyzer: str = "whitespace") -> str:
+    """DuckDB mirror of ``analyze`` — same tokens, element for
+    element."""
+    _check_analyzer(analyzer)
+    if analyzer == "whitespace":
+        return tokens_sql(expr)
+    return f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}')"
+
+
+def analyze_py(s: str, analyzer: str = "whitespace") -> list[str]:
+    """Driver-side mirror — analyzing QUERY text the way the corpus
+    was indexed (BM25Index.analyze_terms). ASCII-only semantics match
+    the engine forms; exotic unicode case-folding may differ, which
+    only affects driver-side query convenience, never indexed state."""
+    _check_analyzer(analyzer)
+    if analyzer == "whitespace":
+        return [t for t in s.lower().split()]
+    import re
+
+    return re.findall(_STANDARD_RE, s.lower())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash embedding — text → array<double>, the ONE formula
+# in three mirrored forms (Spark SQL string, DuckDB SQL, Python). Used
+# wherever a doc-derived vector must be oracle-replayable: the
+# engine-owned vector index derives each doc's embedding from its
+# content, so a CDC update that changes the content MOVES the vector
+# (the update-visibility proof engine_sync_ann_topk asserts), and the
+# DuckDB oracle recomputes the identical vector from the post-CDC
+# corpus. Component i = h32(text || '#i') % 2001 - 1000 (symmetric
+# around 0, so sign-LSH band buckets split ~evenly). This is a HASH
+# featurizer — no semantic locality; identical text → identical
+# vector, anything else → near-orthogonal noise — which is exactly
+# the determinism the correctness gate needs (a learned encoder slots
+# in behind the same array<double> column at deployment).
+# ---------------------------------------------------------------------------
+
+# 16 dims covers the sign-LSH banding's N_BANDS × PLANES_PER_BAND
+# leading dims (similarity.py: 4 × 4) — the minimum an EmbeddingIndex/
+# VectorIndex key scheme reads
+HASH_EMBED_DIM = 16
+_EMBED_MOD = 2001
+_EMBED_OFF = 1000
+
+
+def hash_embed_sparksql(expr: str, dim: int = HASH_EMBED_DIM) -> str:
+    """Spark-SQL string form (for selectExpr / F.expr): unrolled
+    array literal, one md5 per dim — stays inside whole-stage codegen
+    (an interpreted transform() HOF over md5 is the measured slow
+    path)."""
+    comps = []
+    for i in range(dim):
+        h = (
+            f"CAST(conv(substring(md5(concat(coalesce({expr}, ''), "
+            f"'#{i}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+        comps.append(
+            f"CAST(({h} % {_EMBED_MOD} - {_EMBED_OFF}) AS DOUBLE)"
+        )
+    return "array(" + ", ".join(comps) + ")"
+
+
+def hash_embed_sql(expr: str, dim: int = HASH_EMBED_DIM) -> str:
+    """DuckDB mirror of hash_embed_sparksql (list literal)."""
+    comps = []
+    for i in range(dim):
+        h = h32_sql(f"concat(coalesce({expr}, ''), '#{i}')")
+        comps.append(
+            f"CAST(({h} % {_EMBED_MOD} - {_EMBED_OFF}) AS DOUBLE)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def hash_embed_py(s: str | None, dim: int = HASH_EMBED_DIM) -> list[float]:
+    """Driver-side mirror — building QUERY vectors from literal text."""
+    s = s or ""
+    return [
+        float(h32_py(f"{s}#{i}") % _EMBED_MOD - _EMBED_OFF)
+        for i in range(dim)
+    ]
+
+
 # largest prime below 2^32: combined shingle hashes stay in the 32-bit
 # domain `perm` expects (a_i * h must fit int64); the rolling mix
 # (c * 4099 + h) peaks below 2^45 — no overflow in either engine

@@ -1976,10 +1976,20 @@ def ann_ivf_trained_topk(
     via the shared tail) — the recall delta against the hash-cell ivf
     leg in ann_recall_eval is purely what Lloyd buys the cell
     geometry."""
-    cand = _ivf_candidates(
-        ranked if ranked is not None else ivf_assign_trained(df)
-    )
-    return _ivf_exact_rerank(df, cand)
+    extra = []
+    if ranked is None:
+        # persist: _ivf_candidates consumes the ranking twice (assign
+        # rn=1 + qprobe) and the Arrow assignment is the dominant
+        # corpus pass — same reason ann_ivfpq_fully_trained_topk
+        # persists its internally-computed ranking (r9 advice)
+        ranked = ivf_assign_trained(df).persist()
+        extra.append(ranked)
+    out = _ivf_exact_rerank(df, _ivf_candidates(ranked))
+    if extra:
+        from ..caching import owned
+
+        out = owned(out, extra)
+    return out
 
 
 def _ivf_trained_sql_ctes() -> str:

@@ -1,0 +1,337 @@
+"""Incremental ANN vector index — streaming-maintained semantic
+retrieval state, the Embedding-side sibling of BM25Index (the
+reference's vector topology: embedding plugins compute a vector per
+doc and the sink maintains it as a ``dense_vector``/``knn_vector``
+field queried by kNN — ref: plugins/sentence_transformer_plugin.py,
+pgsync/constants.py:91,117 mapping types; this is that lifecycle with
+the index state owned by the engine itself).
+
+Unlike EmbeddingIndex (a DEDUP gate: probes reject near-duplicates and
+only survivors enter), a serving index accepts EVERYTHING — ingest
+decisions are structurally empty, exactly like BM25Index — and answers
+``topk(queries)``: approximate nearest neighbors by banded sign-LSH
+candidate generation + exact-cosine re-rank. The approximation is
+ENGINE-DETERMINISTIC (the probe set is a pure function of the stored
+banding scheme), so a DuckDB oracle replays it bit-for-bit — the same
+discipline as ann_lsh_multiprobe_topk.
+
+State rides the shared `_AppendOnlyIndex` machinery (append-only
+segments, atomic CURRENT manifest, epoch bookkeeping, ``compact()``,
+``bind_stream``, CDC overlay) from dedup_index.py:
+
+- keys frame ``bands``: (vec_id, band, bucket, ver) — the ONE sign-LSH
+  banding scheme shared with EmbeddingIndex (similarity.py: N_BANDS
+  bands × PLANES_PER_BAND sign planes), partitioned on disk by band.
+- vals frame ``vectors``: (vec_id, embedding, ver, op) — the exact
+  re-rank payload; candidates join back by id so vectors are never
+  dragged through the candidate shuffle.
+
+UPDATE/DELETE is the Lucene-style versioned overlay: ``apply_cdc``
+appends new-version rows and tombstones, queries fold the overlay
+(broadcast anti/semi joins bounded by ``overlay_cap``), ``compact()``
+folds it physically. A CDC update that changes a doc's embedding MOVES
+its buckets and its ranking — engine_sync_ann_topk (queries.py) gates
+exactly that end to end.
+
+Scale shape: ingest is one O(batch) band explode; a query is one
+broadcast probe join against the banded keys (≤ |queries| × N_BANDS ×
+probe-width rows on the broadcast side), an id-join to fetch candidate
+vectors, and a per-query window top-k — the held corpus is never
+rescanned beyond the keys slice, and the exact re-rank touches only
+candidates (~N_BANDS × 2^-PLANES_PER_BAND of the corpus per probe).
+The recall/cost dial is PLANES_PER_BAND (exponentially narrower cells)
+plus ``probe_hamming`` multi-probe width, the same dials as
+EmbeddingIndex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup_index import DEFAULT_OVERLAY_CAP, EmbeddingIndex, _AppendOnlyIndex
+from .hashing import round6
+
+_EMPTY_DECISIONS = "vec_id bigint"
+_TOPK_SCHEMA = (
+    "query_id bigint, neighbor_id bigint, cosine double, rank int"
+)
+
+
+class VectorIndex(_AppendOnlyIndex):
+    """See module docstring. ingest() never drops vectors (a serving
+    index accepts everything) — decisions are structurally empty,
+    which keeps the base class's exactly-once epoch replay semantics
+    intact for streaming front-ends; apply_cdc returns the deleted
+    ids (the BM25Index convention)."""
+
+    _KEYS_NAME = "bands"
+    _VALS_NAME = "vectors"
+    _ID_COL = "vec_id"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | None = None,
+        probe_hamming: int | None = None,
+        overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
+    ):
+        super().__init__(spark, store_dir, overlay_cap=overlay_cap)
+        if probe_hamming is None:
+            from .similarity import PROBE_HAMMING
+
+            probe_hamming = PROBE_HAMMING
+        # a QUERY-time dial (stored keys are never perturbed), so not
+        # manifest state — unlike BM25's analyzer, two processes may
+        # serve the same store at different probe widths
+        self.probe_hamming = probe_hamming
+
+    # the ONE banding scheme — shared with EmbeddingIndex so the two
+    # index families can never drift apart on cell geometry
+    _band_keys = staticmethod(EmbeddingIndex._band_keys)
+
+    def ingest(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Index ``batch_df`` (vec_id, embedding): append its band
+        keys + vectors as one epoch. Returns the (empty) decisions
+        frame for contract symmetry with the dedup indexes."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        self._check_cdc_readd(batch_df)
+        decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
+        self._append_vecs(batch_df, decisions, epoch, op="a")
+        return decisions
+
+    def apply_cdc(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        """Apply one CDC micro-batch (vec_id, embedding, op): op='d'
+        deletes the vector (embedding ignored); UPSERT_OPS/NULL is an
+        UPSERT (one appended version, Lucene-style); anything else —
+        including table-level 't' — RAISES. Same entry contract as
+        BM25Index.apply_cdc (one row per vec_id, LWW-folded upstream,
+        ONE O(batch) validation action). Returns the deleted ids as
+        the decisions frame."""
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        # derived persist, never the caller's own object (the r8
+        # foreachBatch cache-eviction finding — see BM25Index)
+        cdc = batch_df.select("vec_id", "embedding", "op").persist()
+        try:
+            nonempty = self._validate_cdc_batch(cdc)
+            dels = cdc.filter(F.col("op") == "d").select("vec_id")
+            # NULL-safe: a NULL/missing op upserts, never vanishes
+            ups = cdc.filter(~F.col("op").eqNullSafe("d"))
+            if nonempty:
+                self._has_cdc = True  # manifest records it at commit
+                self._pending_overlay_delta = True
+            self._append_vecs(ups, dels, epoch, op="u", dels=dels)
+            decisions = dels
+        finally:
+            self._pending_overlay_delta = False
+            cdc.unpersist()
+        self._maybe_autocompact()
+        return decisions
+
+    def _delete_decisions(self, ids: DataFrame) -> DataFrame:
+        """truncate() hook: removal decisions are just the ids."""
+        return ids.select("vec_id")
+
+    def _append_vecs(
+        self,
+        batch_df: DataFrame,
+        decisions: DataFrame,
+        epoch: int,
+        op: str,
+        dels: DataFrame | None = None,
+    ) -> None:
+        # ONE persisted base feeds both frames; _append eagerly
+        # checkpoints them, so the base releases here
+        base = batch_df.select("vec_id", "embedding").persist()
+        ver = F.lit(epoch).cast("long")
+        vals = base.withColumn("ver", ver).withColumn("op", F.lit(op))
+        if dels is not None:
+            # tombstone embedding type mirrors the batch's (float vs
+            # double element type must match for the parts union)
+            emb_t = base.schema["embedding"].dataType
+            vals = vals.unionByName(
+                dels.select(
+                    "vec_id",
+                    F.lit(None).cast(emb_t).alias("embedding"),
+                    ver.alias("ver"),
+                    F.lit("d").alias("op"),
+                )
+            )
+        keys = self._band_keys(base).withColumn("ver", ver)
+        try:
+            self._append(keys, vals, decisions, epoch)
+        finally:
+            base.unpersist()
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int | None = None,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """ANN top-k over the held corpus for each row of ``queries``
+        (query_id, embedding): each query probes its band buckets
+        plus every Hamming<=probe_hamming perturbation, candidates
+        re-rank by exact cosine, ties break (cosine desc,
+        neighbor_id asc). ``exclude_self`` drops neighbor_id ==
+        query_id pairs — for query vectors that are corpus members
+        (the ann_* registry convention). Output: (query_id,
+        neighbor_id, cosine, rank).
+
+        Plan shape: the probe frame (|queries| × N_BANDS × probe
+        width rows) broadcasts against the banded keys; candidate ids
+        join vals by id for the exact re-rank — the corpus-sized
+        frames are never shuffled, and with a store the keys scan is
+        band/bucket row-group-prunable."""
+        from .similarity import PLANES_PER_BAND, TOP_K, _dot, _norm
+        from .similarity import probe_buckets
+
+        if k is None:
+            k = TOP_K
+        keys, vals = self.keys, self.vals
+        if keys is None:
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        q = queries.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        qkeys = q.select(
+            F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")
+        )
+        probe = self._band_keys(qkeys).select(
+            F.col("vec_id").alias("query_id"), "band", "bucket"
+        )
+        if self.probe_hamming:
+            probe = probe.select(
+                "query_id",
+                "band",
+                F.explode(
+                    probe_buckets(
+                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
+                    )
+                ).alias("bucket"),
+            )
+        if self._has_cdc:
+            # shared overlay fold — tombstoned/shadowed versions never
+            # serve (see _AppendOnlyIndex._cdc_live)
+            overlay = self._cdc_overlay(vals)
+            keys = self._cdc_live(keys, overlay)
+            vals = self._cdc_live(vals, overlay)
+        cand = (
+            keys.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket")
+            .join(F.broadcast(probe), ["band", "bucket"])
+            .select("query_id", "neighbor_id")
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        cand = cand.distinct()
+        scored = (
+            cand.join(
+                vals.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                round6(
+                    _dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+def vector_topk_sql(
+    corpus: str,
+    queries: str,
+    k: int | None = None,
+    probe_hamming: int | None = None,
+    exclude_self: bool = False,
+) -> str:
+    """DuckDB mirror of VectorIndex.topk over a ``corpus`` CTE/view
+    (vec_id, embedding) and a ``queries`` CTE/view (query_id,
+    embedding) — band keys, multi-probe expansion, distinct
+    candidates, exact-cosine re-rank, all expression-for-expression
+    with the engine. Returns "<internal CTEs>, <final SELECT>" to
+    append after the caller's own WITH list:
+    ``f"WITH mycte AS (...), {vector_topk_sql('mycte', 'q')}"``."""
+    from .similarity import (
+        N_BANDS,
+        PLANES_PER_BAND,
+        PROBE_HAMMING,
+        TOP_K,
+        _band_bucket_sql,
+        _dot_sql,
+        _norm_sql,
+        probe_buckets_sql,
+    )
+    from .hashing import round6_sql
+
+    if k is None:
+        k = TOP_K
+    if probe_hamming is None:
+        probe_hamming = PROBE_HAMMING
+    vkeys = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{_band_bucket_sql('embedding', b)} AS bucket FROM {corpus}"
+        for b in range(N_BANDS)
+    )
+    qkeys = " UNION ALL ".join(
+        f"SELECT query_id, {b} AS band, "
+        f"{_band_bucket_sql('embedding', b)} AS bucket FROM {queries}"
+        for b in range(N_BANDS)
+    )
+    if probe_hamming:
+        probes = (
+            "SELECT query_id, band, unnest("
+            + probe_buckets_sql("bucket", PLANES_PER_BAND, probe_hamming)
+            + ") AS bucket FROM vqkeys"
+        )
+    else:
+        probes = "SELECT query_id, band, bucket FROM vqkeys"
+    self_pred = " AND k.vec_id <> p.query_id" if exclude_self else ""
+    cos = round6_sql(
+        _dot_sql("q.embedding", "c.embedding")
+        + " / ("
+        + _norm_sql("q.embedding")
+        + " * "
+        + _norm_sql("c.embedding")
+        + ")"
+    )
+    return f"""vkeys AS ({vkeys}),
+vqkeys AS ({qkeys}),
+vprobe AS ({probes}),
+vcand AS (
+  SELECT DISTINCT p.query_id, k.vec_id AS neighbor_id
+  FROM vprobe p JOIN vkeys k
+    ON k.band = p.band AND k.bucket = p.bucket{self_pred}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT vcand.query_id, vcand.neighbor_id, {cos} AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vcand.query_id
+              ORDER BY {cos} DESC, vcand.neighbor_id) AS INT) AS rank
+  FROM vcand
+  JOIN {queries} q ON q.query_id = vcand.query_id
+  JOIN {corpus} c ON c.vec_id = vcand.neighbor_id
+) WHERE rank <= {k}"""

@@ -7,4 +7,8 @@ from .cdc import (  # noqa: F401
 from .incremental import IncrementalEngine  # noqa: F401
 from .metrics import EngineMetricsListener  # noqa: F401
 from .runner import SyncRunner  # noqa: F401
-from .index_sync import SearchIndexMaintainer  # noqa: F401
+from .index_sync import (  # noqa: F401
+    HASH64_ID_EXPR,
+    SearchIndexMaintainer,
+    VectorIndexMaintainer,
+)

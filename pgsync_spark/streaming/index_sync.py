@@ -1,18 +1,31 @@
 """Engine-owned search-index maintenance: one CDC stream keeps BOTH
-the external search sink and the engine's own BM25 index in sync.
+the external search sink and the engine's own indexes in sync.
 
 This closes the reference's actual topology end to end — DB events →
 denormalized docs → continuously-updated search index (ref:
 pgsync/sync.py:1495-1528 sync loop feeding search_client.py:100-212
 bulk upserts/deletes) — with the index state owned by the engine
-(functions/bm25_index.py) instead of an external cluster. The two
-halves already existed separately: IncrementalEngine recomputes docs
-and implicitly deletes the ones whose root rows vanished;
-BM25Index.apply_cdc consumes op-bearing doc batches into its
-versioned-overlay state. A ``SearchIndexMaintainer`` registered on
-``engine.doc_consumers`` is the wire between them: each processed
-batch's recomputed docs UPSERT and its disappeared ids DELETE, as one
-CDC epoch.
+(functions/bm25_index.py lexical, functions/vector_index.py vector)
+instead of an external cluster. The two halves already existed
+separately: IncrementalEngine recomputes docs and implicitly deletes
+the ones whose root rows vanished; the indexes' apply_cdc consumes
+op-bearing doc batches into their versioned-overlay state. A
+maintainer registered on ``engine.doc_consumers`` is the wire between
+them: each processed batch's recomputed docs UPSERT and its
+disappeared ids DELETE, as one CDC epoch.
+
+Two maintainers, one discipline:
+
+- ``SearchIndexMaintainer`` → BM25Index: docs shape to
+  (doc_id, text, lang, source) — the reference's lexical sink.
+- ``VectorIndexMaintainer`` → VectorIndex: docs shape to
+  (vec_id, embedding), the vector derived from doc CONTENT (default:
+  the deterministic hash featurizer, hashing.hash_embed_sparksql) —
+  the reference's embedding-plugin → dense_vector/knn_vector topology
+  (ref: plugins/sentence_transformer_plugin.py,
+  pgsync/constants.py:91,117). Because the vector is a function of
+  the doc, a CDC update MOVES the doc's buckets and its ranking —
+  engine_sync_ann_topk gates exactly that.
 
 Delivery semantics: the engine's foreachBatch gives at-least-once
 delta delivery, and the maintainer is EFFECT-idempotent under replay —
@@ -26,41 +39,71 @@ not the index manifest — is the source of truth here.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# the composite/string-PK identity recipe: 60-bit md5 prefix of _id as
+# a positive BIGINT. Use when the root PK is not a single integer (the
+# default ``CAST(_id AS BIGINT)`` would NULL out and seed() raises).
+# Collision odds follow the birthday bound on 60 bits — ~50% only past
+# ~10^9 distinct docs per index; a collision makes two docs share one
+# index identity (the later version shadows the earlier), so for
+# corpora at that scale supply a wider externally-assigned id instead.
+HASH64_ID_EXPR = "CAST(conv(substring(md5(_id), 1, 15), 16, 10) AS BIGINT)"
 
-class SearchIndexMaintainer:
-    """Adapts an IncrementalEngine's per-batch doc delta into
-    BM25Index CDC batches (or any index exposing apply_cdc/ingest/
-    truncate with the (doc_id, text, lang, source, op) doc shape).
 
-    ``id_expr`` / ``text_expr`` / ``lang_expr`` / ``source_expr`` are
-    SQL expressions over the sink-facing doc schema (``_id`` string,
-    ``doc`` JSON string, plus the tree's root PKs). The ``id_expr``
-    default covers the common case — a single integer root PK (``_id``
-    is its string form); a composite or string-PK tree supplies its
-    own (e.g. a 64-bit hash). Point ``text_expr`` at the fields worth
-    indexing (e.g. ``get_json_object(doc, '$.title')``, or a
-    concat_ws of several) — the engine tokenizes on WHITESPACE only,
-    so the raw-JSON default indexes coarse punctuation-glued tokens;
-    it is a functioning fallback, not the recommended deployment.
-    """
+def default_id_expr(engine) -> str:
+    """Pick a maintainer identity for an IncrementalEngine's tree: the
+    direct BIGINT cast when the root PK is ONE integral column (``_id``
+    is its string form, so the cast is injective), else HASH64_ID_EXPR
+    (composite or string PKs — the cast would produce NULLs and
+    ``seed`` refuses them). Deterministic from the catalog schema, so
+    every run over the same tree keys the same store identically —
+    the id mapping is baked into stored doc_ids and must never flip
+    between runs."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    pks = engine.root_pks
+    if len(pks) == 1:
+        t = engine.catalog.df(engine.tree.root.table).schema[
+            pks[0]
+        ].dataType
+        if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+            return "CAST(_id AS BIGINT)"
+    return HASH64_ID_EXPR
+
+
+class _DocIndexMaintainer:
+    """Shared wire between an IncrementalEngine's per-batch doc delta
+    and an _AppendOnlyIndex exposing apply_cdc/ingest/truncate.
+    Subclasses define the payload shape (``_payload_exprs`` /
+    ``_null_payload``) and the index's id column name (``_ID``).
+
+    ``id_expr`` is a SQL expression mapping a doc to its index
+    identity (BIGINT). It MUST be a function of ``_id`` ALONE: the
+    delete branch evaluates it against a frame carrying only ``_id``
+    (the engine reports disappeared docs by id — their content no
+    longer exists to compute with), so an id_expr referencing ``doc``
+    or root PK columns raises AnalysisException there. The default
+    covers the common case — a single integer root PK (``_id`` is its
+    string form); composite or string-PK trees use ``HASH64_ID_EXPR``
+    (or any injective _id → BIGINT mapping of their own)."""
+
+    _ID = "doc_id"
 
     def __init__(
         self,
         index,
         id_expr: str = "CAST(_id AS BIGINT)",
-        text_expr: str = "doc",
-        lang_expr: str = "CAST(NULL AS STRING)",
-        source_expr: str = "CAST(NULL AS STRING)",
         compact_every: int | None = 8,
     ):
         self.index = index
         self.id_expr = id_expr
-        self.text_expr = text_expr
-        self.lang_expr = lang_expr
-        self.source_expr = source_expr
         # segment-maintenance cadence: every apply() appends one index
         # segment (one more frame in the lazy union, one more overlay
         # slice), so query latency climbs within a compaction cycle
@@ -70,13 +113,24 @@ class SearchIndexMaintainer:
         self.compact_every = compact_every
         self._applied = 0
 
+    # -- subclass payload hooks ---------------------------------------------
+
+    def _payload_exprs(self) -> list[str]:
+        """Aliased SQL expressions for the index payload columns,
+        evaluated over the sink-facing doc schema (``_id`` string,
+        ``doc`` JSON string, plus the tree's root PKs)."""
+        raise NotImplementedError
+
+    def _null_payload(self) -> list[Column]:
+        """Typed-NULL payload columns for delete tombstone rows."""
+        raise NotImplementedError
+
     def _doc_shape(self, docs: DataFrame) -> DataFrame:
         return docs.selectExpr(
-            f"{self.id_expr} AS doc_id",
-            f"CAST(({self.text_expr}) AS STRING) AS text",
-            f"CAST(({self.lang_expr}) AS STRING) AS lang",
-            f"CAST(({self.source_expr}) AS STRING) AS source",
+            f"({self.id_expr}) AS {self._ID}", *self._payload_exprs()
         )
+
+    # -- the doc_consumers protocol -----------------------------------------
 
     def seed(self, docs: DataFrame | None) -> None:
         """Bulk-load the index from a full corpus (the engine's
@@ -84,11 +138,11 @@ class SearchIndexMaintainer:
         zero overlay state, exactly like any other bulk ingest.
 
         Raises on a NULL-producing ``id_expr`` (e.g. the default
-        BIGINT cast against a composite or string root PK): every
-        such doc would silently collapse onto one NULL identity in
-        the index (review finding). One O(1)-result action, once per
-        deployment; the per-batch CDC path is covered by apply_cdc's
-        own entry contract."""
+        BIGINT cast against a composite or string root PK — use
+        HASH64_ID_EXPR there): every such doc would silently collapse
+        onto one NULL identity in the index (review finding). One
+        O(1)-result action, once per deployment; the per-batch CDC
+        path is covered by apply_cdc's own entry contract."""
         if docs is None:
             return
         # persisted across the null-check action and the ingest, so
@@ -96,14 +150,15 @@ class SearchIndexMaintainer:
         shaped = self._doc_shape(docs).persist()
         try:
             bad = shaped.filter(
-                F.col("doc_id").isNull()
+                F.col(self._ID).isNull()
             ).limit(1).collect()
             if bad:
                 raise ValueError(
-                    f"id_expr {self.id_expr!r} produced a NULL doc_id "
-                    "— for a composite or string root PK supply an "
-                    "id_expr that maps _id to a unique BIGINT (e.g. "
-                    "a 64-bit hash of _id)"
+                    f"id_expr {self.id_expr!r} produced a NULL "
+                    f"{self._ID} — for a composite or string root PK "
+                    "supply an id_expr that maps _id to a unique "
+                    "BIGINT (index_sync.HASH64_ID_EXPR is the "
+                    "documented recipe)"
                 )
             self.index.ingest(shaped)
         finally:
@@ -118,12 +173,10 @@ class SearchIndexMaintainer:
         contract."""
         ups = self._doc_shape(upserts).withColumn("op", F.lit("u"))
         dels = deleted_ids.selectExpr(
-            f"{self.id_expr} AS doc_id"
+            f"({self.id_expr}) AS {self._ID}"
         ).select(
-            "doc_id",
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("source"),
+            self._ID,
+            *self._null_payload(),
             F.lit("d").alias("op"),
         )
         self.index.apply_cdc(ups.unionByName(dels))
@@ -136,3 +189,88 @@ class SearchIndexMaintainer:
         index is too (its own committed epoch — see
         _AppendOnlyIndex.truncate)."""
         self.index.truncate()
+
+
+class SearchIndexMaintainer(_DocIndexMaintainer):
+    """Adapts an IncrementalEngine's per-batch doc delta into
+    BM25Index CDC batches (the (doc_id, text, lang, source) doc
+    shape).
+
+    ``text_expr`` / ``lang_expr`` / ``source_expr`` are SQL
+    expressions over the sink-facing doc schema. Point ``text_expr``
+    at the fields worth indexing (e.g. ``get_json_object(doc,
+    '$.title')``, or a concat_ws of several) — under the default
+    whitespace analyzer the raw-JSON default indexes coarse
+    punctuation-glued tokens (BM25Index(analyzer="standard") splits
+    them); it is a functioning fallback, not the recommended
+    deployment. ``id_expr``: see _DocIndexMaintainer — a function of
+    ``_id`` alone."""
+
+    _ID = "doc_id"
+
+    def __init__(
+        self,
+        index,
+        id_expr: str = "CAST(_id AS BIGINT)",
+        text_expr: str = "doc",
+        lang_expr: str = "CAST(NULL AS STRING)",
+        source_expr: str = "CAST(NULL AS STRING)",
+        compact_every: int | None = 8,
+    ):
+        super().__init__(index, id_expr, compact_every)
+        self.text_expr = text_expr
+        self.lang_expr = lang_expr
+        self.source_expr = source_expr
+
+    def _payload_exprs(self) -> list[str]:
+        return [
+            f"CAST(({self.text_expr}) AS STRING) AS text",
+            f"CAST(({self.lang_expr}) AS STRING) AS lang",
+            f"CAST(({self.source_expr}) AS STRING) AS source",
+        ]
+
+    def _null_payload(self) -> list[Column]:
+        return [
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+        ]
+
+
+class VectorIndexMaintainer(_DocIndexMaintainer):
+    """Adapts an IncrementalEngine's per-batch doc delta into
+    VectorIndex CDC batches (the (vec_id, embedding) doc shape) — the
+    vector analog of SearchIndexMaintainer (ref: the embedding-plugin
+    → dense_vector topology, plugins/sentence_transformer_plugin.py).
+
+    ``vec_expr`` is a SQL expression over the sink-facing doc schema
+    producing the embedding (array<double>). The default derives it
+    from the WHOLE serialized doc via the deterministic hash
+    featurizer (hashing.hash_embed_sparksql), so any content change
+    moves the vector; point it at specific fields
+    (``hash_embed_sparksql("get_json_object(doc, '$.title')")``) or
+    at a learned-encoder output column when the doc pipeline carries
+    one. ``id_expr``: see _DocIndexMaintainer — a function of ``_id``
+    alone."""
+
+    _ID = "vec_id"
+
+    def __init__(
+        self,
+        index,
+        id_expr: str = "CAST(_id AS BIGINT)",
+        vec_expr: str | None = None,
+        compact_every: int | None = 8,
+    ):
+        super().__init__(index, id_expr, compact_every)
+        if vec_expr is None:
+            from ..functions.hashing import hash_embed_sparksql
+
+            vec_expr = hash_embed_sparksql("doc")
+        self.vec_expr = vec_expr
+
+    def _payload_exprs(self) -> list[str]:
+        return [f"CAST(({self.vec_expr}) AS ARRAY<DOUBLE>) AS embedding"]
+
+    def _null_payload(self) -> list[Column]:
+        return [F.lit(None).cast("array<double>").alias("embedding")]

@@ -682,3 +682,57 @@ def test_bm25_truncate_clears_corpus_and_restarts(spark, tmp_path):
     idx2 = BM25Index.load(spark, store)
     assert idx2.topk(BM25_QUERY_TERMS).count() > 0
     idx2.close()
+
+
+def test_standard_analyzer_collides_punctuation_variants(spark):
+    """'Priority.' and 'priority' are ONE term under the standard
+    analyzer (the r9 verdict's acceptance case) and distinct terms
+    under whitespace."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Priority.", None, None),
+            (2, "priority", None, None),
+            (3, "unrelated words", None, None),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    std = BM25Index(spark, analyzer="standard")
+    std.ingest(docs)
+    assert std.analyze_terms("Priority!") == ("priority",)
+    got = sorted(
+        r.doc_id for r in std.topk(std.analyze_terms("priority")).collect()
+    )
+    assert got == [1, 2]  # both punctuation variants hit
+    std.close()
+
+    ws = BM25Index(spark)  # whitespace default
+    ws.ingest(docs)
+    got = sorted(r.doc_id for r in ws.topk(("priority",)).collect())
+    assert got == [2]  # 'priority.' stays a distinct glued token
+    ws.close()
+
+
+def test_analyzer_is_persisted_index_state(spark, tmp_path):
+    """The analyzer rides the manifest: a loaded store re-binds the
+    analyzer that wrote it, and scores identically across the
+    close/load boundary."""
+    store = str(tmp_path / "bm_std")
+    docs = spark.createDataFrame(
+        [(1, "High-Priority order!", None, None), (2, "priority", None, None)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    idx = BM25Index(spark, store_dir=store, analyzer="standard")
+    idx.ingest(docs)
+    expected = [tuple(r) for r in idx.topk(("priority",)).collect()]
+    assert sorted(t[0] for t in expected) == [1, 2]
+    idx.close()
+
+    idx2 = BM25Index.load(spark, store)
+    assert idx2.analyzer == "standard"
+    assert [tuple(r) for r in idx2.topk(("priority",)).collect()] == expected
+    idx2.close()
+
+
+def test_unknown_analyzer_raises(spark):
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        BM25Index(spark, analyzer="snowball")

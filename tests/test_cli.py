@@ -886,3 +886,132 @@ def test_cli_bm25_store_engine_owned_index(spark, tmp_path):
     assert 5 not in {t[0] for t in got}
     ref.close()
     idx.close()
+
+
+def test_cli_bm25_analyzer_flag_and_mismatch_guard(spark, tmp_path):
+    """--bm25-analyzer standard: a fresh store is built with the
+    standard tokenizer (manifest-recorded), --bm25-topk analyzes the
+    query the same way ('URGENT!' hits '1-URGENT' docs), and re-running
+    over the existing store with a DIFFERENT analyzer is rc=2, not a
+    silent mixed-tokenizer index."""
+    store = str(tmp_path / "bmstd")
+    args = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "out"),
+        "--bm25-store", store,
+        "--bm25-text-expr", "get_json_object(doc, '$.o_orderpriority')",
+    ]
+    assert main(args + ["--bm25-analyzer", "standard"], spark=spark) == 0
+    with open(os.path.join(store, "orders_cli", "CURRENT")) as f:
+        assert json.load(f)["analyzer"] == "standard"
+
+    # read side: 'URGENT!' analyzes to ('urgent',) — only the standard
+    # tokenizer splits it out of the glued '1-URGENT' value
+    buf = io.StringIO()
+    rc = main(
+        ["--bm25-topk", "URGENT!",
+         "--store-dir", os.path.join(store, "orders_cli")],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows and all(r["score_micro"] > 0 for r in rows)
+
+    # mismatched analyzer over the existing store: refuse (rc=2)
+    assert main(args + ["--bm25-analyzer", "whitespace"], spark=spark) == 2
+    # and no flag at all keeps serving with the store's own analyzer
+    assert main(args, spark=spark) == 0
+
+
+def test_cli_dedup_stream_vector_index(spark, tmp_path):
+    """--dedup-index vector: the stream pipeline maintains an ANN
+    serving index (everything accepted, store-backed, queryable after
+    the drain)."""
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.vector_index import VectorIndex
+
+    docs_dir = tmp_path / "vecs"
+    docs_dir.mkdir()
+    v1, v2 = hash_embed_py("alpha"), hash_embed_py("beta")
+    with open(docs_dir / "b0.json", "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": v1}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": v2}) + "\n")
+
+    out = str(tmp_path / "vout")
+    store = str(tmp_path / "vstore")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "vector",
+            "--checkpoint-dir", str(tmp_path / "vckpt"),
+            "--dedup-out", out,
+            "--store-dir", store,
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert sorted(r["vec_id"] for r in accepted.collect()) == [1, 2]
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert json.load(f)["index"] == "VectorIndex"
+
+    idx = VectorIndex.load(spark, store)
+    q = spark.createDataFrame(
+        [(0, v1)], "query_id bigint, embedding array<double>"
+    )
+    hits = idx.topk(q, k=1).collect()
+    assert [r.neighbor_id for r in hits] == [1]  # exact content match
+    assert hits[0].cosine == 1.0
+    idx.close()
+
+
+def test_cli_bm25_store_string_pk_tree(spark, tmp_path):
+    """--bm25-store over a STRING-PK tree: the CLI derives the
+    HASH64_ID_EXPR identity automatically (the default BIGINT cast
+    would NULL out and seed() refuses), the seeded index serves, and
+    a streamed rename exercises the hash identity on BOTH maintainer
+    branches (upsert + delete-by-_id)."""
+    from pgsync_spark.functions.bm25_index import BM25Index
+
+    cfg = tmp_path / "schema_strpk.json"
+    cfg.write_text(json.dumps([
+        {
+            "index": "nations_cli",
+            "nodes": {
+                "table": "nation",
+                "primary_key": ["n_name"],
+                "columns": ["n_name", "n_regionkey"],
+            },
+        }
+    ]))
+    events = tmp_path / "nevents"
+    events.mkdir()
+    (events / "b1.json").write_text(json.dumps({
+        "op": "UPDATE", "schema": "public", "table": "nation",
+        "old": {"n_nationkey": 3, "n_name": "NATION_3"},
+        "new": {"n_nationkey": 3, "n_name": "RENAMED_3",
+                "n_regionkey": 3},
+        "txid": 21,
+    }))
+    store = str(tmp_path / "nstore")
+    rc = main(
+        [
+            "-c", str(cfg),
+            "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "nout"),
+            "--daemon", "--drain",
+            "--events-dir", str(events),
+            "--checkpoint-dir", str(tmp_path / "nckpt"),
+            "--bm25-store", store,
+            "--bm25-text-expr", "get_json_object(doc, '$.n_name')",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    idx = BM25Index.load(spark, os.path.join(store, "nations_cli"))
+    assert idx.topk(("nation_3",), k=5).count() == 0  # old id tombstoned
+    hit = idx.topk(("renamed_3",), k=5).collect()
+    assert len(hit) == 1 and hit[0].score_micro > 0
+    idx.close()

@@ -227,3 +227,173 @@ def test_maintainer_compact_cadence(spark):
     # deleted doc 2 is physically gone post-fold
     assert idx.vals.filter(F.col("doc_id") == 2).count() == 0
     idx.close()
+
+
+# ---------------------------------------------------------------------------
+# VectorIndexMaintainer: the Embedding side of the engine-owned index
+# story (r9 verdict item 1) — vectors derive from doc content, so CDC
+# updates move them
+# ---------------------------------------------------------------------------
+
+from pgsync_spark.functions.hashing import hash_embed_py, hash_embed_sparksql
+from pgsync_spark.functions.vector_index import VectorIndex
+from pgsync_spark.streaming import (
+    HASH64_ID_EXPR,
+    VectorIndexMaintainer,
+)
+from pgsync_spark.streaming.index_sync import default_id_expr
+
+VEC_TEXT = "get_json_object(doc, '$.o_orderpriority')"
+
+
+def _oneshot_ann(spark, docs, queries):
+    ref = VectorIndex(spark)
+    ref.ingest(
+        docs.selectExpr(
+            "CAST(_id AS BIGINT) AS vec_id",
+            f"{hash_embed_sparksql(VEC_TEXT)} AS embedding",
+        )
+    )
+    out = [
+        tuple(r)
+        for r in ref.topk(queries, k=10).orderBy("query_id", "rank").collect()
+    ]
+    ref.close()
+    return out
+
+
+def _qframe(spark, *texts):
+    return spark.createDataFrame(
+        [(i, hash_embed_py(t)) for i, t in enumerate(texts)],
+        "query_id bigint, embedding array<double>",
+    )
+
+
+def test_vector_maintainer_cdc_moves_vectors(spark):
+    """INSERT + UPDATE + DELETE through process_batch: the maintained
+    VectorIndex must equal a one-shot index over the post-CDC corpus,
+    and the updated doc must be served under its NEW content's vector
+    (cosine 1.0) — the update-visibility proof."""
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    idx = VectorIndex(spark)
+    m = VectorIndexMaintainer(idx, vec_expr=hash_embed_sparksql(VEC_TEXT))
+    m.seed(eng.docs_for_sink())
+    eng.doc_consumers.append(m)
+    try:
+        q = _qframe(spark, "movedpriority", "1-URGENT")
+        assert [
+            tuple(r)
+            for r in idx.topk(q, k=10).orderBy("query_id", "rank").collect()
+        ] == _oneshot_ann(spark, eng.docs_for_sink(), q)
+
+        cat = eng.catalog
+        upd = _order_row(cat, 7)
+        base = _order_row(cat, 3)
+        ev = payloads_from_rows(
+            spark,
+            [
+                {"op": "INSERT", "table": "orders",
+                 "new": dict(base, o_orderkey=777001,
+                             o_orderpriority="1-URGENT"), "txid": 10},
+                {"op": "UPDATE", "table": "orders",
+                 "old": {"o_orderkey": 7},
+                 "new": dict(upd, o_orderpriority="movedpriority"),
+                 "txid": 11},
+                {"op": "DELETE", "table": "orders",
+                 "old": {"o_orderkey": 5}, "txid": 12},
+            ],
+        )
+        eng.process_batch(ev)
+
+        got = [
+            tuple(r)
+            for r in idx.topk(q, k=10).orderBy("query_id", "rank").collect()
+        ]
+        assert got == _oneshot_ann(spark, eng.docs_for_sink(), q)
+        # update visibility: only doc 7 has content 'movedpriority'
+        # post-CDC, so query 0 ranks it first at cosine 1.0
+        q0 = [t for t in got if t[0] == 0]
+        assert q0[0][1] == 7 and q0[0][2] == 1.0
+        # delete visibility: doc 5 ranks nowhere for any query
+        assert 5 not in {t[1] for t in got}
+
+        # root TRUNCATE propagates to the vector index too
+        eng.process_batch(
+            payloads_from_rows(
+                spark,
+                [{"op": "TRUNCATE", "table": "orders", "txid": 13}],
+            )
+        )
+        assert idx.topk(q, k=10).count() == 0
+    finally:
+        idx.close()
+        eng._teardown_stores()
+
+
+def test_default_id_expr_picks_hash_for_string_pk(spark):
+    import json
+
+    from pgsync_spark.node import parse_tree
+
+    eng = IncrementalEngine(
+        spark, schemas.tree("orders_full"), Catalog(spark, SF_DIR)
+    )
+    assert default_id_expr(eng) == "CAST(_id AS BIGINT)"
+
+    string_tree = parse_tree({
+        "index": "nations_by_name",
+        "nodes": {
+            "table": "nation",
+            "primary_key": ["n_name"],
+            "columns": ["n_name", "n_regionkey"],
+        },
+    })
+    eng2 = IncrementalEngine(spark, string_tree, Catalog(spark, SF_DIR))
+    assert default_id_expr(eng2) == HASH64_ID_EXPR
+
+
+def test_string_pk_tree_seeds_and_serves_via_hash_id(spark):
+    """A string-PK tree runs the engine-owned index end to end with
+    the HASH64_ID_EXPR recipe: seed accepts it (no NULL ids), CDC
+    keeps it current, and the hash identity is stable across the
+    update (same _id -> same doc_id)."""
+    from pgsync_spark.node import parse_tree
+
+    tree = parse_tree({
+        "index": "nations_by_name",
+        "nodes": {
+            "table": "nation",
+            "primary_key": ["n_name"],
+            "columns": ["n_name", "n_regionkey"],
+        },
+    })
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    idx = BM25Index(spark)
+    m = SearchIndexMaintainer(
+        idx,
+        id_expr=default_id_expr(eng),
+        text_expr="get_json_object(doc, '$.n_name')",
+    )
+    m.seed(eng.docs_for_sink())  # would raise under the default cast
+    eng.doc_consumers.append(m)
+    try:
+        hits = idx.topk(("nation_3",), k=5).collect()
+        assert len(hits) == 1
+        # rename: old string id tombstones, new one enters
+        eng.process_batch(
+            payloads_from_rows(spark, [{
+                "op": "UPDATE", "table": "nation",
+                "old": {"n_nationkey": 3, "n_name": "NATION_3"},
+                "new": {"n_nationkey": 3, "n_name": "RENAMED_3",
+                        "n_regionkey": 3},
+                "txid": 1,
+            }])
+        )
+        assert idx.topk(("nation_3",), k=5).count() == 0
+        assert idx.topk(("renamed_3",), k=5).count() == 1
+    finally:
+        idx.close()
+        eng._teardown_stores()

@@ -1,0 +1,216 @@
+"""VectorIndex (incremental ANN serving index): batch-split
+invariance vs the one-shot probe, store-backed restart, CDC
+update/delete lifecycle, truncate, entry contracts."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsync_spark.functions.similarity import N_QUERIES
+from pgsync_spark.functions.vector_index import VectorIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _oneshot(spark, corpus, queries):
+    """Fresh index over the whole corpus — the parity baseline (the
+    probe is per-vector, so batch splits must be invisible)."""
+    ref = VectorIndex(spark)
+    ref.ingest(corpus)
+    out = [
+        tuple(r)
+        for r in ref.topk(queries, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    ref.close()
+    return out
+
+
+def test_split_invariance_across_restart_and_compact(spark, tmp_path):
+    """Build across two processes (close + load between batches),
+    query, compact — every stage answers identically to a one-shot
+    index over the same vectors."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    expected = _oneshot(spark, emb, q)
+    store = str(tmp_path / "vec")
+
+    idx = VectorIndex(spark, store_dir=store)
+    idx.ingest(emb.filter(F.col("vec_id") % 3 == 0))
+    idx.ingest(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.close()
+
+    idx2 = VectorIndex.load(spark, store)
+    idx2.ingest(emb.filter(F.col("vec_id") % 3 == 2))
+    got = [
+        tuple(r)
+        for r in idx2.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+
+    idx2.compact()
+    assert len(idx2._segments) == 1
+    got = [
+        tuple(r)
+        for r in idx2.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+    idx2.close()
+
+    idx3 = VectorIndex.load(spark, store)
+    got = [
+        tuple(r)
+        for r in idx3.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+    idx3.close()
+
+
+def test_cdc_update_moves_ranking_and_delete_tombstones(spark):
+    """An UPDATE that changes a vector must serve the NEW vector (its
+    buckets move with it); a DELETE must rank nowhere. Parity against
+    a one-shot index over the post-CDC corpus, before and after
+    compact()."""
+    emb = _emb(spark)
+    emb_t = emb.schema["embedding"].dataType
+    q = _queries(emb)
+
+    # post-CDC corpus: vec_id%7==3 -> successor's embedding,
+    # vec_id%7==5 -> gone (query ids excluded from both)
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd_pred = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= N_QUERIES)
+    del_pred = (F.col("vec_id") % 7 == 5) & (F.col("vec_id") >= N_QUERIES)
+    mut = (
+        emb.join(nxt, "vec_id", "left")
+        .filter(~del_pred)
+        .select(
+            "vec_id",
+            F.when(upd_pred & F.col("nemb").isNotNull(), F.col("nemb"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    expected = _oneshot(spark, mut, q)
+
+    idx = VectorIndex(spark)
+    idx.ingest(emb)
+    ups = (
+        emb.filter(upd_pred)
+        .join(nxt, "vec_id")
+        .select(
+            "vec_id",
+            F.col("nemb").alias("embedding"),
+            F.lit("u").alias("op"),
+        )
+    )
+    dels = emb.filter(del_pred).select(
+        "vec_id",
+        F.lit(None).cast(emb_t).alias("embedding"),
+        F.lit("d").alias("op"),
+    )
+    dec = idx.apply_cdc(ups.unionByName(dels))
+    # decisions are the deleted ids (the BM25Index convention)
+    assert sorted(r.vec_id for r in dec.collect()) == sorted(
+        r.vec_id for r in emb.filter(del_pred).collect()
+    )
+
+    got = [
+        tuple(r)
+        for r in idx.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+
+    idx.compact()  # the Lucene merge: fold the overlay physically
+    assert not idx._has_cdc
+    got = [
+        tuple(r)
+        for r in idx.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+    idx.close()
+
+
+def test_truncate_clears_and_fresh_ingest_restarts(spark, tmp_path):
+    emb = _emb(spark).filter(F.col("vec_id") < 50)
+    q = _queries(emb)
+    store = str(tmp_path / "vt")
+    idx = VectorIndex(spark, store_dir=store)
+    idx.ingest(emb)
+    idx.apply_cdc(
+        emb.filter(F.col("vec_id") == 7).select(
+            "vec_id", "embedding", F.lit("d").alias("op")
+        )
+    )
+    dec = idx.truncate()
+    assert sorted(r.vec_id for r in dec.collect()) == sorted(
+        r.vec_id for r in emb.filter(F.col("vec_id") != 7).collect()
+    )
+    assert idx.topk(q).count() == 0
+    assert not idx._has_cdc and idx._overlay_rows == 0
+    idx.ingest(emb)  # formerly CDC-touched ids re-enter cleanly
+    assert idx.topk(q).count() > 0
+    idx.close()
+    idx2 = VectorIndex.load(spark, store)
+    assert idx2.topk(q).count() > 0
+    idx2.close()
+
+
+def test_entry_contracts(spark):
+    emb = _emb(spark).filter(F.col("vec_id") < 30)
+    idx = VectorIndex(spark)
+    idx.ingest(emb)
+    one = emb.filter(F.col("vec_id") == 9)
+    dup = one.select("vec_id", "embedding", F.lit("u").alias("op"))
+    with pytest.raises(ValueError, match="multiple rows"):
+        idx.apply_cdc(dup.unionByName(dup))
+    with pytest.raises(ValueError, match="truncate"):
+        idx.apply_cdc(
+            one.select("vec_id", "embedding", F.lit("t").alias("op"))
+        )
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        idx.apply_cdc(
+            one.select("vec_id", "embedding", F.lit("x").alias("op"))
+        )
+    # CDC history blocks bulk re-adds (the overlay would shadow them)
+    idx.apply_cdc(one.select("vec_id", "embedding", F.lit("d").alias("op")))
+    with pytest.raises(ValueError, match="CDC history"):
+        idx.ingest(one)
+    idx.close()
+
+
+def test_empty_index_topk_is_typed_empty(spark):
+    idx = VectorIndex(spark)
+    out = idx.topk(_queries(_emb(spark)))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+    ]
+    idx.close()
