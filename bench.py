@@ -87,6 +87,13 @@ HEADLINE = [
     # full vector) — prices training + one Arrow assignment pass vs
     # the hash-cell ivfpq just above
     "ann_ivf_trained_topk",
+    # round-10: the VectorIndex family, priced exactly like the BM25
+    # pair above it — 3-batch ingest + held-state ANN query, then the
+    # same through a CDC epoch with the overlay-folded query
+    # (engine_sync_* lifecycle queries stay off the headline list,
+    # like dedup_cdc_probe: full-sync pricing, not serving latency)
+    "ann_index_topk",
+    "ann_index_cdc_topk",
     # (dedup_cdc_probe / semantic_dedup_cdc stay OFF the headline
     # list, like dedup_incremental_probe before them: each prices a
     # full 3-ingest index lifecycle (~20s at sf0.1) — oracle-gated in
@@ -175,6 +182,63 @@ def _bench_incremental(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_incremental_fixed_batch(spark, sf_dir: str) -> dict:
+    """full_sync + steady batches at a SYNTH dir with the batch FIXED
+    to the base copy's events (keys <= _SYNTH_OFFSET): the corpus
+    grows N×, the batch does not — the purest local evidence for
+    "steady batch is O(batch), never O(table)" (r9 verdict item 5).
+    The standard 3× point scales batch AND corpus together; this one
+    isolates the corpus axis. full_sync is min-of-2 (not 3): at 10×
+    the run is long enough to average bursts, and the section must
+    stay inside the driver's bench budget."""
+    from pgsync_spark import Catalog, caching, schemas
+    from pgsync_spark.queries import _incremental_events
+    from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
+
+    _gc(spark)
+    cat = Catalog(spark, sf_dir)
+    eng = IncrementalEngine(spark, schemas.tree("orders_full"), cat)
+    fs_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        eng.full_sync()
+        fs_samples.append(time.perf_counter() - t0)
+    rows = _incremental_events(spark, cat)
+    base = [
+        e
+        for e in rows
+        if (e.get("new") or e.get("old") or {}).get(
+            "o_orderkey",
+            (e.get("new") or e.get("old") or {}).get("c_custkey", 0),
+        )
+        <= _SYNTH_OFFSET
+    ]
+    events = payloads_from_rows(spark, base).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    eng.process_batch(events)
+    cold_s = round(time.perf_counter() - t0, 3)
+    steady: list[float] = []
+    for _ in range(STEADY_BATCHES):
+        t0 = time.perf_counter()
+        eng.process_batch(events)
+        steady.append(time.perf_counter() - t0)
+    out = {
+        "full_sync": round(min(fs_samples), 3),
+        "cold_batch": cold_s,
+        "steady_batch": round(statistics.median(steady), 3),
+        "events": len(base),
+        "full_sync_samples": [round(s, 3) for s in fs_samples],
+        "steady_samples": [round(s, 3) for s in steady],
+    }
+    print(
+        f"# incremental_fixed_batch[{sf_dir}]: {out} ({eng.stats})",
+        file=sys.stderr,
+    )
+    caching.release_local_checkpoint(events)
+    eng._teardown_stores()
+    return out
+
+
 def _bench_batch_scaling(spark, sf_dir: str) -> dict:
     """Batch-SIZE axis of the scaling story: steady-batch medians for a
     1× and a ~4× event batch against one warm engine. Cost should grow
@@ -245,6 +309,11 @@ def _ensure_synth_sf(spark, base_dir: str, copies: int = 3) -> str:
         "SPARK_GRAFT_SYNTH_DIR",
         f"/tmp/pgsync_spark_synth_{base_tag}_{copies}x",
     )
+    if "SPARK_GRAFT_SYNTH_DIR" in os.environ and copies != 3:
+        # one run builds BOTH the 3x and 10x corpora: an exact-dir
+        # override must not make them clobber each other's marker and
+        # regenerate every run
+        out_dir = f"{out_dir.rstrip('/')}_{copies}x"
     marker = os.path.join(out_dir, "_SYNTH_OK")
     # the marker records WHICH base it was generated from; a marker
     # from a different base path never satisfies the probe
@@ -425,6 +494,15 @@ def _noise_flags(
             flags.append(
                 f"scaling inversion: 10x data full_sync ratio {r} < 1 "
                 "(physically implausible — noisy window)"
+            )
+        r10, r3 = (
+            scaling.get("full_sync_ratio_10x_vs_big"),
+            scaling.get("full_sync_ratio_3x_vs_big"),
+        )
+        if r10 is not None and r3 is not None and r10 < r3:
+            flags.append(
+                f"scaling inversion: 10x synth full_sync ratio {r10} < "
+                f"3x ratio {r3} (physically implausible — noisy window)"
             )
     if batch_scaling:
         er = batch_scaling.get("event_ratio")
@@ -618,6 +696,30 @@ def main() -> None:
                     scaling["steady_batch_ratio_3x_vs_big"] = round(
                         synth["steady_batch"] / big_st, 2
                     )
+                # fourth point, 10× corpus with the batch FIXED to the
+                # base copy's events: full_sync keeps tracking data
+                # size while the (unchanged) steady batch must stay
+                # ~flat at 10× the held corpus — the pure-corpus axis
+                # the 3× point (batch and corpus scaling together)
+                # cannot isolate
+                synth10_dir = _ensure_synth_sf(spark, sf_dir, copies=10)
+                s10 = _bench_incremental_fixed_batch(spark, synth10_dir)
+                scaling["synth10x_dir"] = synth10_dir
+                scaling["full_sync_10x"] = s10["full_sync"]
+                scaling["steady_batch_10x_fixed"] = s10["steady_batch"]
+                scaling["events_10x_fixed"] = s10["events"]
+                scaling["full_sync_10x_samples"] = s10["full_sync_samples"]
+                scaling["steady_batch_10x_fixed_samples"] = s10[
+                    "steady_samples"
+                ]
+                if big_fs:
+                    scaling["full_sync_ratio_10x_vs_big"] = round(
+                        s10["full_sync"] / big_fs, 2
+                    )
+                if big_st:
+                    scaling["steady_batch_ratio_10x_fixed_vs_big"] = round(
+                        s10["steady_batch"] / big_st, 2
+                    )
             print(f"# scaling: {scaling}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — isolate the scaling section
         errors["scaling"] = f"{type(e).__name__}: {str(e)[:500]}"
@@ -702,6 +804,8 @@ _SCALING_COMPACT = (
     "full_sync_small", "steady_batch_small", "full_sync_3x",
     "steady_batch_3x", "full_sync_ratio", "steady_batch_ratio",
     "full_sync_ratio_3x_vs_big", "steady_batch_ratio_3x_vs_big",
+    "full_sync_10x", "steady_batch_10x_fixed",
+    "full_sync_ratio_10x_vs_big", "steady_batch_ratio_10x_fixed_vs_big",
 )
 _BATCH_COMPACT = ("events_1x", "events_4x", "steady_1x", "steady_4x",
                   "event_ratio", "time_ratio")

@@ -198,7 +198,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--topk-k", type=int, default=10,
-        help="result count for --bm25-topk (default 10)",
+        help="result count for --bm25-topk / --ann-topk (default 10)",
     )
     p.add_argument(
         "--export-shards", metavar="DOCS_DIR", default=None,
@@ -239,6 +239,34 @@ def build_parser() -> argparse.ArgumentParser:
         "doc JSON string) selecting the text to index for "
         "--bm25-store, e.g. \"get_json_object(doc, '$.title')\" "
         "(default: the serialized doc — coarse whitespace tokens)",
+    )
+    p.add_argument(
+        "--vector-store", default=None, metavar="DIR",
+        help="maintain an ENGINE-OWNED ANN vector index per configured "
+        "tree under DIR/<index> (the reference's embedding-plugin → "
+        "dense_vector/knn_vector topology with the index state owned "
+        "by the engine): vectors derive from doc content via the "
+        "deterministic hash featurizer (see --vector-expr), seeded "
+        "from the initial sync, kept current by every CDC batch, "
+        "queryable afterwards via --ann-topk --store-dir DIR/<index>. "
+        "Same staleness note as --bm25-store when reloading an "
+        "existing store after a full sync",
+    )
+    p.add_argument(
+        "--vector-expr", default=None, metavar="SQL",
+        help="SQL expression over the sink-facing doc schema producing "
+        "the embedding (array<double>) for --vector-store — e.g. a "
+        "learned-encoder output column, or hash_embed over specific "
+        "fields (default: the hash featurizer over the whole doc, so "
+        "any content change moves the vector)",
+    )
+    p.add_argument(
+        "--ann-topk", metavar="QUERY", default=None,
+        help="query a stored VectorIndex (--store-dir): QUERY is "
+        "either a JSON array literal (the vector itself — use for "
+        "stores built with a custom --vector-expr) or text to run "
+        "through the default hash featurizer; prints the top-k "
+        "(neighbor_id, cosine, rank) as JSON lines",
     )
     p.add_argument(
         "--bm25-analyzer", default=None,
@@ -385,6 +413,68 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
+    """--ann-topk: load the stored vector index and answer one query —
+    the read side of the --vector-store / --dedup-index vector
+    maintenance loops. QUERY is a JSON array literal (the vector
+    itself) or text for the default hash featurizer."""
+    import json
+
+    from .functions.vector_index import VectorIndex
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_ann")
+    try:
+        q = args.ann_topk.strip()
+        vec = None
+        if q.startswith("["):
+            try:
+                vec = [float(x) for x in json.loads(q)]
+            except (ValueError, TypeError) as e:
+                print(
+                    f"--ann-topk: not a JSON number array: {e}",
+                    file=sys.stderr,
+                )
+                return 2
+        if vec is None:
+            from .functions.hashing import hash_embed_py
+
+            vec = hash_embed_py(q)
+        try:
+            if not os.path.exists(
+                os.path.join(args.store_dir, "CURRENT")
+            ):
+                raise ValueError(
+                    "no CURRENT manifest (not a vector store, or the "
+                    "path is wrong)"
+                )
+            idx = VectorIndex.load(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            print(f"--ann-topk: cannot load {args.store_dir}: {e}",
+                  file=sys.stderr)
+            return 2
+        try:
+            qdf = spark.createDataFrame(
+                [(0, vec)], "query_id bigint, embedding array<double>"
+            )
+            for r in (
+                idx.topk(qdf, k=args.topk_k)
+                .orderBy("rank")
+                .select("neighbor_id", "cosine", "rank")
+                .collect()
+            ):
+                print(json.dumps(r.asDict(), sort_keys=True), file=out)
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
     """--bm25-topk: load the stored inverted index and answer one
     query — the read side of the --dedup-stream --dedup-index bm25
@@ -435,6 +525,24 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
     args = build_parser().parse_args(argv)
+    if args.ann_topk is not None:
+        if not args.store_dir:
+            print("--ann-topk requires --store-dir", file=sys.stderr)
+            return 2
+        if not args.ann_topk.strip():
+            print(
+                "--ann-topk needs query text or a JSON vector",
+                file=sys.stderr,
+            )
+            return 2
+        if args.dedup_stream or args.config or args.daemon:
+            print(
+                "--ann-topk is its own mode; remove the sync/stream "
+                "flags",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_ann_topk(args, spark, out)
     if args.bm25_topk is not None:
         if not args.store_dir:
             print("--bm25-topk requires --store-dir", file=sys.stderr)
@@ -776,6 +884,53 @@ def _run_sync(runner, args, out) -> int:
                     print(
                         f"[{name}] engine-owned BM25 index at {path} "
                         f"({'seeded' if fresh else 'loaded'})",
+                        file=out,
+                    )
+
+        if args.vector_store:
+            # the Embedding side of the same topology (the reference's
+            # embedding plugin → dense_vector/knn_vector kNN): a
+            # VectorIndex per tree, vectors derived from doc content
+            # (deterministic hash featurizer by default — any encoder
+            # emitting array<double> slots into --vector-expr)
+            from .functions.vector_index import VectorIndex
+            from .streaming.index_sync import (
+                VectorIndexMaintainer,
+                default_id_expr,
+            )
+
+            for name, eng in runner.engines.items():
+                path = os.path.join(args.vector_store, name)
+                fresh = not os.path.exists(
+                    os.path.join(path, "CURRENT")
+                )
+                idx = (
+                    VectorIndex(spark, store_dir=path)
+                    if fresh
+                    else VectorIndex.load(spark, path)
+                )
+                m = VectorIndexMaintainer(
+                    idx,
+                    id_expr=default_id_expr(eng),
+                    **(
+                        {"vec_expr": args.vector_expr}
+                        if args.vector_expr
+                        else {}
+                    ),
+                    **(
+                        {"compact_every": args.compact_every}
+                        if args.compact_every is not None
+                        else {}
+                    ),
+                )
+                maintainers[f"vec:{name}"] = m
+                if fresh:
+                    m.seed(eng.docs_for_sink())
+                eng.doc_consumers.append(m)
+                if args.verbose:
+                    print(
+                        f"[{name}] engine-owned vector index at "
+                        f"{path} ({'seeded' if fresh else 'loaded'})",
                         file=out,
                     )
 

@@ -269,7 +269,12 @@ class _AppendOnlyIndex:
                 "the overlay and dropped at the next compact"
             )
 
-    def _validate_cdc_batch(self, cdc: DataFrame) -> bool:
+    def _validate_cdc_batch(
+        self,
+        cdc: DataFrame,
+        bad_payload=None,
+        payload_msg: str = "invalid payload",
+    ) -> bool:
         """apply_cdc's entry contract in ONE driver action: per-id
         uniqueness (LWW-folded upstream), op vocabulary ('d' deletes,
         UPSERT_OPS or NULL upsert, anything else RAISES — an unknown
@@ -277,7 +282,13 @@ class _AppendOnlyIndex:
         parity gap; 't' gets a pointer to truncate()), and batch
         emptiness (the return value: True iff rows exist — an EMPTY
         micro-batch must never set _has_cdc and re-arm the overlay
-        fold the last compact turned off, r8 advice)."""
+        fold the last compact turned off, r8 advice).
+
+        ``bad_payload`` (optional Column): a subclass's payload-shape
+        predicate folded into the SAME action — rows matching it
+        raise with ``payload_msg`` (r10: VectorIndex rejects NULL
+        embeddings on upsert rows, which would otherwise index
+        bucket-0 keys serving NULL cosines)."""
         idc = self._ID_COL
         bad = F.col("op").isNotNull() & ~F.col("op").isin(
             *UPSERT_OPS, "d", "t"
@@ -288,6 +299,13 @@ class _AppendOnlyIndex:
                 F.count(F.lit(1)).alias("c"),
                 F.max(F.when(bad, F.col("op"))).alias("bad_op"),
                 F.max((F.col("op") == "t").cast("int")).alias("trunc"),
+                F.max(
+                    (
+                        bad_payload
+                        if bad_payload is not None
+                        else F.lit(False)
+                    ).cast("int")
+                ).alias("bad_pay"),
             )
             .agg(
                 F.sum("c").alias("n"),
@@ -301,6 +319,7 @@ class _AppendOnlyIndex:
                 F.max(F.col(idc).isNull().cast("int")).alias("null_id"),
                 F.max("bad_op").alias("bad_op"),
                 F.max("trunc").alias("trunc"),
+                F.max("bad_pay").alias("bad_pay"),
             )
             .first()
         )
@@ -331,6 +350,8 @@ class _AppendOnlyIndex:
                 "guess (an unrecognized op that silently upserted "
                 "would index a garbage row)"
             )
+        if row["bad_pay"]:
+            raise ValueError(f"apply_cdc batch: {payload_msg}")
         return row["n"] is not None
 
     def _maybe_autocompact(

@@ -1464,12 +1464,43 @@ def _quantize_micro(nv_rows):
     return np.floor(x * 1e6 + 0.5).astype(np.int64)
 
 
+# process-scoped trained-artifact cache (r9 verdict item 4): within
+# one process every consumer of a trained codebook — ann_recall_eval's
+# legs, the standalone trained queries, a bench run pricing all of
+# them — trains it ONCE per distinct input plan. Keyed by the input
+# frame's semanticHash: same source + same projection → the same
+# deterministic Lloyd output, so reuse can never change a result (the
+# DuckDB oracle replays training from the table regardless of who
+# trained). Values are plain Python lists (no Spark objects retained,
+# nothing to unpersist). NOT keyed by data CONTENT — a caller mutating
+# the underlying parquet mid-process must clear it (tests that rewrite
+# corpora use fresh temp dirs, so the plan hash moves with them).
+_TRAINED_CACHE: dict = {}
+
+
+def _memo_trained(kind: str, df: DataFrame, fn):
+    try:
+        key = (kind, df.semanticHash())
+    except Exception:
+        # no plan hash available (e.g. a connect-style session): train
+        return fn()
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = fn()
+    return _TRAINED_CACHE[key]
+
+
 def _pq_trained_centroids(df: DataFrame) -> list[list[list[int]]]:
     """[m][c][d] -> int64 micro centroid coords after PQT_ITERS Lloyd
     iterations over the hash-sample, initialized from the hash
     codebook rows. Deterministic and engine-exact (see section
     comment): argmin ties resolve to the smaller code (numpy argmin =
-    first minimum = the oracle's ORDER BY dd, c)."""
+    first minimum = the oracle's ORDER BY dd, c). Memoized per input
+    plan (_TRAINED_CACHE) — consumers treat the result as read-only
+    (every numpy use copies via np.asarray)."""
+    return _memo_trained("pq", df, lambda: _pq_trained_centroids_impl(df))
+
+
+def _pq_trained_centroids_impl(df: DataFrame) -> list[list[list[int]]]:
     import numpy as np
 
     sample = (
@@ -1851,7 +1882,14 @@ def _ivf_trained_centroids(df: DataFrame) -> list[list[int]]:
     """[c][d] -> int64 micro cell centroids after IVFT_ITERS Lloyd
     iterations over the hash-sample, initialized from the hash-picked
     IVF codebook vectors. Deterministic and engine-exact (see the
-    trained-PQ section comment)."""
+    trained-PQ section comment). Memoized per input plan
+    (_TRAINED_CACHE, read-only result)."""
+    return _memo_trained(
+        "ivf", df, lambda: _ivf_trained_centroids_impl(df)
+    )
+
+
+def _ivf_trained_centroids_impl(df: DataFrame) -> list[list[int]]:
     import numpy as np
 
     sample = (

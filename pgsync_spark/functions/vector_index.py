@@ -122,7 +122,18 @@ class VectorIndex(_AppendOnlyIndex):
         # foreachBatch cache-eviction finding — see BM25Index)
         cdc = batch_df.select("vec_id", "embedding", "op").persist()
         try:
-            nonempty = self._validate_cdc_batch(cdc)
+            nonempty = self._validate_cdc_batch(
+                cdc,
+                # a NULL embedding on an UPSERT would index bucket-0
+                # keys that serve NULL cosines — refuse (deletes carry
+                # NULL embeddings by design); same action, zero cost
+                bad_payload=F.col("embedding").isNull()
+                & ~F.col("op").eqNullSafe("d"),
+                payload_msg="NULL embedding on an upsert row — a "
+                "vector index cannot serve a missing vector; fix the "
+                "producer (delete tombstones carry NULL embeddings by "
+                "design)",
+            )
             dels = cdc.filter(F.col("op") == "d").select("vec_id")
             # NULL-safe: a NULL/missing op upserts, never vanishes
             ups = cdc.filter(~F.col("op").eqNullSafe("d"))

@@ -1015,3 +1015,86 @@ def test_cli_bm25_store_string_pk_tree(spark, tmp_path):
     hit = idx.topk(("renamed_3",), k=5).collect()
     assert len(hit) == 1 and hit[0].score_micro > 0
     idx.close()
+
+
+def test_cli_vector_store_engine_owned_index(spark, tmp_path):
+    """--vector-store: the sync CLI maintains an engine-owned ANN
+    vector index per tree — seeded from the initial sync, updated by
+    the drained CDC batch (update + delete), queryable via --ann-topk
+    with either query text (hash featurizer) or an explicit JSON
+    vector."""
+    from pgsync_spark.functions.hashing import (
+        hash_embed_py,
+        hash_embed_sparksql,
+    )
+
+    events = tmp_path / "vevents"
+    events.mkdir()
+    (events / "b1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in (
+                {
+                    "op": "UPDATE", "schema": "public", "table": "orders",
+                    "old": {"o_orderkey": "7"},
+                    "new": {"o_orderkey": "7", "o_custkey": "85",
+                            "o_orderpriority": "CLI-VECTOR"},
+                    "txid": 31,
+                },
+                {
+                    "op": "DELETE", "schema": "public", "table": "orders",
+                    "old": {"o_orderkey": "5"}, "txid": 32,
+                },
+            )
+        )
+    )
+    store = str(tmp_path / "vecstore")
+    rc = main(
+        [
+            "-c", _config(tmp_path),
+            "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "vout"),
+            "--daemon", "--drain",
+            "--events-dir", str(events),
+            "--checkpoint-dir", str(tmp_path / "vckpt"),
+            "--vector-store", store,
+            "--vector-expr",
+            hash_embed_sparksql("get_json_object(doc, '$.o_orderpriority')"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    # read side, text form: only the CDC-updated doc has this content
+    buf = io.StringIO()
+    rc = main(
+        ["--ann-topk", "CLI-VECTOR",
+         "--store-dir", os.path.join(store, "orders_cli")],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows[0]["neighbor_id"] == 7 and rows[0]["cosine"] == 1.0
+    assert 5 not in {r["neighbor_id"] for r in rows}  # deleted
+
+    # read side, explicit JSON vector form — same answer
+    buf2 = io.StringIO()
+    rc = main(
+        ["--ann-topk", json.dumps(hash_embed_py("CLI-VECTOR")),
+         "--store-dir", os.path.join(store, "orders_cli")],
+        spark=spark, out=buf2,
+    )
+    assert rc == 0
+    assert buf2.getvalue() == buf.getvalue()
+
+    # guards: no store / malformed vector / mode mixing
+    assert main(["--ann-topk", "x"], spark=spark) == 2
+    assert main(
+        ["--ann-topk", "[1, \"a\"]", "--store-dir",
+         os.path.join(store, "orders_cli")],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--ann-topk", "x", "--store-dir", store, "--daemon"],
+        spark=spark,
+    ) == 2

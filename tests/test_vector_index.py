@@ -214,3 +214,29 @@ def test_empty_index_topk_is_typed_empty(spark):
         "rank",
     ]
     idx.close()
+
+
+def test_null_embedding_upsert_raises(spark):
+    """r10 review: a NULL embedding on an upsert would index bucket-0
+    keys serving NULL cosines — the one-action validator refuses it
+    (delete tombstones carry NULL embeddings by design)."""
+    emb = _emb(spark).filter(F.col("vec_id") < 20)
+    emb_t = emb.schema["embedding"].dataType
+    idx = VectorIndex(spark)
+    idx.ingest(emb)
+    bad = spark.createDataFrame([(9,)], "vec_id bigint").select(
+        "vec_id",
+        F.lit(None).cast(emb_t).alias("embedding"),
+        F.lit("u").alias("op"),
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        idx.apply_cdc(bad)
+    # a delete with NULL embedding stays legal
+    idx.apply_cdc(
+        spark.createDataFrame([(9,)], "vec_id bigint").select(
+            "vec_id",
+            F.lit(None).cast(emb_t).alias("embedding"),
+            F.lit("d").alias("op"),
+        )
+    )
+    idx.close()
