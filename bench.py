@@ -857,16 +857,42 @@ def _compact(out: dict, detail_path: str) -> dict:
     # shed until the line fits: first the FREE step (query medians to
     # 2dp — ~1 char per query, precision no comparison uses), then
     # diagnostics in fixed order (never the metrics themselves). The
-    # tail steps (r7 advice: the loop used to run out of levers at
-    # batch_scaling) keep shedding diagnostics and finally precision —
-    # noise_flags_n (one int) always survives, and the per-query keys
-    # and values always ride the line.
-    for drop in ("round2", "noise_flags", "errors", "canary",
-                 "batch_scaling", "scaling", "errors_n", "round1"):
+    # scaling/batch MEDIANS shed before the canary (they ride in
+    # BENCH_DETAIL.json verbatim; the ratios are the signal), and the
+    # canary slims to its ratio before vanishing — it is the one
+    # diagnostic that can adjudicate a noisy driver window (it did in
+    # r9), so it is the LAST thing to leave the line. The tail steps
+    # (r7 advice: the loop used to run out of levers at batch_scaling)
+    # keep shedding diagnostics and finally precision — noise_flags_n
+    # (one int) always survives, and the per-query keys and values
+    # always ride the line.
+    for drop in ("round2", "noise_flags", "errors", "scaling_medians",
+                 "batch_medians", "errors_n", "canary_slim", "canary",
+                 "batch_scaling", "scaling", "round1"):
         if len(json.dumps(c, separators=(",", ":"))) <= _COMPACT_BUDGET:
             break
         if drop == "round2":
             c["queries"] = {k: round(v, 2) for k, v in c["queries"].items()}
+            continue
+        if drop == "scaling_medians":
+            if "scaling" in c:
+                c["scaling"] = {
+                    k: v for k, v in c["scaling"].items() if "ratio" in k
+                }
+            continue
+        if drop == "batch_medians":
+            if "batch_scaling" in c:
+                c["batch_scaling"] = {
+                    k: v
+                    for k, v in c["batch_scaling"].items()
+                    if "ratio" in k
+                }
+            continue
+        if drop == "canary_slim":
+            if "canary" in c and "end_over_start" in c["canary"]:
+                c["canary"] = {
+                    "end_over_start": c["canary"]["end_over_start"]
+                }
             continue
         if drop == "round1":
             # last lever: 1dp medians (±0.05s — still orders every

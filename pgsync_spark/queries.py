@@ -2672,6 +2672,178 @@ REGISTRY["engine_sync_ann_topk"] = QueryDef(
 )
 
 
+# the capstone of the engine-owned index story: ONE engine, TWO
+# doc_consumers — the lexical index (standard analyzer over priority +
+# customer name) and the vector index (hash featurizer over priority)
+# — maintained through the SAME full sync + mixed CDC batch, then
+# fused with reciprocal-rank fusion. The semantic query vector is the
+# featurization of '9-INC' (a CDC-only priority), so the fused top
+# moves with the update path on BOTH legs.
+_ENGINE_HYB_CAND_K = 50
+
+
+def engine_sync_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval over TWO engine-owned indexes maintained by
+    one IncrementalEngine (the reference topology where one sync
+    feeds both a text mapping and a dense_vector/knn_vector mapping
+    in the same index — ref: pgsync/constants.py:83-129 lets a single
+    document declare both, plugins/sentence_transformer_plugin.py
+    adds the vector field alongside the text fields): full sync →
+    seed a standard-analyzer BM25Index AND a VectorIndex from ONE
+    docs_for_sink() frame → the same mixed CDC batch flows through
+    the engine and, via two doc_consumers registrations, into both
+    indexes as one epoch each → BM25 top-50 (lexical leg) ⋈ ANN
+    top-50 (semantic leg) fused by rrf = sum(1/(60+rank)) in exact
+    fixed-point nano-units (the hybrid_search_rrf arithmetic). Must
+    hash-match the same two-leg fusion computed one-shot over the
+    post-CDC denormalized corpus.
+
+    Scale shape: maintenance is O(batch) per index (projections over
+    checkpoints the engine batch already materialized); the lexical
+    read is term-pruned + overlay-folded, the semantic read is a
+    broadcast probe join + id-join re-rank; the fusion join runs on
+    50+50 rows."""
+    from .functions.bm25_index import BM25Index
+    from .functions.hashing import hash_embed_py, hash_embed_sparksql
+    from .functions.vector_index import VectorIndex
+    from .streaming import (
+        IncrementalEngine,
+        SearchIndexMaintainer,
+        VectorIndexMaintainer,
+        payloads_from_rows,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    bidx = BM25Index(spark, analyzer="standard")
+    vidx = VectorIndex(spark)
+    bm = SearchIndexMaintainer(bidx, text_expr=_ENGINE_BM25_STD_TEXT)
+    vm = VectorIndexMaintainer(
+        vidx, vec_expr=hash_embed_sparksql(_ENGINE_ANN_VEC_TEXT)
+    )
+    docs = eng.docs_for_sink()  # ONE frame seeds both indexes
+    bm.seed(docs)
+    vm.seed(docs)
+    eng.doc_consumers.extend([bm, vm])
+    eng.process_batch(
+        payloads_from_rows(spark, _incremental_events(spark, cat))
+    )
+    lex = bidx.topk(_ENGINE_BM25_STD_TERMS, k=_ENGINE_HYB_CAND_K).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    qdf = spark.createDataFrame(
+        [(0, hash_embed_py(_ENGINE_ANN_QUERY_TEXTS[0]))],
+        "query_id bigint, embedding array<double>",
+    )
+    sem = vidx.topk(qdf, k=_ENGINE_HYB_CAND_K).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    rrf_k = float(HYBRID_RRF_K)
+
+    def leg(rank_col):
+        return F.coalesce(
+            F.floor(F.lit(1e9) / (F.lit(rrf_k) + rank_col) + F.lit(0.5))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (leg(F.col("lex_rank")) + leg(F.col("sem_rank"))).alias(
+                "rrf_micro"
+            ),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(HYBRID_TOP_N)
+        .withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+            .cast("int"),
+        )
+    )
+    out = fused.localCheckpoint(eager=True)
+    bidx.close()
+    vidx.close()
+    eng._teardown_stores()
+    return out
+
+
+def _engine_hybrid_oracle() -> str:
+    from .functions.hashing import hash_embed_sql
+    from .functions.vector_index import vector_topk_sql
+
+    return (
+        _INCR_ORACLE_CTES.rstrip()
+        + ",\ndocs AS ("
+        + oracle_doc_sql(
+            schemas.tree("orders_full"),
+            TPCH_TABLES,
+            schemas.columns_of,
+            schemas.column_type_of,
+            table_names={"orders": "orders_mut", "customer": "customer_mut"},
+        )
+        + f"""),
+documents AS (
+  SELECT CAST(_id AS BIGINT) AS doc_id,
+         concat_ws(' ', json_extract_string(doc, '$.o_orderpriority'),
+                   json_extract_string(doc, '$.customer.c_name')) AS text,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS source
+  FROM docs
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+  FROM ({_bm25_scored_sql(_ENGINE_BM25_STD_TERMS, analyzer="standard")})
+  WHERE score_micro > 0
+  ORDER BY score_micro DESC, doc_id LIMIT {_ENGINE_HYB_CAND_K}
+),
+vcorpus AS (
+  SELECT CAST(_id AS BIGINT) AS vec_id,
+         {hash_embed_sql("json_extract_string(doc, '$.o_orderpriority')")}
+           AS embedding
+  FROM docs
+),
+vqueries AS (
+  SELECT 0 AS query_id,
+         {hash_embed_sql(repr(_ENGINE_ANN_QUERY_TEXTS[0]))} AS embedding
+),
+sem AS (
+  WITH {vector_topk_sql("vcorpus", "vqueries", k=_ENGINE_HYB_CAND_K)}
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+FROM (
+  SELECT COALESCE(lex.doc_id, sem.neighbor_id) AS doc_id,
+         lex.lex_rank AS lex_rank,
+         sem.rank AS sem_rank,
+         (COALESCE(CAST(floor(1e9 / ({HYBRID_RRF_K} + lex.lex_rank)
+                              + 0.5) AS BIGINT), 0)
+          + COALESCE(CAST(floor(1e9 / ({HYBRID_RRF_K} + sem.rank)
+                                + 0.5) AS BIGINT), 0)) AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.neighbor_id
+)
+ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_TOP_N}"""
+    )
+
+
+# oracle filled below the hybrid_search_rrf section — the fusion
+# constants (HYBRID_RRF_K / HYBRID_TOP_N) live there
+REGISTRY["engine_sync_hybrid_topk"] = QueryDef(
+    fn=engine_sync_hybrid_topk, oracle=None
+)
+
+
 def _vector_index_oracle(corpus_ctes: str, corpus: str) -> str:
     """Shared oracle assembly for the VectorIndex registry queries:
     the 5 demo query vectors (always the ORIGINAL embeddings — CDC
@@ -3416,6 +3588,12 @@ def hybrid_search_rrf(spark, sf_dir):
         .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
         .cast("int"),
     )
+
+
+# deferred from the engine_sync section: the oracle composes the
+# incremental-engine mutated-views CTEs with both retrieval legs and
+# the fusion constants defined just above
+REGISTRY["engine_sync_hybrid_topk"].oracle = _engine_hybrid_oracle()
 
 
 @register(

@@ -118,10 +118,14 @@ def test_compact_line_fits_budget_at_real_size():
         abs(c["queries"][k] - queries[k]) <= 0.005 for k in queries
     )
     assert "query_samples" not in c  # bulk stays in the detail file
+    # the RATIOS always survive shedding (the medians may slim to the
+    # detail file as the query list grows — they ride there verbatim)
     assert c["scaling"]["full_sync_ratio"] == 3.61
     assert c["batch_scaling"]["time_ratio"] == 1.27
-    assert c["canary"] == {"start": 0.0712, "end": 0.0698,
-                           "end_over_start": 0.98}
+    # the canary outlives every other diagnostic: it is what
+    # adjudicates a noisy driver window (r9), so at minimum its ratio
+    # rides the line even when the medians had to slim
+    assert c["canary"]["end_over_start"] == 0.98
     assert c["streaming_drain"] == 15.5
     # the flag COUNT always rides the line; the prose is the first
     # diagnostic shed as the query list grows (r8: 45 metrics) — it

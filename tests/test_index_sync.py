@@ -397,3 +397,65 @@ def test_string_pk_tree_seeds_and_serves_via_hash_id(spark):
     finally:
         idx.close()
         eng._teardown_stores()
+
+
+def test_two_maintainers_one_engine(spark):
+    """The hybrid deployment (engine_sync_hybrid_topk's topology):
+    a BM25Index AND a VectorIndex registered as two doc_consumers on
+    ONE engine — a single CDC batch must keep BOTH current, and a
+    root TRUNCATE must clear BOTH."""
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))
+    eng.full_sync()
+    bidx = BM25Index(spark)
+    vidx = VectorIndex(spark)
+    bm = SearchIndexMaintainer(bidx, text_expr=TEXT_EXPR)
+    vm = VectorIndexMaintainer(vidx, vec_expr=hash_embed_sparksql(VEC_TEXT))
+    docs = eng.docs_for_sink()
+    bm.seed(docs)
+    vm.seed(docs)
+    eng.doc_consumers.extend([bm, vm])
+    try:
+        cat = eng.catalog
+        upd = _order_row(cat, 7)
+        ev = payloads_from_rows(
+            spark,
+            [
+                {"op": "UPDATE", "table": "orders",
+                 "old": {"o_orderkey": 7},
+                 "new": dict(upd, o_orderpriority="incrementalpriority"),
+                 "txid": 40},
+                {"op": "DELETE", "table": "orders",
+                 "old": {"o_orderkey": 5}, "txid": 41},
+            ],
+        )
+        eng.process_batch(ev)
+        post = eng.docs_for_sink()
+        # lexical leg: parity with a fresh one-shot index, update visible
+        got_lex = [tuple(r) for r in bidx.topk(QUERY, k=10).collect()]
+        assert got_lex == _oneshot_topk(spark, post)
+        assert 7 in {t[0] for t in got_lex}
+        # semantic leg: parity with a fresh one-shot index off the SAME
+        # post-CDC corpus, the moved vector serves at cosine 1.0
+        q = _qframe(spark, "incrementalpriority")
+        got_sem = [
+            tuple(r)
+            for r in vidx.topk(q, k=10).orderBy("query_id", "rank").collect()
+        ]
+        assert got_sem == _oneshot_ann(spark, post, q)
+        assert got_sem[0][1] == 7 and got_sem[0][2] == 1.0
+        assert 5 not in {t[1] for t in got_sem}
+
+        # TRUNCATE reaches every registered consumer
+        eng.process_batch(
+            payloads_from_rows(
+                spark,
+                [{"op": "TRUNCATE", "table": "orders", "txid": 42}],
+            )
+        )
+        assert bidx.topk(QUERY, k=10).count() == 0
+        assert vidx.topk(q, k=10).count() == 0
+    finally:
+        bidx.close()
+        vidx.close()
+        eng._teardown_stores()
