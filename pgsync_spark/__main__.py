@@ -132,14 +132,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--dedup-index",
-        choices=("minhash", "embedding", "bm25", "vector"),
+        choices=("minhash", "embedding", "bm25", "vector", "ivf"),
         default="minhash",
         help="index maintained by --dedup-stream: MinHash near-dup "
         "over text docs, sign-LSH near-dup over embedding vectors, "
         "a BM25 inverted search index, or an ANN vector serving "
-        "index (the two serving indexes accept everything — "
-        "decisions stay empty; the same exactly-once epoch pipeline "
-        "keeps a continuously-queryable index)",
+        "index — 'vector' (sign-LSH keys) or 'ivf' (trained frozen "
+        "coarse codebook; the FIRST batch must be a representative "
+        "seed corpus, it trains the centroids). Serving indexes "
+        "accept everything — decisions stay empty; the same "
+        "exactly-once epoch pipeline keeps them continuously "
+        "queryable",
     )
     p.add_argument(
         "--dedup-out", default=None,
@@ -324,7 +327,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
     index probe → accepted/decisions(/stats) under --dedup-out."""
     from .functions.bm25_index import BM25Index
     from .functions.dedup_index import EmbeddingIndex, MinHashIndex
-    from .functions.vector_index import VectorIndex
+    from .functions.vector_index import IVFVectorIndex, VectorIndex
     from .streaming.stream import DEDUP_DOCS_SCHEMA, start_dedup_stream
 
     owns_spark = spark is None
@@ -337,8 +340,9 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         "embedding": EmbeddingIndex,
         "bm25": BM25Index,
         "vector": VectorIndex,
+        "ivf": IVFVectorIndex,
     }[args.dedup_index]
-    vec_shaped = args.dedup_index in ("embedding", "vector")
+    vec_shaped = args.dedup_index in ("embedding", "vector", "ivf")
     schema = (
         "vec_id bigint, embedding array<float>"
         if vec_shaped
@@ -366,7 +370,13 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         else:
             index = cls(spark)
         if args.probe_hamming is not None:
-            if not hasattr(index, "probe_hamming"):
+            from .functions.vector_index import IVFVectorIndex
+
+            if not hasattr(index, "probe_hamming") or isinstance(
+                index, IVFVectorIndex
+            ):
+                # the IVF probe set is the nprobe cell list — a
+                # Hamming width would be silently ignored, so refuse
                 print(
                     "--probe-hamming applies only to "
                     "--dedup-index embedding/vector",
@@ -420,7 +430,7 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
     itself) or text for the default hash featurizer."""
     import json
 
-    from .functions.vector_index import VectorIndex
+    from .functions.vector_index import IVFVectorIndex, VectorIndex
 
     owns_spark = spark is None
     if owns_spark:
@@ -444,14 +454,22 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
 
             vec = hash_embed_py(q)
         try:
-            if not os.path.exists(
-                os.path.join(args.store_dir, "CURRENT")
-            ):
+            manifest = os.path.join(args.store_dir, "CURRENT")
+            if not os.path.exists(manifest):
                 raise ValueError(
                     "no CURRENT manifest (not a vector store, or the "
                     "path is wrong)"
                 )
-            idx = VectorIndex.load(spark, args.store_dir)
+            # dispatch on the manifest's writing class: both vector
+            # index families answer the same topk contract, but keys
+            # assigned under one scheme are unreadable under another
+            with open(manifest) as f:
+                written_by = json.load(f).get("index", "VectorIndex")
+            cls = {
+                "VectorIndex": VectorIndex,
+                "IVFVectorIndex": IVFVectorIndex,
+            }.get(written_by, VectorIndex)
+            idx = cls.load(spark, args.store_dir)
         except (OSError, ValueError) as e:
             print(f"--ann-topk: cannot load {args.store_dir}: {e}",
                   file=sys.stderr)

@@ -91,6 +91,33 @@ class VectorIndex(_AppendOnlyIndex):
     # index families can never drift apart on cell geometry
     _band_keys = staticmethod(EmbeddingIndex._band_keys)
 
+    # -- key-scheme hooks (overridden by IVFVectorIndex) ---------------------
+
+    def _key_frame(self, df: DataFrame) -> DataFrame:
+        """(vec_id, band, bucket) stored keys for a batch."""
+        return self._band_keys(df)
+
+    def _probe_frame(self, qkeys: DataFrame) -> DataFrame:
+        """(query_id, band, bucket) probe keys for a query frame
+        shaped (vec_id=query_id, embedding) — sign-LSH buckets plus
+        every Hamming<=probe_hamming perturbation."""
+        from .similarity import PLANES_PER_BAND, probe_buckets
+
+        probe = self._band_keys(qkeys).select(
+            F.col("vec_id").alias("query_id"), "band", "bucket"
+        )
+        if self.probe_hamming:
+            probe = probe.select(
+                "query_id",
+                "band",
+                F.explode(
+                    probe_buckets(
+                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
+                    )
+                ).alias("bucket"),
+            )
+        return probe
+
     def ingest(
         self, batch_df: DataFrame, epoch: int | None = None
     ) -> DataFrame:
@@ -177,7 +204,7 @@ class VectorIndex(_AppendOnlyIndex):
                     F.lit("d").alias("op"),
                 )
             )
-        keys = self._band_keys(base).withColumn("ver", ver)
+        keys = self._key_frame(base).withColumn("ver", ver)
         try:
             self._append(keys, vals, decisions, epoch)
         finally:
@@ -203,8 +230,7 @@ class VectorIndex(_AppendOnlyIndex):
         join vals by id for the exact re-rank — the corpus-sized
         frames are never shuffled, and with a store the keys scan is
         band/bucket row-group-prunable."""
-        from .similarity import PLANES_PER_BAND, TOP_K, _dot, _norm
-        from .similarity import probe_buckets
+        from .similarity import TOP_K, _dot, _norm
 
         if k is None:
             k = TOP_K
@@ -218,19 +244,7 @@ class VectorIndex(_AppendOnlyIndex):
         qkeys = q.select(
             F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")
         )
-        probe = self._band_keys(qkeys).select(
-            F.col("vec_id").alias("query_id"), "band", "bucket"
-        )
-        if self.probe_hamming:
-            probe = probe.select(
-                "query_id",
-                "band",
-                F.explode(
-                    probe_buckets(
-                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
-                    )
-                ).alias("bucket"),
-            )
+        probe = self._probe_frame(qkeys)
         if self._has_cdc:
             # shared overlay fold — tombstoned/shadowed versions never
             # serve (see _AppendOnlyIndex._cdc_live)
@@ -270,6 +284,96 @@ class VectorIndex(_AppendOnlyIndex):
             scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+
+class IVFVectorIndex(VectorIndex):
+    """VectorIndex with a TRAINED, FROZEN coarse quantizer instead of
+    sign-LSH bands — the maintained-index form of ann_ivf_trained_topk
+    (the topology real ANN deployments run: FAISS-style IVF indexes
+    train their coarse codebook once at build and assign every later
+    insert under it; retraining is a rebuild, not an update — the
+    reference's knn_vector mapping types sit on exactly such engines,
+    pgsync/constants.py:117).
+
+    The FIRST ingest trains IVF_CELLS centroids over that seed batch
+    (similarity._ivf_trained_centroids — integer-exact Lloyd over a
+    bounded hash-sample, deterministic, oracle-replayable; the batch
+    must contain the codebook-init ids, see that function). Every
+    later batch — CDC upserts included — assigns under the STORED
+    centroids in one Arrow pass (ivf_assign_trained), so a CDC update
+    that moves a vector moves its CELL. Keys: (vec_id, band=0,
+    bucket=cell_id). A query probes its IVF_NPROBE nearest cells;
+    candidates re-rank by exact cosine — the same broadcast-probe +
+    id-join plan as the LSH form, cell-pruned instead of band-pruned.
+
+    Centroids are INDEX STATE: persisted in the manifest
+    (_manifest_extra) and restored by load(), like BM25's analyzer —
+    keys assigned under one codebook are unreadable under another."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | None = None,
+        overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
+    ):
+        # probe_hamming=0: the IVF probe set is the nprobe cell list,
+        # never Hamming perturbations (that dial is sign-LSH-specific)
+        super().__init__(
+            spark, store_dir, probe_hamming=0, overlay_cap=overlay_cap
+        )
+        self._cents: list[list[int]] | None = None
+
+    def _manifest_extra(self) -> dict:
+        return {"ivf_cents": self._cents}
+
+    def _load_manifest_extra(self, m: dict) -> None:
+        self._cents = m.get("ivf_cents")
+
+    def _require_cents(self) -> list[list[int]]:
+        if self._cents is None:
+            raise ValueError(
+                "IVFVectorIndex has no trained codebook — the FIRST "
+                "ingest trains it; seed with a representative corpus "
+                "before querying or applying CDC"
+            )
+        return self._cents
+
+    def apply_cdc(
+        self, batch_df: DataFrame, epoch: int | None = None
+    ) -> DataFrame:
+        # a CDC batch must never TRAIN (the codebook froze at seed;
+        # training on a mutation batch would silently re-bucket
+        # nothing but the batch) — require it up front for a clear
+        # error instead of _key_frame training on the wrong corpus
+        self._require_cents()
+        return super().apply_cdc(batch_df, epoch)
+
+    def _key_frame(self, df: DataFrame) -> DataFrame:
+        from .similarity import _ivf_trained_centroids, ivf_assign_trained
+
+        if self._cents is None:
+            # first ingest = build: train here so the centroids are
+            # set before _append commits the manifest that persists
+            # them (training collects eagerly inside)
+            self._cents = _ivf_trained_centroids(df)
+        return (
+            ivf_assign_trained(df, self._cents)
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                F.lit(0).alias("band"),
+                F.col("cell_id").alias("bucket"),
+            )
+        )
+
+    def _probe_frame(self, qkeys: DataFrame) -> DataFrame:
+        from .similarity import ivf_assign_trained
+
+        return ivf_assign_trained(qkeys, self._require_cents()).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(0).alias("band"),
+            F.col("cell_id").alias("bucket"),
         )
 
 

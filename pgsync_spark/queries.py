@@ -2892,28 +2892,16 @@ REGISTRY["ann_index_topk"] = QueryDef(
 )
 
 
-def ann_index_cdc_topk(spark, sf_dir):
-    """ann_index_topk taken through the CDC lifecycle: bulk-ingest in
-    2 batches, then one CDC epoch that UPDATES every corpus vector
-    with vec_id % 7 == 3 to its successor's embedding (vec_id+1 —
-    the vector MOVES, so its buckets and every affected ranking move
-    with it) and DELETES every vec_id % 7 == 5, then query the held
-    state. Must hash-match the one-shot probe over the post-CDC
-    corpus (updated-away versions never serve, tombstoned vectors
-    rank nowhere). Query vectors (vec_id < N_QUERIES) are excluded
-    from both mutations.
-
-    Scale shape: the CDC epoch is O(batch) appended versions +
-    tombstones; the query folds the broadcast overlay over the keys
-    slice (shared _AppendOnlyIndex machinery)."""
+def _vec_cdc_batch(emb: DataFrame):
+    """The ONE vector-CDC mutation used by every vector-index CDC
+    query (engine side): UPDATE every vec_id % 7 == 3 to its
+    successor's embedding (the vector MOVES), DELETE every
+    vec_id % 7 == 5; query vectors (vec_id < N_QUERIES) excluded from
+    both. The DuckDB side is _VEC_MUT_CTE — one definition per side,
+    never hand-synchronized copies."""
     from .functions.similarity import N_QUERIES
-    from .functions.vector_index import VectorIndex
 
-    emb = Catalog(spark, sf_dir).df("embeddings")
     emb_t = emb.schema["embedding"].dataType
-    idx = VectorIndex(spark)
-    for m in range(2):
-        idx.ingest(emb.filter(F.col("vec_id") % 2 == m))
     nxt = emb.select(
         (F.col("vec_id") - 1).alias("vec_id"),
         F.col("embedding").alias("nemb"),
@@ -2936,7 +2924,41 @@ def ann_index_cdc_topk(spark, sf_dir):
         F.lit(None).cast(emb_t).alias("embedding"),
         F.lit("d").alias("op"),
     )
-    idx.apply_cdc(ups.unionByName(dels))
+    return ups.unionByName(dels)
+
+
+_VEC_MUT_CTE = f"""vec_mut AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 7 = 3 AND e.vec_id >= {_sim.N_QUERIES}
+                   AND e2.vec_id IS NOT NULL
+              THEN e2.embedding ELSE e.embedding END AS embedding
+  FROM embeddings e
+  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
+  WHERE NOT (e.vec_id % 7 = 5 AND e.vec_id >= {_sim.N_QUERIES})
+),
+"""
+
+
+def ann_index_cdc_topk(spark, sf_dir):
+    """ann_index_topk taken through the CDC lifecycle: bulk-ingest in
+    2 batches, then one CDC epoch (_vec_cdc_batch: updates move
+    vectors to their successor's embedding — so their buckets and
+    every affected ranking move with them — deletes tombstone), then
+    query the held state. Must hash-match the one-shot probe over the
+    post-CDC corpus (updated-away versions never serve, tombstoned
+    vectors rank nowhere).
+
+    Scale shape: the CDC epoch is O(batch) appended versions +
+    tombstones; the query folds the broadcast overlay over the keys
+    slice (shared _AppendOnlyIndex machinery)."""
+    from .functions.similarity import N_QUERIES
+    from .functions.vector_index import VectorIndex
+
+    emb = Catalog(spark, sf_dir).df("embeddings")
+    idx = VectorIndex(spark)
+    for m in range(2):
+        idx.ingest(emb.filter(F.col("vec_id") % 2 == m))
+    idx.apply_cdc(_vec_cdc_batch(emb))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2947,19 +2969,111 @@ def ann_index_cdc_topk(spark, sf_dir):
 
 REGISTRY["ann_index_cdc_topk"] = QueryDef(
     fn=ann_index_cdc_topk,
-    oracle=_vector_index_oracle(
-        f"""vec_mut AS (
-  SELECT e.vec_id,
-         CASE WHEN e.vec_id % 7 = 3 AND e.vec_id >= {_sim.N_QUERIES}
-                   AND e2.vec_id IS NOT NULL
-              THEN e2.embedding ELSE e.embedding END AS embedding
-  FROM embeddings e
-  LEFT JOIN embeddings e2 ON e2.vec_id = e.vec_id + 1
-  WHERE NOT (e.vec_id % 7 = 5 AND e.vec_id >= {_sim.N_QUERIES})
+    oracle=_vector_index_oracle(_VEC_MUT_CTE, "vec_mut"),
+)
+
+
+def ann_ivf_index_cdc_topk(spark, sf_dir):
+    """The TRAINED maintained index through the CDC lifecycle
+    (IVFVectorIndex — the FAISS-style discipline: the coarse codebook
+    trains ONCE at seed over the initial corpus and FREEZES; every
+    later batch assigns under the stored centroids): seed-ingest the
+    whole embeddings corpus (trains IVF_CELLS integer-exact Lloyd
+    centroids), apply one CDC epoch (_vec_cdc_batch — an updated
+    vector is re-assigned under the frozen codebook, so it can cross
+    CELLS), then ANN topk for the demo queries. Must hash-match a
+    DuckDB oracle that REPLAYS the training bit-for-bit over the seed
+    corpus, assigns the post-CDC corpus under the resulting
+    centroids, probes each query's IVF_NPROBE nearest cells, and
+    exact-cosine re-ranks.
+
+    Scale shape: training is driver-side over a bounded hash-sample
+    (raises over budget); seed assignment is ONE Arrow pass with the
+    centroids broadcast in the closure; the CDC epoch re-assigns only
+    the batch; the query probes nprobe cells and re-ranks candidates
+    only — the same broadcast-probe + id-join plan as the LSH form,
+    cell-pruned instead of band-pruned."""
+    from .functions.similarity import N_QUERIES
+    from .functions.vector_index import IVFVectorIndex
+
+    emb = Catalog(spark, sf_dir).df("embeddings")
+    idx = IVFVectorIndex(spark)
+    idx.ingest(emb)  # seed = build: trains + freezes the codebook
+    idx.apply_cdc(_vec_cdc_batch(emb))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.topk(q, exclude_self=True).localCheckpoint(eager=True)
+    idx.close()
+    return out
+
+
+def _ivf_index_cdc_oracle() -> str:
+    from .functions.hashing import round6_sql
+    from .functions.similarity import (
+        EMB_DIM,
+        IVF_NPROBE,
+        IVFT_ITERS,
+        N_QUERIES,
+        TOP_K,
+        _dot_sql,
+        _ivf_trained_sql_ctes,
+        _norm_sql,
+        _normalized_sql,
+    )
+
+    cos = round6_sql(
+        _dot_sql("e1.embedding", "e2.embedding")
+        + " / ("
+        + _norm_sql("e1.embedding")
+        + " * "
+        + _norm_sql("e2.embedding")
+        + ")"
+    )
+    return f"""WITH {_ivf_trained_sql_ctes()},
+{_VEC_MUT_CTE}
+mnorm AS (
+  SELECT vec_id, {_normalized_sql("embedding")} AS nv FROM vec_mut
 ),
-""",
-        "vec_mut",
-    ),
+mpts AS (
+  SELECT vec_id, d, CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
+  FROM mnorm, (SELECT unnest(range({EMB_DIM})) AS d)
+),
+mdist AS (
+  SELECT p.vec_id, c.c, sum((p.q - c.q) * (p.q - c.q)) AS dd
+  FROM mpts p JOIN icent{IVFT_ITERS} c ON c.d = p.d
+  GROUP BY p.vec_id, c.c
+),
+massign AS (
+  SELECT vec_id AS neighbor_id, c AS cell_id FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dd, c) AS rn
+    FROM mdist
+  ) WHERE rn = 1
+),
+iqprobe AS (
+  SELECT vec_id AS query_id, cell_id FROM itrk
+  WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+icand AS (
+  SELECT q.query_id, a.neighbor_id
+  FROM iqprobe q JOIN massign a ON a.cell_id = q.cell_id
+  WHERE a.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY {cos} DESC, c.neighbor_id) AS INT) AS rank
+  FROM icand c
+  JOIN embeddings e1 ON e1.vec_id = c.query_id
+  JOIN vec_mut e2 ON e2.vec_id = c.neighbor_id
+) WHERE rank <= {TOP_K}"""
+
+
+REGISTRY["ann_ivf_index_cdc_topk"] = QueryDef(
+    fn=ann_ivf_index_cdc_topk, oracle=_ivf_index_cdc_oracle()
 )
 
 

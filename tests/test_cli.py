@@ -1098,3 +1098,55 @@ def test_cli_vector_store_engine_owned_index(spark, tmp_path):
         ["--ann-topk", "x", "--store-dir", store, "--daemon"],
         spark=spark,
     ) == 2
+
+
+def test_cli_dedup_stream_ivf_index_and_ann_topk(spark, tmp_path):
+    """--dedup-index ivf: the stream's FIRST batch is the seed corpus
+    (it trains the frozen coarse codebook, which must persist in the
+    manifest), and --ann-topk dispatches on the manifest's writing
+    class to serve from the IVF store."""
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.similarity import IVF_CELLS, N_QUERIES
+
+    docs_dir = tmp_path / "ivecs"
+    docs_dir.mkdir()
+    # the seed batch must span the codebook-init ids
+    # [N_QUERIES, N_QUERIES + IVF_CELLS)
+    n = N_QUERIES + IVF_CELLS + 5
+    with open(docs_dir / "b0.json", "w") as f:
+        for i in range(n):
+            f.write(json.dumps(
+                {"vec_id": i, "embedding": hash_embed_py(f"t{i}")}
+            ) + "\n")
+
+    store = str(tmp_path / "istore")
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "ivf",
+            "--checkpoint-dir", str(tmp_path / "ickpt"),
+            "--dedup-out", str(tmp_path / "iout"),
+            "--store-dir", store,
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    with open(os.path.join(store, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["index"] == "IVFVectorIndex"
+    assert m["ivf_cents"] and len(m["ivf_cents"]) == IVF_CELLS
+
+    # read side: manifest dispatch loads the IVF class, exact-content
+    # query serves its own vector at cosine 1.0
+    buf = io.StringIO()
+    rc = main(
+        ["--ann-topk", json.dumps(hash_embed_py("t7")),
+         "--store-dir", store, "--topk-k", "3"],
+        spark=spark,
+        out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows and rows[0]["neighbor_id"] == 7
+    assert rows[0]["cosine"] == 1.0

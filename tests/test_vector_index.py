@@ -240,3 +240,64 @@ def test_null_embedding_upsert_raises(spark):
         )
     )
     idx.close()
+
+
+def test_ivf_codebook_freezes_and_survives_restart(spark, tmp_path):
+    """IVFVectorIndex: the coarse codebook trains ONCE at seed and is
+    INDEX STATE — a loaded store serves bit-identically without
+    retraining, a CDC update crosses cells under the frozen codebook,
+    and CDC/query before any training refuse loudly."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    q = _queries(emb)
+
+    # no codebook yet: both read and CDC paths refuse with the recipe
+    fresh = IVFVectorIndex(spark)
+    with pytest.raises(ValueError, match="no trained codebook"):
+        fresh.apply_cdc(emb.limit(1).selectExpr(
+            "vec_id", "embedding", "'u' AS op"))
+    fresh.close()
+
+    store = str(tmp_path / "ivf_store")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(emb)  # seed = build: trains + freezes
+    cents = idx._cents
+    assert cents is not None and len(cents) > 0
+    before = [
+        tuple(r)
+        for r in idx.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    idx.close()
+
+    # restart: centroids come back from the manifest, not retraining
+    idx2 = IVFVectorIndex.load(spark, store)
+    assert idx2._cents == cents
+    assert [
+        tuple(r)
+        for r in idx2.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ] == before
+
+    # a CDC update re-assigns the moved vector under the FROZEN
+    # codebook: give vec 9 the exact embedding of vec 8 — they must
+    # land in the same cell and serve identical cosines vs any query
+    mv = emb.filter(F.col("vec_id") == 8).select(
+        F.lit(9).cast("bigint").alias("vec_id"),
+        "embedding",
+        F.lit("u").alias("op"),
+    )
+    idx2.apply_cdc(mv)
+    assert idx2._cents == cents  # CDC never retrains
+    # read the LATEST key version per id (raw keys still carry vec
+    # 9's shadowed seed-time row until a compact folds it)
+    rows = idx2.keys.filter(F.col("vec_id").isin(8, 9)).collect()
+    latest = {}
+    for r in rows:
+        if r["vec_id"] not in latest or r["ver"] > latest[r["vec_id"]][1]:
+            latest[r["vec_id"]] = (r["bucket"], r["ver"])
+    assert latest[9][0] == latest[8][0]
+    idx2.close()
