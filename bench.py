@@ -867,8 +867,8 @@ def _compact(out: dict, detail_path: str) -> dict:
     # (one int) always survives, and the per-query keys and values
     # always ride the line.
     for drop in ("round2", "noise_flags", "errors", "scaling_medians",
-                 "batch_medians", "errors_n", "canary_slim", "canary",
-                 "batch_scaling", "scaling", "round1"):
+                 "batch_medians", "errors_n", "canary_slim",
+                 "batch_scaling", "scaling", "canary", "round1"):
         if len(json.dumps(c, separators=(",", ":"))) <= _COMPACT_BUDGET:
             break
         if drop == "round2":

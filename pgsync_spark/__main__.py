@@ -360,6 +360,9 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             schema + ", op string" if vec_shaped else CDC_DOCS_SCHEMA
         )
     try:
+        had_manifest = bool(args.store_dir) and os.path.exists(
+            os.path.join(args.store_dir, "CURRENT")
+        )
         if args.store_dir:
             # ALWAYS via load(): it resumes a committed store, starts
             # fresh on an empty dir, and loudly refuses a torn or
@@ -369,9 +372,31 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             index = cls.load(spark, args.store_dir)
         else:
             index = cls(spark)
+        if args.bm25_analyzer is not None:
+            # the same contract as --bm25-store: the analyzer is index
+            # state — a fresh index takes it, a committed store keeps
+            # the one it was built with and a mismatch refuses (r10
+            # review finding: the flag was silently ignored here)
+            if args.dedup_index != "bm25":
+                print(
+                    "--bm25-analyzer applies only to "
+                    "--dedup-index bm25",
+                    file=sys.stderr,
+                )
+                index.close()
+                return 2
+            if had_manifest and index.analyzer != args.bm25_analyzer:
+                print(
+                    f"existing BM25 store at {args.store_dir} was "
+                    f"built with analyzer={index.analyzer!r}; "
+                    f"--bm25-analyzer {args.bm25_analyzer} cannot "
+                    "re-tokenize it — re-seed into a fresh DIR",
+                    file=sys.stderr,
+                )
+                index.close()
+                return 2
+            index.analyzer = args.bm25_analyzer
         if args.probe_hamming is not None:
-            from .functions.vector_index import IVFVectorIndex
-
             if not hasattr(index, "probe_hamming") or isinstance(
                 index, IVFVectorIndex
             ):
@@ -475,6 +500,35 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
                   file=sys.stderr)
             return 2
         try:
+            # dimension gate: a short query vector zip_with-pads to
+            # NULL cosines (LSH) or dies in numpy broadcasting (IVF) —
+            # refuse with the numbers instead. Stored dim: the trained
+            # codebook when there is one, else one peeked live vector
+            # (tombstones carry NULL embeddings — skip them).
+            from pyspark.sql import functions as F
+
+            dim = None
+            if getattr(idx, "_cents", None):
+                dim = len(idx._cents[0])
+            elif idx.vals is not None:
+                row = (
+                    idx.vals.filter(F.col("embedding").isNotNull())
+                    .select(F.size("embedding").alias("d"))
+                    .limit(1)
+                    .collect()
+                )
+                if row:
+                    dim = row[0]["d"]
+            if dim is not None and dim != len(vec):
+                print(
+                    f"--ann-topk: query vector has {len(vec)} dims "
+                    f"but the store holds {dim}-dim vectors — pass a "
+                    f"{dim}-dim JSON vector (text queries use the "
+                    f"{len(vec)}-dim hash featurizer and only fit "
+                    "stores built with it)",
+                    file=sys.stderr,
+                )
+                return 2
             qdf = spark.createDataFrame(
                 [(0, vec)], "query_id bigint, embedding array<double>"
             )
@@ -917,24 +971,48 @@ def _run_sync(runner, args, out) -> int:
                 default_id_expr,
             )
 
+            from .functions.hashing import hash_embed_sparksql
+
+            # resolve the featurizer ONCE so the fresh-store stamp and
+            # the reload comparison use the same string (the
+            # maintainer's own default is this exact expression)
+            vec_expr = args.vector_expr or hash_embed_sparksql("doc")
             for name, eng in runner.engines.items():
                 path = os.path.join(args.vector_store, name)
                 fresh = not os.path.exists(
                     os.path.join(path, "CURRENT")
                 )
                 idx = (
-                    VectorIndex(spark, store_dir=path)
+                    VectorIndex(
+                        spark, store_dir=path, feature_expr=vec_expr
+                    )
                     if fresh
                     else VectorIndex.load(spark, path)
                 )
+                if (
+                    not fresh
+                    and idx.feature_expr is not None
+                    and idx.feature_expr != vec_expr
+                ):
+                    # vectors from one featurization are garbage under
+                    # another — refuse, exactly like --bm25-analyzer
+                    # (the manifest stamped the expr the store was
+                    # built with; pre-stamp stores skip the check)
+                    idx.close()
+                    print(
+                        f"[{name}] existing vector store at {path} "
+                        f"was built with --vector-expr "
+                        f"{idx.feature_expr!r}; the requested "
+                        f"featurizer differs and CDC upserts would "
+                        "mix feature spaces — re-seed into a fresh "
+                        "DIR",
+                        file=sys.stderr,
+                    )
+                    return 2
                 m = VectorIndexMaintainer(
                     idx,
                     id_expr=default_id_expr(eng),
-                    **(
-                        {"vec_expr": args.vector_expr}
-                        if args.vector_expr
-                        else {}
-                    ),
+                    vec_expr=vec_expr,
                     **(
                         {"compact_every": args.compact_every}
                         if args.compact_every is not None

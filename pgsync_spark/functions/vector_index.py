@@ -76,6 +76,7 @@ class VectorIndex(_AppendOnlyIndex):
         store_dir: str | None = None,
         probe_hamming: int | None = None,
         overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
+        feature_expr: str | None = None,
     ):
         super().__init__(spark, store_dir, overlay_cap=overlay_cap)
         if probe_hamming is None:
@@ -86,6 +87,20 @@ class VectorIndex(_AppendOnlyIndex):
         # manifest state — unlike BM25's analyzer, two processes may
         # serve the same store at different probe widths
         self.probe_hamming = probe_hamming
+        # an optional RECORD of the feature space the vectors came
+        # from (e.g. the maintainer's vec_expr): cosines across two
+        # featurizations are garbage, so writers that know their
+        # featurizer stamp it here, the manifest persists it, and
+        # load() restores it for the caller to compare (the CLI
+        # refuses a --vector-expr mismatch the way --bm25-analyzer
+        # does). None = unrecorded (library callers own the contract).
+        self.feature_expr = feature_expr
+
+    def _manifest_extra(self) -> dict:
+        return {"feature_expr": self.feature_expr}
+
+    def _load_manifest_extra(self, m: dict) -> None:
+        self.feature_expr = m.get("feature_expr")
 
     # the ONE banding scheme — shared with EmbeddingIndex so the two
     # index families can never drift apart on cell geometry
@@ -188,8 +203,28 @@ class VectorIndex(_AppendOnlyIndex):
         dels: DataFrame | None = None,
     ) -> None:
         # ONE persisted base feeds both frames; _append eagerly
-        # checkpoints them, so the base releases here
-        base = batch_df.select("vec_id", "embedding").persist()
+        # checkpoints them, so the base releases here. Every base row
+        # is an upsert (delete tombstones append separately below), so
+        # a NULL embedding is ALWAYS invalid here — bucket-0 keys that
+        # would serve NULL cosines. apply_cdc already refuses them in
+        # its entry action; this lazy guard closes the BULK path
+        # (ingest/seed) at zero extra driver actions — it fires inside
+        # the epoch write itself (r10 review finding).
+        base = batch_df.select(
+            "vec_id",
+            F.when(
+                F.col("embedding").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "NULL embedding on ingest — a vector index "
+                        "cannot serve a missing vector; filter or fix "
+                        "the producer"
+                    )
+                ),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        ).persist()
         ver = F.lit(epoch).cast("long")
         vals = base.withColumn("ver", ver).withColumn("op", F.lit(op))
         if dels is not None:
@@ -316,18 +351,24 @@ class IVFVectorIndex(VectorIndex):
         spark: SparkSession,
         store_dir: str | None = None,
         overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
+        feature_expr: str | None = None,
     ):
         # probe_hamming=0: the IVF probe set is the nprobe cell list,
         # never Hamming perturbations (that dial is sign-LSH-specific)
         super().__init__(
-            spark, store_dir, probe_hamming=0, overlay_cap=overlay_cap
+            spark,
+            store_dir,
+            probe_hamming=0,
+            overlay_cap=overlay_cap,
+            feature_expr=feature_expr,
         )
         self._cents: list[list[int]] | None = None
 
     def _manifest_extra(self) -> dict:
-        return {"ivf_cents": self._cents}
+        return {**super()._manifest_extra(), "ivf_cents": self._cents}
 
     def _load_manifest_extra(self, m: dict) -> None:
+        super()._load_manifest_extra(m)
         self._cents = m.get("ivf_cents")
 
     def _require_cents(self) -> list[list[int]]:

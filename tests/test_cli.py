@@ -1150,3 +1150,83 @@ def test_cli_dedup_stream_ivf_index_and_ann_topk(spark, tmp_path):
     rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
     assert rows and rows[0]["neighbor_id"] == 7
     assert rows[0]["cosine"] == 1.0
+
+
+def test_cli_vector_store_featurizer_and_dim_guards(spark, tmp_path):
+    """r10 review findings: (a) --vector-expr is index state — a
+    reload with a different featurizer refuses instead of mixing
+    feature spaces; (b) --ann-topk refuses a query vector whose
+    dimension does not match the stored vectors."""
+    from pgsync_spark.functions.hashing import hash_embed_sparksql
+
+    store = str(tmp_path / "fstore")
+    base_args = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "fout"),
+        "--vector-store", store,
+    ]
+    expr = hash_embed_sparksql("get_json_object(doc, '$.o_orderpriority')")
+    assert main(base_args + ["--vector-expr", expr], spark=spark) == 0
+    with open(os.path.join(store, "orders_cli", "CURRENT")) as f:
+        assert json.load(f)["feature_expr"] == expr
+
+    # same expr reloads fine; a different one (here: the default
+    # whole-doc featurizer) refuses with rc=2
+    assert main(base_args + ["--vector-expr", expr], spark=spark) == 0
+    assert main(base_args, spark=spark) == 2
+
+    # dim guard: the store holds 16-dim hash vectors; an 8-dim JSON
+    # query vector refuses cleanly instead of serving NULL cosines
+    assert main(
+        ["--ann-topk", json.dumps([1.0] * 8),
+         "--store-dir", os.path.join(store, "orders_cli")],
+        spark=spark,
+    ) == 2
+
+
+def test_cli_dedup_stream_bm25_analyzer(spark, tmp_path):
+    """r10 review finding: --bm25-analyzer was silently ignored by
+    --dedup-stream — a fresh stream-built index takes it (and the
+    manifest freezes it), a committed store refuses a mismatch, and a
+    non-bm25 index refuses the flag."""
+    from pgsync_spark.functions.bm25_index import BM25Index
+
+    docs_dir = tmp_path / "adocs"
+    docs_dir.mkdir()
+    (docs_dir / "b0.json").write_text(
+        json.dumps({"doc_id": 1, "text": "High-Priority. alert",
+                    "lang": None, "source": None}) + "\n"
+    )
+    store = str(tmp_path / "astore")
+    args = [
+        "--dedup-stream", str(docs_dir),
+        "--dedup-index", "bm25",
+        "--checkpoint-dir", str(tmp_path / "ackpt"),
+        "--dedup-out", str(tmp_path / "aout"),
+        "--store-dir", store,
+        "--drain",
+    ]
+    assert main(args + ["--bm25-analyzer", "standard"], spark=spark) == 0
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert json.load(f)["analyzer"] == "standard"
+    idx = BM25Index.load(spark, store)
+    # 'priority' only tokenizes out of 'High-Priority.' under standard
+    assert idx.topk(idx.analyze_terms("priority"), k=5).count() == 1
+    idx.close()
+
+    # mismatch against the committed store refuses
+    assert main(
+        args + ["--bm25-analyzer", "whitespace"], spark=spark
+    ) == 2
+    # the flag on a non-bm25 index refuses
+    assert main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "minhash",
+            "--checkpoint-dir", str(tmp_path / "mckpt"),
+            "--dedup-out", str(tmp_path / "mout"),
+            "--bm25-analyzer", "standard",
+        ],
+        spark=spark,
+    ) == 2

@@ -301,3 +301,20 @@ def test_ivf_codebook_freezes_and_survives_restart(spark, tmp_path):
             latest[r["vec_id"]] = (r["bucket"], r["ver"])
     assert latest[9][0] == latest[8][0]
     idx2.close()
+
+
+def test_null_embedding_bulk_ingest_raises(spark):
+    """r10 review finding: the NULL-embedding refusal covered only
+    apply_cdc — the BULK path (ingest/seed) admitted NULLs that index
+    bucket-0 keys serving NULL cosines. The lazy guard fires inside
+    the epoch write."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = VectorIndex(spark)
+    try:
+        with pytest.raises(Exception, match="NULL embedding on ingest"):
+            idx.ingest(df)
+    finally:
+        idx.close()
