@@ -322,6 +322,18 @@ def _write_docs(runner, args, out=sys.stdout) -> None:
                 )
 
 
+def _state_mismatch_msg(path, label, stored, requested) -> str:
+    """The ONE wording for every 'this flag is index state' refusal
+    (analyzer, featurizer): a committed store keeps the configuration
+    it was built with — data written under one is unreadable (or
+    silently garbage) under another, so re-seed instead."""
+    return (
+        f"existing index store at {path} was built with "
+        f"{label}={stored!r}; the requested {label} ({requested!r}) "
+        "cannot reinterpret it — re-seed into a fresh DIR"
+    )
+
+
 def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
     """The --dedup-stream mode: JSON doc stream → incremental dedup
     index probe → accepted/decisions(/stats) under --dedup-out."""
@@ -363,6 +375,41 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         had_manifest = bool(args.store_dir) and os.path.exists(
             os.path.join(args.store_dir, "CURRENT")
         )
+        # arg-only compatibility checks FIRST — an incompatible flag
+        # combination is knowable before paying a store load (r10
+        # review pass 2)
+        if args.bm25_analyzer is not None and args.dedup_index != "bm25":
+            print(
+                "--bm25-analyzer applies only to --dedup-index bm25",
+                file=sys.stderr,
+            )
+            return 2
+        if args.probe_hamming is not None and args.dedup_index not in (
+            "embedding",
+            "vector",
+        ):
+            # the IVF probe set is the nprobe cell list — a Hamming
+            # width would be silently ignored, so refuse that too
+            print(
+                "--probe-hamming applies only to "
+                "--dedup-index embedding/vector",
+                file=sys.stderr,
+            )
+            return 2
+        if args.dedup_index == "ivf" and args.cdc_ops and not had_manifest:
+            # a CDC stream routes every batch to apply_cdc, which a
+            # trained index refuses until a seed ingest trained the
+            # codebook — there is no path to train inside a CDC
+            # stream, so refuse up front instead of dying in
+            # foreachBatch (r10 review pass 2)
+            print(
+                "--dedup-index ivf --cdc-ops needs a TRAINED store: "
+                "seed it first with a plain --dedup-stream run (the "
+                "first batch trains the codebook), then point "
+                "--cdc-ops at the committed --store-dir",
+                file=sys.stderr,
+            )
+            return 2
         if args.store_dir:
             # ALWAYS via load(): it resumes a committed store, starts
             # fresh on an empty dir, and loudly refuses a torn or
@@ -373,42 +420,22 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         else:
             index = cls(spark)
         if args.bm25_analyzer is not None:
-            # the same contract as --bm25-store: the analyzer is index
-            # state — a fresh index takes it, a committed store keeps
-            # the one it was built with and a mismatch refuses (r10
-            # review finding: the flag was silently ignored here)
-            if args.dedup_index != "bm25":
-                print(
-                    "--bm25-analyzer applies only to "
-                    "--dedup-index bm25",
-                    file=sys.stderr,
-                )
-                index.close()
-                return 2
+            # the analyzer is index state (the --bm25-store contract):
+            # a fresh index takes it, a committed store keeps the one
+            # it was built with and a mismatch refuses (r10 review
+            # finding: the flag was silently ignored here)
             if had_manifest and index.analyzer != args.bm25_analyzer:
                 print(
-                    f"existing BM25 store at {args.store_dir} was "
-                    f"built with analyzer={index.analyzer!r}; "
-                    f"--bm25-analyzer {args.bm25_analyzer} cannot "
-                    "re-tokenize it — re-seed into a fresh DIR",
+                    _state_mismatch_msg(
+                        args.store_dir, "analyzer",
+                        index.analyzer, args.bm25_analyzer,
+                    ),
                     file=sys.stderr,
                 )
                 index.close()
                 return 2
             index.analyzer = args.bm25_analyzer
         if args.probe_hamming is not None:
-            if not hasattr(index, "probe_hamming") or isinstance(
-                index, IVFVectorIndex
-            ):
-                # the IVF probe set is the nprobe cell list — a
-                # Hamming width would be silently ignored, so refuse
-                print(
-                    "--probe-hamming applies only to "
-                    "--dedup-index embedding/vector",
-                    file=sys.stderr,
-                )
-                index.close()  # load() may have persisted key parts
-                return 2
             # load() builds with the default; the width is a probe-time
             # behavior, not store state, so setting it here covers both
             # construction paths
@@ -474,7 +501,8 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
                     file=sys.stderr,
                 )
                 return 2
-        if vec is None:
+        from_text = vec is None
+        if from_text:
             from .functions.hashing import hash_embed_py
 
             vec = hash_embed_py(q)
@@ -500,6 +528,26 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
                   file=sys.stderr)
             return 2
         try:
+            # feature-space gate for TEXT queries: featurizing query
+            # text with the hash embedder is only meaningful against
+            # vectors that are THEMSELVES hash featurizations of some
+            # text — a store stamped with a non-hash featurizer (e.g.
+            # a learned-encoder column) would serve same-dim garbage
+            # cosines (r10 review pass 2). Explicit JSON vectors pass
+            # regardless: the caller owns that contract.
+            if (
+                from_text
+                and idx.feature_expr is not None
+                and "md5(" not in idx.feature_expr
+            ):
+                print(
+                    "--ann-topk: this store's vectors come from "
+                    f"feature_expr={idx.feature_expr!r}, not the hash "
+                    "featurizer — text queries cannot match that "
+                    "space; pass an explicit JSON vector instead",
+                    file=sys.stderr,
+                )
+                return 2
             # dimension gate: a short query vector zip_with-pads to
             # NULL cosines (LSH) or dies in numpy broadcasting (IVF) —
             # refuse with the numbers instead. Stored dim: the trained
@@ -919,15 +967,15 @@ def _run_sync(runner, args, out) -> int:
                     and args.bm25_analyzer != idx.analyzer
                 ):
                     # postings tokenized one way are unreadable under
-                    # another — refuse rather than silently mixing
-                    # analyzers within one store (rc=2 stderr pattern;
-                    # the finally below closes earlier trees' indexes)
+                    # another (rc=2 stderr pattern; the finally below
+                    # closes earlier trees' indexes)
                     idx.close()
                     print(
-                        f"[{name}] existing BM25 store at {path} was "
-                        f"built with analyzer={idx.analyzer!r}; "
-                        f"--bm25-analyzer {args.bm25_analyzer} cannot "
-                        "re-tokenize it — re-seed into a fresh DIR",
+                        f"[{name}] "
+                        + _state_mismatch_msg(
+                            path, "analyzer",
+                            idx.analyzer, args.bm25_analyzer,
+                        ),
                         file=sys.stderr,
                     )
                     return 2
@@ -995,17 +1043,15 @@ def _run_sync(runner, args, out) -> int:
                     and idx.feature_expr != vec_expr
                 ):
                     # vectors from one featurization are garbage under
-                    # another — refuse, exactly like --bm25-analyzer
-                    # (the manifest stamped the expr the store was
-                    # built with; pre-stamp stores skip the check)
+                    # another (the manifest stamped the expr the store
+                    # was built with; pre-stamp stores skip the check)
                     idx.close()
                     print(
-                        f"[{name}] existing vector store at {path} "
-                        f"was built with --vector-expr "
-                        f"{idx.feature_expr!r}; the requested "
-                        f"featurizer differs and CDC upserts would "
-                        "mix feature spaces — re-seed into a fresh "
-                        "DIR",
+                        f"[{name}] "
+                        + _state_mismatch_msg(
+                            path, "feature_expr",
+                            idx.feature_expr, vec_expr,
+                        ),
                         file=sys.stderr,
                     )
                     return 2

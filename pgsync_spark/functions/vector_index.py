@@ -239,8 +239,12 @@ class VectorIndex(_AppendOnlyIndex):
                     F.lit("d").alias("op"),
                 )
             )
-        keys = self._key_frame(base).withColumn("ver", ver)
         try:
+            # inside the finally scope: IVF's _key_frame collects
+            # eagerly (training / assignment setup) and can raise —
+            # the persisted base must release on that path too (r10
+            # review pass 2)
+            keys = self._key_frame(base).withColumn("ver", ver)
             self._append(keys, vals, decisions, epoch)
         finally:
             base.unpersist()
@@ -390,14 +394,36 @@ class IVFVectorIndex(VectorIndex):
         self._require_cents()
         return super().apply_cdc(batch_df, epoch)
 
+    def truncate(self) -> DataFrame:
+        """Corpus clear is a REBUILD for a trained index: the codebook
+        was fit to the corpus being dropped, so it drops too (the
+        manifest flip truncate() commits persists the cleared slot) —
+        the next ingest is a first ingest and retrains on ITS corpus.
+        Keeping centroids fit to a deleted corpus would silently
+        degrade recall on the replacement (r10 review pass 2)."""
+        out = super().truncate()
+        self._cents = None
+        if self.store_dir is not None:
+            self._commit_manifest()
+        return out
+
     def _key_frame(self, df: DataFrame) -> DataFrame:
-        from .similarity import _ivf_trained_centroids, ivf_assign_trained
+        from .similarity import (
+            _ivf_trained_centroids_impl,
+            ivf_assign_trained,
+        )
 
         if self._cents is None:
             # first ingest = build: train here so the centroids are
             # set before _append commits the manifest that persists
-            # them (training collects eagerly inside)
-            self._cents = _ivf_trained_centroids(df)
+            # them (training collects eagerly inside). Deliberately
+            # the UNmemoized impl: the _memo_trained cache keys on the
+            # input PLAN's semanticHash, which a maintained index
+            # seeded twice from a mutable source would alias across
+            # different data snapshots — an index trains once per
+            # LIFETIME, so there is nothing for a cache to save here
+            # (r10 review pass 2).
+            self._cents = _ivf_trained_centroids_impl(df)
         return (
             ivf_assign_trained(df, self._cents)
             .filter(F.col("rn") == 1)

@@ -1230,3 +1230,56 @@ def test_cli_dedup_stream_bm25_analyzer(spark, tmp_path):
         ],
         spark=spark,
     ) == 2
+
+
+def test_cli_ivf_cdc_ops_needs_trained_store(spark, tmp_path):
+    """r10 review pass 2: --dedup-index ivf --cdc-ops on a FRESH
+    store has no path to train the codebook (every batch routes to
+    apply_cdc) — refuse up front instead of dying inside
+    foreachBatch."""
+    docs_dir = tmp_path / "cdocs"
+    docs_dir.mkdir()
+    (docs_dir / "b0.json").write_text(
+        json.dumps({"vec_id": 1, "embedding": [1.0] * 16, "op": "u"})
+        + "\n"
+    )
+    rc = main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "ivf",
+            "--cdc-ops",
+            "--checkpoint-dir", str(tmp_path / "cckpt"),
+            "--dedup-out", str(tmp_path / "cout"),
+            "--store-dir", str(tmp_path / "cstore"),
+            "--drain",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+
+
+def test_cli_ann_topk_text_refused_on_non_hash_store(spark, tmp_path):
+    """r10 review pass 2: a store stamped with a non-hash featurizer
+    serves same-dim garbage for hash-featurized TEXT queries — the
+    read side refuses text form (explicit JSON vectors still pass)."""
+    from pgsync_spark.functions.vector_index import VectorIndex
+
+    store = str(tmp_path / "lstore")
+    idx = VectorIndex(
+        spark, store_dir=store,
+        feature_expr="CAST(encoder_out AS ARRAY<DOUBLE>)",
+    )
+    idx.ingest(spark.createDataFrame(
+        [(1, [float(i) for i in range(16)])],
+        "vec_id bigint, embedding array<double>",
+    ))
+    idx.close()
+    assert main(
+        ["--ann-topk", "some text", "--store-dir", store], spark=spark
+    ) == 2
+    buf = io.StringIO()
+    assert main(
+        ["--ann-topk", json.dumps([1.0] * 16), "--store-dir", store],
+        spark=spark, out=buf,
+    ) == 0
+    assert json.loads(buf.getvalue().splitlines()[0])["neighbor_id"] == 1

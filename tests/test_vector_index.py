@@ -318,3 +318,44 @@ def test_null_embedding_bulk_ingest_raises(spark):
             idx.ingest(df)
     finally:
         idx.close()
+
+
+def test_ivf_truncate_drops_codebook_and_retrains(spark, tmp_path):
+    """r10 review pass 2: truncate() is a REBUILD for a trained index
+    — centroids fit to the dropped corpus must not survive to assign
+    the replacement corpus; the next ingest retrains (and the cleared
+    slot persists across a restart)."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    store = str(tmp_path / "ivf_t")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(emb)
+    assert idx._cents is not None
+    idx.truncate()
+    assert idx._cents is None
+    idx.close()
+
+    idx2 = IVFVectorIndex.load(spark, store)
+    assert idx2._cents is None  # the cleared slot persisted
+    idx2.ingest(emb)  # a first ingest again: retrains
+    assert idx2._cents is not None
+    q = _queries(emb)
+    assert idx2.topk(q, exclude_self=True).count() > 0
+    idx2.close()
+
+
+def test_ivf_failed_first_ingest_releases_base(spark):
+    """r10 review pass 2: a first ingest whose training raises (seed
+    batch missing the codebook-init ids) must not leak the persisted
+    base frame."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark).filter(F.col("vec_id") >= 100)  # no init ids
+    idx = IVFVectorIndex(spark)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(ValueError, match="codebook"):
+        idx.ingest(emb)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
+    idx.close()
