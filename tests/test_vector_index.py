@@ -359,3 +359,21 @@ def test_ivf_failed_first_ingest_releases_base(spark):
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
     idx.close()
+
+
+def test_topk_plan_shape(spark):
+    """The docstring's scale claims as assertions: the probe resolves
+    by BROADCAST joins (no sort-merge anywhere), and the only hash
+    exchanges are CANDIDATE-sized (the distinct + the per-query
+    window) — the held corpus is never shuffled by a query."""
+    emb = _emb(spark)
+    idx = VectorIndex(spark)
+    idx.ingest(emb)
+    out = idx.topk(_queries(emb), exclude_self=True)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("Exchange hashpartitioning") <= 2, final
+    idx.close()
