@@ -201,7 +201,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--topk-k", type=int, default=10,
-        help="result count for --bm25-topk / --ann-topk (default 10)",
+        help="result count for --bm25-topk / --ann-topk / "
+        "--hybrid-topk (default 10)",
+    )
+    p.add_argument(
+        "--hybrid-topk", metavar="QUERY", default=None,
+        help="hybrid retrieval over TWO engine-owned stores: the BM25 "
+        "store at --store-dir (lexical leg — QUERY analyzed with the "
+        "store's analyzer) and the vector store at --ann-store-dir "
+        "(semantic leg — QUERY through the hash featurizer), fused by "
+        "reciprocal-rank fusion (rrf = sum(1/(60+rank)), exact "
+        "fixed-point); prints the fused top-k as JSON lines",
+    )
+    p.add_argument(
+        "--ann-store-dir", default=None,
+        help="the vector store for --hybrid-topk's semantic leg "
+        "(--store-dir holds the BM25 store)",
     )
     p.add_argument(
         "--export-shards", metavar="DOCS_DIR", default=None,
@@ -475,14 +490,141 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _load_vector_store(spark, store_dir):
+    """Load a vector store dispatching on the manifest's writing
+    class (both families answer the same topk contract, but keys
+    assigned under one scheme are unreadable under another). Raises
+    ValueError on a missing manifest."""
+    import json
+
+    from .functions.vector_index import IVFVectorIndex, VectorIndex
+
+    manifest = os.path.join(store_dir, "CURRENT")
+    if not os.path.exists(manifest):
+        raise ValueError(
+            "no CURRENT manifest (not a vector store, or the path is "
+            "wrong)"
+        )
+    with open(manifest) as f:
+        written_by = json.load(f).get("index", "VectorIndex")
+    cls = {
+        "VectorIndex": VectorIndex,
+        "IVFVectorIndex": IVFVectorIndex,
+    }.get(written_by, VectorIndex)
+    return cls.load(spark, store_dir)
+
+
+# candidate depth per retrieval leg before fusion — the
+# engine_sync_hybrid_topk convention (queries._ENGINE_HYB_CAND_K)
+_HYB_CAND_K = 50
+_HYB_RRF_K = 60.0
+
+
+def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
+    """--hybrid-topk: the read side of running --bm25-store AND
+    --vector-store on one engine (the engine_sync_hybrid_topk
+    topology): BM25 top-50 from the lexical store ⊎ ANN top-50 from
+    the vector store, fused by reciprocal-rank fusion in exact
+    fixed-point nano-units. The fusion runs driver-side over ≤100
+    candidate rows — no extra Spark job beyond the two leg reads."""
+    import json
+
+    from .functions.bm25_index import BM25Index
+    from .functions.hashing import hash_embed_py
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_hybrid")
+    try:
+        q = args.hybrid_topk.strip()
+        bidx = vidx = None
+        try:
+            if not os.path.exists(
+                os.path.join(args.store_dir, "CURRENT")
+            ):
+                raise ValueError("no CURRENT manifest at --store-dir")
+            bidx = BM25Index.load(spark, args.store_dir)
+            vidx = _load_vector_store(spark, args.ann_store_dir)
+            if (
+                vidx.feature_expr is not None
+                and "md5(" not in vidx.feature_expr
+            ):
+                raise ValueError(
+                    "the vector store's feature_expr "
+                    f"{vidx.feature_expr!r} is not the hash "
+                    "featurizer — text queries cannot match that "
+                    "space"
+                )
+            lex = {
+                r["doc_id"]: r["rank"]
+                for r in bidx.topk(
+                    bidx.analyze_terms(q), k=_HYB_CAND_K
+                ).collect()
+            }
+            qdf = spark.createDataFrame(
+                [(0, hash_embed_py(q))],
+                "query_id bigint, embedding array<double>",
+            )
+            sem = {
+                r["neighbor_id"]: r["rank"]
+                for r in vidx.topk(qdf, k=_HYB_CAND_K).collect()
+            }
+        except (OSError, ValueError) as e:
+            print(f"--hybrid-topk: {e}", file=sys.stderr)
+            return 2
+        finally:
+            if bidx is not None:
+                bidx.close()
+            if vidx is not None:
+                vidx.close()
+
+        def leg(rank):
+            if rank is None:
+                return 0
+            import math
+
+            return int(math.floor(1e9 / (_HYB_RRF_K + rank) + 0.5))
+
+        fused = sorted(
+            (
+                (
+                    leg(lex.get(d)) + leg(sem.get(d)),
+                    d,
+                    lex.get(d),
+                    sem.get(d),
+                )
+                for d in set(lex) | set(sem)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[: args.topk_k]
+        for i, (rrf, d, lr, sr) in enumerate(fused, 1):
+            print(
+                json.dumps(
+                    {
+                        "doc_id": d,
+                        "lex_rank": lr,
+                        "sem_rank": sr,
+                        "rrf_micro": rrf,
+                        "fused_rank": i,
+                    },
+                    sort_keys=True,
+                ),
+                file=out,
+            )
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
     """--ann-topk: load the stored vector index and answer one query —
     the read side of the --vector-store / --dedup-index vector
     maintenance loops. QUERY is a JSON array literal (the vector
     itself) or text for the default hash featurizer."""
     import json
-
-    from .functions.vector_index import IVFVectorIndex, VectorIndex
 
     owns_spark = spark is None
     if owns_spark:
@@ -507,22 +649,7 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
 
             vec = hash_embed_py(q)
         try:
-            manifest = os.path.join(args.store_dir, "CURRENT")
-            if not os.path.exists(manifest):
-                raise ValueError(
-                    "no CURRENT manifest (not a vector store, or the "
-                    "path is wrong)"
-                )
-            # dispatch on the manifest's writing class: both vector
-            # index families answer the same topk contract, but keys
-            # assigned under one scheme are unreadable under another
-            with open(manifest) as f:
-                written_by = json.load(f).get("index", "VectorIndex")
-            cls = {
-                "VectorIndex": VectorIndex,
-                "IVFVectorIndex": IVFVectorIndex,
-            }.get(written_by, VectorIndex)
-            idx = cls.load(spark, args.store_dir)
+            idx = _load_vector_store(spark, args.store_dir)
         except (OSError, ValueError) as e:
             print(f"--ann-topk: cannot load {args.store_dir}: {e}",
                   file=sys.stderr)
@@ -645,6 +772,25 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
     args = build_parser().parse_args(argv)
+    if args.hybrid_topk is not None:
+        if not args.store_dir or not args.ann_store_dir:
+            print(
+                "--hybrid-topk requires --store-dir (BM25 store) AND "
+                "--ann-store-dir (vector store)",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.hybrid_topk.strip():
+            print("--hybrid-topk needs query text", file=sys.stderr)
+            return 2
+        if args.dedup_stream or args.config or args.daemon:
+            print(
+                "--hybrid-topk is its own mode; remove the "
+                "sync/stream flags",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_hybrid_topk(args, spark, out)
     if args.ann_topk is not None:
         if not args.store_dir:
             print("--ann-topk requires --store-dir", file=sys.stderr)

@@ -1283,3 +1283,63 @@ def test_cli_ann_topk_text_refused_on_non_hash_store(spark, tmp_path):
         spark=spark, out=buf,
     ) == 0
     assert json.loads(buf.getvalue().splitlines()[0])["neighbor_id"] == 1
+
+
+def test_cli_hybrid_topk_over_both_stores(spark, tmp_path):
+    """--bm25-store AND --vector-store on ONE sync run (two
+    doc_consumers per engine — the engine_sync_hybrid_topk topology as
+    a deployment), then --hybrid-topk fuses the two stores' legs by
+    RRF. A doc ranked by BOTH legs must out-fuse docs ranked by one."""
+    from pgsync_spark.functions.hashing import hash_embed_sparksql
+
+    bstore = str(tmp_path / "hb")
+    vstore = str(tmp_path / "hv")
+    rc = main(
+        [
+            "-c", _config(tmp_path),
+            "--data-dir", SF_DIR,
+            "--sink-dir", str(tmp_path / "hout"),
+            "--bm25-store", bstore,
+            "--bm25-text-expr",
+            "get_json_object(doc, '$.o_orderpriority')",
+            "--vector-store", vstore,
+            "--vector-expr",
+            hash_embed_sparksql("get_json_object(doc, '$.o_orderpriority')"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    buf = io.StringIO()
+    rc = main(
+        [
+            "--hybrid-topk", "1-URGENT",
+            "--store-dir", os.path.join(bstore, "orders_cli"),
+            "--ann-store-dir", os.path.join(vstore, "orders_cli"),
+            "--topk-k", "5",
+        ],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert len(rows) == 5
+    assert rows[0]["fused_rank"] == 1
+    # both legs contribute: the top fused doc was ranked by both (its
+    # priority matches lexically AND featurizes to cosine 1.0)
+    assert rows[0]["lex_rank"] is not None
+    assert rows[0]["sem_rank"] is not None
+    assert rows[0]["rrf_micro"] > rows[-1]["rrf_micro"]
+    # fused order is (rrf desc, doc_id asc)
+    assert rows == sorted(
+        rows, key=lambda r: (-r["rrf_micro"], r["doc_id"])
+    )
+
+    # guards: both stores required; query required
+    assert main(
+        ["--hybrid-topk", "x", "--store-dir", bstore], spark=spark
+    ) == 2
+    assert main(
+        ["--hybrid-topk", " ", "--store-dir", bstore,
+         "--ann-store-dir", vstore],
+        spark=spark,
+    ) == 2
