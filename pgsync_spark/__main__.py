@@ -514,6 +514,26 @@ def _load_vector_store(spark, store_dir):
     return cls.load(spark, store_dir)
 
 
+def _store_dim(idx) -> int | None:
+    """A vector store's embedding dimension: the trained codebook's
+    when there is one, else one peeked live vector (tombstones carry
+    NULL embeddings — skip them); None for an empty store."""
+    from pyspark.sql import functions as F
+
+    if getattr(idx, "_cents", None):
+        return len(idx._cents[0])
+    if idx.vals is not None:
+        row = (
+            idx.vals.filter(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .limit(1)
+            .collect()
+        )
+        if row:
+            return row[0]["d"]
+    return None
+
+
 # candidate depth per retrieval leg before fusion — the
 # engine_sync_hybrid_topk convention (queries._ENGINE_HYB_CAND_K)
 _HYB_CAND_K = 50
@@ -557,6 +577,13 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
                     "featurizer — text queries cannot match that "
                     "space"
                 )
+            qvec = hash_embed_py(q)
+            dim = _store_dim(vidx)
+            if dim is not None and dim != len(qvec):
+                raise ValueError(
+                    f"the vector store holds {dim}-dim vectors; the "
+                    f"{len(qvec)}-dim hash featurizer cannot query it"
+                )
             lex = {
                 r["doc_id"]: r["rank"]
                 for r in bidx.topk(
@@ -564,7 +591,7 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
                 ).collect()
             }
             qdf = spark.createDataFrame(
-                [(0, hash_embed_py(q))],
+                [(0, qvec)],
                 "query_id bigint, embedding array<double>",
             )
             sem = {
@@ -677,23 +704,8 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
                 return 2
             # dimension gate: a short query vector zip_with-pads to
             # NULL cosines (LSH) or dies in numpy broadcasting (IVF) —
-            # refuse with the numbers instead. Stored dim: the trained
-            # codebook when there is one, else one peeked live vector
-            # (tombstones carry NULL embeddings — skip them).
-            from pyspark.sql import functions as F
-
-            dim = None
-            if getattr(idx, "_cents", None):
-                dim = len(idx._cents[0])
-            elif idx.vals is not None:
-                row = (
-                    idx.vals.filter(F.col("embedding").isNotNull())
-                    .select(F.size("embedding").alias("d"))
-                    .limit(1)
-                    .collect()
-                )
-                if row:
-                    dim = row[0]["d"]
+            # refuse with the numbers instead
+            dim = _store_dim(idx)
             if dim is not None and dim != len(vec):
                 print(
                     f"--ann-topk: query vector has {len(vec)} dims "
