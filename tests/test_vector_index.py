@@ -377,3 +377,131 @@ def test_topk_plan_shape(spark):
     assert final.count("BroadcastHashJoin") >= 2, final
     assert final.count("Exchange hashpartitioning") <= 2, final
     idx.close()
+
+
+@pytest.mark.parametrize("family", ["lsh", "ivf"])
+@pytest.mark.parametrize("seed", [11, 29])
+def test_vector_cdc_fuzz_matches_oneshot(spark, family, seed):
+    """Seeded random CDC lifecycle fuzz for BOTH vector families (the
+    bm25 fuzz's contract on the embedding side): interleaved bulk
+    ingests, vector-moving updates, deletes, CDC inserts,
+    resurrections, truncates (with the IVF retrain-on-reseed rule),
+    and a mid-sequence compact — after every sequence the held state
+    must answer bit-identically to a one-shot index over the model
+    corpus (for IVF: one-shot under the SAME frozen codebook)."""
+    import random
+
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.similarity import IVF_CELLS
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    rng = random.Random(seed)
+    vocab = ["spark", "query", "vector", "engine", "index", "data",
+             "tokens", "cdc", "stream", "delta"]
+
+    def vec():
+        return hash_embed_py(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        )
+
+    schema = "vec_id bigint, embedding array<double>"
+    cls = IVFVectorIndex if family == "ivf" else VectorIndex
+    model: dict[int, list] = {}
+    deleted: list[int] = []
+    idx = cls(spark)
+    next_id = 0
+
+    def seed_batch():
+        """IVF's first batch (and every post-truncate reseed) must
+        span the codebook-init ids [N_QUERIES, N_QUERIES+IVF_CELLS)."""
+        nonlocal next_id
+        rows = []
+        for _ in range(N_QUERIES + IVF_CELLS + 3):
+            did, v = next_id, vec()
+            next_id += 1
+            model[did] = v
+            rows.append((did, v))
+        idx.ingest(spark.createDataFrame(rows, schema))
+
+    seed_batch()
+    for epoch in range(7):
+        r = rng.random()
+        # epoch 5 truncates DETERMINISTICALLY (the r9 fuzz rule: a
+        # 12% chance per epoch can leave whole seeds truncate-blind),
+        # plus the random chance on other epochs
+        if model and (epoch == 5 or r < 0.12):
+            idx.truncate()
+            model.clear()
+            deleted.clear()
+            if family == "ivf":
+                # a trained index reseeds after truncate (the next
+                # ingest retrains on the replacement corpus) — but
+                # only if fresh init ids exist; post-truncate ids
+                # restart the numbering contract, so reset next_id
+                next_id = 0
+                seed_batch()
+            continue
+        if r < 0.5 or not model:
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                did, v = next_id, vec()
+                next_id += 1
+                model[did] = v
+                rows.append((did, v))
+            idx.ingest(spark.createDataFrame(rows, schema))
+        else:
+            batch: dict[int, tuple] = {}
+            for did in rng.sample(
+                sorted(model), k=min(len(model), rng.randint(1, 4))
+            ):
+                if rng.random() < 0.4:
+                    batch[did] = (did, None, "d")
+                    deleted.append(did)
+                    model.pop(did)
+                else:
+                    v = vec()  # the vector MOVES (cells/buckets move)
+                    model[did] = v
+                    batch[did] = (did, v, rng.choice(["u", None]))
+            for _ in range(rng.randint(0, 2)):  # CDC inserts
+                did, v = next_id, vec()
+                next_id += 1
+                model[did] = v
+                batch[did] = (did, v, "u")
+            if deleted and rng.random() < 0.5:  # resurrection
+                did = rng.choice(deleted)
+                if did not in batch:
+                    deleted.remove(did)
+                    v = vec()
+                    model[did] = v
+                    batch[did] = (did, v, "u")
+            idx.apply_cdc(
+                spark.createDataFrame(
+                    list(batch.values()), schema + ", op string"
+                )
+            )
+        if epoch == 3:
+            idx.compact()
+
+    corpus = spark.createDataFrame(list(model.items()), schema)
+    q = spark.createDataFrame(
+        [(i, hash_embed_py(w)) for i, w in enumerate(vocab[:3])],
+        "query_id bigint, embedding array<double>",
+    )
+    got = [
+        tuple(r)
+        for r in idx.topk(q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    ref = cls(spark)
+    if family == "ivf":
+        # the one-shot baseline serves under the SAME frozen codebook
+        # — a fresh training over the final corpus is a different
+        # (legal) index, not this one's contract
+        ref._cents = [row[:] for row in idx._cents]
+    ref.ingest(corpus)
+    want = [
+        tuple(r)
+        for r in ref.topk(q, k=5).orderBy("query_id", "rank").collect()
+    ]
+    ref.close()
+    idx.close()
+    assert got == want, (family, seed)
