@@ -425,6 +425,21 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.dedup_index == "ivf" and not had_manifest:
+            # the codebook trains on the FIRST micro-batch and
+            # freezes — and "first batch" is a file-listing prefix
+            # bounded by --max-files-per-trigger, not "the seed
+            # corpus". Warn loudly: a partial first batch silently
+            # freezes an unrepresentative codebook (r10 review pass 3)
+            print(
+                "note: --dedup-index ivf trains its frozen codebook "
+                "on the FIRST micro-batch only (at most "
+                f"--max-files-per-trigger={args.max_files_per_trigger} "
+                "files) — make sure that batch holds the whole seed "
+                "corpus, or raise the trigger size for the seeding "
+                "run",
+                file=sys.stderr,
+            )
         if args.store_dir:
             # ALWAYS via load(): it resumes a committed store, starts
             # fresh on an empty dir, and loudly refuses a torn or
@@ -534,10 +549,6 @@ def _store_dim(idx) -> int | None:
     return None
 
 
-# candidate depth per retrieval leg before fusion — the
-# engine_sync_hybrid_topk convention (queries._ENGINE_HYB_CAND_K)
-_HYB_CAND_K = 50
-_HYB_RRF_K = 60.0
 
 
 def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
@@ -551,6 +562,15 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
 
     from .functions.bm25_index import BM25Index
     from .functions.hashing import hash_embed_py
+
+    # THE fusion constants — imported from the oracle-gated query so
+    # the CLI can never silently diverge from the arithmetic
+    # engine_sync_hybrid_topk proves (r10 review pass 3: these were
+    # hand-copied literals)
+    from .queries import _ENGINE_HYB_CAND_K as _HYB_CAND_K
+    from .queries import HYBRID_RRF_K
+
+    _HYB_RRF_K = float(HYBRID_RRF_K)
 
     owns_spark = spark is None
     if owns_spark:
@@ -567,9 +587,11 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
                 raise ValueError("no CURRENT manifest at --store-dir")
             bidx = BM25Index.load(spark, args.store_dir)
             vidx = _load_vector_store(spark, args.ann_store_dir)
+            from .functions.hashing import is_hash_embed_sql
+
             if (
                 vidx.feature_expr is not None
-                and "md5(" not in vidx.feature_expr
+                and not is_hash_embed_sql(vidx.feature_expr)
             ):
                 raise ValueError(
                     "the vector store's feature_expr "
@@ -689,10 +711,12 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
             # a learned-encoder column) would serve same-dim garbage
             # cosines (r10 review pass 2). Explicit JSON vectors pass
             # regardless: the caller owns that contract.
+            from .functions.hashing import is_hash_embed_sql
+
             if (
                 from_text
                 and idx.feature_expr is not None
-                and "md5(" not in idx.feature_expr
+                and not is_hash_embed_sql(idx.feature_expr)
             ):
                 print(
                     "--ann-topk: this store's vectors come from "
@@ -1195,6 +1219,14 @@ def _run_sync(runner, args, out) -> int:
                     if fresh
                     else VectorIndex.load(spark, path)
                 )
+                if not fresh and idx.feature_expr is None:
+                    # pre-stamp (library-created) store under CLI
+                    # maintenance for the first time: ADOPT the
+                    # requested expr so the guard below arms from the
+                    # next run on (the next manifest commit persists
+                    # it) — never-adopting left such stores forever
+                    # unprotected (r10 review pass 3)
+                    idx.feature_expr = vec_expr
                 if (
                     not fresh
                     and idx.feature_expr is not None

@@ -175,6 +175,21 @@ def hash_embed_sparksql(expr: str, dim: int = HASH_EMBED_DIM) -> str:
     return "array(" + ", ".join(comps) + ")"
 
 
+# the exact prefix every hash_embed_sparksql output starts with — the
+# FAMILY recognizer for stamped feature_exprs (a loose "md5" substring
+# test misclassified learned-encoder exprs that merely mention md5,
+# r10 review pass 3). Lives beside the generator so they move together;
+# test_hashing pins generator ↔ recognizer agreement.
+_HASH_EMBED_SQL_PREFIX = "array(CAST((CAST(conv(substring(md5(concat(coalesce("
+
+
+def is_hash_embed_sql(expr: str | None) -> bool:
+    """True iff ``expr`` was generated by hash_embed_sparksql (over
+    any inner expression/dim) — text queries hash-featurize and only
+    match stores whose vectors came from this family."""
+    return bool(expr) and expr.startswith(_HASH_EMBED_SQL_PREFIX)
+
+
 def hash_embed_sql(expr: str, dim: int = HASH_EMBED_DIM) -> str:
     """DuckDB mirror of hash_embed_sparksql (list literal)."""
     comps = []

@@ -396,16 +396,23 @@ class IVFVectorIndex(VectorIndex):
 
     def truncate(self) -> DataFrame:
         """Corpus clear is a REBUILD for a trained index: the codebook
-        was fit to the corpus being dropped, so it drops too (the
-        manifest flip truncate() commits persists the cleared slot) —
-        the next ingest is a first ingest and retrains on ITS corpus.
+        was fit to the corpus being dropped, so it drops too — the
+        next ingest is a first ingest and retrains on ITS corpus.
         Keeping centroids fit to a deleted corpus would silently
-        degrade recall on the replacement (r10 review pass 2)."""
-        out = super().truncate()
-        self._cents = None
-        if self.store_dir is not None:
-            self._commit_manifest()
-        return out
+        degrade recall on the replacement (r10 review pass 2).
+
+        The slot clears BEFORE the base truncate so its ONE atomic
+        manifest flip persists both the empty corpus and the cleared
+        codebook (clearing after left a crash window where a
+        committed truncate still carried the dead corpus's centroids
+        — r10 review pass 3); a failed truncate restores the
+        in-memory slot so a live index never retrains mid-corpus."""
+        prev, self._cents = self._cents, None
+        try:
+            return super().truncate()
+        except BaseException:
+            self._cents = prev
+            raise
 
     def _key_frame(self, df: DataFrame) -> DataFrame:
         from .similarity import (

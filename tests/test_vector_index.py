@@ -505,3 +505,24 @@ def test_vector_cdc_fuzz_matches_oneshot(spark, family, seed):
     ref.close()
     idx.close()
     assert got == want, (family, seed)
+
+
+def test_hash_embed_recognizer_pins_generator():
+    """r10 review pass 3: the feature-FAMILY gate recognizes
+    hash_embed_sparksql output by its exact prefix — this test pins
+    generator and recognizer together so a formatting change in one
+    cannot silently blind the CLI's text-query gate."""
+    from pgsync_spark.functions.hashing import (
+        hash_embed_sparksql,
+        is_hash_embed_sql,
+    )
+
+    assert is_hash_embed_sql(hash_embed_sparksql("doc"))
+    assert is_hash_embed_sql(
+        hash_embed_sparksql("get_json_object(doc, '$.t')", dim=4)
+    )
+    # non-hash featurizers stay refused even when they MENTION md5
+    assert not is_hash_embed_sql("encoder_udf(md5(doc), features)")
+    assert not is_hash_embed_sql("CAST(encoder_out AS ARRAY<DOUBLE>)")
+    assert not is_hash_embed_sql(None)
+    assert not is_hash_embed_sql("")
