@@ -411,7 +411,18 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.dedup_index == "ivf" and args.cdc_ops and not had_manifest:
+        # "has a TRAINED codebook" is manifest CONTENT, not manifest
+        # existence: a truncated IVF store commits ivf_cents=None, so
+        # keying these guards on had_manifest alone would let such a
+        # store slip past and die inside foreachBatch anyway (r10
+        # review pass 4)
+        ivf_trained = False
+        if args.dedup_index == "ivf" and had_manifest:
+            import json as _json
+
+            with open(os.path.join(args.store_dir, "CURRENT")) as f:
+                ivf_trained = bool(_json.load(f).get("ivf_cents"))
+        if args.dedup_index == "ivf" and args.cdc_ops and not ivf_trained:
             # a CDC stream routes every batch to apply_cdc, which a
             # trained index refuses until a seed ingest trained the
             # codebook — there is no path to train inside a CDC
@@ -425,7 +436,7 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.dedup_index == "ivf" and not had_manifest:
+        if args.dedup_index == "ivf" and not ivf_trained:
             # the codebook trains on the FIRST micro-batch and
             # freezes — and "first batch" is a file-listing prefix
             # bounded by --max-files-per-trigger, not "the seed
@@ -547,8 +558,6 @@ def _store_dim(idx) -> int | None:
         if row:
             return row[0]["d"]
     return None
-
-
 
 
 def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
@@ -1221,12 +1230,31 @@ def _run_sync(runner, args, out) -> int:
                 )
                 if not fresh and idx.feature_expr is None:
                     # pre-stamp (library-created) store under CLI
-                    # maintenance for the first time: ADOPT the
-                    # requested expr so the guard below arms from the
-                    # next run on (the next manifest commit persists
-                    # it) — never-adopting left such stores forever
-                    # unprotected (r10 review pass 3)
-                    idx.feature_expr = vec_expr
+                    # maintenance for the first time. An EXPLICIT
+                    # --vector-expr is adopted as the stamp (the user
+                    # asserted the space; the next epoch commit
+                    # persists it and arms the guard below — r10 pass
+                    # 3). WITHOUT an explicit expr we cannot know the
+                    # store's original space, so we warn instead of
+                    # silently stamping the default hash featurizer
+                    # onto possibly-encoder vectors (r10 pass 4).
+                    if args.vector_expr:
+                        idx.feature_expr = vec_expr
+                        print(
+                            f"[{name}] note: adopting --vector-expr "
+                            "as this pre-stamp store's featurizer "
+                            "(persists at the next epoch commit)",
+                            file=sys.stderr,
+                        )
+                    else:
+                        print(
+                            f"[{name}] warning: pre-stamp vector "
+                            "store maintained with the DEFAULT hash "
+                            "featurizer — if it was built with a "
+                            "different one, upserts will mix feature "
+                            "spaces; pass the original --vector-expr",
+                            file=sys.stderr,
+                        )
                 if (
                     not fresh
                     and idx.feature_expr is not None

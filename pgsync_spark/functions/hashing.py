@@ -179,7 +179,8 @@ def hash_embed_sparksql(expr: str, dim: int = HASH_EMBED_DIM) -> str:
 # FAMILY recognizer for stamped feature_exprs (a loose "md5" substring
 # test misclassified learned-encoder exprs that merely mention md5,
 # r10 review pass 3). Lives beside the generator so they move together;
-# test_hashing pins generator ↔ recognizer agreement.
+# tests/test_vector_index.py::test_hash_embed_recognizer_pins_generator
+# pins generator ↔ recognizer agreement.
 _HASH_EMBED_SQL_PREFIX = "array(CAST((CAST(conv(substring(md5(concat(coalesce("
 
 

@@ -394,7 +394,7 @@ class IVFVectorIndex(VectorIndex):
         self._require_cents()
         return super().apply_cdc(batch_df, epoch)
 
-    def truncate(self) -> DataFrame:
+    def truncate(self, epoch: int | None = None) -> DataFrame:
         """Corpus clear is a REBUILD for a trained index: the codebook
         was fit to the corpus being dropped, so it drops too — the
         next ingest is a first ingest and retrains on ITS corpus.
@@ -409,7 +409,7 @@ class IVFVectorIndex(VectorIndex):
         in-memory slot so a live index never retrains mid-corpus."""
         prev, self._cents = self._cents, None
         try:
-            return super().truncate()
+            return super().truncate(epoch)
         except BaseException:
             self._cents = prev
             raise

@@ -1343,3 +1343,42 @@ def test_cli_hybrid_topk_over_both_stores(spark, tmp_path):
          "--ann-store-dir", vstore],
         spark=spark,
     ) == 2
+
+
+def test_cli_ivf_cdc_ops_refuses_truncated_store(spark, tmp_path):
+    """r10 review pass 4: 'has a trained codebook' is manifest
+    CONTENT, not existence — a truncated IVF store (manifest present,
+    ivf_cents cleared) must hit the same up-front --cdc-ops refusal
+    as a fresh one, not die inside foreachBatch."""
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.similarity import IVF_CELLS, N_QUERIES
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    store = str(tmp_path / "tstore")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(spark.createDataFrame(
+        [(i, hash_embed_py(f"t{i}"))
+         for i in range(N_QUERIES + IVF_CELLS + 2)],
+        "vec_id bigint, embedding array<double>",
+    ))
+    idx.truncate()
+    idx.close()
+
+    docs_dir = tmp_path / "tdocs"
+    docs_dir.mkdir()
+    (docs_dir / "b0.json").write_text(
+        json.dumps({"vec_id": 1, "embedding": [1.0] * 16, "op": "u"})
+        + "\n"
+    )
+    assert main(
+        [
+            "--dedup-stream", str(docs_dir),
+            "--dedup-index", "ivf",
+            "--cdc-ops",
+            "--checkpoint-dir", str(tmp_path / "tckpt"),
+            "--dedup-out", str(tmp_path / "tout"),
+            "--store-dir", store,
+            "--drain",
+        ],
+        spark=spark,
+    ) == 2
