@@ -138,8 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
         "over text docs, sign-LSH near-dup over embedding vectors, "
         "a BM25 inverted search index, or an ANN vector serving "
         "index — 'vector' (sign-LSH keys) or 'ivf' (trained frozen "
-        "coarse codebook; the FIRST batch must be a representative "
-        "seed corpus, it trains the centroids). Serving indexes "
+        "coarse codebook; the FIRST batch trains the centroids over "
+        "its hash-sample — any seed with enough sampled vectors "
+        "works, but make it representative, and at most ~200k "
+        "sampled rows fit the training budget; --ann-rebuild "
+        "retrains later). Serving indexes "
         "accept everything — decisions stay empty; the same "
         "exactly-once epoch pipeline keeps them continuously "
         "queryable",
@@ -287,12 +290,24 @@ def build_parser() -> argparse.ArgumentParser:
         "(neighbor_id, cosine, rank) as JSON lines",
     )
     p.add_argument(
+        "--ann-rebuild", action="store_true",
+        help="retrain a stored IVF vector index (--store-dir): "
+        "re-fit the coarse codebook over the CURRENT live corpus "
+        "and reassign every live vector under it, committed as ONE "
+        "atomic epoch (crash-safe: the old geometry serves until "
+        "the manifest flips). Use after the corpus has grown or "
+        "drifted past the seed batch the frozen codebook was "
+        "trained on; prints a JSON summary",
+    )
+    p.add_argument(
         "--bm25-analyzer", default=None,
-        choices=("whitespace", "standard"),
+        choices=("whitespace", "standard", "standard_stop"),
         help="tokenizer for a FRESH --bm25-store index: whitespace "
-        "(lowercase + whitespace split; the default) or standard "
+        "(lowercase + whitespace split; the default), standard "
         "(lowercase + ASCII-alnum runs, so 'Priority.' matches "
-        "'priority'). The analyzer is index state — an existing "
+        "'priority'), or standard_stop (standard + drop the classic "
+        "English stopword list, so 'the' indexes and scores "
+        "nothing). The analyzer is index state — an existing "
         "store keeps the analyzer it was built with, and passing a "
         "different one here is an error, not a silent re-tokenize",
     )
@@ -420,8 +435,17 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
         if args.dedup_index == "ivf" and had_manifest:
             import json as _json
 
-            with open(os.path.join(args.store_dir, "CURRENT")) as f:
-                ivf_trained = bool(_json.load(f).get("ivf_cents"))
+            try:
+                with open(
+                    os.path.join(args.store_dir, "CURRENT")
+                ) as f:
+                    ivf_trained = bool(_json.load(f).get("ivf_cents"))
+            except (OSError, ValueError):
+                # torn/garbage manifest: fall through untrained —
+                # cls.load() below owns the clean torn-store refusal
+                # (rc=2), this probe must not traceback first (r10
+                # advice)
+                pass
         if args.dedup_index == "ivf" and args.cdc_ops and not ivf_trained:
             # a CDC stream routes every batch to apply_cdc, which a
             # trained index refuses until a seed ingest trained the
@@ -767,6 +791,68 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_ann_rebuild(args, spark=None, out=sys.stdout) -> int:
+    """--ann-rebuild: load the stored vector index, retrain its
+    coarse codebook over the CURRENT live corpus, and reassign every
+    live vector under it as ONE committed epoch
+    (IVFVectorIndex.rebuild — the retrain-is-a-rebuild half of the
+    FAISS discipline; the reference-side analog is the cluster
+    reindex a knn_vector mapping change forces)."""
+    import json
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_ann_rebuild")
+    try:
+        try:
+            idx = _load_vector_store(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            print(
+                f"--ann-rebuild: cannot load {args.store_dir}: {e}",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            if not hasattr(idx, "rebuild"):
+                print(
+                    "--ann-rebuild applies only to IVF vector stores "
+                    "(--dedup-index ivf): this store was written by "
+                    f"{type(idx).__name__}, whose sign-LSH keys are "
+                    "data-independent and never need retraining",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                idx.rebuild()
+            except ValueError as e:
+                # unseeded/empty store, or a corpus too small (or too
+                # large) for the training sample — the rebuild left
+                # the old geometry fully live
+                print(f"--ann-rebuild: {e}", file=sys.stderr)
+                return 2
+            live = idx.vals.count() if idx.vals is not None else 0
+            print(
+                json.dumps(
+                    {
+                        "rebuilt": True,
+                        "live_vectors": live,
+                        "epoch": max(idx._epochs),
+                        "cells": len(idx._cents),
+                    },
+                    sort_keys=True,
+                ),
+                file=out,
+            )
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
     """--bm25-topk: load the stored inverted index and answer one
     query — the read side of the --dedup-stream --dedup-index bm25
@@ -828,10 +914,22 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         if not args.hybrid_topk.strip():
             print("--hybrid-topk needs query text", file=sys.stderr)
             return 2
-        if args.dedup_stream or args.config or args.daemon:
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.ann_topk is not None
+            or args.bm25_topk is not None
+            or args.export_shards
+            or args.ann_rebuild
+        ):
+            # every other mode flag refuses, not just sync/stream —
+            # dispatch order would otherwise silently ignore the
+            # other single-shot mode (r10 advice)
             print(
-                "--hybrid-topk is its own mode; remove the "
-                "sync/stream flags",
+                "--hybrid-topk is its own mode; remove the other "
+                "mode flags (sync/stream/--ann-topk/--bm25-topk/"
+                "--export-shards/--ann-rebuild)",
                 file=sys.stderr,
             )
             return 2
@@ -846,10 +944,18 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.dedup_stream or args.config or args.daemon:
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.bm25_topk is not None
+            or args.export_shards
+            or args.ann_rebuild
+        ):
             print(
-                "--ann-topk is its own mode; remove the sync/stream "
-                "flags",
+                "--ann-topk is its own mode; remove the other mode "
+                "flags (sync/stream/--bm25-topk/--export-shards/"
+                "--ann-rebuild)",
                 file=sys.stderr,
             )
             return 2
@@ -861,14 +967,32 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         if not args.bm25_topk.strip():
             print("--bm25-topk needs at least one term", file=sys.stderr)
             return 2
-        if args.dedup_stream or args.config or args.daemon:
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.export_shards
+            or args.ann_rebuild
+        ):
             print(
-                "--bm25-topk is its own mode; remove the sync/stream "
-                "flags",
+                "--bm25-topk is its own mode; remove the other mode "
+                "flags (sync/stream/--export-shards/--ann-rebuild)",
                 file=sys.stderr,
             )
             return 2
         return _run_bm25_topk(args, spark, out)
+    if args.ann_rebuild:
+        if not args.store_dir:
+            print("--ann-rebuild requires --store-dir", file=sys.stderr)
+            return 2
+        if args.dedup_stream or args.config or args.daemon or args.export_shards:
+            print(
+                "--ann-rebuild is its own mode; remove the other "
+                "mode flags (sync/stream/--export-shards)",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_ann_rebuild(args, spark, out)
     if args.dedup_stream:
         if not (args.checkpoint_dir and args.dedup_out):
             print(
@@ -1240,10 +1364,16 @@ def _run_sync(runner, args, out) -> int:
                     # onto possibly-encoder vectors (r10 pass 4).
                     if args.vector_expr:
                         idx.feature_expr = vec_expr
+                        # persist the stamp NOW: a sync run that
+                        # commits no epoch (no doc changes) would
+                        # otherwise leave the store pre-stamp with
+                        # the mismatch guard unarmed while the
+                        # message claimed it was stamped (r10 advice)
+                        idx._commit_manifest()
                         print(
                             f"[{name}] note: adopting --vector-expr "
                             "as this pre-stamp store's featurizer "
-                            "(persists at the next epoch commit)",
+                            "(stamped into the manifest now)",
                             file=sys.stderr,
                         )
                     else:

@@ -87,7 +87,7 @@ def tokens_sql(expr: str) -> str:
 # and query terms can be analyzed the same way the corpus was.
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("whitespace", "standard")
+ANALYZERS = ("whitespace", "standard", "standard_stop")
 # "standard": lowercase + ASCII-alnum runs (a Lucene-standard-ish
 # word splitter) — 'Priority.' and 'priority' collide, '1-URGENT'
 # yields ('1', 'urgent'). Deliberately ASCII: [a-z0-9] behaves
@@ -95,6 +95,21 @@ ANALYZERS = ("whitespace", "standard")
 # the oracle gate meaningful; non-ASCII letters are dropped the same
 # way by all three.
 _STANDARD_RE = "[a-z0-9]+"
+
+# "standard_stop": standard + drop the classic Lucene/ES English stop
+# set (the reference sink's default analysis chain always includes a
+# stop filter — ref: pgsync/constants.py:132-162 analysis vocabulary;
+# BM25 rankings over stopword-heavy text differ materially without
+# it). The list is FROZEN index vocabulary: an index built under it
+# is only readable by the same list, so it lives here next to the
+# analyzer name the manifest persists — never edit in place, add a
+# new analyzer name instead.
+STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+)
 
 
 def _check_analyzer(analyzer: str) -> None:
@@ -109,7 +124,11 @@ def analyze(col: Column, analyzer: str = "whitespace") -> Column:
     _check_analyzer(analyzer)
     if analyzer == "whitespace":
         return tokens(col)
-    return F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
+    toks = F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
+    if analyzer == "standard_stop":
+        stop = F.array(*[F.lit(w) for w in STOPWORDS])
+        toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    return toks
 
 
 def analyze_sql(expr: str, analyzer: str = "whitespace") -> str:
@@ -118,7 +137,11 @@ def analyze_sql(expr: str, analyzer: str = "whitespace") -> str:
     _check_analyzer(analyzer)
     if analyzer == "whitespace":
         return tokens_sql(expr)
-    return f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}')"
+    toks = f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}')"
+    if analyzer == "standard_stop":
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+        toks = f"list_filter({toks}, x -> NOT list_contains([{lst}], x))"
+    return toks
 
 
 def analyze_py(s: str, analyzer: str = "whitespace") -> list[str]:
@@ -131,7 +154,10 @@ def analyze_py(s: str, analyzer: str = "whitespace") -> list[str]:
         return [t for t in s.lower().split()]
     import re
 
-    return re.findall(_STANDARD_RE, s.lower())
+    toks = re.findall(_STANDARD_RE, s.lower())
+    if analyzer == "standard_stop":
+        toks = [t for t in toks if t not in STOPWORDS]
+    return toks
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .hashing import h32, h32_sql, round6, round6_sql
+from .hashing import h32, h32_py, h32_sql, round6, round6_sql
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -1478,6 +1478,18 @@ def _quantize_micro(nv_rows):
 _TRAINED_CACHE: dict = {}
 
 
+def clear_trained_cache() -> None:
+    """Drop every memoized trained artifact (PQ / IVF codebooks).
+    The cache keys on the input frame's PLAN (semanticHash), not its
+    data content — so a process that rewrites the parquet behind an
+    identical plan (same path, new rows) would otherwise keep serving
+    centroids trained on the OLD data. Call this after any in-place
+    corpus mutation, and between benchmark legs that re-point the same
+    path at regenerated data (bench.py's scaling legs do). Entries are
+    plain Python lists — clearing frees them with no Spark teardown."""
+    _TRAINED_CACHE.clear()
+
+
 def _memo_trained(kind: str, df: DataFrame, fn):
     try:
         key = (kind, df.semanticHash())
@@ -1889,9 +1901,32 @@ def _ivf_trained_centroids(df: DataFrame) -> list[list[int]]:
     )
 
 
-def _ivf_trained_centroids_impl(df: DataFrame) -> list[list[int]]:
+def _ivf_trained_centroids_impl(
+    df: DataFrame, init: str = "demo"
+) -> list[list[int]]:
+    """``init`` selects the codebook initialization:
+
+    - "demo": the fixed demo-corpus vectors [N_QUERIES,
+      N_QUERIES + IVF_CELLS) — mirrors the hash-codebook _ivf_ranked
+      so the recall-eval legs compare trained-vs-hash on the SAME
+      init geometry. Requires those ids to exist (the registry's
+      embeddings tables always carry them).
+    - "hash": the IVF_CELLS sampled vectors with smallest
+      (h32(vec_id), vec_id) — corpus-AGNOSTIC (no fixed-id contract,
+      any corpus with >= IVF_CELLS sampled rows trains), drawn from
+      the already-collected hash-sample so init costs zero extra
+      Spark actions, and hash-ordered so the picks spread
+      pseudo-randomly instead of clustering at low ids. This is the
+      init the MAINTAINED IVFVectorIndex uses (seed and rebuild) —
+      its corpora are arbitrary (doc-hash ids, post-CDC snapshots),
+      exactly where a fixed-id contract was the r10-advice footgun.
+
+    Both are deterministic and replayed bit-for-bit by
+    _ivf_trained_sql_ctes(init=...)."""
     import numpy as np
 
+    if init not in ("demo", "hash"):
+        raise ValueError(f"unknown IVF init {init!r}: 'demo' or 'hash'")
     sample = (
         df.filter(
             h32(F.col("vec_id").cast("string")) % PQT_SAMPLE_MOD == 0
@@ -1906,23 +1941,41 @@ def _ivf_trained_centroids_impl(df: DataFrame) -> list[list[int]]:
             f"{PQT_MAX_SAMPLE}; raise PQT_SAMPLE_MOD for this corpus"
         )
     q = _quantize_micro([r["nv"] for r in sample])
-    init = (
-        df.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+    if init == "hash":
+        if len(sample) < IVF_CELLS:
+            raise ValueError(
+                f"IVF training needs >= {IVF_CELLS} sampled vectors "
+                f"to initialize the codebook; got {len(sample)} — "
+                "seed with a larger corpus (or lower PQT_SAMPLE_MOD)"
+            )
+        order = sorted(
+            range(len(sample)),
+            key=lambda i: (
+                h32_py(str(sample[i]["vec_id"])),
+                sample[i]["vec_id"],
+            ),
         )
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
-        .collect()
-    )
-    by_id = {r["vec_id"]: r["nv"] for r in init}
-    if len(by_id) != IVF_CELLS:
-        raise ValueError(
-            f"IVF codebook needs vec_ids [{N_QUERIES}, "
-            f"{N_QUERIES + IVF_CELLS}): found {sorted(by_id)}"
+        cents = q[np.asarray(order[:IVF_CELLS])].copy()
+    else:
+        init_rows = (
+            df.filter(
+                (F.col("vec_id") >= N_QUERIES)
+                & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+            )
+            .select(
+                "vec_id", _normalized(F.col("embedding")).alias("nv")
+            )
+            .collect()
         )
-    cents = _quantize_micro(
-        [by_id[N_QUERIES + c] for c in range(IVF_CELLS)]
-    )
+        by_id = {r["vec_id"]: r["nv"] for r in init_rows}
+        if len(by_id) != IVF_CELLS:
+            raise ValueError(
+                f"IVF codebook needs vec_ids [{N_QUERIES}, "
+                f"{N_QUERIES + IVF_CELLS}): found {sorted(by_id)}"
+            )
+        cents = _quantize_micro(
+            [by_id[N_QUERIES + c] for c in range(IVF_CELLS)]
+        )
     for _ in range(IVFT_ITERS):
         # per-cell distance columns (not an (n, cells, dim) cube —
         # the broadcast temp would be ~cells× the sample's memory)
@@ -2030,25 +2083,45 @@ def ann_ivf_trained_topk(
     return out
 
 
-def _ivf_trained_sql_ctes() -> str:
+def _ivf_trained_sql_ctes(
+    corpus: str = "embeddings", init: str = "demo"
+) -> str:
     """Oracle training replay for the trained coarse quantizer:
     quantized full vectors -> IVFT_ITERS unrolled Lloyd iterations ->
-    per-vector trained-cell ranking ``itrk`` (vec_id, cell_id, rn)."""
+    per-vector trained-cell ranking ``itrk`` (vec_id, cell_id, rn).
+    ``corpus``: the table/CTE trained over (a rebuild oracle trains
+    over the post-CDC live corpus, not the seed). ``init`` mirrors
+    _ivf_trained_centroids_impl: "demo" = the fixed demo-codebook
+    rows, "hash" = the IVF_CELLS sampled vec_ids with smallest
+    (h32(vec_id), vec_id)."""
     nv = _normalized_sql("embedding")
     h = h32_sql("CAST(vec_id AS VARCHAR)")
+    if init == "hash":
+        icent0 = f"""iinit AS (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY {h}, vec_id) - 1
+                 AS c
+          FROM (SELECT DISTINCT vec_id FROM isamp)
+        ),
+        icent0 AS (
+          SELECT i.c, s.d, s.q
+          FROM iinit i JOIN isamp s ON s.vec_id = i.vec_id
+          WHERE i.c < {IVF_CELLS}
+        )"""
+    else:
+        icent0 = f"""icent0 AS (
+          SELECT vec_id - {N_QUERIES} AS c, d, q FROM ipts
+          WHERE vec_id >= {N_QUERIES}
+            AND vec_id < {N_QUERIES + IVF_CELLS}
+        )"""
     parts = [
-        f"""inorm AS (SELECT vec_id, {nv} AS nv FROM embeddings),
+        f"""inorm AS (SELECT vec_id, {nv} AS nv FROM {corpus}),
         ipts AS (
           SELECT vec_id, d,
                  CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
           FROM inorm, (SELECT unnest(range({EMB_DIM})) AS d)
         ),
         isamp AS (SELECT * FROM ipts WHERE {h} % {PQT_SAMPLE_MOD} = 0),
-        icent0 AS (
-          SELECT vec_id - {N_QUERIES} AS c, d, q FROM ipts
-          WHERE vec_id >= {N_QUERIES}
-            AND vec_id < {N_QUERIES + IVF_CELLS}
-        )"""
+        {icent0}"""
     ]
     for t in range(1, IVFT_ITERS + 1):
         parts.append(f"""idist{t} AS (

@@ -336,15 +336,19 @@ class IVFVectorIndex(VectorIndex):
     pgsync/constants.py:117).
 
     The FIRST ingest trains IVF_CELLS centroids over that seed batch
-    (similarity._ivf_trained_centroids — integer-exact Lloyd over a
-    bounded hash-sample, deterministic, oracle-replayable; the batch
-    must contain the codebook-init ids, see that function). Every
-    later batch — CDC upserts included — assigns under the STORED
-    centroids in one Arrow pass (ivf_assign_trained), so a CDC update
-    that moves a vector moves its CELL. Keys: (vec_id, band=0,
-    bucket=cell_id). A query probes its IVF_NPROBE nearest cells;
-    candidates re-rank by exact cosine — the same broadcast-probe +
-    id-join plan as the LSH form, cell-pruned instead of band-pruned.
+    (similarity._ivf_trained_centroids_impl with init="hash" —
+    integer-exact Lloyd over a bounded hash-sample, codebook
+    initialized from the sample's own hash-smallest rows, so ANY seed
+    corpus with >= IVF_CELLS sampled vectors trains; deterministic,
+    oracle-replayable). Every later batch — CDC upserts included —
+    assigns under the STORED centroids in one Arrow pass
+    (ivf_assign_trained), so a CDC update that moves a vector moves
+    its CELL. Keys: (vec_id, band=0, bucket=cell_id). A query probes
+    its IVF_NPROBE nearest cells; candidates re-rank by exact cosine
+    — the same broadcast-probe + id-join plan as the LSH form,
+    cell-pruned instead of band-pruned. ``rebuild()`` retrains over
+    the live corpus and reassigns as one committed epoch — the
+    retrain-is-a-rebuild half of the FAISS discipline.
 
     Centroids are INDEX STATE: persisted in the manifest
     (_manifest_extra) and restored by load(), like BM25's analyzer —
@@ -414,6 +418,167 @@ class IVFVectorIndex(VectorIndex):
             self._cents = prev
             raise
 
+    def rebuild(self, epoch: int | None = None) -> DataFrame:
+        """Retrain the coarse codebook over the CURRENT live corpus
+        and reassign every live vector under it, committed as ONE
+        replayable epoch — the missing half of "retraining is a
+        rebuild" (the seed codebook froze on the first batch; a
+        corpus that has grown or drifted since serves under cell
+        geometry fit to data that may no longer exist — the
+        reference-side analog is the cluster reindex a knn_vector
+        mapping change forces, ref: pgsync/constants.py:117).
+
+        Semantics: fold the CDC overlay to the live corpus, run the
+        SAME integer-exact Lloyd training over it (init="hash" — the
+        corpus-agnostic init, so any live corpus with >= IVF_CELLS
+        sampled vectors retrains), assign every live vector under the
+        new centroids in one Arrow pass, and cut over atomically: the
+        new keys/vals land as an UNLISTED ghost segment, the empty
+        decisions frame commits, then ONE manifest flip persists the
+        new segment list AND the new codebook AND the applied epoch
+        together (a crash before the flip leaves the old corpus AND
+        old codebook fully live — keys assigned under one codebook
+        are unreadable under another, so they must travel in the same
+        atomic fact). Old segments delete after the flip and are
+        never read if deletion is interrupted. All CDC overlay state
+        folds into the rebuild (it is also a compact), so the next
+        epoch starts on the append-only fast path.
+
+        Returns the (empty) decisions frame: a rebuild changes no
+        corpus membership, so a stream front-end replaying this epoch
+        re-emits nothing — ``epoch_applied``/``stored_decisions``
+        answer like any other committed epoch.
+
+        Scale shape: training is driver-side over the bounded
+        hash-sample (raises over budget); reassignment + rewrite is
+        one full-corpus Arrow pass — O(corpus), the cost a rebuild
+        fundamentally is, paid only when invoked (CLI:
+        --ann-rebuild)."""
+        import os
+        import shutil
+
+        from .. import caching
+        from .similarity import (
+            _ivf_trained_centroids_impl,
+            ivf_assign_trained,
+        )
+
+        if epoch is None:
+            epoch = self.next_epoch()
+        self._check_epoch(epoch)
+        self._require_cents()
+        vals = self.vals
+        if vals is None:
+            raise ValueError(
+                "rebuild() on an empty IVFVectorIndex — nothing to "
+                "retrain on; seed with ingest() first"
+            )
+        if self._has_cdc and "op" in vals.columns:
+            vals = self._cdc_live(vals, self._cdc_overlay(vals))
+        # freeze the live snapshot ONCE: training samples it, the
+        # reassignment scans it, and the new vals segment rewrites it
+        # — one eager checkpoint instead of three overlay folds
+        live = vals.select(self._ID_COL, "embedding").localCheckpoint(
+            eager=True
+        )
+        try:
+            new_cents = _ivf_trained_centroids_impl(live, init="hash")
+            # the compact sentinel: every rebuilt row is live and
+            # versionless (-1 is strictly older than any real epoch,
+            # so later CDC rows always win the max-ver fold)
+            ver = F.lit(-1).cast("long")
+            new_vals_df = (
+                live.withColumn("ver", ver).withColumn("op", F.lit("a"))
+            )
+            new_keys_df = (
+                ivf_assign_trained(live, new_cents)
+                .filter(F.col("rn") == 1)
+                .select(
+                    "vec_id",
+                    F.lit(0).alias("band"),
+                    F.col("cell_id").alias("bucket"),
+                )
+                .withColumn("ver", ver)
+            )
+            decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
+            if self.store_dir is not None:
+                seg = f"rebuilt-{epoch}"
+                n = 0
+                while seg in self._segments or os.path.isdir(
+                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                ):
+                    # never write into a LISTED segment; ghost dirs
+                    # from crashed rebuilds are skipped, harmlessly
+                    n += 1
+                    seg = f"rebuilt-{epoch}-{n}"
+                new_keys_df.write.mode("overwrite").partitionBy(
+                    "band"
+                ).parquet(
+                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                )
+                new_vals_df.write.mode("overwrite").parquet(
+                    os.path.join(self.store_dir, self._VALS_NAME, seg)
+                )
+                nk = self.spark.read.parquet(
+                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                ).persist()
+                nk.count()
+                nv = self.spark.read.parquet(
+                    os.path.join(self.store_dir, self._VALS_NAME, seg)
+                ).persist()
+                nv.count()
+                decisions.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.store_dir, self._DEC_NAME, f"epoch={epoch}"
+                    )
+                )
+                prev = (
+                    self._cents,
+                    self._segments,
+                    set(self._epochs),
+                    self._has_cdc,
+                    self._overlay_rows,
+                )
+                old_segments, self._segments = self._segments, [seg]
+                self._cents = new_cents
+                self._epochs.add(epoch)
+                self._has_cdc = False
+                self._overlay_rows = 0
+                try:
+                    # THE commit point: segments + codebook + epoch in
+                    # one atomic flip
+                    self._commit_manifest()
+                except BaseException:
+                    (
+                        self._cents,
+                        self._segments,
+                        self._epochs,
+                        self._has_cdc,
+                        self._overlay_rows,
+                    ) = prev
+                    nk.unpersist()
+                    nv.unpersist()
+                    raise
+                for s in old_segments:
+                    for name in (self._KEYS_NAME, self._VALS_NAME):
+                        shutil.rmtree(
+                            os.path.join(self.store_dir, name, s),
+                            ignore_errors=True,
+                        )
+                self._swap_parts(nk, nv)
+            else:
+                nk = new_keys_df.localCheckpoint(eager=True)
+                nv = new_vals_df.localCheckpoint(eager=True)
+                self._cents = new_cents
+                self._epochs.add(epoch)
+                self._has_cdc = False
+                self._overlay_rows = 0
+                self._last_decisions = (epoch, decisions)
+                self._swap_parts(nk, nv)
+            return decisions
+        finally:
+            caching.release_local_checkpoint(live)
+
     def _key_frame(self, df: DataFrame) -> DataFrame:
         from .similarity import (
             _ivf_trained_centroids_impl,
@@ -429,8 +594,13 @@ class IVFVectorIndex(VectorIndex):
             # seeded twice from a mutable source would alias across
             # different data snapshots — an index trains once per
             # LIFETIME, so there is nothing for a cache to save here
-            # (r10 review pass 2).
-            self._cents = _ivf_trained_centroids_impl(df)
+            # (r10 review pass 2). init="hash": a MAINTAINED index
+            # seeds from arbitrary corpora (doc-hash ids, CDC
+            # replays), so the codebook initializes from the
+            # hash-sample itself — no fixed demo-id contract (the
+            # r10-advice footgun: any corpus lacking vec_ids [5,15)
+            # died here).
+            self._cents = _ivf_trained_centroids_impl(df, init="hash")
         return (
             ivf_assign_trained(df, self._cents)
             .filter(F.col("rn") == 1)

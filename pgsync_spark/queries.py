@@ -2575,6 +2575,92 @@ ORDER BY score_micro DESC, doc_id LIMIT 10""",
 )
 
 
+# the stop-filter variant (r10 verdict item 5): the reference sink's
+# analysis chain always includes a stop filter (ref:
+# pgsync/constants.py:132-162), and BM25 over stopword-heavy text
+# differs materially without one. The text expr deliberately LACES
+# every doc with 'The'/'of' so the filter has something to drop on
+# every row (priorities and customer names carry no natural
+# stopwords); the query keeps 'the' in its term list to prove a
+# stopword contributes NOTHING (it never entered the postings), while
+# 'urgent'/'inc' rank under stopword-free dl/avgdl statistics.
+_ENGINE_BM25_STOP_TERMS = ("the", "urgent", "inc")
+_ENGINE_BM25_STOP_TEXT = (
+    "concat_ws(' ', 'The', get_json_object(doc, '$.o_orderpriority'), "
+    "'of', get_json_object(doc, '$.customer.c_name'))"
+)
+
+
+def engine_sync_bm25_stop_topk(spark, sf_dir):
+    """engine_sync_bm25_std_topk under the "standard_stop" analyzer
+    (standard + the classic English stop list, mirrored in all three
+    analyzer forms and manifest-persisted like any analyzer): full
+    sync → seed → one mixed CDC batch → query the maintained index
+    with a term list that INCLUDES a stopword. Must hash-match
+    one-shot BM25 scoring with the same analyzer over the post-CDC
+    corpus — the stopwords the text expr plants on every doc are
+    dropped identically on both sides (they never reach postings,
+    doc length, or avgdl), and the 'the' query term scores nothing.
+    Scale shape identical to engine_sync_bm25_topk."""
+    from .functions.bm25_index import BM25Index
+    from .streaming import (
+        IncrementalEngine,
+        SearchIndexMaintainer,
+        payloads_from_rows,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    idx = BM25Index(spark, analyzer="standard_stop")
+    m = SearchIndexMaintainer(idx, text_expr=_ENGINE_BM25_STOP_TEXT)
+    m.seed(eng.docs_for_sink())
+    eng.doc_consumers.append(m)
+    eng.process_batch(
+        payloads_from_rows(spark, _incremental_events(spark, cat))
+    )
+    out = idx.topk(_ENGINE_BM25_STOP_TERMS, k=10).localCheckpoint(
+        eager=True
+    )
+    idx.close()
+    eng._teardown_stores()
+    return out
+
+
+REGISTRY["engine_sync_bm25_stop_topk"] = QueryDef(
+    fn=engine_sync_bm25_stop_topk,
+    oracle=_INCR_ORACLE_CTES.rstrip()
+    + ",\ndocs AS ("
+    + oracle_doc_sql(
+        schemas.tree("orders_full"),
+        TPCH_TABLES,
+        schemas.columns_of,
+        schemas.column_type_of,
+        table_names={"orders": "orders_mut", "customer": "customer_mut"},
+    )
+    + """),
+documents AS (
+  SELECT CAST(_id AS BIGINT) AS doc_id,
+         concat_ws(' ', 'The',
+                   json_extract_string(doc, '$.o_orderpriority'),
+                   'of',
+                   json_extract_string(doc, '$.customer.c_name')) AS text,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS source
+  FROM docs
+)
+SELECT doc_id, lang, source, score_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM ("""
+    + _bm25_scored_sql(_ENGINE_BM25_STOP_TERMS, analyzer="standard_stop")
+    + """)
+WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT 10""",
+)
+
+
 # the VECTOR side of the engine-owned index story (r9 verdict item 1):
 # doc vectors derive deterministically from doc CONTENT (the hash
 # featurizer), so query 0 — the featurization of '9-INC', a priority
@@ -3030,7 +3116,7 @@ def _ivf_index_cdc_oracle() -> str:
         + _norm_sql("e2.embedding")
         + ")"
     )
-    return f"""WITH {_ivf_trained_sql_ctes()},
+    return f"""WITH {_ivf_trained_sql_ctes(init="hash")},
 {_VEC_MUT_CTE}
 mnorm AS (
   SELECT vec_id, {_normalized_sql("embedding")} AS nv FROM vec_mut
@@ -3074,6 +3160,82 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 REGISTRY["ann_ivf_index_cdc_topk"] = QueryDef(
     fn=ann_ivf_index_cdc_topk, oracle=_ivf_index_cdc_oracle()
+)
+
+
+def ann_ivf_index_rebuild_topk(spark, sf_dir):
+    """The full trained-index LIFECYCLE including retrain: seed
+    (trains + freezes the codebook), one CDC epoch of drift
+    (_vec_cdc_batch — vectors move, vectors die), then ``rebuild()``
+    — retrain the codebook over the post-CDC LIVE corpus and reassign
+    every live vector under it as one committed epoch — then ANN topk
+    for the demo queries. Must hash-match a DuckDB oracle that
+    replays the REBUILD's training bit-for-bit over the post-CDC
+    corpus (hash-init + integer-exact Lloyd), assigns that corpus
+    under the retrained centroids, probes each query's IVF_NPROBE
+    nearest retrained cells, and exact-cosine re-ranks — i.e. the
+    oracle knows nothing of the seed codebook, proving serving runs
+    entirely under the NEW geometry.
+
+    Scale shape: the rebuild is the one deliberately O(corpus) op
+    (driver-side training over a bounded hash-sample + one Arrow
+    reassignment pass + one segment rewrite, atomically flipped);
+    seed/CDC/query keep their O(batch)/probe-pruned shapes
+    (functions/vector_index.py rebuild docstring)."""
+    from .functions.similarity import N_QUERIES
+    from .functions.vector_index import IVFVectorIndex
+
+    emb = Catalog(spark, sf_dir).df("embeddings")
+    idx = IVFVectorIndex(spark)
+    idx.ingest(emb)  # seed = build: trains + freezes the codebook
+    idx.apply_cdc(_vec_cdc_batch(emb))  # drift the corpus
+    idx.rebuild()  # retrain over the live corpus, one committed epoch
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.topk(q, exclude_self=True).localCheckpoint(eager=True)
+    idx.close()
+    return out
+
+
+def _ivf_index_rebuild_oracle() -> str:
+    from .functions.hashing import round6_sql
+    from .functions.similarity import (
+        TOP_K,
+        _dot_sql,
+        _ivf_trained_cand_sql_ctes,
+        _ivf_trained_sql_ctes,
+        _norm_sql,
+    )
+
+    cos = round6_sql(
+        _dot_sql("e1.embedding", "e2.embedding")
+        + " / ("
+        + _norm_sql("e1.embedding")
+        + " * "
+        + _norm_sql("e2.embedding")
+        + ")"
+    )
+    # vec_mut FIRST (training reads FROM it): the oracle trains over
+    # the post-CDC live corpus — the rebuild's corpus — with the same
+    # hash init; queries (vec_id < N_QUERIES) are mutation-exempt, so
+    # probing them out of itrk is exact
+    return f"""WITH {_VEC_MUT_CTE}
+{_ivf_trained_sql_ctes(corpus="vec_mut", init="hash")},
+{_ivf_trained_cand_sql_ctes()}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY {cos} DESC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN vec_mut e1 ON e1.vec_id = c.query_id
+  JOIN vec_mut e2 ON e2.vec_id = c.neighbor_id
+) WHERE rank <= {TOP_K}"""
+
+
+REGISTRY["ann_ivf_index_rebuild_topk"] = QueryDef(
+    fn=ann_ivf_index_rebuild_topk, oracle=_ivf_index_rebuild_oracle()
 )
 
 

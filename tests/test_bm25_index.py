@@ -736,3 +736,49 @@ def test_analyzer_is_persisted_index_state(spark, tmp_path):
 def test_unknown_analyzer_raises(spark):
     with pytest.raises(ValueError, match="unknown analyzer"):
         BM25Index(spark, analyzer="snowball")
+
+def test_standard_stop_analyzer_drops_stopwords_everywhere(spark, tmp_path):
+    """r10 verdict item 5: the "standard_stop" analyzer drops the
+    classic English stop list from BOTH the indexed corpus (postings,
+    doc length, avgdl) and query text — 'the' scores NOTHING — while
+    non-stop tokens rank as under "standard". The analyzer rides the
+    manifest like any other."""
+    from pgsync_spark.functions.hashing import STOPWORDS, analyze_py
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The priority of the order", None, None),
+            (2, "the the the the the", None, None),
+            (3, "priority", None, None),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    store = str(tmp_path / "bm_stop")
+    idx = BM25Index(spark, store_dir=store, analyzer="standard_stop")
+    idx.ingest(docs)
+    # query-side: stopwords analyze away entirely
+    assert idx.analyze_terms("The!") == ()
+    assert idx.analyze_terms("the priority of") == ("priority",)
+    # a stopword-only query scores nothing — not even doc 2, which is
+    # ALL stopwords (it indexed as a zero-token doc)
+    assert idx.topk(("the",)).count() == 0
+    got = sorted(r.doc_id for r in idx.topk(("priority",)).collect())
+    assert got == [1, 3]
+    expected = [tuple(r) for r in idx.topk(("priority",)).collect()]
+    idx.close()
+
+    # manifest round-trip re-binds the stop analyzer
+    idx2 = BM25Index.load(spark, store)
+    assert idx2.analyzer == "standard_stop"
+    assert [tuple(r) for r in idx2.topk(("priority",)).collect()] == expected
+    idx2.close()
+
+    # the list itself is the Lucene/ES classic set — pin a few
+    # sentinels so an accidental edit (frozen index vocabulary!)
+    # trips a test
+    for w in ("the", "of", "and", "with", "will"):
+        assert w in STOPWORDS
+    assert "order" not in STOPWORDS
+    assert analyze_py("These are NOT stopword-free!", "standard_stop") == [
+        "stopword", "free"
+    ]

@@ -1110,9 +1110,9 @@ def test_cli_dedup_stream_ivf_index_and_ann_topk(spark, tmp_path):
 
     docs_dir = tmp_path / "ivecs"
     docs_dir.mkdir()
-    # the seed batch must span the codebook-init ids
-    # [N_QUERIES, N_QUERIES + IVF_CELLS)
-    n = N_QUERIES + IVF_CELLS + 5
+    # the seed batch must carry >= IVF_CELLS hash-SAMPLED vec_ids to
+    # initialize the codebook (ids 0..22 yield 11 sampled)
+    n = N_QUERIES + IVF_CELLS + 8
     with open(docs_dir / "b0.json", "w") as f:
         for i in range(n):
             f.write(json.dumps(
@@ -1358,7 +1358,7 @@ def test_cli_ivf_cdc_ops_refuses_truncated_store(spark, tmp_path):
     idx = IVFVectorIndex(spark, store_dir=store)
     idx.ingest(spark.createDataFrame(
         [(i, hash_embed_py(f"t{i}"))
-         for i in range(N_QUERIES + IVF_CELLS + 2)],
+         for i in range(N_QUERIES + IVF_CELLS + 8)],
         "vec_id bigint, embedding array<double>",
     ))
     idx.truncate()
@@ -1380,5 +1380,78 @@ def test_cli_ivf_cdc_ops_refuses_truncated_store(spark, tmp_path):
             "--store-dir", store,
             "--drain",
         ],
+        spark=spark,
+    ) == 2
+
+
+def test_cli_ann_rebuild_retrains_ivf_store(spark, tmp_path):
+    """--ann-rebuild: retrain a committed IVF store over its live
+    corpus as one atomic epoch — the manifest's codebook moves, the
+    store keeps serving, and the guards refuse the cases that cannot
+    rebuild (LSH store, unseeded store, missing --store-dir, mode
+    combinations)."""
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.similarity import IVF_CELLS, N_QUERIES
+    from pgsync_spark.functions.vector_index import (
+        IVFVectorIndex,
+        VectorIndex,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    store = str(tmp_path / "rbstore")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(spark.createDataFrame(
+        [(i, hash_embed_py(f"seed{i}"))
+         for i in range(N_QUERIES + IVF_CELLS + 8)],
+        schema,
+    ))
+    # drift: every held vector moves to fresh content, plus growth
+    idx.apply_cdc(spark.createDataFrame(
+        [(i, hash_embed_py(f"drift{i}"), "u") for i in range(40)],
+        schema + ", op string",
+    ))
+    old_cents = [row[:] for row in idx._cents]
+    idx.close()
+
+    buf = io.StringIO()
+    rc = main(["--ann-rebuild", "--store-dir", store], spark=spark,
+              out=buf)
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    assert summary["rebuilt"] is True
+    assert summary["live_vectors"] == 40
+    assert summary["cells"] == IVF_CELLS
+    with open(os.path.join(store, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["ivf_cents"] != old_cents  # the geometry actually moved
+    assert m["has_cdc"] is False  # the rebuild folded the overlay
+    assert len(m["segments"]) == 1 and m["segments"][0].startswith(
+        "rebuilt-"
+    )
+
+    # the rebuilt store serves (manifest-dispatched read side)
+    buf = io.StringIO()
+    rc = main(
+        ["--ann-topk", json.dumps(hash_embed_py("drift7")),
+         "--store-dir", store, "--topk-k", "3"],
+        spark=spark, out=buf,
+    )
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows and rows[0]["neighbor_id"] == 7
+    assert rows[0]["cosine"] == 1.0
+
+    # guards: LSH stores never retrain; unseeded IVF refuses; the
+    # flag needs a store and refuses other modes
+    lsh = str(tmp_path / "lshstore")
+    v = VectorIndex(spark, store_dir=lsh)
+    v.ingest(spark.createDataFrame(
+        [(1, hash_embed_py("x"))], schema))
+    v.close()
+    assert main(["--ann-rebuild", "--store-dir", lsh],
+                spark=spark) == 2
+    assert main(["--ann-rebuild"], spark=spark) == 2
+    assert main(
+        ["--ann-rebuild", "--store-dir", store, "--ann-topk", "x"],
         spark=spark,
     ) == 2

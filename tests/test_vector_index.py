@@ -346,18 +346,206 @@ def test_ivf_truncate_drops_codebook_and_retrains(spark, tmp_path):
 
 
 def test_ivf_failed_first_ingest_releases_base(spark):
-    """r10 review pass 2: a first ingest whose training raises (seed
-    batch missing the codebook-init ids) must not leak the persisted
-    base frame."""
+    """r10 review pass 2: a first ingest whose training raises (too
+    few sampled vectors to initialize the hash-init codebook) must
+    not leak the persisted base frame."""
+    from pgsync_spark.functions.similarity import IVF_CELLS
     from pgsync_spark.functions.vector_index import IVFVectorIndex
 
-    emb = _emb(spark).filter(F.col("vec_id") >= 100)  # no init ids
+    # < IVF_CELLS rows total => the hash-sample can never reach the
+    # codebook size
+    emb = _emb(spark).filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CELLS - 2)
+    )
     idx = IVFVectorIndex(spark)
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     with pytest.raises(ValueError, match="codebook"):
         idx.ingest(emb)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
+    idx.close()
+
+
+def test_ivf_seed_needs_no_fixed_ids(spark):
+    """The r10-advice footgun, closed: a maintained IVF index seeds
+    from ANY corpus — here one missing every demo-codebook id
+    [N_QUERIES, N_QUERIES + IVF_CELLS) — because init="hash" draws
+    the initial centroids from the hash-sample itself."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark).filter(F.col("vec_id") >= 100)
+    idx = IVFVectorIndex(spark)
+    idx.ingest(emb)
+    assert idx._cents is not None
+    q = _emb(spark).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert idx.topk(q).count() > 0
+    idx.close()
+
+
+def _ivf_mut_corpus(emb):
+    """The post-CDC live corpus _vec_cdc_batch produces (updates move
+    vec_id%7==3 to its successor's embedding, deletes drop %7==5;
+    queries exempt)."""
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= N_QUERIES)
+    dele = (F.col("vec_id") % 7 == 5) & (F.col("vec_id") >= N_QUERIES)
+    return (
+        emb.join(nxt, "vec_id", "left")
+        .filter(~dele)
+        .select(
+            "vec_id",
+            F.when(upd & F.col("nemb").isNotNull(), F.col("nemb"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+
+
+def test_ivf_rebuild_equals_fresh_build_and_survives_restart(
+    spark, tmp_path
+):
+    """rebuild() REAL invariant: after seed + CDC drift, a rebuild
+    must serve bit-identically to a FRESH IVFVectorIndex built
+    directly over the post-CDC live corpus — same training input,
+    same hash init, same Lloyd, so same codebook and same rankings.
+    The rebuilt store holds ONE segment, zero overlay state, and a
+    restart serves the rebuilt geometry from the manifest."""
+    from pgsync_spark.queries import _vec_cdc_batch
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    mut = _ivf_mut_corpus(emb)
+
+    fresh = IVFVectorIndex(spark)
+    fresh.ingest(mut)
+    expected = [
+        tuple(r)
+        for r in fresh.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    expected_cents = fresh._cents
+    fresh.close()
+
+    store = str(tmp_path / "ivf_rb")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(emb)
+    seed_cents = idx._cents
+    idx.apply_cdc(_vec_cdc_batch(emb))
+    dec = idx.rebuild()
+    assert dec.count() == 0  # membership unchanged
+    assert idx._cents == expected_cents
+    assert idx._cents != seed_cents  # the drift moved the geometry
+    assert len(idx._segments) == 1
+    assert idx._has_cdc is False and idx._overlay_rows == 0
+    got = [
+        tuple(r)
+        for r in idx.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == expected
+    # the rebuild is a committed, replayable epoch
+    ep = max(idx._epochs)
+    assert idx.epoch_applied(ep)
+    sd = idx.stored_decisions(ep)
+    assert sd is not None and sd.count() == 0
+    idx.close()
+
+    idx2 = IVFVectorIndex.load(spark, store)
+    assert idx2._cents == expected_cents
+    assert idx2._has_cdc is False
+    got2 = [
+        tuple(r)
+        for r in idx2.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got2 == expected
+    # post-rebuild CDC assigns under the NEW codebook and serves
+    idx2.apply_cdc(
+        emb.filter(F.col("vec_id") == 8).select(
+            F.lit(9).cast("bigint").alias("vec_id"),
+            "embedding",
+            F.lit("u").alias("op"),
+        )
+    )
+    assert idx2._cents == expected_cents  # CDC never retrains
+    assert idx2.topk(q, exclude_self=True).count() > 0
+    idx2.close()
+
+
+def test_ivf_rebuild_crash_before_flip_leaves_old_geometry(
+    spark, tmp_path, monkeypatch
+):
+    """A rebuild that dies before the manifest flip must leave BOTH
+    the old corpus and the old codebook fully live (keys assigned
+    under one codebook are unreadable under another — they travel in
+    the same atomic fact), in memory and on disk."""
+    from pgsync_spark.queries import _vec_cdc_batch
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    store = str(tmp_path / "ivf_crash")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.ingest(emb)
+    idx.apply_cdc(_vec_cdc_batch(emb))
+    seed_cents = idx._cents
+    before = [
+        tuple(r)
+        for r in idx.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    segments_before = list(idx._segments)
+    epochs_before = set(idx._epochs)
+
+    boom = RuntimeError("injected crash at the flip")
+    monkeypatch.setattr(
+        idx, "_commit_manifest", lambda: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.rebuild()
+    monkeypatch.undo()
+    # in-memory state rolled back wholesale
+    assert idx._cents == seed_cents
+    assert idx._segments == segments_before
+    assert idx._epochs == epochs_before
+    assert idx._has_cdc is True
+    idx.close()
+
+    # on disk the old manifest still governs: load serves the
+    # pre-rebuild answers (the ghost segment is never read)
+    idx2 = IVFVectorIndex.load(spark, store)
+    assert idx2._cents == seed_cents
+    got = [
+        tuple(r)
+        for r in idx2.topk(q, exclude_self=True)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == before
+    # and a retried rebuild completes from exactly this state
+    idx2.rebuild()
+    assert idx2._cents != seed_cents
+    assert idx2.topk(q, exclude_self=True).count() > 0
+    idx2.close()
+
+
+def test_ivf_rebuild_entry_contracts(spark):
+    """rebuild() refusals: unseeded (no codebook) and empty index."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    idx = IVFVectorIndex(spark)
+    with pytest.raises(ValueError, match="no trained codebook"):
+        idx.rebuild()
     idx.close()
 
 
@@ -413,10 +601,11 @@ def test_vector_cdc_fuzz_matches_oneshot(spark, family, seed):
 
     def seed_batch():
         """IVF's first batch (and every post-truncate reseed) must
-        span the codebook-init ids [N_QUERIES, N_QUERIES+IVF_CELLS)."""
+        carry >= IVF_CELLS hash-SAMPLED rows to initialize the
+        codebook (ids 0..22 yield 11 sampled under h32 % 2)."""
         nonlocal next_id
         rows = []
-        for _ in range(N_QUERIES + IVF_CELLS + 3):
+        for _ in range(N_QUERIES + IVF_CELLS + 8):
             did, v = next_id, vec()
             next_id += 1
             model[did] = v
