@@ -293,6 +293,130 @@ def _bench_batch_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_serving(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Steady-state SERVING cost of the maintained indexes (r10
+    verdict item 2): every maintained-index headline line prices
+    seed + CDC + query as ONE lifecycle, but a 100× deployment cares
+    about the MARGINAL query against a store that is already built.
+    Build each store ONCE per bench process, warm one query, then
+    report the median of STEADY_BATCHES timed queries:
+
+    - bm25_topk_serving: BM25Index.topk over the documents corpus
+      (term-pruned postings + broadcast doc-stats fold)
+    - ann_topk_serving: VectorIndex.topk over the embeddings corpus
+      (broadcast band probe + id-join exact re-rank)
+    - hybrid_topk_serving: the --hybrid-topk read path — BM25 leg +
+      ANN leg over hash-featurized doc text + driver-side RRF fuse
+      (fusion constants imported from the oracle-gated query)
+
+    Returns (timings, samples) dicts keyed by metric name."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pgsync_spark.functions.bm25_index import BM25Index
+    from pgsync_spark.functions.hashing import (
+        hash_embed_py,
+        hash_embed_sparksql,
+    )
+    from pgsync_spark.functions.vector_index import VectorIndex
+    from pgsync_spark.queries import (
+        _ENGINE_HYB_CAND_K,
+        BM25_QUERY_TERMS,
+        HYBRID_RRF_K,
+    )
+
+    _gc(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+
+    def timed(name, fn):
+        fn()  # warm: plan compile + codegen, the Nth-query state
+        ss = []
+        for _ in range(STEADY_BATCHES):
+            t0 = time.perf_counter()
+            fn()
+            ss.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(ss), 3)
+        samples[name] = [round(s, 3) for s in ss]
+        print(
+            f"# {name}: {timings[name]}s (runs "
+            f"{[round(s, 3) for s in ss]})",
+            file=sys.stderr,
+        )
+
+    bidx = BM25Index(spark)
+    vidx = VectorIndex(spark)
+    hidx = VectorIndex(spark)
+    try:
+        bidx.ingest(docs)
+        timed(
+            "bm25_topk_serving",
+            lambda: bidx.topk(BM25_QUERY_TERMS, k=10).count(),
+        )
+
+        vidx.ingest(emb)
+        from pgsync_spark.functions.similarity import N_QUERIES
+
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        timed(
+            "ann_topk_serving",
+            lambda: vidx.topk(q, exclude_self=True).count(),
+        )
+
+        # hybrid: BOTH legs over the SAME doc ids — the vector side
+        # holds the hash featurization of each doc's text (the
+        # --vector-store default), so a text query hits both spaces
+        hidx.ingest(
+            docs.select(
+                F.col("doc_id").alias("vec_id"),
+                F.expr(hash_embed_sparksql("text")).alias("embedding"),
+            )
+        )
+        qtext = " ".join(BM25_QUERY_TERMS)
+        qdf = spark.createDataFrame(
+            [(0, hash_embed_py(qtext))],
+            "query_id bigint, embedding array<double>",
+        ).localCheckpoint(eager=True)
+        rrf_k = float(HYBRID_RRF_K)
+
+        def rrf(rank):
+            if rank is None:
+                return 0
+            return int(math.floor(1e9 / (rrf_k + rank) + 0.5))
+
+        def hybrid():
+            lex = {
+                r["doc_id"]: r["rank"]
+                for r in bidx.topk(
+                    BM25_QUERY_TERMS, k=_ENGINE_HYB_CAND_K
+                ).collect()
+            }
+            sem = {
+                r["neighbor_id"]: r["rank"]
+                for r in hidx.topk(qdf, k=_ENGINE_HYB_CAND_K).collect()
+            }
+            fused = sorted(
+                (
+                    (rrf(lex.get(d)) + rrf(sem.get(d)), d)
+                    for d in set(lex) | set(sem)
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            return len(fused)
+
+        timed("hybrid_topk_serving", hybrid)
+    finally:
+        bidx.close()
+        vidx.close()
+        hidx.close()
+    return timings, samples
+
+
 _SYNTH_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -312,11 +436,19 @@ def _ensure_synth_sf(spark, base_dir: str, copies: int = 3) -> str:
 
     # the cache key includes the BASE dir: a synth dir generated from a
     # different sf (e.g. a test running bench.main() at sf0.001) must
-    # never satisfy this run's cache probe
+    # never satisfy this run's cache probe. The default home is a
+    # REPO-side gitignored dir, not /tmp (r10 verdict item 3: /tmp
+    # corpora regenerate cold every session, and the 10× leg drew a
+    # 3.1× sample spread off exactly that cold-read tax — a repo-side
+    # cache makes reruns in ANY session hit warm, page-cached files)
     base_tag = os.path.basename(os.path.realpath(base_dir)) or "sf"
     out_dir = os.environ.get(
         "SPARK_GRAFT_SYNTH_DIR",
-        f"/tmp/pgsync_spark_synth_{base_tag}_{copies}x",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_corpora",
+            f"synth_{base_tag}_{copies}x",
+        ),
     )
     if "SPARK_GRAFT_SYNTH_DIR" in os.environ and copies != 3:
         # one run builds BOTH the 3x and 10x corpora: an exact-dir
@@ -612,9 +744,25 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {str(e)[:500]}"
             print(f"# {name}: ERROR {errors[name][:200]}", file=sys.stderr)
 
+    # steady-state serving metrics: the marginal-query cost against
+    # stores built ONCE (the headline lifecycle lines stay unchanged)
+    try:
+        serving, serving_samples = _bench_serving(spark, sf_dir)
+        timings.update(serving)
+        query_samples.update(serving_samples)
+    except Exception as e:  # noqa: BLE001 — isolate the section
+        errors["serving"] = f"{type(e).__name__}: {str(e)[:500]}"
+        print(f"# serving: ERROR {errors['serving'][:200]}", file=sys.stderr)
+
     try:
         caching.release_all()
         spark.catalog.clearCache()  # safety net for anything unregistered
+        # trained-artifact memo hygiene between sections: the cache
+        # keys on input PLANS, and the scaling legs below re-point
+        # identical plans at synthesized corpora
+        from pgsync_spark.functions.similarity import clear_trained_cache
+
+        clear_trained_cache()
         # nudge a full GC before the latency-sensitive incremental
         # sections: the headline sweep leaves a heap of short-lived
         # garbage whose collection otherwise lands INSIDE a timed batch
