@@ -838,7 +838,7 @@ def _run_ann_rebuild(args, spark=None, out=sys.stdout) -> int:
                     {
                         "rebuilt": True,
                         "live_vectors": live,
-                        "epoch": max(idx._epochs),
+                        "rebuilds": idx._rebuilds,
                         "cells": len(idx._cents),
                     },
                     sort_keys=True,

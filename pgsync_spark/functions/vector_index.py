@@ -371,13 +371,23 @@ class IVFVectorIndex(VectorIndex):
             feature_expr=feature_expr,
         )
         self._cents: list[list[int]] | None = None
+        # completed rebuild() count — durable "a rebuild happened"
+        # bookkeeping that deliberately lives OUTSIDE the applied-epoch
+        # set (see rebuild() on why an epoch number would collide with
+        # a bound stream's next micro-batch)
+        self._rebuilds = 0
 
     def _manifest_extra(self) -> dict:
-        return {**super()._manifest_extra(), "ivf_cents": self._cents}
+        return {
+            **super()._manifest_extra(),
+            "ivf_cents": self._cents,
+            "rebuilds": self._rebuilds,
+        }
 
     def _load_manifest_extra(self, m: dict) -> None:
         super()._load_manifest_extra(m)
         self._cents = m.get("ivf_cents")
+        self._rebuilds = m.get("rebuilds", 0)
 
     def _require_cents(self) -> list[list[int]]:
         if self._cents is None:
@@ -418,10 +428,10 @@ class IVFVectorIndex(VectorIndex):
             self._cents = prev
             raise
 
-    def rebuild(self, epoch: int | None = None) -> DataFrame:
+    def rebuild(self) -> DataFrame:
         """Retrain the coarse codebook over the CURRENT live corpus
-        and reassign every live vector under it, committed as ONE
-        replayable epoch — the missing half of "retraining is a
+        and reassign every live vector under it, cut over as ONE
+        atomic manifest flip — the missing half of "retraining is a
         rebuild" (the seed codebook froze on the first batch; a
         corpus that has grown or drifted since serves under cell
         geometry fit to data that may no longer exist — the
@@ -433,21 +443,28 @@ class IVFVectorIndex(VectorIndex):
         corpus-agnostic init, so any live corpus with >= IVF_CELLS
         sampled vectors retrains), assign every live vector under the
         new centroids in one Arrow pass, and cut over atomically: the
-        new keys/vals land as an UNLISTED ghost segment, the empty
-        decisions frame commits, then ONE manifest flip persists the
-        new segment list AND the new codebook AND the applied epoch
-        together (a crash before the flip leaves the old corpus AND
-        old codebook fully live — keys assigned under one codebook
-        are unreadable under another, so they must travel in the same
-        atomic fact). Old segments delete after the flip and are
-        never read if deletion is interrupted. All CDC overlay state
-        folds into the rebuild (it is also a compact), so the next
-        epoch starts on the append-only fast path.
+        new keys/vals land as an UNLISTED ghost segment, then ONE
+        manifest flip persists the new segment list AND the new
+        codebook AND the bumped ``rebuilds`` counter together (a
+        crash before the flip leaves the old corpus AND old codebook
+        fully live — keys assigned under one codebook are unreadable
+        under another, so they must travel in the same atomic fact;
+        a retry from the crashed state completes cleanly). Old
+        segments delete after the flip and are never read if
+        deletion is interrupted. All CDC overlay state folds into
+        the rebuild (it is also a compact), so the next epoch starts
+        on the append-only fast path.
 
-        Returns the (empty) decisions frame: a rebuild changes no
-        corpus membership, so a stream front-end replaying this epoch
-        re-emits nothing — ``epoch_applied``/``stored_decisions``
-        answer like any other committed epoch.
+        Deliberately EPOCH-LESS maintenance, like ``compact()`` —
+        NOT an applied epoch: a rebuild changes no corpus membership
+        and emits no decisions, and consuming next_epoch() would
+        hand it exactly the number a bound stream's NEXT micro-batch
+        arrives with — that batch would then see epoch_applied() and
+        replay the rebuild's empty decisions instead of indexing
+        (silent data loss, found in this round's review pass). The
+        "a rebuild happened" durability lives in the manifest's
+        ``rebuilds`` counter instead. Returns an empty decisions
+        frame for call-site symmetry with the other lifecycle ops.
 
         Scale shape: training is driver-side over the bounded
         hash-sample (raises over budget); reassignment + rewrite is
@@ -463,9 +480,6 @@ class IVFVectorIndex(VectorIndex):
             ivf_assign_trained,
         )
 
-        if epoch is None:
-            epoch = self.next_epoch()
-        self._check_epoch(epoch)
         self._require_cents()
         vals = self.vals
         if vals is None:
@@ -502,7 +516,7 @@ class IVFVectorIndex(VectorIndex):
             )
             decisions = self.spark.createDataFrame([], _EMPTY_DECISIONS)
             if self.store_dir is not None:
-                seg = f"rebuilt-{epoch}"
+                seg = f"rebuilt-{self._rebuilds + 1}"
                 n = 0
                 while seg in self._segments or os.path.isdir(
                     os.path.join(self.store_dir, self._KEYS_NAME, seg)
@@ -510,7 +524,7 @@ class IVFVectorIndex(VectorIndex):
                     # never write into a LISTED segment; ghost dirs
                     # from crashed rebuilds are skipped, harmlessly
                     n += 1
-                    seg = f"rebuilt-{epoch}-{n}"
+                    seg = f"rebuilt-{self._rebuilds + 1}-{n}"
                 new_keys_df.write.mode("overwrite").partitionBy(
                     "band"
                 ).parquet(
@@ -527,34 +541,29 @@ class IVFVectorIndex(VectorIndex):
                     os.path.join(self.store_dir, self._VALS_NAME, seg)
                 ).persist()
                 nv.count()
-                decisions.write.mode("overwrite").parquet(
-                    os.path.join(
-                        self.store_dir, self._DEC_NAME, f"epoch={epoch}"
-                    )
-                )
                 prev = (
                     self._cents,
                     self._segments,
-                    set(self._epochs),
                     self._has_cdc,
                     self._overlay_rows,
+                    self._rebuilds,
                 )
                 old_segments, self._segments = self._segments, [seg]
                 self._cents = new_cents
-                self._epochs.add(epoch)
                 self._has_cdc = False
                 self._overlay_rows = 0
+                self._rebuilds += 1
                 try:
-                    # THE commit point: segments + codebook + epoch in
-                    # one atomic flip
+                    # THE commit point: segments + codebook + rebuild
+                    # counter in one atomic flip
                     self._commit_manifest()
                 except BaseException:
                     (
                         self._cents,
                         self._segments,
-                        self._epochs,
                         self._has_cdc,
                         self._overlay_rows,
+                        self._rebuilds,
                     ) = prev
                     nk.unpersist()
                     nv.unpersist()
@@ -570,10 +579,9 @@ class IVFVectorIndex(VectorIndex):
                 nk = new_keys_df.localCheckpoint(eager=True)
                 nv = new_vals_df.localCheckpoint(eager=True)
                 self._cents = new_cents
-                self._epochs.add(epoch)
                 self._has_cdc = False
                 self._overlay_rows = 0
-                self._last_decisions = (epoch, decisions)
+                self._rebuilds += 1
                 self._swap_parts(nk, nv)
             return decisions
         finally:

@@ -438,6 +438,7 @@ def test_ivf_rebuild_equals_fresh_build_and_survives_restart(
     idx.ingest(emb)
     seed_cents = idx._cents
     idx.apply_cdc(_vec_cdc_batch(emb))
+    epochs_before = set(idx._epochs)
     dec = idx.rebuild()
     assert dec.count() == 0  # membership unchanged
     assert idx._cents == expected_cents
@@ -451,16 +452,18 @@ def test_ivf_rebuild_equals_fresh_build_and_survives_restart(
         .collect()
     ]
     assert got == expected
-    # the rebuild is a committed, replayable epoch
-    ep = max(idx._epochs)
-    assert idx.epoch_applied(ep)
-    sd = idx.stored_decisions(ep)
-    assert sd is not None and sd.count() == 0
+    # the rebuild is EPOCH-LESS maintenance (like compact): consuming
+    # next_epoch() would collide with a bound stream's next
+    # micro-batch, which would then replay empty decisions instead of
+    # indexing — durability lives in the manifest's rebuilds counter
+    assert idx._epochs == epochs_before
+    assert idx._rebuilds == 1
     idx.close()
 
     idx2 = IVFVectorIndex.load(spark, store)
     assert idx2._cents == expected_cents
     assert idx2._has_cdc is False
+    assert idx2._rebuilds == 1
     got2 = [
         tuple(r)
         for r in idx2.topk(q, exclude_self=True)
@@ -519,6 +522,7 @@ def test_ivf_rebuild_crash_before_flip_leaves_old_geometry(
     assert idx._segments == segments_before
     assert idx._epochs == epochs_before
     assert idx._has_cdc is True
+    assert idx._rebuilds == 0
     idx.close()
 
     # on disk the old manifest still governs: load serves the
