@@ -293,11 +293,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--ann-rebuild", action="store_true",
         help="retrain a stored IVF vector index (--store-dir): "
         "re-fit the coarse codebook over the CURRENT live corpus "
-        "and reassign every live vector under it, committed as ONE "
-        "atomic epoch (crash-safe: the old geometry serves until "
-        "the manifest flips). Use after the corpus has grown or "
-        "drifted past the seed batch the frozen codebook was "
-        "trained on; prints a JSON summary",
+        "and reassign every live vector under it, cut over as ONE "
+        "atomic manifest flip (crash-safe: the old geometry serves "
+        "until the flip; epoch-less, so a paired stream's numbering "
+        "is untouched). Use after the corpus has grown or drifted "
+        "past the seed batch the frozen codebook was trained on; "
+        "prints a JSON summary",
     )
     p.add_argument(
         "--bm25-analyzer", default=None,
@@ -794,7 +795,7 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
 def _run_ann_rebuild(args, spark=None, out=sys.stdout) -> int:
     """--ann-rebuild: load the stored vector index, retrain its
     coarse codebook over the CURRENT live corpus, and reassign every
-    live vector under it as ONE committed epoch
+    live vector under it behind ONE atomic manifest flip
     (IVFVectorIndex.rebuild — the retrain-is-a-rebuild half of the
     FAISS discipline; the reference-side analog is the cluster
     reindex a knn_vector mapping change forces)."""
