@@ -2084,7 +2084,9 @@ def ann_ivf_trained_topk(
 
 
 def _ivf_trained_sql_ctes(
-    corpus: str = "embeddings", init: str = "demo"
+    corpus: str = "embeddings",
+    init: str = "demo",
+    dim: int | None = None,
 ) -> str:
     """Oracle training replay for the trained coarse quantizer:
     quantized full vectors -> IVFT_ITERS unrolled Lloyd iterations ->
@@ -2093,7 +2095,11 @@ def _ivf_trained_sql_ctes(
     over the post-CDC live corpus, not the seed). ``init`` mirrors
     _ivf_trained_centroids_impl: "demo" = the fixed demo-codebook
     rows, "hash" = the IVF_CELLS sampled vec_ids with smallest
-    (h32(vec_id), vec_id)."""
+    (h32(vec_id), vec_id). ``dim``: the embedding dimension (default
+    EMB_DIM — the embeddings table; engine-maintained doc vectors
+    are HASH_EMBED_DIM-dimensional)."""
+    if dim is None:
+        dim = EMB_DIM
     nv = _normalized_sql("embedding")
     h = h32_sql("CAST(vec_id AS VARCHAR)")
     if init == "hash":
@@ -2118,7 +2124,7 @@ def _ivf_trained_sql_ctes(
         ipts AS (
           SELECT vec_id, d,
                  CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
-          FROM inorm, (SELECT unnest(range({EMB_DIM})) AS d)
+          FROM inorm, (SELECT unnest(range({dim})) AS d)
         ),
         isamp AS (SELECT * FROM ipts WHERE {h} % {PQT_SAMPLE_MOD} = 0),
         {icent0}"""

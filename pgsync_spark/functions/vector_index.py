@@ -629,6 +629,93 @@ class IVFVectorIndex(VectorIndex):
         )
 
 
+def ivf_topk_sql(
+    corpus: str,
+    queries: str,
+    k: int | None = None,
+    dim: int | None = None,
+    exclude_self: bool = False,
+) -> str:
+    """DuckDB mirror of a maintained IVFVectorIndex's topk over a
+    ``corpus`` CTE/view (vec_id, embedding) and a ``queries``
+    CTE/view (query_id, embedding) — replays the HASH-init Lloyd
+    training over the corpus (the geometry a maintained index holds
+    after seeding on, or rebuilding over, exactly that corpus),
+    assigns the corpus under the trained centroids, probes each
+    query's IVF_NPROBE nearest cells, and exact-cosine re-ranks.
+    Queries need NOT be corpus members (they quantize and rank
+    against the trained centroids directly — the engine-maintained
+    form, where query vectors are featurized query TEXTS). Returns
+    "<internal CTEs>, <final SELECT>" to append after the caller's
+    own WITH list, like vector_topk_sql."""
+    from .hashing import round6_sql
+    from .similarity import (
+        IVF_NPROBE,
+        IVFT_ITERS,
+        TOP_K,
+        _dot_sql,
+        _ivf_trained_sql_ctes,
+        _norm_sql,
+        _normalized_sql,
+    )
+
+    if k is None:
+        k = TOP_K
+    if dim is None:
+        from .similarity import EMB_DIM
+
+        dim = EMB_DIM
+    self_pred = (
+        " AND a.neighbor_id <> p.query_id" if exclude_self else ""
+    )
+    cos = round6_sql(
+        _dot_sql("q.embedding", "c.embedding")
+        + " / ("
+        + _norm_sql("q.embedding")
+        + " * "
+        + _norm_sql("c.embedding")
+        + ")"
+    )
+    return f"""{_ivf_trained_sql_ctes(corpus=corpus, init="hash", dim=dim)},
+iq_norm AS (
+  SELECT query_id, {_normalized_sql("embedding")} AS nv FROM {queries}
+),
+iq_pts AS (
+  SELECT query_id, d,
+         CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
+  FROM iq_norm, (SELECT unnest(range({dim})) AS d)
+),
+iq_dist AS (
+  SELECT p.query_id, c.c, sum((p.q - c.q) * (p.q - c.q)) AS dd
+  FROM iq_pts p JOIN icent{IVFT_ITERS} c ON c.d = p.d
+  GROUP BY p.query_id, c.c
+),
+iq_probe AS (
+  SELECT query_id, c AS cell_id FROM (
+    SELECT query_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dd, c) AS rn
+    FROM iq_dist
+  ) WHERE rn <= {IVF_NPROBE}
+),
+iassign AS (
+  SELECT vec_id AS neighbor_id, cell_id FROM itrk WHERE rn = 1
+),
+ivcand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM iq_probe p JOIN iassign a ON a.cell_id = p.cell_id{self_pred}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT v.query_id, v.neighbor_id, {cos} AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY v.query_id
+           ORDER BY {cos} DESC, v.neighbor_id) AS INT) AS rank
+  FROM ivcand v
+  JOIN {queries} q ON q.query_id = v.query_id
+  JOIN {corpus} c ON c.vec_id = v.neighbor_id
+) WHERE rank <= {k}"""
+
+
 def vector_topk_sql(
     corpus: str,
     queries: str,

@@ -2758,6 +2758,102 @@ REGISTRY["engine_sync_ann_topk"] = QueryDef(
 )
 
 
+def engine_sync_ivf_rebuild_topk(spark, sf_dir):
+    """The r11 capstone — the TRAINED maintained index wired into the
+    ENGINE end to end, including the retrain: full sync → seed an
+    engine-owned IVFVectorIndex from docs_for_sink() content (the
+    seed ingest trains + freezes the coarse codebook over the doc
+    vectors — hash-init, so arbitrary doc-id spaces train) → ONE
+    mixed CDC batch flows through IncrementalEngine and, via
+    doc_consumers, into the index (updated docs re-assign under the
+    FROZEN codebook; deletes tombstone) → ``rebuild()`` retrains the
+    codebook over the post-CDC live doc vectors and reassigns — then
+    ANN topk for featurized query TEXTS (query 0 = '9-INC', a
+    CDC-only priority: it can rank cosine-1.0 hits exactly iff the
+    update moved those docs' vectors AND the rebuilt geometry serves
+    them). Must hash-match a DuckDB oracle that recomputes the
+    post-CDC denormalized corpus, re-derives every doc vector,
+    replays the REBUILD's hash-init Lloyd training over exactly that
+    corpus, assigns it, probes each query's nprobe cells, and
+    exact-cosine re-ranks (ivf_topk_sql) — the oracle never sees the
+    seed codebook, proving serving runs under the retrained
+    geometry.
+
+    Scale shape: engine maintenance is O(batch); the rebuild is the
+    one deliberate O(corpus) op (bounded-sample training + one Arrow
+    reassignment + one segment rewrite, atomically flipped); the
+    query probes nprobe cells only."""
+    from .functions.hashing import hash_embed_py, hash_embed_sparksql
+    from .functions.vector_index import IVFVectorIndex
+    from .streaming import (
+        IncrementalEngine,
+        VectorIndexMaintainer,
+        payloads_from_rows,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    idx = IVFVectorIndex(spark)
+    m = VectorIndexMaintainer(
+        idx, vec_expr=hash_embed_sparksql(_ENGINE_ANN_VEC_TEXT)
+    )
+    m.seed(eng.docs_for_sink())  # trains + freezes on the seed docs
+    eng.doc_consumers.append(m)
+    eng.process_batch(
+        payloads_from_rows(spark, _incremental_events(spark, cat))
+    )
+    idx.rebuild()  # retrain over the post-CDC live doc vectors
+    queries = spark.createDataFrame(
+        [
+            (i, hash_embed_py(t))
+            for i, t in enumerate(_ENGINE_ANN_QUERY_TEXTS)
+        ],
+        "query_id bigint, embedding array<double>",
+    )
+    out = idx.topk(queries, k=10).localCheckpoint(eager=True)
+    idx.close()
+    eng._teardown_stores()
+    return out
+
+
+def _engine_ivf_rebuild_oracle() -> str:
+    from .functions.hashing import HASH_EMBED_DIM, hash_embed_sql
+    from .functions.vector_index import ivf_topk_sql
+
+    vq = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, {hash_embed_sql(repr(t))} AS embedding"
+        for i, t in enumerate(_ENGINE_ANN_QUERY_TEXTS)
+    )
+    return (
+        _INCR_ORACLE_CTES.rstrip()
+        + ",\ndocs AS ("
+        + oracle_doc_sql(
+            schemas.tree("orders_full"),
+            TPCH_TABLES,
+            schemas.columns_of,
+            schemas.column_type_of,
+            table_names={"orders": "orders_mut", "customer": "customer_mut"},
+        )
+        + f"""),
+vcorpus AS (
+  SELECT CAST(_id AS BIGINT) AS vec_id,
+         {hash_embed_sql("json_extract_string(doc, '$.o_orderpriority')")}
+           AS embedding
+  FROM docs
+),
+vqueries AS ({vq}),
+"""
+        + ivf_topk_sql("vcorpus", "vqueries", k=10, dim=HASH_EMBED_DIM)
+    )
+
+
+REGISTRY["engine_sync_ivf_rebuild_topk"] = QueryDef(
+    fn=engine_sync_ivf_rebuild_topk, oracle=_engine_ivf_rebuild_oracle()
+)
+
+
 # the capstone of the engine-owned index story: ONE engine, TWO
 # doc_consumers — the lexical index (standard analyzer over priority +
 # customer name) and the vector index (hash featurizer over priority)
