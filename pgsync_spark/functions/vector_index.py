@@ -347,8 +347,8 @@ class IVFVectorIndex(VectorIndex):
     its IVF_NPROBE nearest cells; candidates re-rank by exact cosine
     — the same broadcast-probe + id-join plan as the LSH form,
     cell-pruned instead of band-pruned. ``rebuild()`` retrains over
-    the live corpus and reassigns as one committed epoch — the
-    retrain-is-a-rebuild half of the FAISS discipline.
+    the live corpus and reassigns behind one atomic manifest flip —
+    the retrain-is-a-rebuild half of the FAISS discipline.
 
     Centroids are INDEX STATE: persisted in the manifest
     (_manifest_extra) and restored by load(), like BM25's analyzer —
