@@ -282,12 +282,32 @@ def build_parser() -> argparse.ArgumentParser:
         "any content change moves the vector)",
     )
     p.add_argument(
+        "--vector-index", default=None, choices=("lsh", "ivf"),
+        help="index family for a FRESH --vector-store: lsh (sign-LSH "
+        "bands; the default) or ivf (trained frozen coarse codebook "
+        "— the seed sync trains it over the doc vectors, so the "
+        "seeded tree needs >= 10 hash-sampled docs; retrain later "
+        "with --ann-rebuild). The family is index state: an existing "
+        "store keeps the family it was built with (reload dispatches "
+        "on the manifest), and passing the other one is an error",
+    )
+    p.add_argument(
         "--ann-topk", metavar="QUERY", default=None,
         help="query a stored VectorIndex (--store-dir): QUERY is "
         "either a JSON array literal (the vector itself — use for "
         "stores built with a custom --vector-expr) or text to run "
         "through the default hash featurizer; prints the top-k "
         "(neighbor_id, cosine, rank) as JSON lines",
+    )
+    p.add_argument(
+        "--ann-stats", action="store_true",
+        help="print one JSON line describing a stored vector index "
+        "(--store-dir): live vector count, per-cell/bucket occupancy "
+        "of the coarse partition (max/mean imbalance), CDC overlay "
+        "size, rebuild count, featurizer stamp. For IVF stores the "
+        "imbalance is the when-to-rebuild signal: a codebook fit to "
+        "a corpus that has since drifted partitions the live set "
+        "unevenly, and probe cost follows the biggest cells",
     )
     p.add_argument(
         "--ann-rebuild", action="store_true",
@@ -792,6 +812,82 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
+    """--ann-stats: operational introspection of a stored vector
+    index — the read-only half of the rebuild loop (measure the
+    partition, decide, --ann-rebuild). One JSON line; works for both
+    families (LSH reports per-(band, bucket) occupancy, IVF per-cell
+    — for IVF the max/mean imbalance is the rebuild signal, see the
+    r11 EXPLAIN measurement: a rebuild on a drifted corpus took
+    max/mean 1.75 -> 1.40 and probe cost down 19%)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_ann_stats")
+    try:
+        try:
+            idx = _load_vector_store(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            print(
+                f"--ann-stats: cannot load {args.store_dir}: {e}",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            keys = idx.keys
+            stats = {
+                "index": type(idx).__name__,
+                "feature_expr": idx.feature_expr,
+                "live_vectors": 0,
+                "overlay_rows": idx._overlay_rows,
+                "rebuilds": getattr(idx, "_rebuilds", None),
+                "trained": bool(getattr(idx, "_cents", None))
+                if hasattr(idx, "_cents")
+                else None,
+            }
+            if keys is not None:
+                vals = idx.vals
+                if idx._has_cdc and vals is not None:
+                    overlay = idx._cdc_overlay(vals)
+                    keys = idx._cdc_live(keys, overlay)
+                    vals = idx._cdc_live(vals, overlay)
+                counts = [
+                    r["n"]
+                    for r in keys.groupBy("band", "bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ]
+                if counts:
+                    mean = sum(counts) / len(counts)
+                    stats.update(
+                        {
+                            "live_vectors": vals.select(
+                                "vec_id"
+                            )
+                            .distinct()
+                            .count()
+                            if vals is not None
+                            else 0,
+                            "cells_used": len(counts),
+                            "occupancy_max": max(counts),
+                            "occupancy_mean": round(mean, 1),
+                            "imbalance": round(max(counts) / mean, 2),
+                        }
+                    )
+            print(json.dumps(stats, sort_keys=True), file=out)
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def _run_ann_rebuild(args, spark=None, out=sys.stdout) -> int:
     """--ann-rebuild: load the stored vector index, retrain its
     coarse codebook over the CURRENT live corpus, and reassign every
@@ -923,6 +1019,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.bm25_topk is not None
             or args.export_shards
             or args.ann_rebuild
+            or args.ann_stats
         ):
             # every other mode flag refuses, not just sync/stream —
             # dispatch order would otherwise silently ignore the
@@ -952,6 +1049,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.bm25_topk is not None
             or args.export_shards
             or args.ann_rebuild
+            or args.ann_stats
         ):
             print(
                 "--ann-topk is its own mode; remove the other mode "
@@ -974,6 +1072,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.daemon
             or args.export_shards
             or args.ann_rebuild
+            or args.ann_stats
         ):
             print(
                 "--bm25-topk is its own mode; remove the other mode "
@@ -982,6 +1081,25 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             )
             return 2
         return _run_bm25_topk(args, spark, out)
+    if args.ann_stats:
+        if not args.store_dir:
+            print("--ann-stats requires --store-dir", file=sys.stderr)
+            return 2
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.export_shards
+            or args.ann_rebuild
+        ):
+            print(
+                "--ann-stats is its own mode; remove the other mode "
+                "flags (sync/stream/--export-shards/--ann-rebuild — "
+                "measure first, rebuild as its own invocation)",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_ann_stats(args, spark, out)
     if args.ann_rebuild:
         if not args.store_dir:
             print("--ann-rebuild requires --store-dir", file=sys.stderr)
@@ -1336,23 +1454,49 @@ def _run_sync(runner, args, out) -> int:
             )
 
             from .functions.hashing import hash_embed_sparksql
+            from .functions.vector_index import IVFVectorIndex
 
             # resolve the featurizer ONCE so the fresh-store stamp and
             # the reload comparison use the same string (the
             # maintainer's own default is this exact expression)
             vec_expr = args.vector_expr or hash_embed_sparksql("doc")
+            fresh_cls = (
+                IVFVectorIndex
+                if args.vector_index == "ivf"
+                else VectorIndex
+            )
             for name, eng in runner.engines.items():
                 path = os.path.join(args.vector_store, name)
                 fresh = not os.path.exists(
                     os.path.join(path, "CURRENT")
                 )
+                # reload dispatches on the manifest's writing class
+                # (the --ann-topk rule); the flag then only GUARDS —
+                # a committed store keeps its family, like the
+                # analyzer and the featurizer
                 idx = (
-                    VectorIndex(
+                    fresh_cls(
                         spark, store_dir=path, feature_expr=vec_expr
                     )
                     if fresh
-                    else VectorIndex.load(spark, path)
+                    else _load_vector_store(spark, path)
                 )
+                if (
+                    not fresh
+                    and args.vector_index is not None
+                    and type(idx).__name__
+                    != fresh_cls.__name__
+                ):
+                    idx.close()
+                    print(
+                        f"[{name}] "
+                        + _state_mismatch_msg(
+                            path, "vector index family",
+                            type(idx).__name__, fresh_cls.__name__,
+                        ),
+                        file=sys.stderr,
+                    )
+                    return 2
                 if not fresh and idx.feature_expr is None:
                     # pre-stamp (library-created) store under CLI
                     # maintenance for the first time. An EXPLICIT

@@ -1455,3 +1455,58 @@ def test_cli_ann_rebuild_retrains_ivf_store(spark, tmp_path):
         ["--ann-rebuild", "--store-dir", store, "--ann-topk", "x"],
         spark=spark,
     ) == 2
+
+
+def test_cli_vector_index_ivf_engine_store_and_stats(spark, tmp_path):
+    """--vector-index ivf: the engine-sync CLI maintains the TRAINED
+    vector family end to end — the seed sync trains the codebook into
+    the manifest, reload dispatches on the manifest's class and a
+    conflicting family flag refuses, --ann-stats reports the
+    partition (the when-to-rebuild signal), and --ann-rebuild
+    retrains the engine store in place."""
+    store = str(tmp_path / "ivstore")
+    base_args = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "ivout"),
+        "--vector-store", store,
+    ]
+    assert main(base_args + ["--vector-index", "ivf"], spark=spark) == 0
+    sub = os.path.join(store, "orders_cli")
+    with open(os.path.join(sub, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["index"] == "IVFVectorIndex"
+    assert m["ivf_cents"]  # the seed sync trained the codebook
+
+    # reload: manifest dispatch (no flag needed), family guard refuses
+    # the other family, same family passes
+    assert main(base_args, spark=spark) == 0
+    assert main(base_args + ["--vector-index", "lsh"], spark=spark) == 2
+    assert main(base_args + ["--vector-index", "ivf"], spark=spark) == 0
+
+    # --ann-stats: one JSON line with the partition signal
+    buf = io.StringIO()
+    assert main(
+        ["--ann-stats", "--store-dir", sub], spark=spark, out=buf
+    ) == 0
+    stats = json.loads(buf.getvalue())
+    assert stats["index"] == "IVFVectorIndex"
+    assert stats["trained"] is True
+    assert stats["live_vectors"] > 0
+    assert stats["cells_used"] >= 1
+    assert stats["imbalance"] >= 1.0
+    assert stats["rebuilds"] == 0
+
+    # --ann-rebuild works against the engine-owned store
+    buf = io.StringIO()
+    assert main(
+        ["--ann-rebuild", "--store-dir", sub], spark=spark, out=buf
+    ) == 0
+    assert json.loads(buf.getvalue())["rebuilds"] == 1
+
+    # guards: --ann-stats needs a store and is its own mode
+    assert main(["--ann-stats"], spark=spark) == 2
+    assert main(
+        ["--ann-stats", "--store-dir", sub, "--ann-rebuild"],
+        spark=spark,
+    ) == 2
