@@ -782,3 +782,43 @@ def test_standard_stop_analyzer_drops_stopwords_everywhere(spark, tmp_path):
     assert analyze_py("These are NOT stopword-free!", "standard_stop") == [
         "stopword", "free"
     ]
+
+
+def test_analyzer_three_form_parity_property():
+    """Property: for every analyzer, the Python mirror and the DuckDB
+    SQL mirror tokenize identical ASCII text to identical token lists
+    (the parity the oracle gate rests on; the Spark form is exercised
+    against the same strings by the oracle-gated queries). Restricted
+    to printable ASCII — the documented analyzer contract (exotic
+    unicode case-folding may differ between engines and only affects
+    driver-side query convenience)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgsync_spark.functions.hashing import (
+        ANALYZERS,
+        analyze_py,
+        analyze_sql,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        )
+    )
+    def check(text):
+        for analyzer in ANALYZERS:
+            got = con.execute(
+                "SELECT " + analyze_sql("?", analyzer), [text]
+            ).fetchone()[0]
+            assert (got or []) == analyze_py(text, analyzer), (
+                analyzer,
+                text,
+            )
+
+    check()

@@ -571,6 +571,29 @@ def test_topk_plan_shape(spark):
     idx.close()
 
 
+def test_ivf_topk_plan_shape_after_rebuild(spark):
+    """The IVF family keeps the same serving-plan discipline,
+    including after a rebuild: the probe is one Arrow assignment of
+    the QUERY frame (mapInPandas with the codebook broadcast in the
+    closure), candidates resolve by broadcast joins, and the held
+    corpus is never shuffled — no sort-merge join, candidate-sized
+    hash exchanges only."""
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    idx = IVFVectorIndex(spark)
+    idx.ingest(emb)
+    idx.rebuild()
+    out = idx.topk(_queries(emb), exclude_self=True)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert final.count("Exchange hashpartitioning") <= 2, final
+    idx.close()
+
+
 @pytest.mark.parametrize("family", ["lsh", "ivf"])
 @pytest.mark.parametrize("seed", [11, 29])
 def test_vector_cdc_fuzz_matches_oneshot(spark, family, seed):
