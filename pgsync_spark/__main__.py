@@ -1229,6 +1229,17 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             file=sys.stderr,
         )
         return 2
+    if (
+        args.vector_index is not None or args.vector_expr is not None
+    ) and not args.vector_store:
+        # silently ignoring either would read as "the flag took
+        # effect" — same dependent-flag rule as --drift-alert-kl
+        print(
+            "--vector-index/--vector-expr apply only with "
+            "--vector-store",
+            file=sys.stderr,
+        )
+        return 2
     if (args.drain or args.polling) and not args.daemon:
         print(
             "--drain/--polling only apply in --daemon mode",
