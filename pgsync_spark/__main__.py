@@ -140,8 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
         "index — 'vector' (sign-LSH keys) or 'ivf' (trained frozen "
         "coarse codebook; the FIRST batch trains the centroids over "
         "its hash-sample — any seed with enough sampled vectors "
-        "works, but make it representative, and at most ~200k "
-        "sampled rows fit the training budget; --ann-rebuild "
+        "works, but make it representative; --ivf-sample-mod dials "
+        "the training budget for large seeds, --ann-rebuild "
         "retrains later). Serving indexes "
         "accept everything — decisions stay empty; the same "
         "exactly-once epoch pipeline keeps them continuously "
@@ -300,6 +300,17 @@ def build_parser() -> argparse.ArgumentParser:
         "(neighbor_id, cosine, rank) as JSON lines",
     )
     p.add_argument(
+        "--ivf-sample-mod", type=int, default=None, metavar="N",
+        help="IVF training hash-sample modulus (keep 1 in N corpus "
+        "rows for the driver-side Lloyd fit; default 2): raise it "
+        "when a large seed corpus overflows the ~100k-row training "
+        "budget. Training state — a committed store keeps the "
+        "modulus it trained with (a mismatch refuses); with "
+        "--ann-rebuild it overrides for the retrain and persists at "
+        "the flip. Applies to --dedup-index ivf, --vector-index "
+        "ivf, and --ann-rebuild",
+    )
+    p.add_argument(
         "--ann-stats", action="store_true",
         help="print one JSON line describing a stored vector index "
         "(--store-dir): live vector count, per-cell/bucket occupancy "
@@ -435,6 +446,14 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.ivf_sample_mod is not None and (
+            args.dedup_index != "ivf" or args.ivf_sample_mod < 1
+        ):
+            print(
+                "--ivf-sample-mod needs --dedup-index ivf and N >= 1",
+                file=sys.stderr,
+            )
+            return 2
         if args.probe_hamming is not None and args.dedup_index not in (
             "embedding",
             "vector",
@@ -526,6 +545,27 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             # behavior, not store state, so setting it here covers both
             # construction paths
             index.probe_hamming = args.probe_hamming
+        if args.ivf_sample_mod is not None:
+            # the sample modulus is TRAINING state (the manifest
+            # persists it so rebuild re-samples under the same
+            # discipline): a fresh index takes it; a committed store
+            # keeps the one it trained with and a mismatch refuses —
+            # retraining under a different budget is a rebuild
+            # (--ann-rebuild --ivf-sample-mod), not a reload
+            if (
+                had_manifest
+                and index.sample_mod != args.ivf_sample_mod
+            ):
+                print(
+                    _state_mismatch_msg(
+                        args.store_dir, "sample_mod",
+                        index.sample_mod, args.ivf_sample_mod,
+                    ),
+                    file=sys.stderr,
+                )
+                index.close()
+                return 2
+            index.sample_mod = args.ivf_sample_mod
         try:
             q = start_dedup_stream(
                 spark,
@@ -921,6 +961,17 @@ def _run_ann_rebuild(args, spark=None, out=sys.stdout) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if args.ivf_sample_mod is not None:
+                if args.ivf_sample_mod < 1:
+                    print(
+                        "--ivf-sample-mod must be >= 1",
+                        file=sys.stderr,
+                    )
+                    return 2
+                # a rebuild IS the sanctioned moment to change the
+                # training budget — the retrain samples under the new
+                # modulus and the flip persists it as the store's
+                idx.sample_mod = args.ivf_sample_mod
             try:
                 idx.rebuild()
             except ValueError as e:
@@ -1476,6 +1527,15 @@ def _run_sync(runner, args, out) -> int:
                 if args.vector_index == "ivf"
                 else VectorIndex
             )
+            if args.ivf_sample_mod is not None and (
+                args.vector_index != "ivf" or args.ivf_sample_mod < 1
+            ):
+                print(
+                    "--ivf-sample-mod needs --vector-index ivf "
+                    "and N >= 1",
+                    file=sys.stderr,
+                )
+                return 2
             for name, eng in runner.engines.items():
                 path = os.path.join(args.vector_store, name)
                 fresh = not os.path.exists(
@@ -1485,13 +1545,34 @@ def _run_sync(runner, args, out) -> int:
                 # (the --ann-topk rule); the flag then only GUARDS —
                 # a committed store keeps its family, like the
                 # analyzer and the featurizer
+                fresh_kwargs = {"feature_expr": vec_expr}
+                if args.vector_index == "ivf":
+                    fresh_kwargs["sample_mod"] = args.ivf_sample_mod
                 idx = (
-                    fresh_cls(
-                        spark, store_dir=path, feature_expr=vec_expr
-                    )
+                    fresh_cls(spark, store_dir=path, **fresh_kwargs)
                     if fresh
                     else _load_vector_store(spark, path)
                 )
+                if (
+                    not fresh
+                    and args.ivf_sample_mod is not None
+                    and getattr(idx, "sample_mod", None)
+                    != args.ivf_sample_mod
+                ):
+                    # training state: a committed store keeps the
+                    # modulus it trained with (change it via
+                    # --ann-rebuild --ivf-sample-mod)
+                    idx.close()
+                    print(
+                        f"[{name}] "
+                        + _state_mismatch_msg(
+                            path, "sample_mod",
+                            getattr(idx, "sample_mod", None),
+                            args.ivf_sample_mod,
+                        ),
+                        file=sys.stderr,
+                    )
+                    return 2
                 if (
                     not fresh
                     and args.vector_index is not None

@@ -1902,7 +1902,7 @@ def _ivf_trained_centroids(df: DataFrame) -> list[list[int]]:
 
 
 def _ivf_trained_centroids_impl(
-    df: DataFrame, init: str = "demo"
+    df: DataFrame, init: str = "demo", sample_mod: int | None = None
 ) -> list[list[int]]:
     """``init`` selects the codebook initialization:
 
@@ -1921,15 +1921,26 @@ def _ivf_trained_centroids_impl(
       its corpora are arbitrary (doc-hash ids, post-CDC snapshots),
       exactly where a fixed-id contract was the r10-advice footgun.
 
-    Both are deterministic and replayed bit-for-bit by
-    _ivf_trained_sql_ctes(init=...)."""
+    ``sample_mod``: the hash-sample modulus (default PQT_SAMPLE_MOD —
+    keep 1 in sample_mod rows). The dial for corpora whose mod-2
+    sample would blow the PQT_MAX_SAMPLE driver budget (>~200k rows):
+    raise it until the sample fits. It is TRAINING STATE — the
+    maintained index persists it in the manifest so a rebuild
+    re-samples under the same discipline.
+
+    Both inits are deterministic and replayed bit-for-bit by
+    _ivf_trained_sql_ctes(init=..., sample_mod=...)."""
     import numpy as np
 
     if init not in ("demo", "hash"):
         raise ValueError(f"unknown IVF init {init!r}: 'demo' or 'hash'")
+    if sample_mod is None:
+        sample_mod = PQT_SAMPLE_MOD
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     sample = (
         df.filter(
-            h32(F.col("vec_id").cast("string")) % PQT_SAMPLE_MOD == 0
+            h32(F.col("vec_id").cast("string")) % sample_mod == 0
         )
         .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
         .limit(PQT_MAX_SAMPLE + 1)
@@ -1938,7 +1949,9 @@ def _ivf_trained_centroids_impl(
     if len(sample) > PQT_MAX_SAMPLE:
         raise ValueError(
             f"IVF training sample exceeds PQT_MAX_SAMPLE="
-            f"{PQT_MAX_SAMPLE}; raise PQT_SAMPLE_MOD for this corpus"
+            f"{PQT_MAX_SAMPLE}; raise the sample modulus "
+            f"(currently {sample_mod}; CLI --ivf-sample-mod, library "
+            "sample_mod=) for this corpus"
         )
     q = _quantize_micro([r["nv"] for r in sample])
     if init == "hash":
@@ -1946,7 +1959,8 @@ def _ivf_trained_centroids_impl(
             raise ValueError(
                 f"IVF training needs >= {IVF_CELLS} sampled vectors "
                 f"to initialize the codebook; got {len(sample)} — "
-                "seed with a larger corpus (or lower PQT_SAMPLE_MOD)"
+                "seed with a larger corpus (or lower the sample "
+                "modulus)"
             )
         order = sorted(
             range(len(sample)),
@@ -2087,6 +2101,7 @@ def _ivf_trained_sql_ctes(
     corpus: str = "embeddings",
     init: str = "demo",
     dim: int | None = None,
+    sample_mod: int | None = None,
 ) -> str:
     """Oracle training replay for the trained coarse quantizer:
     quantized full vectors -> IVFT_ITERS unrolled Lloyd iterations ->
@@ -2097,9 +2112,12 @@ def _ivf_trained_sql_ctes(
     rows, "hash" = the IVF_CELLS sampled vec_ids with smallest
     (h32(vec_id), vec_id). ``dim``: the embedding dimension (default
     EMB_DIM — the embeddings table; engine-maintained doc vectors
-    are HASH_EMBED_DIM-dimensional)."""
+    are HASH_EMBED_DIM-dimensional). ``sample_mod``: the hash-sample
+    modulus (default PQT_SAMPLE_MOD) — must match the engine's."""
     if dim is None:
         dim = EMB_DIM
+    if sample_mod is None:
+        sample_mod = PQT_SAMPLE_MOD
     nv = _normalized_sql("embedding")
     h = h32_sql("CAST(vec_id AS VARCHAR)")
     if init == "hash":
@@ -2126,7 +2144,7 @@ def _ivf_trained_sql_ctes(
                  CAST(floor(nv[d + 1] * 1e6 + 0.5) AS BIGINT) AS q
           FROM inorm, (SELECT unnest(range({dim})) AS d)
         ),
-        isamp AS (SELECT * FROM ipts WHERE {h} % {PQT_SAMPLE_MOD} = 0),
+        isamp AS (SELECT * FROM ipts WHERE {h} % {sample_mod} = 0),
         {icent0}"""
     ]
     for t in range(1, IVFT_ITERS + 1):

@@ -360,6 +360,7 @@ class IVFVectorIndex(VectorIndex):
         store_dir: str | None = None,
         overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
         feature_expr: str | None = None,
+        sample_mod: int | None = None,
     ):
         # probe_hamming=0: the IVF probe set is the nprobe cell list,
         # never Hamming perturbations (that dial is sign-LSH-specific)
@@ -376,18 +377,30 @@ class IVFVectorIndex(VectorIndex):
         # set (see rebuild() on why an epoch number would collide with
         # a bound stream's next micro-batch)
         self._rebuilds = 0
+        # training hash-sample modulus (None = the PQT_SAMPLE_MOD
+        # default): the budget dial for corpora whose default sample
+        # would exceed the driver-side training budget. TRAINING
+        # STATE — persisted in the manifest so rebuild() re-samples
+        # under the same discipline (CLI: --ivf-sample-mod).
+        if sample_mod is not None and sample_mod < 1:
+            raise ValueError(
+                f"sample_mod must be >= 1, got {sample_mod}"
+            )
+        self.sample_mod = sample_mod
 
     def _manifest_extra(self) -> dict:
         return {
             **super()._manifest_extra(),
             "ivf_cents": self._cents,
             "rebuilds": self._rebuilds,
+            "sample_mod": self.sample_mod,
         }
 
     def _load_manifest_extra(self, m: dict) -> None:
         super()._load_manifest_extra(m)
         self._cents = m.get("ivf_cents")
         self._rebuilds = m.get("rebuilds", 0)
+        self.sample_mod = m.get("sample_mod")
 
     def _require_cents(self) -> list[list[int]]:
         if self._cents is None:
@@ -496,7 +509,9 @@ class IVFVectorIndex(VectorIndex):
             eager=True
         )
         try:
-            new_cents = _ivf_trained_centroids_impl(live, init="hash")
+            new_cents = _ivf_trained_centroids_impl(
+                live, init="hash", sample_mod=self.sample_mod
+            )
             # the compact sentinel: every rebuilt row is live and
             # versionless (-1 is strictly older than any real epoch,
             # so later CDC rows always win the max-ver fold)
@@ -608,7 +623,9 @@ class IVFVectorIndex(VectorIndex):
             # hash-sample itself — no fixed demo-id contract (the
             # r10-advice footgun: any corpus lacking vec_ids [5,15)
             # died here).
-            self._cents = _ivf_trained_centroids_impl(df, init="hash")
+            self._cents = _ivf_trained_centroids_impl(
+                df, init="hash", sample_mod=self.sample_mod
+            )
         return (
             ivf_assign_trained(df, self._cents)
             .filter(F.col("rn") == 1)

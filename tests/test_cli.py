@@ -1510,3 +1510,61 @@ def test_cli_vector_index_ivf_engine_store_and_stats(spark, tmp_path):
         ["--ann-stats", "--store-dir", sub, "--ann-rebuild"],
         spark=spark,
     ) == 2
+
+
+def test_cli_ivf_sample_mod_dial(spark, tmp_path):
+    """--ivf-sample-mod (the training-budget dial): a fresh IVF
+    stream-built store trains under it and the manifest persists it;
+    a reload with a different modulus refuses (training state); a
+    rebuild with the flag retrains under — and persists — the new
+    modulus; and the flag refuses outside the ivf family."""
+    from pgsync_spark.functions.hashing import hash_embed_py
+    from pgsync_spark.functions.similarity import IVF_CELLS, N_QUERIES
+
+    docs_dir = tmp_path / "mvecs"
+    docs_dir.mkdir()
+    n = 60  # enough mod-3 sampled ids to initialize the codebook
+    with open(docs_dir / "b0.json", "w") as f:
+        for i in range(n):
+            f.write(json.dumps(
+                {"vec_id": i, "embedding": hash_embed_py(f"m{i}")}
+            ) + "\n")
+    store = str(tmp_path / "mstore")
+    args = [
+        "--dedup-stream", str(docs_dir),
+        "--dedup-index", "ivf",
+        "--checkpoint-dir", str(tmp_path / "mckpt"),
+        "--dedup-out", str(tmp_path / "mout"),
+        "--store-dir", store,
+        "--drain",
+    ]
+    assert main(args + ["--ivf-sample-mod", "3"], spark=spark) == 0
+    with open(os.path.join(store, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["sample_mod"] == 3
+    assert m["ivf_cents"] and len(m["ivf_cents"]) == IVF_CELLS
+
+    # training state: a different modulus refuses on reload
+    assert main(args + ["--ivf-sample-mod", "5"], spark=spark) == 2
+    # rebuild is the sanctioned change point: retrains + persists
+    buf = io.StringIO()
+    assert main(
+        ["--ann-rebuild", "--store-dir", store,
+         "--ivf-sample-mod", "5"],
+        spark=spark, out=buf,
+    ) == 0
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert json.load(f)["sample_mod"] == 5
+
+    # family guards
+    assert main(
+        args[:3] + ["minhash"] + args[4:] + ["--ivf-sample-mod", "3"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR,
+         "--sink-dir", str(tmp_path / "mo2"),
+         "--vector-store", str(tmp_path / "mvs"),
+         "--ivf-sample-mod", "3"],
+        spark=spark,
+    ) == 2

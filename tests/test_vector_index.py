@@ -742,3 +742,41 @@ def test_hash_embed_recognizer_pins_generator():
     assert not is_hash_embed_sql("CAST(encoder_out AS ARRAY<DOUBLE>)")
     assert not is_hash_embed_sql(None)
     assert not is_hash_embed_sql("")
+
+
+def test_ivf_sample_mod_is_training_state(spark, tmp_path):
+    """sample_mod (the training-budget dial, r10 advice): a custom
+    modulus trains on exactly the mod-N hash-sample (bit-equal to the
+    library impl under the same modulus), persists in the manifest,
+    and rebuild() re-samples under it."""
+    from pgsync_spark.functions.similarity import (
+        _ivf_trained_centroids_impl,
+    )
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    emb = _emb(spark)
+    store = str(tmp_path / "ivf_mod")
+    idx = IVFVectorIndex(spark, store_dir=store, sample_mod=4)
+    idx.ingest(emb)
+    assert idx._cents == _ivf_trained_centroids_impl(
+        emb, init="hash", sample_mod=4
+    )
+    # a DIFFERENT modulus trains a different codebook (the dial is
+    # real, not a no-op)
+    assert idx._cents != _ivf_trained_centroids_impl(
+        emb, init="hash", sample_mod=2
+    )
+    idx.close()
+
+    idx2 = IVFVectorIndex.load(spark, store)
+    assert idx2.sample_mod == 4  # manifest round-trip
+    idx2.rebuild()
+    # same live corpus, same modulus -> the retrain lands on the same
+    # codebook (rebuild re-sampled under the persisted discipline)
+    assert idx2._cents == _ivf_trained_centroids_impl(
+        emb, init="hash", sample_mod=4
+    )
+    idx2.close()
+
+    with pytest.raises(ValueError, match="sample_mod"):
+        IVFVectorIndex(spark, sample_mod=0)
