@@ -652,6 +652,7 @@ def ivf_topk_sql(
     k: int | None = None,
     dim: int | None = None,
     exclude_self: bool = False,
+    sample_mod: int | None = None,
 ) -> str:
     """DuckDB mirror of a maintained IVFVectorIndex's topk over a
     ``corpus`` CTE/view (vec_id, embedding) and a ``queries``
@@ -693,7 +694,10 @@ def ivf_topk_sql(
         + _norm_sql("c.embedding")
         + ")"
     )
-    return f"""{_ivf_trained_sql_ctes(corpus=corpus, init="hash", dim=dim)},
+    ctes = _ivf_trained_sql_ctes(
+        corpus=corpus, init="hash", dim=dim, sample_mod=sample_mod
+    )
+    return f"""{ctes},
 iq_norm AS (
   SELECT query_id, {_normalized_sql("embedding")} AS nv FROM {queries}
 ),
