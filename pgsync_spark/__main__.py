@@ -552,10 +552,14 @@ def _run_dedup_stream(args, spark=None, out=sys.stdout) -> int:
             # keeps the one it trained with and a mismatch refuses —
             # retraining under a different budget is a rebuild
             # (--ann-rebuild --ivf-sample-mod), not a reload
-            if (
-                had_manifest
-                and index.sample_mod != args.ivf_sample_mod
-            ):
+            from .functions.similarity import PQT_SAMPLE_MOD
+
+            if had_manifest and (
+                index.sample_mod or PQT_SAMPLE_MOD
+            ) != args.ivf_sample_mod:
+                # None = a store trained before the dial existed,
+                # which trained under the default — passing that
+                # default matches instead of refusing
                 print(
                     _state_mismatch_msg(
                         args.store_dir, "sample_mod",
@@ -889,6 +893,7 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
                 "trained": bool(getattr(idx, "_cents", None))
                 if hasattr(idx, "_cents")
                 else None,
+                "sample_mod": getattr(idx, "sample_mod", None),
             }
             if keys is not None:
                 vals = idx.vals
@@ -1516,6 +1521,9 @@ def _run_sync(runner, args, out) -> int:
             )
 
             from .functions.hashing import hash_embed_sparksql
+            from .functions.similarity import (
+                PQT_SAMPLE_MOD as _PQT_MOD_DEFAULT,
+            )
             from .functions.vector_index import IVFVectorIndex
 
             # resolve the featurizer ONCE so the fresh-store stamp and
@@ -1556,7 +1564,10 @@ def _run_sync(runner, args, out) -> int:
                 if (
                     not fresh
                     and args.ivf_sample_mod is not None
-                    and getattr(idx, "sample_mod", None)
+                    and (
+                        getattr(idx, "sample_mod", None)
+                        or _PQT_MOD_DEFAULT
+                    )
                     != args.ivf_sample_mod
                 ):
                     # training state: a committed store keeps the
