@@ -1056,6 +1056,23 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
     args = build_parser().parse_args(argv)
+    if args.ivf_sample_mod is not None and not (
+        args.ann_rebuild
+        or (args.dedup_stream and args.dedup_index == "ivf")
+        or (args.vector_store and args.vector_index == "ivf")
+    ):
+        # the training-budget dial only matters where a codebook
+        # trains; in every other mode accepting it would read as
+        # "the flag took effect" — same dependent-flag rule as
+        # --vector-index/--vector-expr (r11 advice: plain sync,
+        # --ann-topk and --ann-stats all silently swallowed it)
+        print(
+            "--ivf-sample-mod applies only where a codebook trains: "
+            "--ann-rebuild, --dedup-stream with --dedup-index ivf, "
+            "or a sync with --vector-store --vector-index ivf",
+            file=sys.stderr,
+        )
+        return 2
     if args.hybrid_topk is not None:
         if not args.store_dir or not args.ann_store_dir:
             print(

@@ -97,10 +97,13 @@ ANALYZERS = ("whitespace", "standard", "standard_stop")
 _STANDARD_RE = "[a-z0-9]+"
 
 # "standard_stop": standard + drop the classic Lucene/ES English stop
-# set (the reference sink's default analysis chain always includes a
-# stop filter — ref: pgsync/constants.py:132-162 analysis vocabulary;
-# BM25 rankings over stopword-heavy text differ materially without
-# it). The list is FROZEN index vocabulary: an index built under it
+# set (the reference sink supports configurable stop filtering via
+# the analyzer/analysis mapping parameters its schema accepts — ref:
+# pgsync/constants.py:132-162 lists that mapping-parameter
+# vocabulary; the ES standard analyzer itself defaults to
+# stopwords:_none_, so this is the opt-in form; BM25 rankings over
+# stopword-heavy text differ materially under it).
+# The list is FROZEN index vocabulary: an index built under it
 # is only readable by the same list, so it lives here next to the
 # analyzer name the manifest persists — never edit in place, add a
 # new analyzer name instead.
@@ -234,6 +237,133 @@ def hash_embed_py(s: str | None, dim: int = HASH_EMBED_DIM) -> list[float]:
     return [
         float(h32_py(f"{s}#{i}") % _EMBED_MOD - _EMBED_OFF)
         for i in range(dim)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic CLUSTERED embedding — a mixture-of-centers corpus
+# generator in the same three mirrored forms (Spark SQL string,
+# DuckDB SQL, Python). hash_embed_* above is a pure hash featurizer:
+# every distinct input is near-orthogonal noise, which is the right
+# determinism for CDC-visibility proofs but makes recall evaluation
+# measure only partition balance (r11 verdict: the rebuild
+# measurement showed recall DROPPING on structureless vectors while
+# recall-per-probed-fraction stayed flat). Real encoder output
+# clusters — vectors of related docs share a mode (the reference-side
+# vectors come from real sentence encoders, ref:
+# plugins/sentence_transformer_plugin.py) — so quality evaluation
+# needs a corpus with modes. Here: each input hashes to one of
+# ``centers`` seeded center vectors (components hash-derived from the
+# center id, ±1000, scaled by CLUSTER_SCALE) and adds its own
+# hash-derived integer offset (±1000):
+#
+#   center  = h32(input || '#c') % centers
+#   comp_j  = CLUSTER_SCALE * (h32('ctr:' || center || '#' || j)
+#                              % 2001 - 1000)
+#           + (h32(input || '#o' || j) % 2001 - 1000)
+#
+# Same-cluster cosine concentrates near S²/(S²+1) (S=CLUSTER_SCALE),
+# cross-cluster near 0 — so exact top-k is same-cluster, trained
+# coarse quantizers can align cells to modes, and data-independent
+# cells (hash codebooks, corpus-seed codebooks) pay a measurable
+# recall penalty. All-integer before the final DOUBLE cast:
+# bit-identical in Spark, DuckDB, and Python.
+# ---------------------------------------------------------------------------
+
+# matches similarity.IVF_CELLS (asserted there at import): the
+# idealized trained-IVF case is one cell per mode, which is what
+# makes the trained-vs-seeded recall delta interpretable
+CLUSTER_CENTERS = 10
+# 2: same-cluster cosine ~0.8 — clusters are unambiguous to EXACT
+# cosine (ground truth stays same-cluster) but offsets are large
+# enough that data-independent cell assignment splits a cluster
+# across cells, which is precisely the effect training removes
+CLUSTER_SCALE = 2
+
+
+def _h32_sparksql(expr: str) -> str:
+    """Spark-SQL string form of h32 (for generated array literals)."""
+    return (
+        f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def cluster_center_sparksql(
+    expr: str, centers: int = CLUSTER_CENTERS
+) -> str:
+    """Spark-SQL string form of the cluster (center) id in
+    [0, centers)."""
+    cstr = f"concat(coalesce({expr}, ''), '#c')"
+    return f"({_h32_sparksql(cstr)} % {centers})"
+
+
+def cluster_center_sql(expr: str, centers: int = CLUSTER_CENTERS) -> str:
+    """DuckDB mirror of cluster_center_sparksql."""
+    cstr = f"concat(coalesce({expr}, ''), '#c')"
+    return f"({h32_sql(cstr)} % {centers})"
+
+
+def cluster_center_py(s: str | None, centers: int = CLUSTER_CENTERS) -> int:
+    """Python mirror — driver-side planning (seed/drift splits)."""
+    return h32_py(f"{s or ''}#c") % centers
+
+
+def cluster_embed_sparksql(
+    expr: str,
+    dim: int = HASH_EMBED_DIM,
+    centers: int = CLUSTER_CENTERS,
+    scale: int = CLUSTER_SCALE,
+) -> str:
+    """Spark-SQL string form (for F.expr / selectExpr): unrolled
+    array literal — like hash_embed_sparksql, stays inside
+    whole-stage codegen; the repeated center-id subexpression is
+    CSE'd there."""
+    c = f"CAST({cluster_center_sparksql(expr, centers)} AS STRING)"
+    comps = []
+    for j in range(dim):
+        ctr = _h32_sparksql(f"concat('ctr:', {c}, '#{j}')")
+        off = _h32_sparksql(f"concat(coalesce({expr}, ''), '#o{j}')")
+        comps.append(
+            f"CAST(({scale} * ({ctr} % {_EMBED_MOD} - {_EMBED_OFF}) + "
+            f"({off} % {_EMBED_MOD} - {_EMBED_OFF})) AS DOUBLE)"
+        )
+    return "array(" + ", ".join(comps) + ")"
+
+
+def cluster_embed_sql(
+    expr: str,
+    dim: int = HASH_EMBED_DIM,
+    centers: int = CLUSTER_CENTERS,
+    scale: int = CLUSTER_SCALE,
+) -> str:
+    """DuckDB mirror of cluster_embed_sparksql (list literal)."""
+    c = f"CAST({cluster_center_sql(expr, centers)} AS VARCHAR)"
+    comps = []
+    for j in range(dim):
+        ctr = h32_sql(f"concat('ctr:', {c}, '#{j}')")
+        off = h32_sql(f"concat(coalesce({expr}, ''), '#o{j}')")
+        comps.append(
+            f"CAST(({scale} * ({ctr} % {_EMBED_MOD} - {_EMBED_OFF}) + "
+            f"({off} % {_EMBED_MOD} - {_EMBED_OFF})) AS DOUBLE)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def cluster_embed_py(
+    s: str | None,
+    dim: int = HASH_EMBED_DIM,
+    centers: int = CLUSTER_CENTERS,
+    scale: int = CLUSTER_SCALE,
+) -> list[float]:
+    """Python mirror — driver-side query vectors / test fixtures."""
+    s = s or ""
+    c = cluster_center_py(s, centers)
+    return [
+        float(
+            scale * (h32_py(f"ctr:{c}#{j}") % _EMBED_MOD - _EMBED_OFF)
+            + (h32_py(f"{s}#o{j}") % _EMBED_MOD - _EMBED_OFF)
+        )
+        for j in range(dim)
     ]
 
 

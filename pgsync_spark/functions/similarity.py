@@ -1955,15 +1955,23 @@ def _ivf_trained_centroids_impl(
         )
     q = _quantize_micro([r["nv"] for r in sample])
     if init == "hash":
-        if len(sample) < IVF_CELLS:
+        # dedupe by vec_id (first occurrence) before ranking — the
+        # SQL mirror selects DISTINCT vec_id for its init ranking, so
+        # a corpus carrying duplicate vec_ids must not seed duplicate
+        # initial centroids here while the oracle seeds unique ones
+        # (r11 advice)
+        first_ix: dict = {}
+        for i, r in enumerate(sample):
+            first_ix.setdefault(r["vec_id"], i)
+        if len(first_ix) < IVF_CELLS:
             raise ValueError(
-                f"IVF training needs >= {IVF_CELLS} sampled vectors "
-                f"to initialize the codebook; got {len(sample)} — "
-                "seed with a larger corpus (or lower the sample "
-                "modulus)"
+                f"IVF training needs >= {IVF_CELLS} distinct sampled "
+                f"vec_ids to initialize the codebook; got "
+                f"{len(first_ix)} — seed with a larger corpus (or "
+                "lower the sample modulus)"
             )
         order = sorted(
-            range(len(sample)),
+            first_ix.values(),
             key=lambda i: (
                 h32_py(str(sample[i]["vec_id"])),
                 sample[i]["vec_id"],

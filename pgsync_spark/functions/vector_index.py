@@ -540,48 +540,65 @@ class IVFVectorIndex(VectorIndex):
                     # from crashed rebuilds are skipped, harmlessly
                     n += 1
                     seg = f"rebuilt-{self._rebuilds + 1}-{n}"
-                new_keys_df.write.mode("overwrite").partitionBy(
-                    "band"
-                ).parquet(
-                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
-                )
-                new_vals_df.write.mode("overwrite").parquet(
-                    os.path.join(self.store_dir, self._VALS_NAME, seg)
-                )
-                nk = self.spark.read.parquet(
-                    os.path.join(self.store_dir, self._KEYS_NAME, seg)
-                ).persist()
-                nk.count()
-                nv = self.spark.read.parquet(
-                    os.path.join(self.store_dir, self._VALS_NAME, seg)
-                ).persist()
-                nv.count()
-                prev = (
-                    self._cents,
-                    self._segments,
-                    self._has_cdc,
-                    self._overlay_rows,
-                    self._rebuilds,
-                )
-                old_segments, self._segments = self._segments, [seg]
-                self._cents = new_cents
-                self._has_cdc = False
-                self._overlay_rows = 0
-                self._rebuilds += 1
+                # until the manifest flip below succeeds, the segment
+                # written here is unlisted ghost state — NEVER readable
+                # (load() skips it, the collision loop above dodges it)
+                # — so on ANY failure before the commit point it is
+                # deleted instead of accumulating a full-corpus parquet
+                # copy per failed rebuild (r11 advice)
+                committed = False
                 try:
-                    # THE commit point: segments + codebook + rebuild
-                    # counter in one atomic flip
-                    self._commit_manifest()
-                except BaseException:
-                    (
+                    new_keys_df.write.mode("overwrite").partitionBy(
+                        "band"
+                    ).parquet(
+                        os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                    )
+                    new_vals_df.write.mode("overwrite").parquet(
+                        os.path.join(self.store_dir, self._VALS_NAME, seg)
+                    )
+                    nk = self.spark.read.parquet(
+                        os.path.join(self.store_dir, self._KEYS_NAME, seg)
+                    ).persist()
+                    nk.count()
+                    nv = self.spark.read.parquet(
+                        os.path.join(self.store_dir, self._VALS_NAME, seg)
+                    ).persist()
+                    nv.count()
+                    prev = (
                         self._cents,
                         self._segments,
                         self._has_cdc,
                         self._overlay_rows,
                         self._rebuilds,
-                    ) = prev
-                    nk.unpersist()
-                    nv.unpersist()
+                    )
+                    old_segments, self._segments = self._segments, [seg]
+                    self._cents = new_cents
+                    self._has_cdc = False
+                    self._overlay_rows = 0
+                    self._rebuilds += 1
+                    try:
+                        # THE commit point: segments + codebook +
+                        # rebuild counter in one atomic flip
+                        self._commit_manifest()
+                    except BaseException:
+                        (
+                            self._cents,
+                            self._segments,
+                            self._has_cdc,
+                            self._overlay_rows,
+                            self._rebuilds,
+                        ) = prev
+                        nk.unpersist()
+                        nv.unpersist()
+                        raise
+                    committed = True
+                except BaseException:
+                    if not committed:
+                        for name in (self._KEYS_NAME, self._VALS_NAME):
+                            shutil.rmtree(
+                                os.path.join(self.store_dir, name, seg),
+                                ignore_errors=True,
+                            )
                     raise
                 for s in old_segments:
                     for name in (self._KEYS_NAME, self._VALS_NAME):

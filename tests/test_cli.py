@@ -1568,3 +1568,20 @@ def test_cli_ivf_sample_mod_dial(spark, tmp_path):
          "--ivf-sample-mod", "3"],
         spark=spark,
     ) == 2
+    # modes that never train a codebook refuse the dial instead of
+    # silently swallowing it (r11 advice): --ann-stats, --ann-topk,
+    # and a plain sync without --vector-store
+    assert main(
+        ["--ann-stats", "--store-dir", store, "--ivf-sample-mod", "3"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--ann-topk", "hello", "--store-dir", store,
+         "--ivf-sample-mod", "3"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["-c", _config(tmp_path), "--data-dir", SF_DIR,
+         "--sink-dir", str(tmp_path / "mo3"), "--ivf-sample-mod", "3"],
+        spark=spark,
+    ) == 2

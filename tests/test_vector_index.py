@@ -517,6 +517,14 @@ def test_ivf_rebuild_crash_before_flip_leaves_old_geometry(
     with pytest.raises(RuntimeError, match="injected crash"):
         idx.rebuild()
     monkeypatch.undo()
+    # the crashed rebuild's unlisted segment is deleted, not left as
+    # a full-corpus ghost parquet copy (r11 advice): only the
+    # manifest-listed segments remain on disk
+    import os
+
+    for name in (idx._KEYS_NAME, idx._VALS_NAME):
+        on_disk = set(os.listdir(os.path.join(store, name)))
+        assert on_disk == set(segments_before), (name, on_disk)
     # in-memory state rolled back wholesale
     assert idx._cents == seed_cents
     assert idx._segments == segments_before
@@ -780,3 +788,33 @@ def test_ivf_sample_mod_is_training_state(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sample_mod"):
         IVFVectorIndex(spark, sample_mod=0)
+
+
+def test_ivf_hash_init_dedupes_duplicate_vec_ids(spark):
+    """r11 advice: the SQL oracle ranks SELECT DISTINCT vec_id for
+    its hash-init, so the engine must not seed duplicate initial
+    centroids when the training corpus carries duplicate vec_ids —
+    the init picks IVF_CELLS DISTINCT ids either way."""
+    from pgsync_spark.functions.similarity import (
+        _ivf_trained_centroids_impl,
+    )
+
+    emb = _emb(spark)
+    doubled = emb.unionAll(emb)  # every vec_id appears twice
+    # identical-duplicate rows are weight-neutral in the Lloyd means
+    # (sum and count both double, floor(2s/2n) == floor(s/n)) and
+    # assignment is per-point — so with a DISTINCT-id init the
+    # doubled corpus must train the exact same codebook; without the
+    # dedupe the init would seed repeated centroids and diverge
+    assert _ivf_trained_centroids_impl(
+        doubled, init="hash"
+    ) == _ivf_trained_centroids_impl(emb, init="hash")
+    # and a corpus whose DISTINCT ids are fewer than IVF_CELLS
+    # refuses even if raw rows are plentiful
+    from pgsync_spark.functions.similarity import IVF_CELLS
+
+    tiny = emb.limit(200).withColumn(
+        "vec_id", F.col("vec_id") % 2
+    )
+    with pytest.raises(ValueError, match="distinct sampled"):
+        _ivf_trained_centroids_impl(tiny, init="hash")
