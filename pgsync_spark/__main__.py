@@ -292,6 +292,19 @@ def build_parser() -> argparse.ArgumentParser:
         "on the manifest), and passing the other one is an error",
     )
     p.add_argument(
+        "--ann-rebuild-when", type=float, default=None,
+        metavar="IMBALANCE",
+        help="automatic rebuild policy for an engine-maintained IVF "
+        "vector store (--vector-store with --vector-index ivf): "
+        "after each applied engine epoch the maintainer reads the "
+        "same max/mean cell-occupancy imbalance --ann-stats prints "
+        "and fires an in-place rebuild() (retrain + reassign behind "
+        "ONE manifest flip) when it exceeds IMBALANCE (> 1; e.g. "
+        "1.5). Closes the measure->act loop without an operator: "
+        "--ann-stats to watch, --ann-rebuild to act by hand, this "
+        "flag to automate. Logged as one event per firing",
+    )
+    p.add_argument(
         "--ann-topk", metavar="QUERY", default=None,
         help="query a stored VectorIndex (--store-dir): QUERY is "
         "either a JSON array literal (the vector itself — use for "
@@ -1313,6 +1326,35 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.ann_rebuild_when is not None:
+        # same dependent-flag rule: the policy arms the engine-owned
+        # vector maintainer, so without one it would silently do
+        # nothing; and it is meaningless for LSH (data-independent
+        # keys never retrain) — the per-store family check happens at
+        # maintainer construction (a loaded store may be IVF without
+        # --vector-index), but an EXPLICIT lsh is refusable now
+        if not args.vector_store:
+            print(
+                "--ann-rebuild-when applies only with --vector-store "
+                "(the engine-maintained vector index it automates)",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.ann_rebuild_when > 1:
+            print(
+                "--ann-rebuild-when must be > 1 (max/mean occupancy "
+                "imbalance; 1.0 is perfectly balanced)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.vector_index == "lsh":
+            print(
+                "--ann-rebuild-when needs an IVF store "
+                "(--vector-index ivf): sign-LSH keys are "
+                "data-independent and never retrain",
+                file=sys.stderr,
+            )
+            return 2
     if (args.drain or args.polling) and not args.daemon:
         print(
             "--drain/--polling only apply in --daemon mode",
@@ -1668,16 +1710,24 @@ def _run_sync(runner, args, out) -> int:
                         file=sys.stderr,
                     )
                     return 2
-                m = VectorIndexMaintainer(
-                    idx,
-                    id_expr=default_id_expr(eng),
-                    vec_expr=vec_expr,
-                    **(
-                        {"compact_every": args.compact_every}
-                        if args.compact_every is not None
-                        else {}
-                    ),
-                )
+                try:
+                    m = VectorIndexMaintainer(
+                        idx,
+                        id_expr=default_id_expr(eng),
+                        vec_expr=vec_expr,
+                        rebuild_when=args.ann_rebuild_when,
+                        **(
+                            {"compact_every": args.compact_every}
+                            if args.compact_every is not None
+                            else {}
+                        ),
+                    )
+                except ValueError as e:
+                    # --ann-rebuild-when against a loaded LSH store:
+                    # the maintainer refuses (no rebuild() to fire)
+                    idx.close()
+                    print(f"[{name}] {e}", file=sys.stderr)
+                    return 2
                 maintainers[f"vec:{name}"] = m
                 if fresh:
                     m.seed(eng.docs_for_sink())

@@ -274,11 +274,17 @@ def hash_embed_py(s: str | None, dim: int = HASH_EMBED_DIM) -> list[float]:
 # idealized trained-IVF case is one cell per mode, which is what
 # makes the trained-vs-seeded recall delta interpretable
 CLUSTER_CENTERS = 10
-# 2: same-cluster cosine ~0.8 — clusters are unambiguous to EXACT
-# cosine (ground truth stays same-cluster) but offsets are large
-# enough that data-independent cell assignment splits a cluster
-# across cells, which is precisely the effect training removes
-CLUSTER_SCALE = 2
+# 1: same-cluster cosine ~0.5 vs cross-cluster ~0±0.13 — clusters
+# are unambiguous to EXACT cosine (ground truth stays same-cluster)
+# but the offset term carries as much of each point's direction as
+# the center term, so DATA-INDEPENDENT cells (hash codebooks, stale
+# codebooks, corpus-seed codebooks) assign cluster members noisily
+# (the near-tie set of cells exceeds nprobe) while TRAINED centroids
+# sit on the modes and keep assignment signal-dominated — exactly
+# the asymmetry training is for (scale 2 made centers dominate so
+# much that even stale codebooks kept clusters atomic and rebuild
+# had nothing to recover)
+CLUSTER_SCALE = 1
 
 
 def _h32_sparksql(expr: str) -> str:

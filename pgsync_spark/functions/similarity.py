@@ -907,6 +907,123 @@ def ann_recall_eval_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Clustered-corpus evaluation (r11 verdict item 1). The registry's
+# embeddings table is near-orthogonal hash noise — the right corpus
+# for CDC-visibility and plan-shape proofs, but recall measured on it
+# is partition balance, not semantic recall (EXPLAIN.md r11: rebuild
+# recall DROPPED 0.68→0.54 with flat recall-per-probed-fraction).
+# clustered_corpus derives a mixture-of-centers corpus from the SAME
+# vec_ids (hashing.cluster_embed_*, mirrored Spark/DuckDB/Python), so
+# every eval below stays oracle-replayable while exact top-k becomes
+# same-mode — on THIS corpus, trained coarse quantizers measurably
+# beat data-independent cells, which is the property a real encoder's
+# output has (ref: plugins/sentence_transformer_plugin.py — the
+# reference's vectors come from real sentence encoders).
+# ---------------------------------------------------------------------------
+
+from .hashing import CLUSTER_CENTERS as _CLUSTER_CENTERS  # noqa: E402
+
+# one trained cell per mode is the interpretable idealized case; a
+# drifted CLUSTER_CENTERS would silently change what the recall
+# numbers mean
+assert _CLUSTER_CENTERS == IVF_CELLS, (
+    "hashing.CLUSTER_CENTERS must equal similarity.IVF_CELLS"
+)
+
+_CLUSTER_VEC_EXPR = "CAST(vec_id AS STRING)"
+_CLUSTER_VEC_EXPR_SQL = "CAST(vec_id AS VARCHAR)"
+
+
+def clustered_corpus(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with the mixture-of-centers embedding
+    derived from each vec_id — same ids, same row count, same
+    mutation conventions as the source, clustered geometry."""
+    from .hashing import cluster_embed_sparksql
+
+    return df.select(
+        "vec_id",
+        F.expr(
+            cluster_embed_sparksql(_CLUSTER_VEC_EXPR, dim=EMB_DIM)
+        ).alias("embedding"),
+    )
+
+
+def clustered_corpus_proof(df: DataFrame) -> DataFrame:
+    """(vec_id, center, emb_json) — the direct value proof that the
+    Spark and DuckDB generator forms agree bit-for-bit (the other
+    clustered evals inherit correctness from this plus the existing
+    method oracles). The embedding emits as a JSON bigint array —
+    components are integer-valued by construction, and the registry
+    boundary needs atomic columns (the pq_codes_json precedent)."""
+    from .hashing import cluster_center_sparksql, cluster_embed_sparksql
+
+    return df.select(
+        "vec_id",
+        F.expr(cluster_center_sparksql(_CLUSTER_VEC_EXPR))
+        .cast("bigint")
+        .alias("center"),
+        F.to_json(
+            F.expr(
+                cluster_embed_sparksql(_CLUSTER_VEC_EXPR, dim=EMB_DIM)
+            ).cast("array<bigint>")
+        ).alias("emb_json"),
+    )
+
+
+def clustered_corpus_proof_sql() -> str:
+    from .hashing import cluster_center_sql, cluster_embed_sql
+
+    return f"""
+        SELECT vec_id,
+               CAST({cluster_center_sql(_CLUSTER_VEC_EXPR_SQL)} AS BIGINT)
+                 AS center,
+               to_json(CAST(
+                 {cluster_embed_sql(_CLUSTER_VEC_EXPR_SQL, dim=EMB_DIM)}
+                 AS BIGINT[])) AS emb_json
+        FROM embeddings
+    """
+
+
+def _clustered_oracle(inner_sql: str) -> str:
+    """Rewrap an embeddings-table oracle to run over the clustered
+    corpus: swap every table reference to a cemb CTE computing the
+    mixture-of-centers embedding from the same vec_ids. The rewrite
+    is a table-reference swap only (FROM/JOIN embeddings), asserted
+    exhaustive — oracle generators reference the corpus exclusively
+    through those two forms."""
+    import re
+
+    from .hashing import cluster_embed_sql
+
+    swapped = re.sub(r"\b(FROM|JOIN)\s+embeddings\b", r"\1 cemb", inner_sql)
+    assert not re.search(r"\b(FROM|JOIN)\s+embeddings\b", swapped)
+    return f"""
+        WITH cemb AS (
+          SELECT vec_id,
+                 {cluster_embed_sql(_CLUSTER_VEC_EXPR_SQL, dim=EMB_DIM)}
+                   AS embedding
+          FROM embeddings
+        )
+        SELECT * FROM ({swapped}) _clustered
+    """
+
+
+def ann_recall_eval_clustered(df: DataFrame) -> DataFrame:
+    """ann_recall_eval over the clustered corpus — the run whose
+    verdicts measure SEMANTIC recall (can the index return the
+    query's mode-mates) rather than partition balance. Same plan
+    shapes, same oracle gate; on this corpus the trained legs
+    (ivf_trained, ivfpq_fully_trained) must beat their
+    data-independent twins, pinned by
+    tests/test_queries.py::test_clustered_recall_orderings."""
+    return ann_recall_eval(clustered_corpus(df))
+
+
+def ann_recall_eval_clustered_sql() -> str:
+    return _clustered_oracle(ann_recall_eval_sql())
+
+
 def ann_lsh_multiprobe_topk(
     df: DataFrame, probe_hamming: int = PROBE_HAMMING
 ) -> DataFrame:

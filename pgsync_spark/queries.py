@@ -434,6 +434,16 @@ _emb_query(
 _emb_query(_sim.ann_ivfpq_topk, _sim.ann_ivfpq_topk_sql(), "ann_ivfpq_topk")
 _emb_query(_sim.ann_recall_eval, _sim.ann_recall_eval_sql(), "ann_recall_eval")
 _emb_query(
+    _sim.clustered_corpus_proof,
+    _sim.clustered_corpus_proof_sql(),
+    "embedding_clustered_corpus",
+)
+_emb_query(
+    _sim.ann_recall_eval_clustered,
+    _sim.ann_recall_eval_clustered_sql(),
+    "ann_recall_eval_clustered",
+)
+_emb_query(
     _sim.cluster_balanced_sample,
     _sim.cluster_balanced_sample_sql(),
     "cluster_balanced_sample",

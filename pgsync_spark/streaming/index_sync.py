@@ -39,8 +39,12 @@ not the index manifest — is the source of truth here.)
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # the composite/string-PK identity recipe: 60-bit md5 prefix of _id as
 # a positive BIGINT. Use when the root PK is not a single integer (the
@@ -251,7 +255,43 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
     (``hash_embed_sparksql("get_json_object(doc, '$.title')")``) or
     at a learned-encoder output column when the doc pipeline carries
     one. ``id_expr``: see _DocIndexMaintainer — a function of ``_id``
-    alone."""
+    alone.
+
+    ``rebuild_when`` (r11 verdict item 2 — the automated half of the
+    measure→act loop ``--ann-stats`` / ``--ann-rebuild`` exposed
+    manually): a max/mean cell-occupancy threshold (> 1). After each
+    applied batch (every ``rebuild_check_every``-th, default every
+    batch) the maintainer reads the SAME occupancy statistic
+    ``--ann-stats`` prints and, when the live imbalance exceeds the
+    threshold, fires ``index.rebuild()`` — logged as one event and
+    counted both here (``policy_rebuilds``) and durably in the index
+    manifest's ``rebuilds`` counter. Only meaningful for an index
+    with a trained codebook (IVFVectorIndex); refused otherwise —
+    sign-LSH cells are data-independent and never retrain. The check
+    itself is one column-pruned (band, bucket) scan with map-side
+    combine down to <= cells rows — the cheapest whole-index
+    statistic there is, but still a scan: raise
+    ``rebuild_check_every`` where even that matters. A policy rebuild
+    that cannot train (e.g. the live corpus shrank below the codebook
+    size) logs a warning and keeps serving under the old geometry
+    instead of killing the stream — the policy is advisory, the old
+    codebook is still correct.
+
+    Anti-thrash: a freshly retrained codebook's imbalance is the best
+    THIS corpus admits, and it may still exceed a tight threshold
+    (measured: drift 5.36 → rebuild → 2.04; a 1.5 threshold would
+    re-fire an O(corpus) rebuild every batch, forever, for nothing).
+    After each policy rebuild the maintainer records the achieved
+    post-rebuild imbalance as a floor; the next firing additionally
+    requires the live imbalance to exceed 1.25× that floor — i.e.
+    the partition must have degraded measurably beyond what the last
+    retrain could do, not merely sit above a threshold the corpus
+    cannot meet."""
+
+    # a policy rebuild re-fires only when imbalance exceeds BOTH the
+    # user threshold and this multiple of the last rebuild's achieved
+    # imbalance (see class docstring)
+    _REFIRE_FACTOR = 1.25
 
     _ID = "vec_id"
 
@@ -261,6 +301,8 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
         id_expr: str = "CAST(_id AS BIGINT)",
         vec_expr: str | None = None,
         compact_every: int | None = 8,
+        rebuild_when: float | None = None,
+        rebuild_check_every: int = 1,
     ):
         super().__init__(index, id_expr, compact_every)
         if vec_expr is None:
@@ -268,9 +310,85 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
 
             vec_expr = hash_embed_sparksql("doc")
         self.vec_expr = vec_expr
+        if rebuild_when is not None:
+            if not hasattr(index, "rebuild"):
+                raise ValueError(
+                    "rebuild_when needs an index with rebuild() "
+                    f"(IVFVectorIndex); {type(index).__name__} keys "
+                    "are data-independent and never retrain"
+                )
+            if not rebuild_when > 1:
+                raise ValueError(
+                    f"rebuild_when must be > 1 (max/mean occupancy "
+                    f"imbalance; 1.0 is perfectly balanced), got "
+                    f"{rebuild_when}"
+                )
+        if rebuild_check_every < 1:
+            raise ValueError(
+                f"rebuild_check_every must be >= 1, got "
+                f"{rebuild_check_every}"
+            )
+        self.rebuild_when = rebuild_when
+        self.rebuild_check_every = rebuild_check_every
+        self.policy_rebuilds = 0
+        self._post_rebuild_imb: float | None = None
 
     def _payload_exprs(self) -> list[str]:
         return [f"CAST(({self.vec_expr}) AS ARRAY<DOUBLE>) AS embedding"]
 
     def _null_payload(self) -> list[Column]:
         return [F.lit(None).cast("array<double>").alias("embedding")]
+
+    def _imbalance(self) -> float | None:
+        """max/mean live cell occupancy (overlay folded) — the same
+        statistic --ann-stats prints; None on an empty index."""
+        idx = self.index
+        keys = idx.keys
+        if keys is None:
+            return None
+        if idx._has_cdc:
+            vals = idx.vals
+            keys = idx._cdc_live(keys, idx._cdc_overlay(vals))
+        counts = [
+            r["n"]
+            for r in keys.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        if not counts:
+            return None
+        return max(counts) / (sum(counts) / len(counts))
+
+    def apply(self, upserts: DataFrame, deleted_ids: DataFrame) -> None:
+        super().apply(upserts, deleted_ids)
+        if self.rebuild_when is None:
+            return
+        if self._applied % self.rebuild_check_every:
+            return
+        imb = self._imbalance()
+        if imb is None or imb <= self.rebuild_when:
+            return
+        if (
+            self._post_rebuild_imb is not None
+            and imb <= self._REFIRE_FACTOR * self._post_rebuild_imb
+        ):
+            # above the threshold but not beyond what the last
+            # retrain achieved — firing again would thrash
+            return
+        try:
+            self.index.rebuild()
+        except ValueError as e:
+            log.warning(
+                "policy rebuild skipped (imbalance %.2f > %.2f): %s",
+                imb, self.rebuild_when, e,
+            )
+            return
+        self.policy_rebuilds += 1
+        self._post_rebuild_imb = self._imbalance()
+        log.info(
+            "policy rebuild #%d fired: imbalance %.2f > %.2f, "
+            "achieved %.2f (manifest rebuilds=%s)",
+            self.policy_rebuilds, imb, self.rebuild_when,
+            self._post_rebuild_imb or float("nan"),
+            getattr(self.index, "_rebuilds", None),
+        )

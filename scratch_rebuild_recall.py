@@ -12,7 +12,17 @@ the live corpus), plus the cell-occupancy balance of the two
 codebooks (a codebook fit to stale data partitions the live corpus
 worse, which is what nprobe-bounded recall pays for).
 
-Usage: python scratch_rebuild_recall.py [--sf DIR]
+Usage: python scratch_rebuild_recall.py [--sf DIR] [--clustered]
+
+--clustered (r11 verdict item 1): run the same measurement over the
+mixture-of-centers corpus (similarity.clustered_corpus) with a
+DISTRIBUTION-shift drift — the index seeds on 2 of the 10 modes and
+the other 8 arrive via CDC. On hash noise the rebuild could only be
+shown as partition balance; on the clustered corpus the stale
+codebook's crowded cells make the 3-probe rerank most of the corpus,
+and the rebuild's recovery shows up where a deployment pays:
+candidates/query at equal-or-better recall (recall per
+probed-fraction, the ratio that stayed flat on noise).
 """
 
 import argparse
@@ -27,14 +37,31 @@ from pgsync_spark.functions.vector_index import IVFVectorIndex, VectorIndex
 
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("--sf", default="/root/testdata/sf0.01", dest="sf_dir")
+parser.add_argument("--clustered", action="store_true")
 opts = parser.parse_args()
 
 spark = get_spark("rebuild-recall")
 emb = spark.read.parquet(os.path.join(opts.sf_dir, "embeddings.parquet"))
 
-# seed = a third of the corpus (plus the query vectors, which are
-# corpus members in the registry convention)
-seed = emb.filter((F.col("vec_id") % 3 == 0) | (F.col("vec_id") < N_QUERIES))
+if opts.clustered:
+    from pgsync_spark.functions.hashing import cluster_center_sparksql
+    from pgsync_spark.functions.similarity import clustered_corpus
+
+    emb = clustered_corpus(emb).localCheckpoint(eager=True)
+    _center = F.expr(cluster_center_sparksql("CAST(vec_id AS STRING)"))
+    # distribution shift: seed on modes {0,1} + queries
+    seed = emb.filter((_center < 2) | (F.col("vec_id") < N_QUERIES))
+else:
+    # seed = a third of the corpus (plus the query vectors, which are
+    # corpus members in the registry convention)
+    seed = emb.filter(
+        (F.col("vec_id") % 3 == 0) | (F.col("vec_id") < N_QUERIES)
+    )
+if opts.clustered:
+    # drift = distribution shift: the 8 unseen modes arrive whole
+    cdc = emb.filter(
+        (_center >= 2) & (F.col("vec_id") >= N_QUERIES)
+    ).select("vec_id", "embedding", F.lit("u").alias("op"))
 # drift: the other two thirds arrive as CDC upserts; the standard
 # registry mutation (move %7==3 to successor, delete %7==5) rides along
 emb_t = emb.schema["embedding"].dataType
@@ -51,21 +78,22 @@ ups = (
     .join(nxt, "vec_id")
     .select("vec_id", F.col("nemb").alias("embedding"))
 )
-cdc = (
-    rest.select("vec_id", "embedding")
-    .join(ups.select("vec_id"), "vec_id", "left_anti")
-    .unionByName(ups)
-    .select("vec_id", "embedding", F.lit("u").alias("op"))
-    .unionByName(
-        emb.filter(
-            (F.col("vec_id") % 7 == 5) & (F.col("vec_id") >= N_QUERIES)
-        ).select(
-            "vec_id",
-            F.lit(None).cast(emb_t).alias("embedding"),
-            F.lit("d").alias("op"),
+if not opts.clustered:
+    cdc = (
+        rest.select("vec_id", "embedding")
+        .join(ups.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(ups)
+        .select("vec_id", "embedding", F.lit("u").alias("op"))
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") % 7 == 5) & (F.col("vec_id") >= N_QUERIES)
+            ).select(
+                "vec_id",
+                F.lit(None).cast(emb_t).alias("embedding"),
+                F.lit("d").alias("op"),
+            )
         )
     )
-)
 
 q = emb.filter(F.col("vec_id") < N_QUERIES).select(
     F.col("vec_id").alias("query_id"), "embedding"
@@ -163,7 +191,11 @@ r_after = recall(idx)
 occ_after = occupancy(idx)
 cand_after = probed(idx)
 
-print(f"live corpus: {n_live} vectors; seed trained on ~1/3 of it")
+print(
+    f"live corpus: {n_live} vectors; seed trained on "
+    + ("modes {0,1} of 10 (clustered corpus)" if opts.clustered
+       else "~1/3 of it")
+)
 print(
     f"recall@{TOP_K} BEFORE rebuild (seed codebook): {r_before:.3f}  "
     f"candidates/query {cand_before} "

@@ -1512,6 +1512,52 @@ def test_cli_vector_index_ivf_engine_store_and_stats(spark, tmp_path):
     ) == 2
 
 
+def test_cli_ann_rebuild_when_policy_flag(spark, tmp_path):
+    """--ann-rebuild-when (r11 verdict item 2): dependent-flag guards
+    — needs --vector-store, a > 1 threshold, and the IVF family
+    (explicit lsh refuses immediately; a LOADED LSH store refuses at
+    maintainer construction) — and a one-shot seed sync accepts the
+    flag and arms the policy without firing (nothing drifted)."""
+    base = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "pwout"),
+    ]
+    # no vector store to automate
+    assert main(base + ["--ann-rebuild-when", "1.5"], spark=spark) == 2
+    store = str(tmp_path / "pwstore")
+    # threshold must be > 1
+    assert main(
+        base + ["--vector-store", store, "--vector-index", "ivf",
+                "--ann-rebuild-when", "1.0"],
+        spark=spark,
+    ) == 2
+    # explicit LSH family refuses up front
+    assert main(
+        base + ["--vector-store", store, "--vector-index", "lsh",
+                "--ann-rebuild-when", "1.5"],
+        spark=spark,
+    ) == 2
+    # armed seed sync: accepted, trains, does not fire
+    assert main(
+        base + ["--vector-store", store, "--vector-index", "ivf",
+                "--ann-rebuild-when", "1.5"],
+        spark=spark,
+    ) == 0
+    sub = os.path.join(store, "orders_cli")
+    with open(os.path.join(sub, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["index"] == "IVFVectorIndex" and m["rebuilds"] == 0
+    # a LOADED LSH store under the policy refuses at construction
+    lsh_store = str(tmp_path / "pwlsh")
+    assert main(base + ["--vector-store", lsh_store], spark=spark) == 0
+    assert main(
+        base + ["--vector-store", lsh_store,
+                "--ann-rebuild-when", "1.5"],
+        spark=spark,
+    ) == 2
+
+
 def test_cli_ivf_sample_mod_dial(spark, tmp_path):
     """--ivf-sample-mod (the training-budget dial): a fresh IVF
     stream-built store trains under it and the manifest persists it;
