@@ -346,13 +346,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--bm25-analyzer", default=None,
-        choices=("whitespace", "standard", "standard_stop"),
+        choices=("whitespace", "standard", "standard_stop",
+                 "standard_stem"),
         help="tokenizer for a FRESH --bm25-store index: whitespace "
         "(lowercase + whitespace split; the default), standard "
         "(lowercase + ASCII-alnum runs, so 'Priority.' matches "
-        "'priority'), or standard_stop (standard + drop the classic "
+        "'priority'), standard_stop (standard + drop the classic "
         "English stopword list, so 'the' indexes and scores "
-        "nothing). The analyzer is index state — an existing "
+        "nothing), or standard_stem (standard_stop + a plural-only "
+        "S-removal stemmer, so 'priorities' matches 'priority'). "
+        "The analyzer is index state — an existing "
         "store keeps the analyzer it was built with, and passing a "
         "different one here is an error, not a silent re-tokenize",
     )

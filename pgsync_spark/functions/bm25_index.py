@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..operators.windows import bounded_rank_window
+
 from .dedup_index import _AppendOnlyIndex
 from .hashing import analyze, h32, h32_py
 
@@ -342,7 +344,7 @@ class BM25Index(_AppendOnlyIndex):
             .orderBy(F.col("score_micro").desc(), "doc_id")
             .limit(k)
         )
-        w = W.orderBy(F.col("score_micro").desc(), "doc_id")
+        w = bounded_rank_window(F.col("score_micro").desc(), "doc_id")
         return (
             vals.select("doc_id", "lang", "source")
             .join(F.broadcast(top), "doc_id")

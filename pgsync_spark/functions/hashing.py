@@ -87,7 +87,7 @@ def tokens_sql(expr: str) -> str:
 # and query terms can be analyzed the same way the corpus was.
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("whitespace", "standard", "standard_stop")
+ANALYZERS = ("whitespace", "standard", "standard_stop", "standard_stem")
 # "standard": lowercase + ASCII-alnum runs (a Lucene-standard-ish
 # word splitter) — 'Priority.' and 'priority' collide, '1-URGENT'
 # yields ('1', 'urgent'). Deliberately ASCII: [a-z0-9] behaves
@@ -115,6 +115,50 @@ STOPWORDS = (
 )
 
 
+# "standard_stem": standard_stop + the Harman S-removal stemmer
+# (plural-only; r11 verdict item 5 — full Porter is not mirrorable in
+# ~20 lines across Java-regex/RE2/Python, this is): three ordered
+# rules, each a capture-group regex so RE2 (DuckDB) needs no
+# lookbehind —
+#   1. ([^ea])ies$ -> \1y   (priorities -> priority; eies/aies exempt)
+#   2. ([^aeo])es$ -> \1e   (classes -> classe; aes/ees/oes exempt)
+#   3. ([^us])s$   -> \1    (dogs -> dog; kiss/bus exempt)
+# Applied as one sequential replace chain (rule 1 output ends in y,
+# rule 2 output in e — later rules can't re-match an earlier rule's
+# output, so the chain IS the else-if cascade). Stop filtering runs
+# BEFORE stemming (the Lucene/ES chain order — 'this' is stopped, not
+# stemmed to 'thi'). Like the stop list, the rules are FROZEN index
+# vocabulary: an index built under them is only readable by the same
+# rules — never edit in place, add a new analyzer name instead.
+_STEM_RULES = (
+    (r"([^ea])ies$", 1, "y"),
+    (r"([^aeo])es$", 1, "e"),
+    (r"([^us])s$", 1, ""),
+)
+
+
+def _stem_chain_spark(tok):
+    from pyspark.sql import functions as _F
+
+    for pat, _, suf in _STEM_RULES:
+        tok = _F.regexp_replace(tok, pat, "$1" + suf)
+    return tok
+
+
+def _stem_chain_sql(expr: str) -> str:
+    for pat, _, suf in _STEM_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '\\1{suf}')"
+    return expr
+
+
+def _stem_py(w: str) -> str:
+    import re as _re
+
+    for pat, _, suf in _STEM_RULES:
+        w = _re.sub(pat, r"\1" + suf, w)
+    return w
+
+
 def _check_analyzer(analyzer: str) -> None:
     if analyzer not in ANALYZERS:
         raise ValueError(
@@ -128,9 +172,11 @@ def analyze(col: Column, analyzer: str = "whitespace") -> Column:
     if analyzer == "whitespace":
         return tokens(col)
     toks = F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
-    if analyzer == "standard_stop":
+    if analyzer in ("standard_stop", "standard_stem"):
         stop = F.array(*[F.lit(w) for w in STOPWORDS])
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    if analyzer == "standard_stem":
+        toks = F.transform(toks, _stem_chain_spark)
     return toks
 
 
@@ -141,9 +187,11 @@ def analyze_sql(expr: str, analyzer: str = "whitespace") -> str:
     if analyzer == "whitespace":
         return tokens_sql(expr)
     toks = f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}')"
-    if analyzer == "standard_stop":
+    if analyzer in ("standard_stop", "standard_stem"):
         lst = ", ".join(f"'{w}'" for w in STOPWORDS)
         toks = f"list_filter({toks}, x -> NOT list_contains([{lst}], x))"
+    if analyzer == "standard_stem":
+        toks = f"list_transform({toks}, x -> {_stem_chain_sql('x')})"
     return toks
 
 
@@ -158,8 +206,10 @@ def analyze_py(s: str, analyzer: str = "whitespace") -> list[str]:
     import re
 
     toks = re.findall(_STANDARD_RE, s.lower())
-    if analyzer == "standard_stop":
+    if analyzer in ("standard_stop", "standard_stem"):
         toks = [t for t in toks if t not in STOPWORDS]
+    if analyzer == "standard_stem":
+        toks = [_stem_py(t) for t in toks]
     return toks
 
 

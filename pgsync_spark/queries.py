@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from .catalog import Catalog, TPCH_TABLES, time_micros
 from .functions import hashing
 from .functions.hashing import h32_sql, round6_sql
+from .operators.windows import bounded_rank_window
 from .operators.filters import build_filters, filters_to_sql
 from .plans.compiler import TreeCompiler
 from .plans.oracle import oracle_doc_sql
@@ -2311,7 +2312,7 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(10)
     )
-    w = W.orderBy(F.col("score_micro").desc(), "doc_id")
+    w = bounded_rank_window(F.col("score_micro").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -2671,6 +2672,99 @@ ORDER BY score_micro DESC, doc_id LIMIT 10""",
 )
 
 
+# the stemming variant (r11 verdict item 5): the reference sink's
+# analysis vocabulary includes stemming among its configurable
+# mapping parameters (ref: pgsync/constants.py:132-162), and
+# 'priorities' vs 'priority' changes BM25 rankings materially. The
+# analyzer is standard_stop + the Harman S-removal stemmer (the
+# plural-only stemmer that IS mirrorable across Java-regex/RE2/
+# Python, unlike full Porter — hashing._STEM_RULES). The text expr
+# plants the SINGULAR token 'Priority' on every doc; the query asks
+# for the PLURAL 'priorities', which only scores because both sides
+# stem it to the singular postings form — the done-criterion match.
+# the QUERY TEXT is plural; both sides run it through the analyzer
+# (engine: BM25Index.analyze_terms — the CLI path; oracle: the same
+# mirrored analyze_py at plan-build time), so the postings lookup is
+# for the stemmed singular
+_ENGINE_BM25_STEM_QUERY = "Priorities urgent inc"
+_ENGINE_BM25_STEM_TERMS = tuple(
+    hashing.analyze_py(_ENGINE_BM25_STEM_QUERY, "standard_stem")
+)
+assert _ENGINE_BM25_STEM_TERMS == ("priority", "urgent", "inc")
+_ENGINE_BM25_STEM_TEXT = (
+    "concat_ws(' ', 'Priority', get_json_object(doc, "
+    "'$.o_orderpriority'), get_json_object(doc, '$.customer.c_name'))"
+)
+
+
+def engine_sync_bm25_stem_topk(spark, sf_dir):
+    """engine_sync_bm25_std_topk under the "standard_stem" analyzer
+    (standard_stop + the mirrored S-removal stemmer,
+    manifest-persisted like any analyzer): full sync → seed → one
+    mixed CDC batch → query the maintained index with a PLURAL term
+    whose corpus form is singular. Must hash-match one-shot BM25
+    scoring with the same analyzer over the post-CDC corpus — both
+    sides stem query terms and corpus tokens identically, so
+    'priorities' hits the 'priority' postings. Scale shape identical
+    to engine_sync_bm25_topk."""
+    from .functions.bm25_index import BM25Index
+    from .streaming import (
+        IncrementalEngine,
+        SearchIndexMaintainer,
+        payloads_from_rows,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    tree = schemas.tree("orders_full")
+    eng = IncrementalEngine(spark, tree, cat)
+    eng.full_sync()
+    idx = BM25Index(spark, analyzer="standard_stem")
+    m = SearchIndexMaintainer(idx, text_expr=_ENGINE_BM25_STEM_TEXT)
+    m.seed(eng.docs_for_sink())
+    eng.doc_consumers.append(m)
+    eng.process_batch(
+        payloads_from_rows(spark, _incremental_events(spark, cat))
+    )
+    out = idx.topk(
+        idx.analyze_terms(_ENGINE_BM25_STEM_QUERY), k=10
+    ).localCheckpoint(eager=True)
+    idx.close()
+    eng._teardown_stores()
+    return out
+
+
+REGISTRY["engine_sync_bm25_stem_topk"] = QueryDef(
+    fn=engine_sync_bm25_stem_topk,
+    oracle=_INCR_ORACLE_CTES.rstrip()
+    + ",\ndocs AS ("
+    + oracle_doc_sql(
+        schemas.tree("orders_full"),
+        TPCH_TABLES,
+        schemas.columns_of,
+        schemas.column_type_of,
+        table_names={"orders": "orders_mut", "customer": "customer_mut"},
+    )
+    + """),
+documents AS (
+  SELECT CAST(_id AS BIGINT) AS doc_id,
+         concat_ws(' ', 'Priority',
+                   json_extract_string(doc, '$.o_orderpriority'),
+                   json_extract_string(doc, '$.customer.c_name')) AS text,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS source
+  FROM docs
+)
+SELECT doc_id, lang, source, score_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM ("""
+    + _bm25_scored_sql(_ENGINE_BM25_STEM_TERMS, analyzer="standard_stem")
+    + """)
+WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT 10""",
+)
+
+
 # the VECTOR side of the engine-owned index story (r9 verdict item 1):
 # doc vectors derive deterministically from doc CONTENT (the hash
 # featurizer), so query 0 — the featurization of '9-INC', a priority
@@ -2957,7 +3051,7 @@ def engine_sync_hybrid_topk(spark, sf_dir):
         .withColumn(
             "fused_rank",
             F.row_number()
-            .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+            .over(bounded_rank_window(F.col("rrf_micro").desc(), "doc_id"))
             .cast("int"),
         )
     )
@@ -3400,7 +3494,7 @@ def key_skew_profile(spark, sf_dir):
         F.max("cnt").alias("max_cnt"),
     )
     topn = counts.orderBy(F.col("cnt").desc(), "key").limit(SKEW_TOP_N)
-    w = W.orderBy(F.col("cnt").desc(), "key")
+    w = bounded_rank_window(F.col("cnt").desc(), "key")
     return (
         topn.crossJoin(F.broadcast(stats))
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -3529,7 +3623,7 @@ def dsir_select(spark, sf_dir):
     top = w.orderBy(F.col("weight_micro").desc(), "doc_id").limit(
         DSIR_SELECT_N
     )
-    rank_w = W.orderBy(F.col("weight_micro").desc(), "doc_id")
+    rank_w = bounded_rank_window(F.col("weight_micro").desc(), "doc_id")
     return top.select(
         "doc_id",
         "lang",
@@ -3903,7 +3997,7 @@ def hybrid_search_rrf(spark, sf_dir):
     lex = lex.select(
         "doc_id",
         F.row_number()
-        .over(W.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .over(bounded_rank_window(F.col("score_micro").desc(), "doc_id"))
         .cast("int")
         .alias("lex_rank"),
     )
@@ -3936,7 +4030,7 @@ def hybrid_search_rrf(spark, sf_dir):
         .select(
             "doc_id",
             F.row_number()
-            .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .over(bounded_rank_window(F.col("cos_sim").desc(), "doc_id"))
             .cast("int")
             .alias("sem_rank"),
         )
@@ -3967,7 +4061,7 @@ def hybrid_search_rrf(spark, sf_dir):
     return fused.withColumn(
         "fused_rank",
         F.row_number()
-        .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+        .over(bounded_rank_window(F.col("rrf_micro").desc(), "doc_id"))
         .cast("int"),
     )
 

@@ -51,4 +51,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # WindowExec's "No Partition Defined" warning is noise here:
+        # every global-ORDER window in the package ranks a frame
+        # already bounded to <= k rows and must come through the
+        # audited operators/windows.bounded_rank_window chokepoint
+        # (statically test-enforced), so the real-scale-bug signal
+        # this warning carries is guarded at review time instead —
+        # a literal partition key would NOT silence it (the optimizer
+        # strips foldable partition expressions; r11 verdict item 4)
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # log tuning must never block a session (e.g. a future log4j
+        # repackaging); the warning just becomes visible again
+        pass
     return spark

@@ -822,3 +822,60 @@ def test_analyzer_three_form_parity_property():
             )
 
     check()
+
+
+def test_standard_stem_analyzer_plural_matches_singular(spark, tmp_path):
+    """r11 verdict item 5: the "standard_stem" analyzer (standard_stop
+    + the Harman S-removal stemmer) folds plural query terms onto
+    singular postings — 'priorities' hits a corpus that only ever
+    said 'priority' — with stop filtering running BEFORE stemming
+    (the Lucene/ES chain order: 'this' is stopped, never stemmed to
+    'thi'). The analyzer rides the manifest like any other."""
+    from pgsync_spark.functions.hashing import analyze_py
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the priority order", None, None),
+            (2, "priorities of orders", None, None),
+            (3, "urgent delivery", None, None),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    store = str(tmp_path / "bm_stem")
+    idx = BM25Index(spark, store_dir=store, analyzer="standard_stem")
+    idx.ingest(docs)
+    # query-side: plural -> singular; stopwords still drop first
+    assert idx.analyze_terms("Priorities!") == ("priority",)
+    assert idx.analyze_terms("the priorities of") == ("priority",)
+    assert idx.analyze_terms("this these") == ()  # stopped, not stemmed
+    # plural query hits BOTH the singular doc (1) and the plural doc
+    # (2) — they share the stemmed postings form
+    got = sorted(
+        r.doc_id for r in idx.topk(idx.analyze_terms("priorities")).collect()
+    )
+    assert got == [1, 2]
+    # and the singular query is the SAME query after analysis
+    assert idx.analyze_terms("priority") == ("priority",)
+    expected = [
+        tuple(r) for r in idx.topk(("priority", "order")).collect()
+    ]
+    idx.close()
+
+    # manifest round-trip re-binds the stemming analyzer
+    idx2 = BM25Index.load(spark, store)
+    assert idx2.analyzer == "standard_stem"
+    assert [
+        tuple(r) for r in idx2.topk(("priority", "order")).collect()
+    ] == expected
+    idx2.close()
+
+    # rule pins (frozen index vocabulary — an edit must trip a test):
+    # ies->y with e/a exemptions, es->e with a/e/o exemptions,
+    # s-drop with u/s exemptions
+    cases = {
+        "priorities": "priority", "classes": "classe", "dogs": "dog",
+        "kiss": "kiss", "bus": "bus", "oases": "oase",
+        "priority": "priority", "urgent": "urgent",
+    }
+    for w, want in cases.items():
+        assert analyze_py(w, "standard_stem") == [want], (w, want)

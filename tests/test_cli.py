@@ -923,6 +923,33 @@ def test_cli_bm25_analyzer_flag_and_mismatch_guard(spark, tmp_path):
     # and no flag at all keeps serving with the store's own analyzer
     assert main(args, spark=spark) == 0
 
+    # r12: standard_stem end to end — a fresh store under the
+    # stemming analyzer, queried with a PLURAL ('PRIORITIES!') whose
+    # corpus form is the singular 'priority' planted on every doc
+    stem_store = str(tmp_path / "bmstem")
+    stem_args = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "out2"),
+        "--bm25-store", stem_store,
+        "--bm25-text-expr",
+        "concat_ws(' ', 'priority', get_json_object(doc, "
+        "'$.o_orderpriority'))",
+    ]
+    assert main(
+        stem_args + ["--bm25-analyzer", "standard_stem"], spark=spark
+    ) == 0
+    with open(os.path.join(stem_store, "orders_cli", "CURRENT")) as f:
+        assert json.load(f)["analyzer"] == "standard_stem"
+    buf = io.StringIO()
+    assert main(
+        ["--bm25-topk", "PRIORITIES!",
+         "--store-dir", os.path.join(stem_store, "orders_cli")],
+        spark=spark, out=buf,
+    ) == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows and all(r["score_micro"] > 0 for r in rows)
+
 
 def test_cli_dedup_stream_vector_index(spark, tmp_path):
     """--dedup-index vector: the stream pipeline maintains an ANN

@@ -649,6 +649,33 @@ def test_ann_recall_eval_semantics(spark):
     )
 
 
+def test_global_windows_use_bounded_chokepoint():
+    """r11 verdict item 4: every global-ORDER (unpartitioned) window
+    in the package must come through
+    operators/windows.bounded_rank_window — the audited "this frame
+    is <= k rows by construction" chokepoint. get_spark() silences
+    WindowExec's per-query warning, so THIS check is what now flags a
+    real unbounded window, at review time. A window with a partition
+    key is untouched by this rule."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("pgsync_spark")
+    bad = []
+    pat = re.compile(r"\b(?:W|Window)\s*\.\s*orderBy\s*\(")
+    for f in pkg.rglob("*.py"):
+        if f.name == "windows.py" or "__pycache__" in f.parts:
+            continue
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line):
+                bad.append(f"{f}:{i}: {line.strip()}")
+    assert not bad, (
+        "unpartitioned Window.orderBy outside the bounded_rank_window "
+        "chokepoint (prove the frame is bounded and route through it, "
+        "or partition the window):\n" + "\n".join(bad)
+    )
+
+
 def test_clustered_recall_orderings(spark):
     """r11 verdict item 1: on the mixture-of-centers corpus the
     recall eval measures SEMANTIC recall, and training must buy what
