@@ -102,6 +102,12 @@ HEADLINE = [
     "key_skew_profile",
     # round-6 second continuation: ANN eval + drift + export binning
     "ann_recall_eval",
+    # (ann_recall_eval_clustered stays OFF the headline list, like
+    # the dedup_cdc lifecycles: it is the SAME ten-method plan over a
+    # generated corpus plus two Lloyd trainings (~14s at sf0.1) —
+    # offline QC whose value is the oracle-gated recall ORDERINGS
+    # (ivf_trained 1.0 > ivf 0.82), not serving latency; priced by
+    # the plain ann_recall_eval line above)
     "corpus_drift_kl",
     "export_shard_assign",
 ]

@@ -1236,6 +1236,8 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--sink-dir", args.sink_dir),
                 ("--search-url", args.search_url),
                 ("--bm25-store", args.bm25_store),
+                ("--vector-store", args.vector_store),
+                ("--ann-rebuild-when", args.ann_rebuild_when),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),
@@ -1264,6 +1266,8 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--sink-dir", args.sink_dir),
                 ("--search-url", args.search_url),
                 ("--bm25-store", args.bm25_store),
+                ("--vector-store", args.vector_store),
+                ("--ann-rebuild-when", args.ann_rebuild_when),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),

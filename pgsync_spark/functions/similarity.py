@@ -752,7 +752,11 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     sign-LSH lands 0.0 (one bucket of 2^8 holds almost none of the
     true neighbors) — i.e. the eval correctly says "this index needs
     multi-probe before you trust it", which is exactly what the
-    operator is for."""
+    operator is for. What this corpus CANNOT show is what training
+    buys (hash vectors have no modes to align cells to) — that is
+    ann_recall_eval_clustered's job, the same eval over the
+    mixture-of-centers corpus, where ivf_trained demonstrably beats
+    ivf (r12)."""
     from .. import caching
 
     # the exact set feeds one hit-join per method plus the query-id
@@ -1016,8 +1020,23 @@ def ann_recall_eval_clustered(df: DataFrame) -> DataFrame:
     shapes, same oracle gate; on this corpus the trained legs
     (ivf_trained, ivfpq_fully_trained) must beat their
     data-independent twins, pinned by
-    tests/test_queries.py::test_clustered_recall_orderings."""
-    return ann_recall_eval(clustered_corpus(df))
+    tests/test_queries.py::test_clustered_recall_orderings.
+
+    The generated corpus persists before the eval: the generator is
+    3 md5 per dimension per row (192/row at EMB_DIM), and the eval
+    scans its corpus once per method plus the training collects —
+    recomputing the expression per scan tripled the eval's wall at
+    sf0.1 (19.6s -> materialized ~8s). The eval result owns the
+    cache (the ann_recall_eval ownership discipline)."""
+    from .. import caching
+
+    corpus = clustered_corpus(df).persist()
+    try:
+        out = ann_recall_eval(corpus)
+    except BaseException:
+        corpus.unpersist()
+        raise
+    return caching.owned(out, [corpus])
 
 
 def ann_recall_eval_clustered_sql() -> str:

@@ -1583,6 +1583,15 @@ def test_cli_ann_rebuild_when_policy_flag(spark, tmp_path):
                 "--ann-rebuild-when", "1.5"],
         spark=spark,
     ) == 2
+    # and --dedup-stream mode refuses the sync-mode flags instead of
+    # silently ignoring them (r12 review: --vector-store was a hole)
+    assert main(
+        ["--dedup-stream", str(tmp_path / "nodocs"),
+         "--checkpoint-dir", str(tmp_path / "pwck"),
+         "--dedup-out", str(tmp_path / "pwdo"),
+         "--vector-store", store, "--ann-rebuild-when", "1.5"],
+        spark=spark,
+    ) == 2
 
 
 def test_cli_ivf_sample_mod_dial(spark, tmp_path):

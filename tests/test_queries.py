@@ -660,15 +660,20 @@ def test_global_windows_use_bounded_chokepoint():
     import pathlib
     import re
 
-    pkg = pathlib.Path("pgsync_spark")
+    # anchor on this test file so the scan is cwd-independent (an
+    # empty rglob would vacuously pass)
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "pgsync_spark"
     bad = []
     pat = re.compile(r"\b(?:W|Window)\s*\.\s*orderBy\s*\(")
+    n_files = 0
     for f in pkg.rglob("*.py"):
         if f.name == "windows.py" or "__pycache__" in f.parts:
             continue
+        n_files += 1
         for i, line in enumerate(f.read_text().splitlines(), 1):
             if pat.search(line):
                 bad.append(f"{f}:{i}: {line.strip()}")
+    assert n_files > 20, f"package scan found only {n_files} files"
     assert not bad, (
         "unpartitioned Window.orderBy outside the bounded_rank_window "
         "chokepoint (prove the frame is bounded and route through it, "
