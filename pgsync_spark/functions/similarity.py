@@ -521,6 +521,142 @@ def semantic_dedup_canonical_sql() -> str:
     """
 
 
+def ivf_neardup_pairs(df: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked by TRAINED IVF
+    cell (the faithful SemDeDup blocking — Abbas et al. 2023 §2
+    k-means the corpus and compares within clusters): each vector's
+    rn=1 trained-cell assignment is the blocking key, candidates are
+    within-cell pairs only, exact cosine >= NEARDUP_COS verifies.
+
+    vs embedding_neardup_pairs (banded sign-LSH blocking): LSH bands
+    are data-independent, so on a corpus with MODES the cosine graph
+    chains TRANSITIVELY across correlated modes through border pairs;
+    cell blocking keeps every component inside one trained cell, so
+    dedup decisions stay mode-local. Scale shape: assignment is one
+    Arrow pass; the self-join shuffles on cell_id with ~balanced
+    trained cells (sum of cell² candidates, never all-pairs); cells
+    are disjoint (rn=1), so no distinct is needed."""
+    assign = (
+        ivf_assign_trained(df)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+        .persist()
+    )
+    a = assign.select(F.col("vec_id").alias("id1"), "cell_id")
+    b = assign.select(F.col("vec_id").alias("id2"), "cell_id")
+    cand = (
+        a.join(b, "cell_id")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    e1 = df.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = df.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    cos = round6(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    )
+    out = (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+    from ..caching import owned
+
+    return owned(out, [assign])
+
+
+def semantic_dedup_ivf(
+    df: DataFrame, max_rounds: int = 21, strict: bool = False
+) -> DataFrame:
+    """SemDeDup in its faithful form (Abbas et al. 2023: k-means
+    cluster, then deduplicate WITHIN each cluster): trained-IVF cell
+    blocking (ivf_neardup_pairs) → pointer-doubling connected
+    components → one representative per semantic group. Output:
+    (vec_id, cluster_size), like semantic_dedup_canonical.
+
+    The measured motivation (r12, mixture-of-centers corpus at
+    sf0.01): the banded-LSH variant's 0.4-cosine graph chained the
+    10 modes into 2 mega-components (259 + 241 of 500 vectors — a
+    dedup that would discard 99.6% of a corpus with 10 distinct
+    semantic modes); cell blocking bounds every component inside one
+    trained cell, keeping one representative per mode-local group
+    (pinned by tests/test_queries.py::test_semantic_dedup_ivf_is_mode_local).
+    """
+    from ..caching import release
+    from .dedup import canonical_attach, connected_components
+
+    pairs = ivf_neardup_pairs(df)
+    labels = connected_components(
+        pairs.select("id1", "id2"), max_rounds=max_rounds, strict=strict
+    )
+    release(pairs)
+    return canonical_attach(df.select("vec_id"), labels, "vec_id")
+
+
+def semantic_dedup_ivf_sql() -> str:
+    """Oracle: Lloyd-training replay → rn=1 cell assignment →
+    within-cell pairs → recursive components → canonical survivors
+    (the semantic_dedup_canonical_sql tail over cell-blocked
+    pairs)."""
+    cos = f"{round6_sql(_dot_sql('e1.embedding', 'e2.embedding') + ' / (' + _norm_sql('e1.embedding') + ' * ' + _norm_sql('e2.embedding') + ')')}"
+    return f"""
+        WITH RECURSIVE {_ivf_trained_sql_ctes()},
+        iassign AS (SELECT vec_id, cell_id FROM itrk WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM iassign a
+          JOIN iassign b
+            ON b.cell_id = a.cell_id AND b.vec_id > a.vec_id
+          JOIN embeddings e1 ON e1.vec_id = a.vec_id
+          JOIN embeddings e2 ON e2.vec_id = b.vec_id
+          WHERE {cos} >= {NEARDUP_COS}
+        ),
+        edges AS (
+          SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION ALL
+          SELECT id2, id1 FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        ),
+        clustered AS (
+          SELECT cluster_id AS vec_id, COUNT(*) AS cluster_size
+          FROM labels GROUP BY cluster_id
+        ),
+        unclustered AS (
+          SELECT e.vec_id, CAST(1 AS BIGINT) AS cluster_size
+          FROM embeddings e LEFT JOIN labels l ON l.vec_id = e.vec_id
+          WHERE l.vec_id IS NULL
+        )
+        SELECT * FROM unclustered UNION ALL SELECT * FROM clustered
+    """
+
+
+def semantic_dedup_ivf_clustered(df: DataFrame) -> DataFrame:
+    """semantic_dedup_ivf over the mixture-of-centers corpus — the
+    corpus where 'semantic cluster' means something. The generated
+    corpus persists first (the ann_recall_eval_clustered lesson: the
+    192-md5/row generator must run once, not once per consumer)."""
+    from .. import caching
+
+    corpus = clustered_corpus(df).persist()
+    try:
+        out = semantic_dedup_ivf(corpus)
+    except BaseException:
+        corpus.unpersist()
+        raise
+    return caching.owned(out, [corpus])
+
+
+def semantic_dedup_ivf_clustered_sql() -> str:
+    return _clustered_oracle(semantic_dedup_ivf_sql())
+
+
 def incremental_semantic_probe_sql(
     n_batches: int = 3, probe_hamming: int = PROBE_HAMMING
 ) -> str:

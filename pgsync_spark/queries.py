@@ -445,6 +445,11 @@ _emb_query(
     "ann_recall_eval_clustered",
 )
 _emb_query(
+    _sim.semantic_dedup_ivf_clustered,
+    _sim.semantic_dedup_ivf_clustered_sql(),
+    "semantic_dedup_ivf_clustered",
+)
+_emb_query(
     _sim.cluster_balanced_sample,
     _sim.cluster_balanced_sample_sql(),
     "cluster_balanced_sample",
