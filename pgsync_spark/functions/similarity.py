@@ -657,6 +657,170 @@ def semantic_dedup_ivf_clustered_sql() -> str:
     return _clustered_oracle(semantic_dedup_ivf_sql())
 
 
+# the widest probe the frontier prices; 5 of IVF_CELLS=10 cells is
+# already half the corpus on a balanced partition — past that the
+# "approximate" in ANN is gone
+IVF_FRONTIER_MAX = 5
+
+
+def ann_probe_cost_frontier(df: DataFrame) -> DataFrame:
+    """The nprobe dial's measured frontier under the trained coarse
+    quantizer: one row per nprobe in [1, IVF_FRONTIER_MAX] with the
+    mean exact-rerank candidates per query (the serving cost) and the
+    mean recall@k vs brute force (the quality) — the two numbers a
+    deployment trades when it picks nprobe (this engine's default
+    IVF_NPROBE=3 sits where the clustered-corpus curve flattens).
+
+    On the mixture-of-centers corpus the curve is real signal —
+    recall climbs steeply while candidates grow linearly, then
+    saturates once the query's mode is covered; on the
+    near-orthogonal hash corpus recall tracks the probed fraction
+    ~proportionally (no mode to find early) — the SAME contrast the
+    r11→r12 rebuild measurements hinged on, now priced per probe
+    width. Scale shape: ONE widened Arrow assignment pass feeds all
+    frontier points (persisted, like ann_recall_eval's shared
+    ranking); each point is a cell_id join + the standard exact
+    rerank over its candidates; aggregates are per-query counts."""
+    from functools import reduce as _reduce
+
+    from .. import caching
+
+    exact = (
+        ann_bruteforce_topk(df).select("query_id", "neighbor_id").persist()
+    )
+    ranked = ivf_assign_trained(df, nprobe=IVF_FRONTIER_MAX).persist()
+    held = [exact, ranked]
+    try:
+        qids = exact.select("query_id").distinct()
+        assign = ranked.filter(F.col("rn") == 1).select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id"
+        )
+        parts = []
+        for n in range(1, IVF_FRONTIER_MAX + 1):
+            qp = ranked.filter(
+                (F.col("rn") <= n) & (F.col("vec_id") < N_QUERIES)
+            ).select(F.col("vec_id").alias("query_id"), "cell_id")
+            cand = (
+                qp.join(assign, "cell_id")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id")
+            )
+            ncand = cand.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_cand")
+            )
+            top = _ivf_exact_rerank(df, cand).select(
+                "query_id", "neighbor_id"
+            )
+            hits = (
+                top.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+            )
+            perq = (
+                qids.join(F.broadcast(ncand), "query_id", "left")
+                .join(F.broadcast(hits), "query_id", "left")
+                .select(
+                    F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                )
+            )
+            parts.append(
+                perq.agg(
+                    F.sum("n_cand").alias("sc"),
+                    F.sum("n_hits").alias("sh"),
+                ).select(
+                    F.lit(n).cast("int").alias("nprobe"),
+                    round6(
+                        F.col("sc").cast("double")
+                        / F.lit(float(N_QUERIES))
+                    ).alias("mean_candidates"),
+                    round6(
+                        F.col("sh").cast("double")
+                        / F.lit(float(TOP_K * N_QUERIES))
+                    ).alias("mean_recall"),
+                )
+            )
+        out = _reduce(DataFrame.unionByName, parts)
+    except BaseException:
+        for f in held:
+            f.unpersist()
+        raise
+    return caching.owned(out, held)
+
+
+def ann_probe_cost_frontier_sql() -> str:
+    cos = f"{round6_sql(_dot_sql('e1.embedding', 'e2.embedding') + ' / (' + _norm_sql('e1.embedding') + ' * ' + _norm_sql('e2.embedding') + ')')}"
+    blocks = []
+    rows = []
+    for n in range(1, IVF_FRONTIER_MAX + 1):
+        blocks.append(f"""cand{n} AS (
+          SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+          FROM itrk p JOIN iassign a ON a.cell_id = p.cell_id
+          WHERE p.rn <= {n} AND p.vec_id < {N_QUERIES}
+            AND a.vec_id <> p.vec_id
+        ),
+        top{n} AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                      ORDER BY {cos} DESC,
+                                               c.neighbor_id) AS rank
+            FROM cand{n} c
+            JOIN embeddings e1 ON e1.vec_id = c.query_id
+            JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+          ) WHERE rank <= {TOP_K}
+        )""")
+        rows.append(f"""
+          SELECT {n} AS nprobe,
+                 {round6_sql(f'CAST(SUM(n_cand) AS DOUBLE) / {float(N_QUERIES)}')}
+                   AS mean_candidates,
+                 {round6_sql(f'CAST(SUM(n_hits) AS DOUBLE) / {float(TOP_K * N_QUERIES)}')}
+                   AS mean_recall
+          FROM (
+            SELECT q.query_id,
+                   COALESCE(cc.n, 0) AS n_cand,
+                   COALESCE(hh.n, 0) AS n_hits
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN (
+              SELECT query_id, COUNT(*) AS n FROM cand{n} GROUP BY query_id
+            ) cc ON cc.query_id = q.query_id
+            LEFT JOIN (
+              SELECT t.query_id, COUNT(*) AS n
+              FROM top{n} t JOIN exact e
+                ON e.query_id = t.query_id
+               AND e.neighbor_id = t.neighbor_id
+              GROUP BY t.query_id
+            ) hh ON hh.query_id = q.query_id
+          )""")
+    return f"""
+        WITH {_ivf_trained_sql_ctes(nprobe=IVF_FRONTIER_MAX)},
+        iassign AS (SELECT vec_id, cell_id FROM itrk WHERE rn = 1),
+        exact AS ({ann_bruteforce_topk_sql()}),
+        {",".join(blocks)}
+        {" UNION ALL ".join(rows)}
+    """
+
+
+def ann_probe_frontier_clustered(df: DataFrame) -> DataFrame:
+    """ann_probe_cost_frontier over the mixture-of-centers corpus —
+    where the curve carries the signal (recall saturates once the
+    query's mode is covered). Corpus persists first (the generator
+    runs once)."""
+    from .. import caching
+
+    corpus = clustered_corpus(df).persist()
+    try:
+        out = ann_probe_cost_frontier(corpus)
+    except BaseException:
+        corpus.unpersist()
+        raise
+    return caching.owned(out, [corpus])
+
+
+def ann_probe_frontier_clustered_sql() -> str:
+    return _clustered_oracle(ann_probe_cost_frontier_sql())
+
+
 def incremental_semantic_probe_sql(
     n_batches: int = 3, probe_hamming: int = PROBE_HAMMING
 ) -> str:
@@ -2292,8 +2456,10 @@ def ivf_assign_trained(
     df: DataFrame,
     cents: list[list[int]] | None = None,
     with_dist: bool = False,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """(vec_id, cell_id, rn[, d2]) — each vector's IVF_NPROBE nearest
+    """(vec_id, cell_id, rn[, d2]) — each vector's ``nprobe``
+    (default IVF_NPROBE) nearest
     TRAINED cells by integer L2² over quantized normalized vectors
     (unit vectors: ascending L2² = descending cosine, so the probe
     geometry matches the hash-codebook _ivf_ranked). rn=1 is the
@@ -2331,14 +2497,14 @@ def ivf_assign_trained(
             for c in range(len(ca)):
                 diff = qx - ca[c]
                 dd[:, c] = (diff * diff).sum(axis=1)
-            order = np.argsort(dd, axis=1, kind="stable")[:, :IVF_NPROBE]
+            order = np.argsort(dd, axis=1, kind="stable")[:, :nprobe]
             cols = {
                 "vec_id": np.repeat(
-                    pdf["vec_id"].to_numpy(), IVF_NPROBE
+                    pdf["vec_id"].to_numpy(), nprobe
                 ),
                 "cell_id": order.reshape(-1).astype("int64"),
                 "rn": np.tile(
-                    np.arange(1, IVF_NPROBE + 1), n
+                    np.arange(1, nprobe + 1), n
                 ).astype("int32"),
             }
             if with_dist:
@@ -2382,6 +2548,7 @@ def _ivf_trained_sql_ctes(
     init: str = "demo",
     dim: int | None = None,
     sample_mod: int | None = None,
+    nprobe: int | None = None,
 ) -> str:
     """Oracle training replay for the trained coarse quantizer:
     quantized full vectors -> IVFT_ITERS unrolled Lloyd iterations ->
@@ -2398,6 +2565,8 @@ def _ivf_trained_sql_ctes(
         dim = EMB_DIM
     if sample_mod is None:
         sample_mod = PQT_SAMPLE_MOD
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     nv = _normalized_sql("embedding")
     h = h32_sql("CAST(vec_id AS VARCHAR)")
     if init == "hash":
@@ -2465,7 +2634,7 @@ def _ivf_trained_sql_ctes(
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dd, c) AS rn
             FROM ivdist
-          ) WHERE rn <= {IVF_NPROBE}
+          ) WHERE rn <= {nprobe}
         )""")
     return ",\n        ".join(parts)
 

@@ -450,6 +450,16 @@ _emb_query(
     "semantic_dedup_ivf_clustered",
 )
 _emb_query(
+    _sim.ann_probe_cost_frontier,
+    _sim.ann_probe_cost_frontier_sql(),
+    "ann_probe_cost_frontier",
+)
+_emb_query(
+    _sim.ann_probe_frontier_clustered,
+    _sim.ann_probe_frontier_clustered_sql(),
+    "ann_probe_frontier_clustered",
+)
+_emb_query(
     _sim.cluster_balanced_sample,
     _sim.cluster_balanced_sample_sql(),
     "cluster_balanced_sample",

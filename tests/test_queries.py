@@ -712,6 +712,43 @@ def test_clustered_recall_orderings(spark):
     assert tot["lsh_multiprobe2"] >= tot["lsh_multiprobe"], tot
 
 
+def test_probe_cost_frontier_shapes(spark):
+    """The nprobe frontier carries the mode story as a CURVE: on the
+    clustered corpus the query's mode is found immediately (recall
+    ~1 at nprobe=1-2, extra probes buy only candidates); on the hash
+    corpus recall tracks the probed fraction with no early
+    saturation. Both curves pay monotonically more rerank
+    candidates. (Measured at sf0.001: clustered 0.98/1.0/1.0/1.0/1.0
+    at 84→282 candidates; hash 0.3→0.70 at 57→257.)"""
+    from pgsync_spark import caching
+
+    def rows(name):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        out = {
+            r["nprobe"]: (r["mean_candidates"], r["mean_recall"])
+            for r in df.collect()
+        }
+        caching.release(df)
+        return out
+
+    clu = rows("ann_probe_frontier_clustered")
+    assert sorted(clu) == [1, 2, 3, 4, 5]
+    cands = [clu[n][0] for n in range(1, 6)]
+    assert cands == sorted(cands) and cands[0] < cands[-1]
+    # mode found immediately; saturated by 2 probes
+    assert clu[1][1] >= 0.9, clu
+    assert clu[2][1] >= 0.98, clu
+    assert clu[5][1] >= clu[2][1], clu
+
+    hsh = rows("ann_probe_cost_frontier")
+    hc = [hsh[n][0] for n in range(1, 6)]
+    hr = [hsh[n][1] for n in range(1, 6)]
+    assert hc == sorted(hc) and hc[0] < hc[-1]
+    # recall keeps climbing with probed fraction — no mode to find
+    assert hr == sorted(hr) and hr[0] < hr[-1], hr
+    assert hr[4] < 0.9, hr
+
+
 def test_semantic_dedup_ivf_is_mode_local(spark):
     """The faithful SemDeDup (k-means cells, dedup within cells)
     keeps decisions mode-local where the banded-LSH variant's
