@@ -305,6 +305,16 @@ def build_parser() -> argparse.ArgumentParser:
         "flag to automate. Logged as one event per firing",
     )
     p.add_argument(
+        "--ann-nprobe", type=int, default=None, metavar="N",
+        help="probe width for an IVF store's --ann-topk /"
+        " --hybrid-topk read (cells probed per query; default 3 of "
+        "10): the serving half of the recall-vs-rerank-cost frontier "
+        "ann_probe_cost_frontier measures — widen where the curve "
+        "still climbs, narrow to 1-2 where it saturates. Probe-time "
+        "behavior, not index state; refuses on sign-LSH stores "
+        "(their width dial is --probe-hamming)",
+    )
+    p.add_argument(
         "--ann-topk", metavar="QUERY", default=None,
         help="query a stored VectorIndex (--store-dir): QUERY is "
         "either a JSON array literal (the vector itself — use for "
@@ -714,6 +724,10 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
                     "space"
                 )
             qvec = hash_embed_py(q)
+            err = _apply_nprobe(vidx, args)
+            if err:
+                print(f"--hybrid-topk: {err}", file=sys.stderr)
+                return 2
             dim = _store_dim(vidx)
             if dim is not None and dim != len(qvec):
                 raise ValueError(
@@ -782,6 +796,29 @@ def _run_hybrid_topk(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _apply_nprobe(idx, args) -> str | None:
+    """Set --ann-nprobe on a loaded vector store; an error string
+    refuses (LSH family, or out of range). Probe-time behavior — the
+    constructor validates the same range for library callers."""
+    if args.ann_nprobe is None:
+        return None
+    if not hasattr(idx, "rebuild"):
+        return (
+            "--ann-nprobe applies to IVF stores; this store was "
+            f"written by {type(idx).__name__}, whose probe-width "
+            "dial is --probe-hamming"
+        )
+    from .functions.similarity import IVF_CELLS
+
+    if not 1 <= args.ann_nprobe <= IVF_CELLS:
+        return (
+            f"--ann-nprobe must be in [1, {IVF_CELLS}] (the codebook "
+            f"has {IVF_CELLS} cells), got {args.ann_nprobe}"
+        )
+    idx.nprobe = args.ann_nprobe
+    return None
+
+
 def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
     """--ann-topk: load the stored vector index and answer one query —
     the read side of the --vector-store / --dedup-index vector
@@ -839,6 +876,10 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
                     "space; pass an explicit JSON vector instead",
                     file=sys.stderr,
                 )
+                return 2
+            err = _apply_nprobe(idx, args)
+            if err:
+                print(f"--ann-topk: {err}", file=sys.stderr)
                 return 2
             # dimension gate: a short query vector zip_with-pads to
             # NULL cosines (LSH) or dies in numpy broadcasting (IVF) —
@@ -1086,6 +1127,17 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             "--ivf-sample-mod applies only where a codebook trains: "
             "--ann-rebuild, --dedup-stream with --dedup-index ivf, "
             "or a sync with --vector-store --vector-index ivf",
+            file=sys.stderr,
+        )
+        return 2
+    if args.ann_nprobe is not None and (
+        args.ann_topk is None and args.hybrid_topk is None
+    ):
+        # probe width only means something on a read — same
+        # dependent-flag rule as the rest
+        print(
+            "--ann-nprobe applies only with --ann-topk or "
+            "--hybrid-topk (IVF stores)",
             file=sys.stderr,
         )
         return 2

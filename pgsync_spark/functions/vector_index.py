@@ -361,6 +361,7 @@ class IVFVectorIndex(VectorIndex):
         overlay_cap: int | None = DEFAULT_OVERLAY_CAP,
         feature_expr: str | None = None,
         sample_mod: int | None = None,
+        nprobe: int | None = None,
     ):
         # probe_hamming=0: the IVF probe set is the nprobe cell list,
         # never Hamming perturbations (that dial is sign-LSH-specific)
@@ -371,6 +372,25 @@ class IVFVectorIndex(VectorIndex):
             overlay_cap=overlay_cap,
             feature_expr=feature_expr,
         )
+        # PROBE-TIME behavior, not index state (the probe_hamming
+        # precedent: load() builds with the default and a caller sets
+        # it per deployment) — the serving half of the
+        # ann_probe_cost_frontier measurement: widen for recall on a
+        # corpus the frontier shows still climbing, narrow to 1-2
+        # where it saturates (CLI: --ann-nprobe)
+        if nprobe is None:
+            from .similarity import IVF_NPROBE
+
+            nprobe = IVF_NPROBE
+        from .similarity import IVF_CELLS
+
+        if not 1 <= nprobe <= IVF_CELLS:
+            raise ValueError(
+                f"nprobe must be in [1, {IVF_CELLS}] (cells probed "
+                f"per query; the codebook has {IVF_CELLS} cells), "
+                f"got {nprobe}"
+            )
+        self.nprobe = nprobe
         self._cents: list[list[int]] | None = None
         # completed rebuild() count — durable "a rebuild happened"
         # bookkeeping that deliberately lives OUTSIDE the applied-epoch
@@ -656,7 +676,9 @@ class IVFVectorIndex(VectorIndex):
     def _probe_frame(self, qkeys: DataFrame) -> DataFrame:
         from .similarity import ivf_assign_trained
 
-        return ivf_assign_trained(qkeys, self._require_cents()).select(
+        return ivf_assign_trained(
+            qkeys, self._require_cents(), nprobe=self.nprobe
+        ).select(
             F.col("vec_id").alias("query_id"),
             F.lit(0).alias("band"),
             F.col("cell_id").alias("bucket"),
@@ -670,6 +692,7 @@ def ivf_topk_sql(
     dim: int | None = None,
     exclude_self: bool = False,
     sample_mod: int | None = None,
+    nprobe: int | None = None,
 ) -> str:
     """DuckDB mirror of a maintained IVFVectorIndex's topk over a
     ``corpus`` CTE/view (vec_id, embedding) and a ``queries``
@@ -696,6 +719,8 @@ def ivf_topk_sql(
 
     if k is None:
         k = TOP_K
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     if dim is None:
         from .similarity import EMB_DIM
 
@@ -734,7 +759,7 @@ iq_probe AS (
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY dd, c) AS rn
     FROM iq_dist
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 iassign AS (
   SELECT vec_id AS neighbor_id, cell_id FROM itrk WHERE rn = 1

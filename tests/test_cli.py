@@ -1114,6 +1114,15 @@ def test_cli_vector_store_engine_owned_index(spark, tmp_path):
     assert rc == 0
     assert buf2.getvalue() == buf.getvalue()
 
+    # --ann-nprobe is the IVF probe dial — a sign-LSH store refuses
+    # (its width dial is --probe-hamming)
+    assert main(
+        ["--ann-topk", "CLI-VECTOR",
+         "--store-dir", os.path.join(store, "orders_cli"),
+         "--ann-nprobe", "2"],
+        spark=spark,
+    ) == 2
+
     # guards: no store / malformed vector / mode mixing
     assert main(["--ann-topk", "x"], spark=spark) == 2
     assert main(
@@ -1535,6 +1544,25 @@ def test_cli_vector_index_ivf_engine_store_and_stats(spark, tmp_path):
     assert main(["--ann-stats"], spark=spark) == 2
     assert main(
         ["--ann-stats", "--store-dir", sub, "--ann-rebuild"],
+        spark=spark,
+    ) == 2
+
+    # --ann-nprobe (r12 serving dial): works on the IVF store, range
+    # guarded, refuses outside a read mode
+    buf = io.StringIO()
+    assert main(
+        ["--ann-topk", "1-URGENT", "--store-dir", sub,
+         "--ann-nprobe", "1"],
+        spark=spark, out=buf,
+    ) == 0
+    assert buf.getvalue().strip()  # served under the narrow probe
+    assert main(
+        ["--ann-topk", "1-URGENT", "--store-dir", sub,
+         "--ann-nprobe", "11"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--ann-stats", "--store-dir", sub, "--ann-nprobe", "2"],
         spark=spark,
     ) == 2
 

@@ -907,3 +907,57 @@ def test_ivf_hash_init_dedupes_duplicate_vec_ids(spark):
     )
     with pytest.raises(ValueError, match="distinct sampled"):
         _ivf_trained_centroids_impl(tiny, init="hash")
+
+
+def test_ivf_nprobe_dial_serving(spark):
+    """The nprobe serving dial (r12 — the act half of the
+    ann_probe_cost_frontier measurement): widening the probe set is
+    monotone in recall, on the clustered corpus recall saturates by
+    the default width, and the dial is probe-time state (toggling it
+    on a live index changes only the probe set, never stored keys)."""
+    from pgsync_spark.functions.similarity import (
+        IVF_CELLS,
+        ann_bruteforce_topk,
+        clustered_corpus,
+    )
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    with pytest.raises(ValueError, match="nprobe"):
+        IVFVectorIndex(spark, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        IVFVectorIndex(spark, nprobe=IVF_CELLS + 1)
+
+    emb = clustered_corpus(_emb(spark)).localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(emb).collect()
+    }
+    idx = IVFVectorIndex(spark, nprobe=1)
+    idx.ingest(emb)
+
+    def recall():
+        hits = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.topk(q, exclude_self=True).collect()
+        }
+        return len(hits & gt) / len(gt)
+
+    def probed_cells():
+        return idx._probe_frame(
+            q.select(F.col("query_id").alias("vec_id"), "embedding")
+        ).count()
+
+    assert probed_cells() == N_QUERIES * 1
+    r1 = recall()
+    idx.nprobe = 3  # probe-time toggle, no reindex
+    assert probed_cells() == N_QUERIES * 3
+    r3 = recall()
+    # monotone, and saturated on the modal corpus (frontier: 0.98 at
+    # nprobe=1, 1.0 from 2 on)
+    assert r1 >= 0.9, (r1, r3)
+    assert r3 >= r1, (r1, r3)
+    assert r3 >= 0.98, (r1, r3)
+    idx.close()
