@@ -344,6 +344,23 @@ def build_parser() -> argparse.ArgumentParser:
         "unevenly, and probe cost follows the biggest cells",
     )
     p.add_argument(
+        "--ann-frontier", action="store_true",
+        help="measure a stored IVF index's nprobe frontier "
+        "(--store-dir): for each probe width in [1, 5], one JSON "
+        "line with the mean exact-rerank candidates per query (the "
+        "serving cost) and mean recall@10 vs brute-force exact "
+        "cosine over the live corpus, using a deterministic "
+        "hash-sample of held vectors as queries — the operational "
+        "form of the ann_probe_cost_frontier registry eval: measure "
+        "here, pick --ann-nprobe, automate rebuilds with "
+        "--ann-rebuild-when",
+    )
+    p.add_argument(
+        "--ann-frontier-queries", type=int, default=5, metavar="Q",
+        help="query-sample size for --ann-frontier (default 5): the "
+        "Q held vectors with the smallest (h32(vec_id), vec_id)",
+    )
+    p.add_argument(
         "--ann-rebuild", action="store_true",
         help="retrain a stored IVF vector index (--store-dir): "
         "re-fit the coarse codebook over the CURRENT live corpus "
@@ -913,6 +930,155 @@ def _run_ann_topk(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
+    """--ann-frontier: the nprobe frontier of a STORED IVF index —
+    per probe width, the mean exact-rerank candidates per query and
+    the mean recall@10 vs brute-force exact cosine over the live
+    corpus (self excluded). Queries are the Q live vectors with the
+    smallest (h32(vec_id), vec_id) — deterministic, so two runs over
+    one store compare. The operational form of the registry's
+    ann_probe_cost_frontier: measure here, pick --ann-nprobe,
+    automate rebuilds with --ann-rebuild-when."""
+    import json
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .functions.hashing import h32, round6
+    from .functions.similarity import IVF_CELLS, TOP_K, _dot, _norm
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_ann_frontier")
+    try:
+        try:
+            idx = _load_vector_store(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            print(
+                f"--ann-frontier: cannot load {args.store_dir}: {e}",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            if not hasattr(idx, "rebuild"):
+                print(
+                    "--ann-frontier applies to IVF stores; this "
+                    f"store was written by {type(idx).__name__}, "
+                    "whose probe geometry is the sign-LSH banding "
+                    "(dial: --probe-hamming)",
+                    file=sys.stderr,
+                )
+                return 2
+            nq = args.ann_frontier_queries
+            if nq < 1:
+                print(
+                    "--ann-frontier-queries must be >= 1",
+                    file=sys.stderr,
+                )
+                return 2
+            vals = idx.vals
+            if vals is None:
+                print(
+                    "--ann-frontier: the store holds no vectors",
+                    file=sys.stderr,
+                )
+                return 2
+            if idx._has_cdc:
+                vals = idx._cdc_live(vals, idx._cdc_overlay(vals))
+            live = vals.select("vec_id", "embedding").localCheckpoint(
+                eager=True
+            )
+            n_live = live.count()
+            q = (
+                live.orderBy(
+                    h32(F.col("vec_id").cast("string")), "vec_id"
+                )
+                .limit(nq)
+                .select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                .localCheckpoint(eager=True)
+            )
+            nq = q.count()  # corpus smaller than Q serves them all
+            # exact ground truth: brute-force cosine over the live
+            # corpus, self excluded — bounded by nq broadcast queries
+            cos = round6(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            )
+            scored = (
+                live.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("cv"),
+                )
+                .crossJoin(
+                    F.broadcast(
+                        q.select(
+                            "query_id", F.col("embedding").alias("qv")
+                        )
+                    )
+                )
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id", cos.alias("cosine"))
+            )
+            w = W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), "neighbor_id"
+            )
+            gt = {
+                (r["query_id"], r["neighbor_id"])
+                for r in scored.withColumn(
+                    "rank", F.row_number().over(w)
+                )
+                .filter(F.col("rank") <= TOP_K)
+                .collect()
+            }
+            keys = idx.keys
+            if idx._has_cdc:
+                keys = idx._cdc_live(keys, idx._cdc_overlay(idx.vals))
+            for n in range(1, min(5, IVF_CELLS) + 1):
+                idx.nprobe = n
+                probe = idx._probe_frame(
+                    q.select(F.col("query_id").alias("vec_id"), "embedding")
+                )
+                n_cand = (
+                    keys.join(F.broadcast(probe), ["band", "bucket"])
+                    .filter(F.col("vec_id") != F.col("query_id"))
+                    .select("query_id", "vec_id")
+                    .distinct()
+                    .count()
+                )
+                hits = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in idx.topk(q, exclude_self=True).collect()
+                }
+                print(
+                    json.dumps(
+                        {
+                            "nprobe": n,
+                            "mean_candidates": round(n_cand / nq, 1),
+                            "probed_fraction": round(
+                                n_cand / nq / max(n_live, 1), 4
+                            ),
+                            "mean_recall": round(
+                                len(hits & gt) / max(len(gt), 1), 4
+                            ),
+                            "queries": nq,
+                            "live_vectors": n_live,
+                        },
+                        sort_keys=True,
+                    ),
+                    file=out,
+                )
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
     """--ann-stats: operational introspection of a stored vector
     index — the read-only half of the rebuild loop (measure the
@@ -1161,6 +1327,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.export_shards
             or args.ann_rebuild
             or args.ann_stats
+            or args.ann_frontier
         ):
             # every other mode flag refuses, not just sync/stream —
             # dispatch order would otherwise silently ignore the
@@ -1191,6 +1358,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.export_shards
             or args.ann_rebuild
             or args.ann_stats
+            or args.ann_frontier
         ):
             print(
                 "--ann-topk is its own mode; remove the other mode "
@@ -1214,6 +1382,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.export_shards
             or args.ann_rebuild
             or args.ann_stats
+            or args.ann_frontier
         ):
             print(
                 "--bm25-topk is its own mode; remove the other mode "
@@ -1222,6 +1391,28 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             )
             return 2
         return _run_bm25_topk(args, spark, out)
+    if args.ann_frontier:
+        if not args.store_dir:
+            print(
+                "--ann-frontier requires --store-dir", file=sys.stderr
+            )
+            return 2
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.export_shards
+            or args.ann_rebuild
+            or args.ann_stats
+        ):
+            print(
+                "--ann-frontier is its own mode; remove the other "
+                "mode flags (sync/stream/--export-shards/"
+                "--ann-rebuild/--ann-stats)",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_ann_frontier(args, spark, out)
     if args.ann_stats:
         if not args.store_dir:
             print("--ann-stats requires --store-dir", file=sys.stderr)
@@ -1232,6 +1423,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.daemon
             or args.export_shards
             or args.ann_rebuild
+            or args.ann_frontier
         ):
             print(
                 "--ann-stats is its own mode; remove the other mode "
@@ -1245,7 +1437,10 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
         if not args.store_dir:
             print("--ann-rebuild requires --store-dir", file=sys.stderr)
             return 2
-        if args.dedup_stream or args.config or args.daemon or args.export_shards:
+        if (
+            args.dedup_stream or args.config or args.daemon
+            or args.export_shards or args.ann_frontier
+        ):
             print(
                 "--ann-rebuild is its own mode; remove the other "
                 "mode flags (sync/stream/--export-shards)",

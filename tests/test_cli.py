@@ -1695,3 +1695,66 @@ def test_cli_ivf_sample_mod_dial(spark, tmp_path):
          "--sink-dir", str(tmp_path / "mo3"), "--ivf-sample-mod", "3"],
         spark=spark,
     ) == 2
+
+
+def test_cli_ann_frontier(spark, tmp_path):
+    """--ann-frontier (r12): the operational nprobe frontier of a
+    stored IVF index — five JSON lines with monotone candidate cost
+    and monotone recall vs the live-corpus exact ground truth
+    (exact rerank of a candidate superset can only improve recall@k);
+    guards mirror the other single-shot read modes."""
+    from pgsync_spark.functions.hashing import cluster_embed_py
+
+    docs_dir = tmp_path / "fvecs"
+    docs_dir.mkdir()
+    with open(docs_dir / "b0.json", "w") as f:
+        for i in range(80):
+            f.write(json.dumps(
+                {"vec_id": i, "embedding": cluster_embed_py(f"f{i}")}
+            ) + "\n")
+    store = str(tmp_path / "fstore")
+    assert main(
+        ["--dedup-stream", str(docs_dir),
+         "--dedup-index", "ivf",
+         "--checkpoint-dir", str(tmp_path / "fckpt"),
+         "--dedup-out", str(tmp_path / "fout"),
+         "--store-dir", store, "--drain"],
+        spark=spark,
+    ) == 0
+
+    buf = io.StringIO()
+    assert main(
+        ["--ann-frontier", "--store-dir", store], spark=spark, out=buf
+    ) == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4, 5]
+    cands = [r["mean_candidates"] for r in rows]
+    recalls = [r["mean_recall"] for r in rows]
+    assert cands == sorted(cands) and cands[0] < cands[-1]
+    assert recalls == sorted(recalls)  # exact rerank of a superset
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert rows[0]["live_vectors"] == 80 and rows[0]["queries"] == 5
+
+    # guards: store required; own mode; sweep excludes --ann-nprobe;
+    # LSH stores refuse (their geometry has no nprobe)
+    assert main(["--ann-frontier"], spark=spark) == 2
+    assert main(
+        ["--ann-frontier", "--store-dir", store, "--ann-stats"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--ann-frontier", "--store-dir", store, "--ann-nprobe", "2"],
+        spark=spark,
+    ) == 2
+    lsh_store = str(tmp_path / "flsh")
+    assert main(
+        ["--dedup-stream", str(docs_dir),
+         "--dedup-index", "vector",
+         "--checkpoint-dir", str(tmp_path / "fckpt2"),
+         "--dedup-out", str(tmp_path / "fout2"),
+         "--store-dir", lsh_store, "--drain"],
+        spark=spark,
+    ) == 0
+    assert main(
+        ["--ann-frontier", "--store-dir", lsh_store], spark=spark
+    ) == 2
