@@ -961,6 +961,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
             return 2
+        held = []
         try:
             if not hasattr(idx, "rebuild"):
                 print(
@@ -990,6 +991,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             live = vals.select("vec_id", "embedding").localCheckpoint(
                 eager=True
             )
+            held.append(live)
             n_live = live.count()
             q = (
                 live.orderBy(
@@ -1001,6 +1003,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
                 )
                 .localCheckpoint(eager=True)
             )
+            held.append(q)
             nq = q.count()  # corpus smaller than Q serves them all
             # exact ground truth: brute-force cosine over the live
             # corpus, self excluded — bounded by nq broadcast queries
@@ -1072,6 +1075,12 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
                     file=out,
                 )
         finally:
+            # an injected session (tests, embedding callers) outlives
+            # this mode — the checkpoints must not pile up in it
+            from . import caching
+
+            for f in held:
+                caching.release_local_checkpoint(f)
             idx.close()
         return 0
     finally:
