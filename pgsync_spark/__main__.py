@@ -1005,6 +1005,14 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             )
             held.append(q)
             nq = q.count()  # corpus smaller than Q serves them all
+            if nq == 0:
+                # vals existed but every row tombstoned away
+                print(
+                    "--ann-frontier: the live corpus is empty "
+                    "(every vector deleted)",
+                    file=sys.stderr,
+                )
+                return 2
             # exact ground truth: brute-force cosine over the live
             # corpus, self excluded — bounded by nq broadcast queries
             cos = round6(
