@@ -345,14 +345,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--ann-frontier", action="store_true",
-        help="measure a stored IVF index's nprobe frontier "
-        "(--store-dir): for each probe width in [1, 5], one JSON "
-        "line with the mean exact-rerank candidates per query (the "
-        "serving cost) and mean recall@10 vs brute-force exact "
-        "cosine over the live corpus, using a deterministic "
-        "hash-sample of held vectors as queries — the operational "
-        "form of the ann_probe_cost_frontier registry eval: measure "
-        "here, pick --ann-nprobe, automate rebuilds with "
+        help="measure a stored vector index's probe-width frontier "
+        "(--store-dir): one JSON line per width — IVF sweeps nprobe "
+        "1..5, sign-LSH sweeps --probe-hamming 0..2 — with the mean "
+        "exact-rerank candidates per query (the serving cost) and "
+        "mean recall@10 vs brute-force exact cosine over the live "
+        "corpus, using a deterministic hash-sample of held vectors "
+        "as queries — the operational form of the "
+        "ann_probe_cost_frontier registry eval: measure here, pick "
+        "--ann-nprobe / --probe-hamming, automate IVF rebuilds with "
         "--ann-rebuild-when",
     )
     p.add_argument(
@@ -963,15 +964,11 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             return 2
         held = []
         try:
-            if not hasattr(idx, "rebuild"):
-                print(
-                    "--ann-frontier applies to IVF stores; this "
-                    f"store was written by {type(idx).__name__}, "
-                    "whose probe geometry is the sign-LSH banding "
-                    "(dial: --probe-hamming)",
-                    file=sys.stderr,
-                )
-                return 2
+            # each family sweeps ITS probe-width dial: IVF the nprobe
+            # cell count (1..5), sign-LSH the Hamming multi-probe
+            # width (0..2) — same output shape, the store's dial
+            # named in each row
+            is_ivf = hasattr(idx, "rebuild")
             nq = args.ann_frontier_queries
             if nq < 1:
                 print(
@@ -1048,8 +1045,13 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             keys = idx.keys
             if idx._has_cdc:
                 keys = idx._cdc_live(keys, idx._cdc_overlay(idx.vals))
-            for n in range(1, min(5, IVF_CELLS) + 1):
-                idx.nprobe = n
+            widths = (
+                [("nprobe", n) for n in range(1, min(5, IVF_CELLS) + 1)]
+                if is_ivf
+                else [("probe_hamming", h) for h in (0, 1, 2)]
+            )
+            for dial, n in widths:
+                setattr(idx, dial, n)
                 probe = idx._probe_frame(
                     q.select(F.col("query_id").alias("vec_id"), "embedding")
                 )
@@ -1067,7 +1069,8 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
                 print(
                     json.dumps(
                         {
-                            "nprobe": n,
+                            "dial": dial,
+                            dial: n,
                             "mean_candidates": round(n_cand / nq, 1),
                             "probed_fraction": round(
                                 n_cand / nq / max(n_live, 1), 4

@@ -1728,6 +1728,7 @@ def test_cli_ann_frontier(spark, tmp_path):
     ) == 0
     rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
     assert [r["nprobe"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["dial"] == "nprobe" for r in rows)
     cands = [r["mean_candidates"] for r in rows]
     recalls = [r["mean_recall"] for r in rows]
     assert cands == sorted(cands) and cands[0] < cands[-1]
@@ -1746,6 +1747,7 @@ def test_cli_ann_frontier(spark, tmp_path):
         ["--ann-frontier", "--store-dir", store, "--ann-nprobe", "2"],
         spark=spark,
     ) == 2
+    # a sign-LSH store sweeps ITS dial: probe_hamming 0..2
     lsh_store = str(tmp_path / "flsh")
     assert main(
         ["--dedup-stream", str(docs_dir),
@@ -1755,6 +1757,15 @@ def test_cli_ann_frontier(spark, tmp_path):
          "--store-dir", lsh_store, "--drain"],
         spark=spark,
     ) == 0
+    buf2 = io.StringIO()
     assert main(
-        ["--ann-frontier", "--store-dir", lsh_store], spark=spark
-    ) == 2
+        ["--ann-frontier", "--store-dir", lsh_store],
+        spark=spark, out=buf2,
+    ) == 0
+    lrows = [json.loads(ln) for ln in buf2.getvalue().splitlines()]
+    assert [r["probe_hamming"] for r in lrows] == [0, 1, 2]
+    assert all(r["dial"] == "probe_hamming" for r in lrows)
+    lcands = [r["mean_candidates"] for r in lrows]
+    lrecalls = [r["mean_recall"] for r in lrows]
+    assert lcands == sorted(lcands) and lcands[0] < lcands[-1]
+    assert lrecalls == sorted(lrecalls)
