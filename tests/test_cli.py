@@ -1769,3 +1769,78 @@ def test_cli_ann_frontier(spark, tmp_path):
     lrecalls = [r["mean_recall"] for r in lrows]
     assert lcands == sorted(lcands) and lcands[0] < lcands[-1]
     assert lrecalls == sorted(lrecalls)
+
+
+def test_cli_ann_rebuild_when_fires_in_daemon(spark, tmp_path):
+    """--ann-rebuild-when end to end through the CLI daemon: seed an
+    engine-owned IVF store under the CLUSTERED featurizer, stream one
+    CDC batch that inserts a hot unseen mode (the scratch soak's
+    drift), and the policy fires exactly one rebuild — durable in the
+    store manifest's rebuilds counter — with the read side still
+    serving."""
+    from pgsync_spark.functions.hashing import (
+        cluster_center_py,
+        cluster_embed_py,
+        cluster_embed_sparksql,
+    )
+
+    vec_expr = cluster_embed_sparksql(
+        "get_json_object(doc, '$.o_orderpriority')"
+    )
+    store = str(tmp_path / "dstore")
+    base = [
+        "-c", _config(tmp_path),
+        "--data-dir", SF_DIR,
+        "--sink-dir", str(tmp_path / "dout"),
+        "--vector-store", store,
+        "--vector-expr", vec_expr,
+        "--ann-rebuild-when", "1.8",
+    ]
+    # seed sync: trains the codebook on the 5 priority modes, does
+    # not fire (nothing drifted)
+    assert main(base + ["--vector-index", "ivf"], spark=spark) == 0
+    sub = os.path.join(store, "orders_cli")
+    with open(os.path.join(sub, "CURRENT")) as f:
+        assert json.load(f)["rebuilds"] == 0
+
+    # the drift: 1200 inserts whose priority texts all hash to the
+    # mode that crowds an existing cell hardest (mode 0 -> 5-LOW's
+    # cell; the scratch_soak_rebuild_policy selection, pinned here)
+    hot, j = [], 0
+    while len(hot) < 1200:
+        t = f"drift{j}"
+        if cluster_center_py(t) == 0:
+            hot.append(t)
+        j += 1
+    events = tmp_path / "devents"
+    events.mkdir()
+    (events / "b0.json").write_text(
+        "\n".join(
+            json.dumps({
+                "op": "INSERT", "schema": "public", "table": "orders",
+                "new": {"o_orderkey": str(30_000_000 + i),
+                        "o_custkey": "1", "o_orderpriority": t},
+                "txid": 50,
+            })
+            for i, t in enumerate(hot)
+        )
+    )
+    assert main(
+        base + ["--daemon", "--drain",
+                "--events-dir", str(events),
+                "--checkpoint-dir", str(tmp_path / "dckpt")],
+        spark=spark,
+    ) == 0
+    with open(os.path.join(sub, "CURRENT")) as f:
+        m = json.load(f)
+    assert m["rebuilds"] == 1, m  # the policy fired exactly once
+
+    # read side serves a hot-mode query under the rebuilt geometry
+    buf = io.StringIO()
+    assert main(
+        ["--ann-topk", json.dumps(cluster_embed_py(hot[0])),
+         "--store-dir", sub],
+        spark=spark, out=buf,
+    ) == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert rows and rows[0]["cosine"] == 1.0  # the doc itself
