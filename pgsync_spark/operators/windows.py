@@ -2,9 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-from pyspark.sql import Window
+from pyspark.sql import Column, Window
 from pyspark.sql.window import WindowSpec
 
 
