@@ -1109,8 +1109,6 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
     max/mean 1.75 -> 1.40 and probe cost down 19%)."""
     import json
 
-    from pyspark.sql import functions as F
-
     owns_spark = spark is None
     if owns_spark:
         from .session import get_spark
@@ -1141,17 +1139,16 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
             if keys is not None:
                 vals = idx.vals
                 if idx._has_cdc and vals is not None:
-                    overlay = idx._cdc_overlay(vals)
-                    keys = idx._cdc_live(keys, overlay)
-                    vals = idx._cdc_live(vals, overlay)
-                counts = [
-                    r["n"]
-                    for r in keys.groupBy("band", "bucket")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                ]
+                    vals = idx._cdc_live(vals, idx._cdc_overlay(vals))
+                # THE occupancy statistic (VectorIndex.occupancy_*):
+                # the exact scan-derived counts here, the maintainer's
+                # rebuild policy reads the incremental-counter form of
+                # the SAME definition — one implementation, two count
+                # sources (equal at every compaction boundary)
+                counts = idx.live_cell_counts()
+                imb = type(idx).occupancy_imbalance(counts)
                 if counts:
-                    mean = sum(counts) / len(counts)
+                    n = list(counts.values())
                     stats.update(
                         {
                             "live_vectors": vals.select(
@@ -1161,10 +1158,12 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
                             .count()
                             if vals is not None
                             else 0,
-                            "cells_used": len(counts),
-                            "occupancy_max": max(counts),
-                            "occupancy_mean": round(mean, 1),
-                            "imbalance": round(max(counts) / mean, 2),
+                            "cells_used": len(n),
+                            "occupancy_max": max(n),
+                            "occupancy_mean": round(
+                                sum(n) / len(n), 1
+                            ),
+                            "imbalance": round(imb, 2),
                         }
                     )
             print(json.dumps(stats, sort_keys=True), file=out)

@@ -178,6 +178,27 @@ class _AppendOnlyIndex:
         # before the manifest flip that persists it
         self._pending_overlay_delta = False
 
+    # -- occupancy-tracking hooks (no-ops here) -------------------------------
+    #
+    # VectorIndex maintains incremental per-(band, bucket) occupancy
+    # counters for the rebuild policy (r12 verdict: the policy's
+    # per-epoch full-keys scan was the engine's only O(corpus)-per-
+    # batch streaming cost). The hooks fire at exactly the two moments
+    # the counters' invariant needs, both BEFORE the manifest flip
+    # that persists them (the _overlay_rows discipline — counter and
+    # epoch travel as one atomic fact): each appended keys frame adds
+    # O(batch), and every physical overlay fold (compact / truncate /
+    # rebuild) re-derives them exactly from the folded frame the fold
+    # already materialized.
+
+    def _track_appended_keys(self, keys: DataFrame) -> None:
+        """One epoch's about-to-commit keys frame (eagerly
+        checkpointed, non-empty). Subclass hook; no-op here."""
+
+    def _track_folded_keys(self, keys: DataFrame | None) -> None:
+        """The physically-folded live keys frame after an overlay
+        fold (None = no live keys remain). Subclass hook; no-op."""
+
     # -- epoch manifest ------------------------------------------------------
 
     def _manifest_path(self) -> str:
@@ -448,6 +469,7 @@ class _AppendOnlyIndex:
         self._has_cdc = False
         self._overlay_rows = 0
         self._pending_overlay_delta = False
+        self._track_folded_keys(None)  # empty corpus: counters reset
         if self.store_dir is not None:
             self._commit_manifest()
             for s in old_segments:
@@ -716,6 +738,10 @@ class _AppendOnlyIndex:
         # skips segment-less sides.
         if n_keys:
             self._key_parts.append(keys)
+            # occupancy counters fold this epoch in BEFORE the
+            # manifest flip below persists them (one O(batch) agg
+            # over the just-checkpointed frame, only when tracking)
+            self._track_appended_keys(keys)
         else:
             caching.release_local_checkpoint(keys)
         if n_vals:
@@ -839,6 +865,12 @@ class _AppendOnlyIndex:
                 # all-deleted corpus must still flip the manifest off
                 # the old segments
                 self._swap_parts(fk, fv)
+                # the fold already materialized the exact live keys —
+                # reconcile the occupancy counters from it (gross
+                # append-counting drifts by at most the overlay being
+                # folded away here), before any commit below persists
+                # them
+                self._track_folded_keys(fk)
                 force = True
             # the overlay is now provably empty either way (folded
             # above, or there were no dirty rows at all): drop the

@@ -95,12 +95,110 @@ class VectorIndex(_AppendOnlyIndex):
         # refuses a --vector-expr mismatch the way --bm25-analyzer
         # does). None = unrecorded (library callers own the contract).
         self.feature_expr = feature_expr
+        # incremental per-(band, bucket) occupancy counters (None =
+        # not tracking) — see the occupancy section below
+        self._cell_counts: dict[tuple[int, int], int] | None = None
 
     def _manifest_extra(self) -> dict:
-        return {"feature_expr": self.feature_expr}
+        return {
+            "feature_expr": self.feature_expr,
+            "cell_counts": (
+                [[b, k, n] for (b, k), n in self._cell_counts.items()]
+                if self._cell_counts is not None
+                else None
+            ),
+        }
 
     def _load_manifest_extra(self, m: dict) -> None:
         self.feature_expr = m.get("feature_expr")
+        cc = m.get("cell_counts")
+        self._cell_counts = (
+            {(b, k): n for b, k, n in cc} if cc is not None else None
+        )
+
+    # -- occupancy statistic (THE one implementation) -------------------------
+    #
+    # max/mean per-(band, bucket) key occupancy is the engine's
+    # partition-health signal: --ann-stats prints it, --ann-frontier's
+    # cost axis follows it, and the VectorIndexMaintainer rebuild
+    # policy fires on it. One statistic, one definition
+    # (occupancy_imbalance over a counts mapping), two ways to obtain
+    # the counts:
+    #
+    # - live_cell_counts(): EXACT — one column-pruned keys scan with
+    #   the CDC overlay folded, map-side combine down to <= cells
+    #   rows. O(live keys); right for one-shot diagnostics (the CLI).
+    # - occupancy_counts: INCREMENTAL — counters carried as index
+    #   state (manifest-persisted in the same atomic flip as the
+    #   epoch that moved them), updated O(batch) from each appended
+    #   keys frame, re-derived exactly from the folded frame at every
+    #   physical overlay fold (compact / rebuild / truncate). Between
+    #   folds the counters are a GROSS upper envelope of the live
+    #   counts: an upsert adds its new cell without decrementing the
+    #   old (the old cell is unknowable without an id-lookup scan —
+    #   the exact cost this design removes), and a delete decrements
+    #   nothing. The drift is structurally bounded by the SAME cap
+    #   that bounds every reader's overlay fold: at most
+    #   ``overlay_cap`` + one batch of stale key rows, reconciled to
+    #   exact at the autocompact that cap forces. Right for a
+    #   per-micro-batch policy check at 10^10 vectors, where even a
+    #   column-pruned corpus scan per epoch dominates the stream.
+
+    @staticmethod
+    def occupancy_imbalance(
+        counts: dict[tuple[int, int], int],
+    ) -> float | None:
+        """max/mean cell occupancy over a counts mapping — THE
+        statistic; None for an empty index."""
+        if not counts:
+            return None
+        vals = list(counts.values())
+        return max(vals) / (sum(vals) / len(vals))
+
+    def _count_cells(self, keys: DataFrame) -> dict[tuple[int, int], int]:
+        return {
+            (r["band"], r["bucket"]): r["n"]
+            for r in keys.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def live_cell_counts(self) -> dict[tuple[int, int], int]:
+        """EXACT per-(band, bucket) live-key occupancy, overlay
+        folded — the scan-derived form of the statistic and the
+        reference the incremental counters reconcile against."""
+        keys = self.keys
+        if keys is None:
+            return {}
+        if self._has_cdc:
+            keys = self._cdc_live(keys, self._cdc_overlay(self.vals))
+        return self._count_cells(keys)
+
+    def enable_occupancy_tracking(self) -> None:
+        """Start maintaining the incremental counters (idempotent).
+        On an index already holding data this pays ONE exact scan to
+        initialize; every later epoch updates O(batch)."""
+        if self._cell_counts is None:
+            self._cell_counts = self.live_cell_counts()
+
+    @property
+    def occupancy_counts(self) -> dict[tuple[int, int], int] | None:
+        """The incremental counters (None when tracking is off) —
+        a driver-side dict read, ZERO Spark work."""
+        return self._cell_counts
+
+    def _track_appended_keys(self, keys: DataFrame) -> None:
+        if self._cell_counts is None:
+            return
+        for cell, n in self._count_cells(keys).items():
+            self._cell_counts[cell] = self._cell_counts.get(cell, 0) + n
+
+    def _track_folded_keys(self, keys: DataFrame | None) -> None:
+        if self._cell_counts is None:
+            return
+        self._cell_counts = (
+            self._count_cells(keys) if keys is not None else {}
+        )
 
     # the ONE banding scheme — shared with EmbeddingIndex so the two
     # index families can never drift apart on cell geometry
@@ -590,12 +688,17 @@ class IVFVectorIndex(VectorIndex):
                         self._has_cdc,
                         self._overlay_rows,
                         self._rebuilds,
+                        self._cell_counts,
                     )
                     old_segments, self._segments = self._segments, [seg]
                     self._cents = new_cents
                     self._has_cdc = False
                     self._overlay_rows = 0
                     self._rebuilds += 1
+                    # a rebuild IS a physical fold: occupancy counters
+                    # re-derive exactly from the reassigned keys, in
+                    # the same atomic flip as the codebook they key
+                    self._track_folded_keys(nk)
                     try:
                         # THE commit point: segments + codebook +
                         # rebuild counter in one atomic flip
@@ -607,6 +710,7 @@ class IVFVectorIndex(VectorIndex):
                             self._has_cdc,
                             self._overlay_rows,
                             self._rebuilds,
+                            self._cell_counts,
                         ) = prev
                         nk.unpersist()
                         nv.unpersist()
@@ -634,6 +738,7 @@ class IVFVectorIndex(VectorIndex):
                 self._has_cdc = False
                 self._overlay_rows = 0
                 self._rebuilds += 1
+                self._track_folded_keys(nk)
                 self._swap_parts(nk, nv)
             return decisions
         finally:

@@ -262,16 +262,24 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
     manually): a max/mean cell-occupancy threshold (> 1). After each
     applied batch (every ``rebuild_check_every``-th, default every
     batch) the maintainer reads the SAME occupancy statistic
-    ``--ann-stats`` prints and, when the live imbalance exceeds the
-    threshold, fires ``index.rebuild()`` — logged as one event and
+    ``--ann-stats`` prints (one definition for both:
+    VectorIndex.occupancy_imbalance) and, when the imbalance exceeds
+    the threshold, fires ``index.rebuild()`` — logged as one event and
     counted both here (``policy_rebuilds``) and durably in the index
     manifest's ``rebuilds`` counter. Only meaningful for an index
     with a trained codebook (IVFVectorIndex); refused otherwise —
-    sign-LSH cells are data-independent and never retrain. The check
-    itself is one column-pruned (band, bucket) scan with map-side
-    combine down to <= cells rows — the cheapest whole-index
-    statistic there is, but still a scan: raise
-    ``rebuild_check_every`` where even that matters. A policy rebuild
+    sign-LSH cells are data-independent and never retrain.
+
+    The per-batch check costs ZERO Spark work (r12 verdict item 1):
+    arming the policy enables the index's incremental occupancy
+    counters (updated O(batch) as each epoch's keys commit,
+    manifest-persisted with them), and the check reads that
+    driver-side dict — never a keys scan. Between physical overlay
+    folds the counters are a gross upper envelope of the live counts
+    (drift bounded by the index's ``overlay_cap``, reconciled to
+    exact at every compact / rebuild / truncate — see
+    VectorIndex.occupancy_counts); --ann-stats computes the exact
+    scan-derived form, equal at every fold boundary. A policy rebuild
     that cannot train (e.g. the live corpus shrank below the codebook
     size) logs a warning and keeps serving under the old geometry
     instead of killing the stream — the policy is advisory, the old
@@ -332,6 +340,12 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
         self.rebuild_check_every = rebuild_check_every
         self.policy_rebuilds = 0
         self._post_rebuild_imb: float | None = None
+        if rebuild_when is not None:
+            # arm the incremental counters: one exact scan NOW if the
+            # index already holds data (idempotent, {} on empty),
+            # O(batch) forever after — the per-batch policy check
+            # must never rescan the corpus
+            index.enable_occupancy_tracking()
 
     def _payload_exprs(self) -> list[str]:
         return [f"CAST(({self.vec_expr}) AS ARRAY<DOUBLE>) AS embedding"]
@@ -340,24 +354,17 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
         return [F.lit(None).cast("array<double>").alias("embedding")]
 
     def _imbalance(self) -> float | None:
-        """max/mean live cell occupancy (overlay folded) — the same
-        statistic --ann-stats prints; None on an empty index."""
-        idx = self.index
-        keys = idx.keys
-        if keys is None:
+        """max/mean cell occupancy from the index's INCREMENTAL
+        counters — the same statistic --ann-stats prints (one
+        definition, VectorIndex.occupancy_imbalance), read from a
+        driver-side dict: the per-batch policy check runs ZERO Spark
+        jobs and reads ZERO keys-segment files. None on an empty
+        index (or when tracking is off — library callers probing an
+        unarmed maintainer)."""
+        counts = self.index.occupancy_counts
+        if counts is None:
             return None
-        if idx._has_cdc:
-            vals = idx.vals
-            keys = idx._cdc_live(keys, idx._cdc_overlay(vals))
-        counts = [
-            r["n"]
-            for r in keys.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
-        if not counts:
-            return None
-        return max(counts) / (sum(counts) / len(counts))
+        return type(self.index).occupancy_imbalance(counts)
 
     def apply(self, upserts: DataFrame, deleted_ids: DataFrame) -> None:
         super().apply(upserts, deleted_ids)

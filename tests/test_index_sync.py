@@ -571,3 +571,118 @@ def test_vector_maintainer_rebuild_policy(spark):
     batch(by_mode[1][30:35], 5000)
     assert m.policy_rebuilds == 1 and idx._rebuilds == 1
     idx.close()
+
+
+def test_rebuild_policy_check_reads_zero_key_segments(spark):
+    """r12 verdict item 1: arming ``rebuild_when`` switches the
+    per-batch occupancy check from an O(live keys) scan to the
+    index's incremental counters — a driver-side dict read. Pinned
+    by forbidding keys access outright: with the ``keys`` property
+    replaced by a raiser, the armed maintainer's check still answers
+    (and equals the exact scan-derived statistic, since an
+    ingest-only index has zero counter drift)."""
+    from unittest import mock
+
+    from pgsync_spark.functions.hashing import cluster_embed_py
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    idx = IVFVectorIndex(spark)
+    idx.ingest(
+        spark.createDataFrame(
+            [(i, cluster_embed_py(f"w{i}")) for i in range(60)],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    exact = IVFVectorIndex.occupancy_imbalance(idx.live_cell_counts())
+    m = VectorIndexMaintainer(idx, rebuild_when=1e9)
+
+    def _forbidden(self):
+        raise AssertionError(
+            "the policy's occupancy check scanned the keys segments"
+        )
+
+    with mock.patch.object(IVFVectorIndex, "keys", property(_forbidden)):
+        imb = m._imbalance()
+    assert imb is not None and imb == pytest.approx(exact)
+    idx.close()
+
+
+def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
+    """The incremental counters' contract end to end: exact on an
+    ingest-only index, a gross upper envelope of the live counts
+    between physical folds (upserts add their new cell without
+    decrementing the old; deletes decrement nothing — drift bounded
+    by the overlay), re-derived EXACTLY at compact / rebuild /
+    truncate, persisted in the manifest's atomic flip (load restores
+    them), and --ann-stats prints the same statistic at every fold
+    boundary."""
+    import io
+    import json
+
+    from pgsync_spark.__main__ import main
+    from pgsync_spark.functions.hashing import cluster_embed_py
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    store = str(tmp_path / "ivf_occ")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.enable_occupancy_tracking()
+    assert idx.occupancy_counts == {}
+    idx.ingest(
+        spark.createDataFrame(
+            [(i, cluster_embed_py(f"w{i}")) for i in range(60)],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    # append-only: counters ARE the exact live counts
+    assert idx.occupancy_counts == idx.live_cell_counts()
+
+    # 6 moves + 4 deletes: gross keeps the shadowed/dead key rows
+    # (exactly 10 of them) and envelopes the live counts per cell
+    idx.apply_cdc(
+        spark.createDataFrame(
+            [(i, cluster_embed_py(f"moved{i}"), "u") for i in range(6)]
+            + [(i, None, "d") for i in range(50, 54)],
+            "vec_id bigint, embedding array<double>, op string",
+        )
+    )
+    live = idx.live_cell_counts()
+    gross = idx.occupancy_counts
+    assert sum(gross.values()) == sum(live.values()) + 10
+    assert all(gross.get(c, 0) >= n for c, n in live.items())
+
+    # compact is a physical fold: counters reconcile exactly, and
+    # the manifest persists them — load restores counters AND the
+    # tracking state
+    idx.compact()
+    assert idx.occupancy_counts == idx.live_cell_counts()
+    idx.close()
+    idx = IVFVectorIndex.load(spark, store)
+    restored = idx.occupancy_counts
+    assert restored and restored == idx.live_cell_counts()
+
+    # the CLI prints THE same statistic (shared implementation) at a
+    # fold boundary
+    buf = io.StringIO()
+    assert (
+        main(["--ann-stats", "--store-dir", store], spark=spark, out=buf)
+        == 0
+    )
+    stats = json.loads(buf.getvalue())
+    assert stats["imbalance"] == round(
+        IVFVectorIndex.occupancy_imbalance(restored), 2
+    )
+
+    # rebuild reconciles under the NEW cell geometry
+    idx.apply_cdc(
+        spark.createDataFrame(
+            [(i, cluster_embed_py(f"again{i}"), "u") for i in range(6, 12)],
+            "vec_id bigint, embedding array<double>, op string",
+        )
+    )
+    idx.rebuild()
+    assert idx.occupancy_counts == idx.live_cell_counts()
+
+    # truncate: empty corpus, empty counters
+    idx.truncate()
+    assert idx.occupancy_counts == {}
+    idx.close()
