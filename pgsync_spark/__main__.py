@@ -347,7 +347,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--ann-frontier", action="store_true",
         help="measure a stored vector index's probe-width frontier "
         "(--store-dir): one JSON line per width — IVF sweeps nprobe "
-        "1..5, sign-LSH sweeps --probe-hamming 0..2 — with the mean "
+        "1..--ann-frontier-max-width, sign-LSH sweeps --probe-hamming "
+        "0..2 — with the mean "
         "exact-rerank candidates per query (the serving cost) and "
         "mean recall@10 vs brute-force exact cosine over the live "
         "corpus, using a deterministic hash-sample of held vectors "
@@ -360,6 +361,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--ann-frontier-queries", type=int, default=5, metavar="Q",
         help="query-sample size for --ann-frontier (default 5): the "
         "Q held vectors with the smallest (h32(vec_id), vec_id)",
+    )
+    p.add_argument(
+        "--ann-frontier-max-width", type=int, default=None, metavar="N",
+        help="widest nprobe the --ann-frontier sweep prices for an "
+        "IVF store (default: the registry eval's IVF_FRONTIER_MAX, "
+        "so CLI and ann_probe_cost_frontier measure the same range; "
+        "always clamped to the codebook's cell count). The sign-LSH "
+        "sweep is unaffected (its dial is Hamming width 0..2 — "
+        "wider perturbation sets grow combinatorially, not linearly)",
     )
     p.add_argument(
         "--ann-rebuild", action="store_true",
@@ -946,7 +956,13 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
     from pyspark.sql import functions as F
 
     from .functions.hashing import h32, round6
-    from .functions.similarity import IVF_CELLS, TOP_K, _dot, _norm
+    from .functions.similarity import (
+        IVF_CELLS,
+        IVF_FRONTIER_MAX,
+        TOP_K,
+        _dot,
+        _norm,
+    )
 
     owns_spark = spark is None
     if owns_spark:
@@ -965,7 +981,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
         held = []
         try:
             # each family sweeps ITS probe-width dial: IVF the nprobe
-            # cell count (1..5), sign-LSH the Hamming multi-probe
+            # cell count (1..max_width), sign-LSH the Hamming multi-probe
             # width (0..2) — same output shape, the store's dial
             # named in each row
             is_ivf = hasattr(idx, "rebuild")
@@ -973,6 +989,19 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             if nq < 1:
                 print(
                     "--ann-frontier-queries must be >= 1",
+                    file=sys.stderr,
+                )
+                return 2
+            # the IVF sweep's widest nprobe: the registry eval's
+            # IVF_FRONTIER_MAX unless overridden (r12 advice: the
+            # hardcoded 5 would silently desync from the constant),
+            # always clamped to the codebook's cell count
+            max_width = args.ann_frontier_max_width
+            if max_width is None:
+                max_width = IVF_FRONTIER_MAX
+            elif max_width < 1:
+                print(
+                    "--ann-frontier-max-width must be >= 1",
                     file=sys.stderr,
                 )
                 return 2
@@ -1046,7 +1075,10 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
             if idx._has_cdc:
                 keys = idx._cdc_live(keys, idx._cdc_overlay(idx.vals))
             widths = (
-                [("nprobe", n) for n in range(1, min(5, IVF_CELLS) + 1)]
+                [
+                    ("nprobe", n)
+                    for n in range(1, min(max_width, IVF_CELLS) + 1)
+                ]
                 if is_ivf
                 else [("probe_hamming", h) for h in (0, 1, 2)]
             )
@@ -1503,7 +1535,9 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--search-url", args.search_url),
                 ("--bm25-store", args.bm25_store),
                 ("--vector-store", args.vector_store),
-                ("--ann-rebuild-when", args.ann_rebuild_when),
+                # numeric flag: "is not None", so an (invalid-but-present)
+                # 0 is refused here too instead of silently swallowed
+                ("--ann-rebuild-when", args.ann_rebuild_when is not None),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),
@@ -1533,7 +1567,9 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
                 ("--search-url", args.search_url),
                 ("--bm25-store", args.bm25_store),
                 ("--vector-store", args.vector_store),
-                ("--ann-rebuild-when", args.ann_rebuild_when),
+                # numeric flag: "is not None", so an (invalid-but-present)
+                # 0 is refused here too instead of silently swallowed
+                ("--ann-rebuild-when", args.ann_rebuild_when is not None),
                 ("--analyze", args.analyze),
                 ("--validate", args.validate),
                 ("--print-mapping", args.print_mapping),

@@ -1230,10 +1230,14 @@ from .hashing import CLUSTER_CENTERS as _CLUSTER_CENTERS  # noqa: E402
 
 # one trained cell per mode is the interpretable idealized case; a
 # drifted CLUSTER_CENTERS would silently change what the recall
-# numbers mean
-assert _CLUSTER_CENTERS == IVF_CELLS, (
-    "hashing.CLUSTER_CENTERS must equal similarity.IVF_CELLS"
-)
+# numbers mean. An explicit raise, not assert: the invariant must
+# survive python -O (r12 advice).
+if _CLUSTER_CENTERS != IVF_CELLS:
+    raise ImportError(
+        f"hashing.CLUSTER_CENTERS ({_CLUSTER_CENTERS}) must equal "
+        f"similarity.IVF_CELLS ({IVF_CELLS}) — the clustered-corpus "
+        "recall numbers assume one trained cell per mode"
+    )
 
 _CLUSTER_VEC_EXPR = "CAST(vec_id AS STRING)"
 _CLUSTER_VEC_EXPR_SQL = "CAST(vec_id AS VARCHAR)"
@@ -1300,10 +1304,35 @@ def _clustered_oracle(inner_sql: str) -> str:
 
     from .hashing import cluster_embed_sql
 
-    swapped = re.sub(r"\b(FROM|JOIN)\s+embeddings\b", r"\1 cemb", inner_sql)
-    assert not re.search(r"\b(FROM|JOIN)\s+embeddings\b", swapped)
+    # IGNORECASE on both sides: a future lowercase "from embeddings"
+    # in an oracle generator must be swapped — or refused — never
+    # silently evaluated over the wrong corpus (r12 advice)
+    swapped = re.sub(
+        r"\b(FROM|JOIN)\s+embeddings\b",
+        r"\1 cemb",
+        inner_sql,
+        flags=re.IGNORECASE,
+    )
+    # exhaustiveness: ANY surviving mention (qualified, quoted, a
+    # form the FROM/JOIN swap missed) refuses instead of evaluating
+    # the clustered oracle over the raw corpus
+    leftover = re.search(r"\bembeddings\b", swapped, flags=re.IGNORECASE)
+    if leftover:
+        raise ValueError(
+            "oracle references the embeddings table in a form the "
+            "clustered swap cannot rewrite; use FROM/JOIN embeddings "
+            f"directly (at ...{swapped[max(0, leftover.start() - 40):leftover.end()]!r})"
+        )
+    # MATERIALIZED: the generator is 3 md5 per dimension per row
+    # (192/row at EMB_DIM) and the wrapped oracles scan the corpus
+    # once per training iteration plus once per eval leg — DuckDB's
+    # default CTE inlining re-ran the generator at EVERY reference,
+    # which made the three clustered oracles ~85% of the full
+    # registry gate's wall (r12 verdict watch item: 55-92s each at
+    # sf0.01; materialized 2.6-2.7s, value-identical). The exact
+    # mirror of the Spark side's .persist() on the generated corpus.
     return f"""
-        WITH cemb AS (
+        WITH cemb AS MATERIALIZED (
           SELECT vec_id,
                  {cluster_embed_sql(_CLUSTER_VEC_EXPR_SQL, dim=EMB_DIM)}
                    AS embedding

@@ -21,6 +21,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    """Build (or get) the engine's SparkSession — see module
+    docstring for the scale-aware defaults.
+
+    Note for EMBEDDING applications: this factory silences
+    WindowExec's "No Partition Defined" warning SESSION-WIDE (the
+    engine's own unpartitioned windows are all bounded and audited —
+    see below), so application code sharing this session loses that
+    warning for its OWN windows too. Run your window-heavy code under
+    a plain SparkSession.builder session if you rely on it, or
+    re-raise the logger level after calling this."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

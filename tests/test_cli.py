@@ -1620,6 +1620,15 @@ def test_cli_ann_rebuild_when_policy_flag(spark, tmp_path):
          "--vector-store", store, "--ann-rebuild-when", "1.5"],
         spark=spark,
     ) == 2
+    # the falsy-but-present numeric value is refused too, not
+    # silently swallowed by a truthiness check (r12 advice)
+    assert main(
+        ["--dedup-stream", str(tmp_path / "nodocs"),
+         "--checkpoint-dir", str(tmp_path / "pwck"),
+         "--dedup-out", str(tmp_path / "pwdo"),
+         "--ann-rebuild-when", "0"],
+        spark=spark,
+    ) == 2
 
 
 def test_cli_ivf_sample_mod_dial(spark, tmp_path):
@@ -1735,6 +1744,25 @@ def test_cli_ann_frontier(spark, tmp_path):
     assert recalls == sorted(recalls)  # exact rerank of a superset
     assert all(0.0 <= r <= 1.0 for r in recalls)
     assert rows[0]["live_vectors"] == 80 and rows[0]["queries"] == 5
+
+    # non-default sweep bound (--ann-frontier-max-width, r12 verdict
+    # item 6): a narrower sweep is exactly a prefix of the default
+    # (same store, same query sample, same ground truth), and a
+    # zero/negative width refuses
+    buf3 = io.StringIO()
+    assert main(
+        ["--ann-frontier", "--store-dir", store,
+         "--ann-frontier-max-width", "3"],
+        spark=spark, out=buf3,
+    ) == 0
+    wrows = [json.loads(ln) for ln in buf3.getvalue().splitlines()]
+    assert [r["nprobe"] for r in wrows] == [1, 2, 3]
+    assert wrows == rows[:3]
+    assert main(
+        ["--ann-frontier", "--store-dir", store,
+         "--ann-frontier-max-width", "0"],
+        spark=spark,
+    ) == 2
 
     # guards: store required; own mode; sweep excludes --ann-nprobe;
     # LSH stores refuse (their geometry has no nprobe)
