@@ -1179,6 +1179,17 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
                 # sources (equal at every compaction boundary)
                 counts = idx.live_cell_counts()
                 imb = type(idx).occupancy_imbalance(counts)
+                if idx.occupancy_counts is not None:
+                    # the store carries the policy's incremental
+                    # counters: print their reading too — the gap vs
+                    # "imbalance" IS the gross-envelope drift since
+                    # the last physical fold (zero at every boundary)
+                    stats["imbalance_tracked"] = round(
+                        type(idx).occupancy_imbalance(
+                            idx.occupancy_counts
+                        ) or 0.0,
+                        2,
+                    )
                 if counts:
                     n = list(counts.values())
                     stats.update(

@@ -242,6 +242,12 @@ def main() -> None:
     )
     assert idx._rebuilds == 1
     assert idx._cents != seed_cents, "the policy rebuild moved the codebook"
+    # r13: the policy read INCREMENTAL counters all soak (zero keys
+    # scans per batch); at the final compact boundary they must agree
+    # with the exact scan-derived statistic
+    exact = type(idx).occupancy_imbalance(idx.live_cell_counts())
+    counter_drift = abs((m._imbalance() or 0.0) - (exact or 0.0))
+    assert counter_drift < 1e-9, (m._imbalance(), exact)
     out = {
         "sf_dir": SF_DIR,
         "n_orders": n_orders,

@@ -671,6 +671,9 @@ def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     assert stats["imbalance"] == round(
         IVFVectorIndex.occupancy_imbalance(restored), 2
     )
+    # a store carrying the policy's counters reports their reading
+    # too; at a fold boundary the two forms agree exactly
+    assert stats["imbalance_tracked"] == stats["imbalance"]
 
     # rebuild reconciles under the NEW cell geometry
     idx.apply_cdc(
