@@ -140,9 +140,14 @@ class VectorIndex(_AppendOnlyIndex):
     #   nothing. The drift is structurally bounded by the SAME cap
     #   that bounds every reader's overlay fold: at most
     #   ``overlay_cap`` + one batch of stale key rows, reconciled to
-    #   exact at the autocompact that cap forces. Right for a
-    #   per-micro-batch policy check at 10^10 vectors, where even a
-    #   column-pruned corpus scan per epoch dominates the stream.
+    #   exact at the autocompact that cap forces. The max/mean RATIO
+    #   can therefore lag the live truth in either direction until
+    #   the next fold (stale rows pad max and mean alike) — a policy
+    #   firing decision moves by at most that bounded drift, and the
+    #   anti-thrash floor reads the same counters consistently.
+    #   Right for a per-micro-batch policy check at 10^10 vectors,
+    #   where even a column-pruned corpus scan per epoch dominates
+    #   the stream.
 
     @staticmethod
     def occupancy_imbalance(
