@@ -689,3 +689,93 @@ def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     idx.truncate()
     assert idx.occupancy_counts == {}
     idx.close()
+
+
+def test_occupancy_counter_fuzz_seeded(spark, tmp_path):
+    """Seeded random lifecycle fuzz over the incremental counters:
+    arbitrary interleavings of CDC upserts (new + moved ids),
+    deletes, compact, rebuild, and close/load must preserve the two
+    invariants the design rests on — the counters envelope the exact
+    live counts per cell at ALL times (gross never undercounts), and
+    every physical fold reconciles them to exactly the scan-derived
+    counts. 12 ops is enough to hit move-then-delete, delete-then-
+    compact-then-rebuild, and reload-mid-drift interleavings."""
+    import random
+
+    from pgsync_spark.functions.hashing import cluster_embed_py
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    rng = random.Random(13)
+    store = str(tmp_path / "fuzz_occ")
+    idx = IVFVectorIndex(spark, store_dir=store)
+    idx.enable_occupancy_tracking()
+    next_id = 0
+
+    def fresh_ids(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    live_ids: set[int] = set()
+    seed = fresh_ids(40)
+    idx.ingest(
+        spark.createDataFrame(
+            [(i, cluster_embed_py(f"s{i}")) for i in seed],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    live_ids.update(seed)
+
+    def check(folded: bool) -> None:
+        live = idx.live_cell_counts()
+        gross = idx.occupancy_counts
+        assert all(gross.get(c, 0) >= n for c, n in live.items()), (
+            gross, live,
+        )
+        if folded:
+            assert gross == live
+
+    for step in range(12):
+        op = rng.choice(
+            ["cdc", "cdc", "cdc", "compact", "rebuild", "reload"]
+        )
+        if op == "cdc":
+            new = fresh_ids(rng.randint(1, 6))
+            moved = rng.sample(
+                sorted(live_ids), min(len(live_ids), rng.randint(0, 4))
+            )
+            deletable = sorted(live_ids - set(moved))
+            dels = rng.sample(
+                deletable, min(len(deletable), rng.randint(0, 3))
+            )
+            rows = [
+                (i, cluster_embed_py(f"v{step}-{i}"), "u")
+                for i in new + moved
+            ] + [(i, None, "d") for i in dels]
+            idx.apply_cdc(
+                spark.createDataFrame(
+                    rows,
+                    "vec_id bigint, embedding array<double>, op string",
+                )
+            )
+            live_ids.update(new)
+            live_ids.difference_update(dels)
+            check(folded=False)
+        elif op == "compact":
+            idx.compact()
+            check(folded=True)
+        elif op == "rebuild":
+            idx.rebuild()
+            check(folded=True)
+        else:  # reload: counters survive the manifest round-trip
+            before = dict(idx.occupancy_counts)
+            idx.close()
+            idx = IVFVectorIndex.load(spark, store)
+            assert idx.occupancy_counts == before
+            check(folded=False)
+    # terminal fold: exact agreement however the walk ended
+    idx.compact()
+    check(folded=True)
+    assert sum(idx.occupancy_counts.values()) == len(live_ids)
+    idx.close()
