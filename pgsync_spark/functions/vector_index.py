@@ -192,6 +192,19 @@ class VectorIndex(_AppendOnlyIndex):
         a driver-side dict read, ZERO Spark work."""
         return self._cell_counts
 
+    def reconcile_occupancy(self) -> dict[tuple[int, int], int]:
+        """One exact scan → counters: the sanctioned OUT-OF-BAND
+        reconcile point (physical folds reconcile automatically; the
+        rebuild policy calls this to confirm a counter crossing
+        before paying for a rebuild). Returns the exact counts; when
+        tracking is on they replace the envelope — persisted at the
+        next manifest commit (a crash before it reloads the older
+        gross form, which is still a valid envelope)."""
+        counts = self.live_cell_counts()
+        if self._cell_counts is not None:
+            self._cell_counts = counts
+        return counts
+
     def _track_appended_keys(self, keys: DataFrame) -> None:
         if self._cell_counts is None:
             return

@@ -279,7 +279,13 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
     (drift bounded by the index's ``overlay_cap``, reconciled to
     exact at every compact / rebuild / truncate — see
     VectorIndex.occupancy_counts); --ann-stats computes the exact
-    scan-derived form, equal at every fold boundary. A policy rebuild
+    scan-derived form, equal at every fold boundary. A counter
+    CROSSING is confirmed by one exact scan before firing
+    (``reconcile_occupancy`` — negligible against the O(corpus)
+    rebuild it gates, and it re-trues the counters, so a refuted
+    stale crossing cannot re-trip every batch): rebuilds only ever
+    fire on live truth, while the per-batch path stays scan-free.
+    A policy rebuild
     that cannot train (e.g. the live corpus shrank below the codebook
     size) logs a warning and keeps serving under the old geometry
     instead of killing the stream — the policy is advisory, the old
@@ -381,6 +387,28 @@ class VectorIndexMaintainer(_DocIndexMaintainer):
         ):
             # above the threshold but not beyond what the last
             # retrain achieved — firing again would thrash
+            return
+        # CONFIRM before firing: the counters are a gross envelope
+        # between folds, so a crossing can be stale state (e.g. a
+        # run of updates shadowing versions in one cell). One exact
+        # scan here is negligible against the O(corpus) rebuild it
+        # gates — and it doubles as a reconcile point, so a refuted
+        # crossing cannot re-trip every batch on the same drift.
+        # The per-batch path above stays zero-Spark.
+        exact_counts = self.index.reconcile_occupancy()
+        imb = type(self.index).occupancy_imbalance(exact_counts)
+        if imb is None or imb <= self.rebuild_when:
+            log.info(
+                "policy crossing refuted by exact scan (live "
+                "imbalance %s <= %.2f): counters reconciled, no "
+                "rebuild", f"{imb:.2f}" if imb else imb,
+                self.rebuild_when,
+            )
+            return
+        if (
+            self._post_rebuild_imb is not None
+            and imb <= self._REFIRE_FACTOR * self._post_rebuild_imb
+        ):
             return
         try:
             self.index.rebuild()

@@ -691,6 +691,64 @@ def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     idx.close()
 
 
+def test_policy_confirms_crossing_before_firing(spark):
+    """A stale-envelope crossing must NOT fire a rebuild: a run of
+    single-doc updates shadows versions into one cell, inflating the
+    GROSS counters past the threshold while the live corpus stays
+    balanced. The policy confirms with one exact scan, refuses to
+    fire, and re-trues the counters (so the same stale drift cannot
+    re-trip on every later batch)."""
+    import json as _json
+
+    from pgsync_spark.functions.hashing import cluster_embed_sparksql
+    from pgsync_spark.functions.vector_index import IVFVectorIndex
+
+    vec_expr = cluster_embed_sparksql("get_json_object(doc, '$.t')")
+    idx = IVFVectorIndex(spark)
+    m = VectorIndexMaintainer(
+        idx, vec_expr=vec_expr, rebuild_when=2.5, compact_every=None
+    )
+    empty_del = spark.createDataFrame([], "_id string")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(str(i), _json.dumps({"t": t})) for i, t in rows],
+            "_id string, doc string",
+        )
+
+    m.seed(docs([(i, f"w{i}") for i in range(40)]))
+    base_live = idx.live_cell_counts()
+    # the scenario is only meaningful if live truth sits BELOW the
+    # threshold while ten shadowed versions of doc 7's cell push the
+    # gross envelope ABOVE it (measured: live 1.75, envelope 3.2)
+    assert IVFVectorIndex.occupancy_imbalance(base_live) <= 2.5
+    cell7 = tuple(
+        idx.keys.filter(F.col("vec_id") == 7)
+        .select("band", "bucket")
+        .distinct()
+        .collect()[0]
+    )
+    sim = dict(base_live)
+    sim[cell7] = sim.get(cell7, 0) + 10
+    assert IVFVectorIndex.occupancy_imbalance(sim) > 2.5
+    # shadow versions into one cell: the SAME doc, same text, same
+    # cell, one upsert per batch — live state never changes
+    for k in range(10):
+        m.apply(docs([(7, "w7")]), empty_del)
+    assert m.policy_rebuilds == 0 and idx._rebuilds == 0
+    # live truth never moved, and the refuted crossing's confirm scan
+    # re-trued the counters mid-run: without it the envelope would
+    # carry all 10 shadowed keys (sum drift == 10); reconciliation
+    # leaves only the shadows appended SINCE the refutation
+    live = idx.live_cell_counts()
+    assert live == base_live
+    gross = idx.occupancy_counts
+    assert all(gross.get(c, 0) >= n for c, n in live.items())
+    drift = sum(gross.values()) - sum(live.values())
+    assert 0 < drift < 10, (drift, gross)
+    idx.close()
+
+
 def test_occupancy_counter_fuzz_seeded(spark, tmp_path):
     """Seeded random lifecycle fuzz over the incremental counters:
     arbitrary interleavings of CDC upserts (new + moved ids),
