@@ -344,6 +344,18 @@ def build_parser() -> argparse.ArgumentParser:
         "unevenly, and probe cost follows the biggest cells",
     )
     p.add_argument(
+        "--ann-no-scan", action="store_true",
+        help="with --ann-stats: answer from the manifest alone — "
+        "overlay/rebuild/featurizer state plus the rebuild policy's "
+        "incremental occupancy counters (imbalance_tracked and the "
+        "cell stats derived from them) when the store carries them; "
+        "skips the exact corpus scan (live_vectors, exact "
+        "imbalance). The operational form at corpus sizes where even "
+        "one column-pruned keys scan is a real cost; the tracked "
+        "statistic is exact at every compact/rebuild boundary and a "
+        "gross upper envelope between them",
+    )
+    p.add_argument(
         "--ann-frontier", action="store_true",
         help="measure a stored vector index's probe-width frontier "
         "(--store-dir): one JSON line per width — IVF sweeps nprobe "
@@ -1156,11 +1168,9 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
             )
             return 2
         try:
-            keys = idx.keys
             stats = {
                 "index": type(idx).__name__,
                 "feature_expr": idx.feature_expr,
-                "live_vectors": 0,
                 "overlay_rows": idx._overlay_rows,
                 "rebuilds": getattr(idx, "_rebuilds", None),
                 "trained": bool(getattr(idx, "_cents", None))
@@ -1168,6 +1178,33 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
                 else None,
                 "sample_mod": getattr(idx, "sample_mod", None),
             }
+            tracked = idx.occupancy_counts
+            if tracked is not None:
+                # the store carries the policy's incremental
+                # counters: print their reading too — the gap vs
+                # "imbalance" IS the gross-envelope drift since the
+                # last physical fold (zero at every boundary)
+                ti = type(idx).occupancy_imbalance(tracked)
+                stats["imbalance_tracked"] = (
+                    round(ti, 2) if ti is not None else None
+                )
+            if getattr(args, "ann_no_scan", False):
+                # manifest-only answer: no corpus scan, no exact
+                # imbalance / live_vectors — the cell stats derive
+                # from the tracked counters when the store has them
+                if tracked:
+                    n = list(tracked.values())
+                    stats.update(
+                        {
+                            "cells_used": len(n),
+                            "occupancy_max": max(n),
+                            "occupancy_mean": round(sum(n) / len(n), 1),
+                        }
+                    )
+                print(json.dumps(stats, sort_keys=True), file=out)
+                return 0  # the enclosing finally closes the index
+            stats["live_vectors"] = 0
+            keys = idx.keys
             if keys is not None:
                 vals = idx.vals
                 if idx._has_cdc and vals is not None:
@@ -1179,17 +1216,6 @@ def _run_ann_stats(args, spark=None, out=sys.stdout) -> int:
                 # sources (equal at every compaction boundary)
                 counts = idx.live_cell_counts()
                 imb = type(idx).occupancy_imbalance(counts)
-                if idx.occupancy_counts is not None:
-                    # the store carries the policy's incremental
-                    # counters: print their reading too — the gap vs
-                    # "imbalance" IS the gross-envelope drift since
-                    # the last physical fold (zero at every boundary)
-                    stats["imbalance_tracked"] = round(
-                        type(idx).occupancy_imbalance(
-                            idx.occupancy_counts
-                        ) or 0.0,
-                        2,
-                    )
                 if counts:
                     n = list(counts.values())
                     stats.update(
@@ -1355,6 +1381,14 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             "--ivf-sample-mod applies only where a codebook trains: "
             "--ann-rebuild, --dedup-stream with --dedup-index ivf, "
             "or a sync with --vector-store --vector-index ivf",
+            file=sys.stderr,
+        )
+        return 2
+    if args.ann_no_scan and not args.ann_stats:
+        # dependent-flag rule: a modifier that silently did nothing
+        # would read as "the stats were manifest-only"
+        print(
+            "--ann-no-scan is a modifier of --ann-stats",
             file=sys.stderr,
         )
         return 2

@@ -675,6 +675,25 @@ def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     # too; at a fold boundary the two forms agree exactly
     assert stats["imbalance_tracked"] == stats["imbalance"]
 
+    # --ann-no-scan: the manifest-only answer (the 10^10-vector
+    # operational form) — tracked stats present, scan-derived keys
+    # absent, and the flag refuses outside --ann-stats
+    buf = io.StringIO()
+    assert (
+        main(
+            ["--ann-stats", "--store-dir", store, "--ann-no-scan"],
+            spark=spark,
+            out=buf,
+        )
+        == 0
+    )
+    fast = json.loads(buf.getvalue())
+    assert fast["imbalance_tracked"] == stats["imbalance_tracked"]
+    assert fast["cells_used"] == stats["cells_used"]
+    assert fast["occupancy_max"] == stats["occupancy_max"]
+    assert "live_vectors" not in fast and "imbalance" not in fast
+    assert main(["--ann-no-scan"], spark=spark) == 2
+
     # rebuild reconciles under the NEW cell geometry
     idx.apply_cdc(
         spark.createDataFrame(
