@@ -344,6 +344,19 @@ def build_parser() -> argparse.ArgumentParser:
         "unevenly, and probe cost follows the biggest cells",
     )
     p.add_argument(
+        "--bm25-stats", action="store_true",
+        help="print one JSON line describing a stored BM25 index "
+        "(--store-dir): live docs, avgdl (the scorer's length "
+        "normalization state), postings and vocabulary size, CDC "
+        "overlay, analyzer, and the highest-document-frequency terms "
+        "with their df/N ratio — the lexical analog of --ann-stats' "
+        "cell occupancy. A term with df/N near 1 bloats every "
+        "matching query's postings slice while its idf scores "
+        "~nothing: measure here, then choose --bm25-analyzer "
+        "standard_stop/standard_stem (a fresh index) to drop or fold "
+        "exactly those",
+    )
+    p.add_argument(
         "--ann-no-scan", action="store_true",
         help="with --ann-stats: answer from the manifest alone — "
         "overlay/rebuild/featurizer state plus the rebuild policy's "
@@ -1363,6 +1376,105 @@ def _run_bm25_topk(args, spark=None, out=sys.stdout) -> int:
             spark.stop()
 
 
+def _run_bm25_stats(args, spark=None, out=sys.stdout) -> int:
+    """--bm25-stats: operational introspection of a stored lexical
+    index — the measure half of the analyzer dial, mirroring
+    --ann-stats for the vector side. The df/N column is the signal:
+    BM25's idf is ~log((N-df+.5)/(df+.5)), so a term held by most of
+    the corpus contributes ~zero score yet its postings rows dominate
+    every query slice that touches it — exactly what the
+    standard_stop/standard_stem analyzers exist to drop or fold.
+
+    One-shot diagnostic: one overlay-folded scan of docstats (N,
+    avgdl) and one of postings (rows, vocabulary, top-df terms via
+    map-side combine + TakeOrdered). Not a per-batch path."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .functions.bm25_index import BM25Index
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pgsync_spark_bm25_stats")
+    try:
+        try:
+            if not os.path.exists(
+                os.path.join(args.store_dir, "CURRENT")
+            ):
+                raise ValueError(
+                    "no CURRENT manifest (not a BM25 store, or the "
+                    "path is wrong)"
+                )
+            idx = BM25Index.load(spark, args.store_dir)
+        except (OSError, ValueError) as e:
+            print(
+                f"--bm25-stats: cannot load {args.store_dir}: {e}",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            keys, vals = idx.keys, idx.vals
+            stats = {
+                "index": "BM25Index",
+                "analyzer": idx.analyzer,
+                "overlay_rows": idx._overlay_rows,
+                "live_docs": 0,
+            }
+            if vals is not None:
+                if idx._has_cdc:
+                    overlay = idx._cdc_overlay(vals)
+                    vals = idx._cdc_live(vals, overlay)
+                    if keys is not None:
+                        keys = idx._cdc_live(keys, overlay)
+                drow = vals.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl"),
+                ).first()
+                stats.update(
+                    {
+                        "live_docs": drow["n"],
+                        "avgdl": round(drow["avgdl"], 2)
+                        if drow["avgdl"] is not None
+                        else None,
+                    }
+                )
+                if keys is not None and drow["n"]:
+                    prow = keys.agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.countDistinct("term").alias("vocab"),
+                    ).first()
+                    stats.update(
+                        {
+                            "postings_rows": prow["rows"],
+                            "vocabulary": prow["vocab"],
+                        }
+                    )
+                    # postings hold one live row per (term, doc), so
+                    # the per-term row count IS df
+                    stats["top_df"] = [
+                        {
+                            "term": r["term"],
+                            "df": r["df"],
+                            "df_ratio": round(r["df"] / drow["n"], 4),
+                        }
+                        for r in keys.groupBy("term")
+                        .agg(F.count(F.lit(1)).alias("df"))
+                        .orderBy(F.col("df").desc(), "term")
+                        .limit(10)
+                        .collect()
+                    ]
+            print(json.dumps(stats, sort_keys=True), file=out)
+        finally:
+            idx.close()
+        return 0
+    finally:
+        if owns_spark:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
     """Run the CLI. ``spark``/``out`` are injectable for tests; when
     ``spark`` is None a session is built with the engine defaults."""
@@ -1479,6 +1591,7 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             or args.ann_rebuild
             or args.ann_stats
             or args.ann_frontier
+            or args.bm25_stats
         ):
             print(
                 "--bm25-topk is its own mode; remove the other mode "
@@ -1487,6 +1600,26 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             )
             return 2
         return _run_bm25_topk(args, spark, out)
+    if args.bm25_stats:
+        if not args.store_dir:
+            print("--bm25-stats requires --store-dir", file=sys.stderr)
+            return 2
+        if (
+            args.dedup_stream
+            or args.config
+            or args.daemon
+            or args.export_shards
+            or args.ann_rebuild
+            or args.ann_stats
+            or args.ann_frontier
+        ):
+            print(
+                "--bm25-stats is its own mode; remove the other mode "
+                "flags (sync/stream/--export-shards/--ann-*)",
+                file=sys.stderr,
+            )
+            return 2
+        return _run_bm25_stats(args, spark, out)
     if args.ann_frontier:
         if not args.store_dir:
             print(

@@ -665,6 +665,38 @@ def test_cli_dedup_stream_bm25_index(spark, tmp_path):
         spark=spark,
     ) == 2
 
+    # the measure side: --bm25-stats mirrors --ann-stats for the
+    # lexical store (r13) — corpus/normalization state plus the
+    # df/N signal the analyzer dial acts on
+    buf = io.StringIO()
+    assert main(
+        ["--bm25-stats", "--store-dir", store], spark=spark, out=buf
+    ) == 0
+    st = json.loads(buf.getvalue())
+    assert st["index"] == "BM25Index" and st["analyzer"] == "whitespace"
+    assert st["live_docs"] == 2 and st["avgdl"] == 2.5
+    assert st["postings_rows"] == 5 and st["vocabulary"] == 5
+    assert {t["term"] for t in st["top_df"]} == {
+        "spark", "query", "engine", "cooking", "recipes"
+    }
+    assert all(
+        t["df"] == 1 and t["df_ratio"] == 0.5 for t in st["top_df"]
+    )
+    # guards: store required; own mode both ways; bad store refuses
+    assert main(["--bm25-stats"], spark=spark) == 2
+    assert main(
+        ["--bm25-stats", "--store-dir", store, "--ann-stats"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--bm25-topk", "x", "--store-dir", store, "--bm25-stats"],
+        spark=spark,
+    ) == 2
+    assert main(
+        ["--bm25-stats", "--store-dir", str(tmp_path / "nope")],
+        spark=spark,
+    ) == 2
+
 
 def test_cli_export_shards_from_dedup_output(spark, tmp_path):
     """The full shell-driveable pipeline: dedup stream -> accepted/
@@ -761,6 +793,19 @@ def test_cli_dedup_stream_cdc_ops(spark, tmp_path):
     assert rc == 0
     rows = [json.loads(ln) for ln in buf.getvalue().splitlines()]
     assert [r["doc_id"] for r in rows] == [2]  # doc 1 deleted
+
+    # --bm25-stats folds the same CDC overlay: the deleted doc is
+    # out of N/avgdl and its postings rows out of df
+    buf = io.StringIO()
+    assert main(
+        ["--bm25-stats", "--store-dir", store], spark=spark, out=buf
+    ) == 0
+    st = json.loads(buf.getvalue())
+    assert st["live_docs"] == 1 and st["avgdl"] == 2.0
+    assert st["vocabulary"] == 2  # spark, cooking — doc 1's gone
+    assert {t["term"]: t["df"] for t in st["top_df"]} == {
+        "spark": 1, "cooking": 1
+    }
 
 
 def test_cli_dedup_stream_cdc_ops_embedding(spark, tmp_path):
