@@ -1504,6 +1504,14 @@ def main(argv: list[str] | None = None, spark=None, out=sys.stdout) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.ann_frontier_max_width is not None and not args.ann_frontier:
+        # same rule: a sweep bound with no sweep must refuse, not
+        # silently do nothing
+        print(
+            "--ann-frontier-max-width is a modifier of --ann-frontier",
+            file=sys.stderr,
+        )
+        return 2
     if args.ann_nprobe is not None and (
         args.ann_topk is None and args.hybrid_topk is None
     ):

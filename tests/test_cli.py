@@ -1808,6 +1808,12 @@ def test_cli_ann_frontier(spark, tmp_path):
          "--ann-frontier-max-width", "0"],
         spark=spark,
     ) == 2
+    # dependent-flag rule: the sweep bound refuses without the sweep
+    assert main(
+        ["--ann-stats", "--store-dir", store,
+         "--ann-frontier-max-width", "3"],
+        spark=spark,
+    ) == 2
 
     # guards: store required; own mode; sweep excludes --ann-nprobe;
     # LSH stores refuse (their geometry has no nprobe)
