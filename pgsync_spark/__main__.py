@@ -985,8 +985,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
         IVF_CELLS,
         IVF_FRONTIER_MAX,
         TOP_K,
-        _dot,
-        _norm,
+        cosine6,
     )
 
     owns_spark = spark is None
@@ -1066,10 +1065,7 @@ def _run_ann_frontier(args, spark=None, out=sys.stdout) -> int:
                 return 2
             # exact ground truth: brute-force cosine over the live
             # corpus, self excluded — bounded by nq broadcast queries
-            cos = round6(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            )
+            cos = cosine6("qv", "cv")
             scored = (
                 live.select(
                     F.col("vec_id").alias("neighbor_id"),

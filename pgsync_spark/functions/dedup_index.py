@@ -1336,7 +1336,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
             F.posexplode(
                 F.array(
                     *[
-                        _band_bucket(F.col("embedding"), b)
+                        _band_bucket("embedding", b)
                         for b in range(N_BANDS)
                     ]
                 )
@@ -1438,7 +1438,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
         op: str,
         dels: DataFrame | None,
     ) -> DataFrame:
-        from .similarity import NEARDUP_COS, _dot, _norm
+        from .similarity import NEARDUP_COS, cosine6
 
         batch = batch_df.select("vec_id", "embedding").persist()
         new_keys = self._band_keys(batch)
@@ -1483,7 +1483,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
                 "band",
                 F.explode(
                     probe_buckets(
-                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
+                        "bucket", PLANES_PER_BAND, self.probe_hamming
                     )
                 ).alias("bucket"),
             )
@@ -1516,10 +1516,7 @@ class EmbeddingIndex(_AppendOnlyIndex):
             .select(
                 "old_id",
                 "new_id",
-                round6(
-                    _dot(F.col("v1"), F.col("v2"))
-                    / (_norm(F.col("v1")) * _norm(F.col("v2")))
-                ).alias("cosine"),
+                cosine6("v1", "v2").alias("cosine"),
             )
             .filter(F.col("cosine") >= NEARDUP_COS)
         )

@@ -56,6 +56,40 @@ def _norm(a) -> F.Column:
     )
 
 
+def _dot_sparksql(a: str, b: str) -> str:
+    """Spark-SQL text form of _dot — the SAME left-to-right double
+    fold (aggregate over zip_with), built as one parsed string.
+    Rationale: every F.aggregate/F.zip_with call ships its lambdas
+    through ~30 py4j round-trips; ann_recall_eval builds ~17 cosine
+    expressions per invocation and the construction alone measured
+    ~0.5ms-per-round-trip driver time (guide §7.3 driver-side work).
+    One F.expr parse builds the identical Catalyst tree in-JVM."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sparksql(a: str) -> str:
+    """Spark-SQL text form of _norm (same fold, same tree)."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def cosine6(a: str, b: str) -> F.Column:
+    """round6(cosine(a, b)) over two array COLUMN NAMES as ONE parsed
+    expression — bit-identical to the Column-API construction
+    round6(_dot(a, b) / (_norm(a) * _norm(b))) (identical Catalyst
+    tree: same fold order, same IEEE ops), built with a single py4j
+    call instead of ~100."""
+    c = f"{_dot_sparksql(a, b)} / ({_norm_sparksql(a)} * {_norm_sparksql(b)})"
+    # D suffixes: plain 0.5 would parse as DECIMAL in Spark SQL; the
+    # Column form uses F.lit doubles, and the tree must not differ
+    return F.expr(f"(floor(({c}) * 1e6 + 0.5D) / 1e6)")
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
@@ -83,10 +117,7 @@ def ann_bruteforce_topk(df: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            round6(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
+            cosine6("qv", "cv").alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -111,7 +142,21 @@ def ann_bruteforce_topk_sql() -> str:
 
 
 def _bucket(col) -> F.Column:
-    """Sign-of-leading-dims LSH bucket: bit i = (v[i] >= 0)."""
+    """Sign-of-leading-dims LSH bucket: bit i = (v[i] >= 0).
+
+    Built as one parsed expression when ``col`` is a column NAME
+    (string) — same tree as the when/otherwise chain, one py4j call
+    instead of ~50 (see cosine6). Column inputs keep the chain form.
+    """
+    if isinstance(col, str):
+        return F.expr(
+            "0 + "
+            + " + ".join(
+                f"(CASE WHEN element_at({col}, {i + 1}) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+                for i in range(N_PLANES)
+            )
+        )
     b = F.lit(0)
     for i in range(N_PLANES):
         b = b + F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
@@ -153,7 +198,17 @@ def _probe_masks(n_bits: int, hamming: int) -> list[int]:
 
 
 def probe_buckets(col, n_bits: int, hamming: int) -> F.Column:
-    """Array of bucket ids to probe for a query bucket column."""
+    """Array of bucket ids to probe for a query bucket column.
+    String input takes the single-parse form (same XOR-chain tree,
+    one py4j call — see cosine6)."""
+    if isinstance(col, str):
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"({col} ^ {m})" for m in _probe_masks(n_bits, hamming)
+            )
+            + ")"
+        )
     return F.array(
         *[col.bitwiseXOR(F.lit(m)) for m in _probe_masks(n_bits, hamming)]
     )
@@ -180,7 +235,7 @@ def _lsh_probe_topk(df: DataFrame, probes) -> DataFrame:
     probe expansion; keeping one body here is what guarantees the
     recall eval compares like against like."""
     bucketed = df.select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _bucket("embedding").alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -201,10 +256,7 @@ def _lsh_probe_topk(df: DataFrame, probes) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            round6(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
+            cosine6("qv", "cv").alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -263,10 +315,7 @@ def _cell_scores(df: DataFrame) -> DataFrame:
     return df.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell_id",
-        round6(
-            _dot(F.col("embedding"), F.col("cv"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cv")))
-        ).alias("cos"),
+        cosine6("embedding", "cv").alias("cos"),
     )
 
 
@@ -308,9 +357,7 @@ def _ivf_exact_rerank(df: DataFrame, cand: DataFrame) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        round6(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-        ).alias("cosine"),
+        cosine6("qv", "cv").alias("cosine"),
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -381,7 +428,18 @@ def ann_ivf_topk_sql() -> str:
 
 
 def _band_bucket(col, band: int) -> F.Column:
-    """Sign bucket over the band's PLANES_PER_BAND leading dims."""
+    """Sign bucket over the band's PLANES_PER_BAND leading dims.
+    String input takes the single-parse form (see _bucket)."""
+    if isinstance(col, str):
+        return F.expr(
+            "0 + "
+            + " + ".join(
+                f"(CASE WHEN element_at({col}, "
+                f"{band * PLANES_PER_BAND + i + 1}) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+                for i in range(PLANES_PER_BAND)
+            )
+        )
     b = F.lit(0)
     for i in range(PLANES_PER_BAND):
         idx = band * PLANES_PER_BAND + i + 1
@@ -409,7 +467,7 @@ def embedding_neardup_pairs(df: DataFrame) -> DataFrame:
     keys = df.select(
         "vec_id",
         F.posexplode(
-            F.array(*[_band_bucket(F.col("embedding"), b) for b in range(N_BANDS)])
+            F.array(*[_band_bucket("embedding", b) for b in range(N_BANDS)])
         ).alias("band", "bucket"),
     )
     # The bucket space here is STRUCTURAL (N_BANDS × 2^PLANES_PER_BAND
@@ -433,9 +491,7 @@ def embedding_neardup_pairs(df: DataFrame) -> DataFrame:
     e1 = df.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
     e2 = df.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
     pairs = cand.join(e1, "id1").join(e2, "id2")
-    cos = round6(
-        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
-    )
+    cos = cosine6("v1", "v2")
     out = pairs.select("id1", "id2", cos.alias("cosine")).filter(
         F.col("cosine") >= NEARDUP_COS
     )
@@ -551,9 +607,7 @@ def ivf_neardup_pairs(df: DataFrame) -> DataFrame:
     )
     e1 = df.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
     e2 = df.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
-    cos = round6(
-        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
-    )
+    cos = cosine6("v1", "v2")
     out = (
         cand.join(e1, "id1")
         .join(e2, "id2")
@@ -1067,7 +1121,6 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         ann_bruteforce_topk(df).select("query_id", "neighbor_id").persist()
     )
     qids = exact.select("query_id").distinct()
-    parts = []
     # every shared cache built below is tracked so a failure in ANY
     # method leg releases all of them instead of leaking them for the
     # session (r8 advice: the persisted scope grew from one cache to
@@ -1127,25 +1180,48 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
             # shape): its recall shows the two losses stacking
             ("ivfpq", lambda d: ann_ivfpq_topk(d, shared=pq, ranked=ranked)),
         )
+        # ONE hit-join + ONE aggregation over the union of every
+        # method's tagged candidates, then ONE left join against the
+        # (query × method) spine — the former per-method
+        # join/groupBy/left-join triple repeated the tiny-frame
+        # pipeline 10×, putting 10 distinct/agg Exchanges and 20 joins
+        # in the plan and ~10× the eager-analysis work on the driver
+        # (guide §2.4: share one exchange between operations keyed the
+        # same way). Row-for-row identical: per (query, method) the
+        # hit count over that method's candidates, 0 when absent.
+        from functools import reduce as _reduce
+
+        tagged = []
         for method, fn in methods:
             mdf = fn(df)
             method_frames.append(mdf)
-            hits = (
-                mdf
-                .select("query_id", "neighbor_id")
-                .join(F.broadcast(exact), ["query_id", "neighbor_id"])
-                .groupBy("query_id")
-                .agg(F.count(F.lit(1)).alias("n_hits"))
-            )
-            n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-            parts.append(
-                qids.join(F.broadcast(hits), "query_id", "left").select(
+            tagged.append(
+                mdf.select(
                     "query_id",
+                    "neighbor_id",
                     F.lit(method).alias("method"),
-                    n.alias("n_hits"),
-                    round6(n / F.lit(float(TOP_K))).alias("recall"),
                 )
             )
+        hits = (
+            _reduce(DataFrame.unionByName, tagged)
+            .join(F.broadcast(exact), ["query_id", "neighbor_id"])
+            .groupBy("query_id", "method")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        spine = qids.crossJoin(
+            df.sparkSession.createDataFrame(
+                [(m,) for m, _ in methods], "method string"
+            )
+        )
+        n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+        out = spine.join(
+            F.broadcast(hits), ["query_id", "method"], "left"
+        ).select(
+            "query_id",
+            "method",
+            n.alias("n_hits"),
+            round6(n / F.lit(float(TOP_K))).alias("recall"),
+        )
     except BaseException:
         for mdf in method_frames:
             caching.release(mdf)
@@ -1154,9 +1230,6 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         for f in held:
             f.unpersist()
         raise
-    from functools import reduce as _reduce
-
-    out = _reduce(DataFrame.unionByName, parts)
     for mdf in method_frames:
         # a method may persist its own intermediates: transfer that
         # ownership to the eval result so one release frees everything
@@ -1386,7 +1459,7 @@ def ann_lsh_multiprobe_topk(
     explodes on the broadcast QUERY side only). The width dial trades
     candidates for recall: the eval prices Hamming-1 and Hamming-2
     side by side."""
-    probe_list = probe_buckets(F.col("qb"), N_PLANES, probe_hamming)
+    probe_list = probe_buckets("qb", N_PLANES, probe_hamming)
     return _lsh_probe_topk(
         df,
         lambda q: q.select(
@@ -1448,6 +1521,15 @@ def _normalized(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double") / _norm(col))
 
 
+def _normalized_expr(name: str) -> F.Column:
+    """_normalized over a COLUMN NAME as one parsed expression (same
+    tree — the norm sits inside the lambda either way; see cosine6
+    for why the single-parse form exists)."""
+    return F.expr(
+        f"transform({name}, x -> CAST(x AS DOUBLE) / {_norm_sparksql(name)})"
+    )
+
+
 def _normalized_sql(col: str) -> str:
     return (
         f"list_transform({col}, x -> CAST(x AS DOUBLE) / {_norm_sql(col)})"
@@ -1467,7 +1549,7 @@ def _pq_centroids(df: DataFrame) -> list[list[list[float]]]:
             (F.col("vec_id") >= PQ_CB_START)
             & (F.col("vec_id") < PQ_CB_START + PQ_KS)
         )
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
         .collect()
     )
     by_id = {r["vec_id"]: r["nv"] for r in rows}
@@ -1663,7 +1745,7 @@ def _adc_tables_micro(
     what the oracle derives in SQL."""
     rows = (
         df.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
         .collect()
     )
     tables: dict[int, list[list[int]]] = {}
@@ -1701,7 +1783,7 @@ def _pq_artifacts(df: DataFrame):
     pq_adc and ivfpq (r7 advice: each method re-collected the codebook
     and ADC tables and persisted its own identical codes frame)."""
     cents = _pq_centroids(df)
-    tables = _adc_tables_micro(df, cents)
+    tables = _AdcTables(_adc_tables_micro(df, cents))
     enc = pq_encode(df, cents)
     codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
@@ -1738,35 +1820,95 @@ def ann_pq_adc_topk(df: DataFrame, shared=None) -> DataFrame:
     return adopt(owned(out, [codes]), enc)
 
 
+class _AdcTables(dict):
+    """tables[query_id][m][c] plus a memo slot for the derived
+    (query frame, literal-table column) pair: every PQ-family leg of
+    one artifact set shares ONE construction instead of each paying
+    the ~N_QUERIES·M·KS expression build (measured ~0.5s of pure
+    driver/py4j time per leg — 6 legs inside ann_recall_eval)."""
+
+    __slots__ = ("qfqt",)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.qfqt = None
+
+
 def _adc_query_frame(spark, tables):
-    """(query frame with a 1-based qpos column, the per-query table
-    column): tables ride the plan as ONE 3-level literal array indexed
-    [qpos][m][code]; the tiny (query_id, qpos) frame broadcasts."""
+    """(query frame carrying each query's 2-level ADC table as a DATA
+    column ``__qt``, the per-row table column to index): the tiny
+    frame broadcasts, and each candidate's 8 lookups read the joined
+    row's array — the same integer values the former 3-level literal
+    array held.
+
+    Why data, not literals: Spark analyzes eagerly on every DataFrame
+    operation, and the scoring sum embedded its own copy of the
+    N_QUERIES·M·KS literal array per subspace term — thousands of
+    literal leaves re-traversed by every subsequent select/join on
+    the leg (measured ~15ms per DataFrame op inside ann_recall_eval,
+    guide §7.3 driver-side work). As a column the table is one
+    attribute reference; values, join shape (broadcast) and the
+    adc_micro result are unchanged."""
+    memo = getattr(tables, "qfqt", None)
+    if memo is not None:
+        return memo
     qids = sorted(tables)
+    rows = [
+        (
+            qid,
+            [
+                [int(tables[qid][m][c]) for c in range(PQ_KS)]
+                for m in range(PQ_M)
+            ],
+        )
+        for qid in qids
+    ]
+    # element type mirrors the former nested-F.lit coercion: one
+    # value beyond int32 anywhere (trained tables hold micro-L2² in
+    # the 1e11 range) made the WHOLE coerced literal array — and the
+    # adc_micro sum's schema — bigint; all-int32 tables stayed int
+    elem = (
+        "int"
+        if all(
+            -2147483648 <= v <= 2147483647
+            for _, t in rows
+            for sub in t
+            for v in sub
+        )
+        else "bigint"
+    )
     qf = spark.createDataFrame(
-        [(qid, i + 1) for i, qid in enumerate(qids)],
-        "query_id bigint, qpos int",
+        rows, f"query_id bigint, __qt array<array<{elem}>>"
     )
-    lit_tables = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(
-                        *[F.lit(tables[qid][m][c]) for c in range(PQ_KS)]
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-            for qid in qids
-        ]
-    )
-    return qf, F.element_at(lit_tables, F.col("qpos"))
+    out = (qf, _AdcQt(F.col("__qt")))
+    if isinstance(tables, _AdcTables):
+        tables.qfqt = out
+    return out
+
+
+class _AdcQt:
+    """The per-query ADC table column plus a memo slot for the derived
+    scoring sum: the 5 PQ-family legs of one artifact set share ONE
+    _adc_micro construction (Columns are immutable trees, so reuse
+    cannot change a plan). A plain wrapper, not an attribute on the
+    Column — Column.__getattr__ turns attribute probes into field
+    accesses."""
+
+    __slots__ = ("col", "adc")
+
+    def __init__(self, col):
+        self.col = col
+        self.adc = None
 
 
 def _adc_micro(qt) -> F.Column:
     """Sum of the 8 per-subspace table lookups for a candidate's
     codes — the shared ADC scoring expression (pq_adc and ivfpq must
     never drift apart, same rule as bm25_term_micro)."""
+    if isinstance(qt, _AdcQt):
+        if qt.adc is None:
+            qt.adc = _adc_micro(qt.col)
+        return qt.adc
     adc = None
     for m in range(PQ_M):
         term = F.element_at(
@@ -1984,7 +2126,7 @@ def _pq_trained_centroids_impl(df: DataFrame) -> list[list[list[int]]]:
         df.filter(
             h32(F.col("vec_id").cast("string")) % PQT_SAMPLE_MOD == 0
         )
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
         # row ORDER is irrelevant to training (int64 sums are
         # associative, per-point argmin independent), so no sort; the
         # limit only exists to detect an over-budget sample and raise
@@ -2077,7 +2219,7 @@ def _adc_tables_trained(
 
     rows = (
         df.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
         .collect()
     )
     ca = np.asarray(cents, dtype=np.int64)
@@ -2107,7 +2249,7 @@ def _pq_trained_artifacts(df: DataFrame):
     trained twin of _pq_artifacts, shared the same way by
     ann_recall_eval."""
     cents = _pq_trained_centroids(df)
-    tables = _adc_tables_trained(df, cents)
+    tables = _AdcTables(_adc_tables_trained(df, cents))
     enc = pq_encode_trained(df, cents)
     codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
@@ -2407,7 +2549,7 @@ def _ivf_trained_centroids_impl(
         df.filter(
             h32(F.col("vec_id").cast("string")) % sample_mod == 0
         )
-        .select("vec_id", _normalized(F.col("embedding")).alias("nv"))
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
         .limit(PQT_MAX_SAMPLE + 1)
         .collect()
     )
@@ -2450,7 +2592,7 @@ def _ivf_trained_centroids_impl(
                 & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
             )
             .select(
-                "vec_id", _normalized(F.col("embedding")).alias("nv")
+                "vec_id", _normalized_expr("embedding").alias("nv")
             )
             .collect()
         )

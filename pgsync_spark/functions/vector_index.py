@@ -51,7 +51,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .dedup_index import DEFAULT_OVERLAY_CAP, EmbeddingIndex, _AppendOnlyIndex
-from .hashing import round6
 
 _EMPTY_DECISIONS = "vec_id bigint"
 _TOPK_SCHEMA = (
@@ -243,7 +242,7 @@ class VectorIndex(_AppendOnlyIndex):
                 "band",
                 F.explode(
                     probe_buckets(
-                        F.col("bucket"), PLANES_PER_BAND, self.probe_hamming
+                        "bucket", PLANES_PER_BAND, self.probe_hamming
                     )
                 ).alias("bucket"),
             )
@@ -385,7 +384,7 @@ class VectorIndex(_AppendOnlyIndex):
         join vals by id for the exact re-rank — the corpus-sized
         frames are never shuffled, and with a store the keys scan is
         band/bucket row-group-prunable."""
-        from .similarity import TOP_K, _dot, _norm
+        from .similarity import TOP_K, cosine6
 
         if k is None:
             k = TOP_K
@@ -426,10 +425,7 @@ class VectorIndex(_AppendOnlyIndex):
             .select(
                 "query_id",
                 "neighbor_id",
-                round6(
-                    _dot(F.col("qv"), F.col("cv"))
-                    / (_norm(F.col("qv")) * _norm(F.col("cv")))
-                ).alias("cosine"),
+                cosine6("qv", "cv").alias("cosine"),
             )
         )
         w = W.partitionBy("query_id").orderBy(
