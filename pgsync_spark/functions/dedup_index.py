@@ -721,11 +721,19 @@ class _AppendOnlyIndex:
         plans then grow linearly in the part count (and compact()
         resets even that)."""
         self._check_epoch(epoch)
-        keys = keys.localCheckpoint(eager=True)
-        vals = vals.localCheckpoint(eager=True)
+        from .. import caching
+
+        # ONE concurrent wave for the two independent survivor
+        # frames (caching.local_checkpoint_parallel — the engine's
+        # apply_overlays_parallel discipline): both usually derive
+        # from the same persisted batch frame, whose blocks are
+        # computed once under the BlockManager's per-block locks, so
+        # the second job reads the cache instead of redoing the
+        # tokenize/band work. Serially each eager checkpoint was a
+        # full driver→scheduler round-trip per epoch.
+        keys, vals = caching.local_checkpoint_parallel([keys, vals])
         n_keys = keys.count()
         n_vals = vals.count()
-        from .. import caching
 
         # each side gates on ITS OWN emptiness (r7 review): the dedup
         # indexes keep keys/vals pairwise empty-or-not (no survivors →
@@ -961,12 +969,23 @@ class _AppendOnlyIndex:
             # eager checkpoint (not persist): the union's lineage spans
             # every old part — truncate it so the compacted frame is a
             # leaf and old parts' blocks can actually be freed
-            new_keys = (
-                keys.localCheckpoint(eager=True) if keys is not None else None
-            )
-            new_vals = (
-                vals.localCheckpoint(eager=True) if vals is not None else None
-            )
+            from .. import caching
+
+            if keys is not None and vals is not None:
+                new_keys, new_vals = caching.local_checkpoint_parallel(
+                    [keys, vals]
+                )
+            else:
+                new_keys = (
+                    keys.localCheckpoint(eager=True)
+                    if keys is not None
+                    else None
+                )
+                new_vals = (
+                    vals.localCheckpoint(eager=True)
+                    if vals is not None
+                    else None
+                )
             self._swap_parts(new_keys, new_vals)
 
     def _swap_parts(

@@ -746,8 +746,9 @@ class IVFVectorIndex(VectorIndex):
                         )
                 self._swap_parts(nk, nv)
             else:
-                nk = new_keys_df.localCheckpoint(eager=True)
-                nv = new_vals_df.localCheckpoint(eager=True)
+                nk, nv = caching.local_checkpoint_parallel(
+                    [new_keys_df, new_vals_df]
+                )
                 self._cents = new_cents
                 self._has_cdc = False
                 self._overlay_rows = 0

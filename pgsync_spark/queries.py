@@ -3616,15 +3616,22 @@ def dsir_select(spark, sf_dir):
             (F.col("lang") == DSIR_TARGET_LANG).cast("long")
         ).alias("t_b"),
     )
-    tot = bc.agg(F.sum("r_b").alias("rt"), F.sum("t_b").alias("tt"))
-    lr = bc.crossJoin(F.broadcast(tot)).select(
+    # corpus totals ride a window over the <= DSIR_BUCKETS-row
+    # histogram itself (single tiny partition) instead of a separate
+    # bc.agg() branch — the agg branch re-evaluated bc's whole
+    # tokenize+explode corpus scan a second time inside the broadcast
+    # build (bc is unpersisted by design; the _ccnet_scored frame
+    # already uses this exact shape for the same reason)
+    rt = F.sum("r_b").over(W.partitionBy())
+    tt = F.sum("t_b").over(W.partitionBy())
+    lr = bc.select(
         "bucket",
         F.floor(
             F.log(
                 ((F.col("t_b") + F.lit(1.0))
-                 * (F.col("rt") + F.lit(float(DSIR_BUCKETS))))
+                 * (rt + F.lit(float(DSIR_BUCKETS))))
                 / ((F.col("r_b") + F.lit(1.0))
-                   * (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
+                   * (tt + F.lit(float(DSIR_BUCKETS))))
             )
             * F.lit(1e6)
             + F.lit(0.5)
