@@ -44,6 +44,25 @@ def _fk(cols, ref_table, ref_cols):
     return (tuple(cols), (ref_table, tuple(ref_cols)))
 
 
+# Session-scoped columnar READER-PLAN cache: (realpath, fmt, mtime_ns)
+# → the resolved base DataFrame. Resolving a parquet/orc path is
+# driver-side metadata work (DataSource resolution, file listing,
+# footer schema merge — ~0.1s per table here), and every query
+# invocation builds a fresh Catalog, so the same immutable testdata
+# tables were re-resolved per invocation (guide §6: file-listing
+# metadata is exactly what a session should cache across scans; table
+# formats with manifests exist to avoid this cost entirely). Only the
+# PLAN is cached — every action still scans the files — and the
+# mtime_ns key invalidates on any rewrite of the file/directory, so a
+# regenerated corpus under the same path resolves fresh. Keyed weakly
+# by SparkSession: a torn-down session's entries vanish with it.
+import weakref
+
+_READER_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 # Default registry for /root/testdata tables (see TESTDATA.md).
 TPCH_TABLES: dict[str, TableMeta] = {
     "region": TableMeta("region", ("r_regionkey",)),
@@ -229,10 +248,16 @@ class Catalog:
         self.base_dir = base_dir
         self.tables = dict(tables if tables is not None else TPCH_TABLES)
         self._dfs: dict[str, DataFrame] = {}
+        # bumped on every register_df/unregister: consumers that memoize
+        # plans COMPILED AGAINST this catalog (IncrementalEngine's
+        # full-corpus plan) key on it, so a snapshot-view swap
+        # invalidates them
+        self.version = 0
 
     # --- table resolution -------------------------------------------------
     def register_df(self, name: str, df: DataFrame, meta: TableMeta | None = None):
         self._dfs[name] = df
+        self.version += 1
         if meta is not None:
             self.tables[name] = meta
 
@@ -243,6 +268,7 @@ class Catalog:
         """Drop a registered frame so the next df() re-resolves from
         base_dir (used when a registered snapshot view is released)."""
         self._dfs.pop(name, None)
+        self.version += 1
 
     # columnar formats first: parquet/orc scans get predicate pushdown,
     # column pruning, and vectorized reads for free; json/csv are
@@ -266,10 +292,25 @@ class Catalog:
         )
 
     def _read(self, path: str, fmt: str, name: str) -> DataFrame:
-        if fmt == "parquet":
-            return _restore_nano_timestamps(self.spark.read.parquet(path), path)
-        if fmt == "orc":
-            return self.spark.read.orc(path)
+        if fmt in ("parquet", "orc"):
+            # plan-cached across Catalog instances (see _READER_PLANS)
+            try:
+                key = (os.path.realpath(path), fmt, os.stat(path).st_mtime_ns)
+                plans = _READER_PLANS.setdefault(self.spark, {})
+                cached = plans.get(key)
+                if cached is not None:
+                    return cached
+            except OSError:
+                plans, key = None, None
+            if fmt == "parquet":
+                df = _restore_nano_timestamps(
+                    self.spark.read.parquet(path), path
+                )
+            else:
+                df = self.spark.read.orc(path)
+            if plans is not None:
+                plans[key] = df
+            return df
         meta = self.tables.get(name)
         declared = meta.schema if meta else None
         if fmt in ("json", "jsonl"):

@@ -165,13 +165,24 @@ def _signatures(df: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
 
     Returns (frame, persisted_intermediates) — the caller owns the
     persisted frames and must register them via caching.owned()."""
-    tok = tokens(F.col("text"))
+    from .hashing import (
+        combine_shingles_sparksql,
+        h32_sparksql,
+        perm_sparksql,
+        tokens_sparksql,
+    )
 
-    def _perm_fn(i):
-        return lambda h: perm(h, i)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), _perm_fn(i))) for i in range(N_PERMS)]
+    # single-parse forms throughout (similarity.cosine6 discipline):
+    # identical trees to the Column/lambda builders, built with one
+    # py4j call each — the 16-permutation sig listcomp alone measured
+    # ~0.7s of driver construction time per invocation
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(sh, h -> {perm_sparksql('h', i)}))"
+            for i in range(N_PERMS)
+        )
+        + ")"
     )
     # persist the shingle sets before fanning out into 16 permutation
     # scans: the conditional (when-guarded) shingle expression defeats
@@ -179,10 +190,17 @@ def _signatures(df: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     # materialization barrier the whole tokenize+hash pipeline would
     # re-run once per permutation (measured 18× slowdown)
     shs = (
-        df.select("doc_id", tok.alias("tok"))
+        df.select("doc_id", F.expr(tokens_sparksql("text")).alias("tok"))
         .filter(F.size("tok") >= 3)  # combine_shingles precondition
-        .withColumn("th", F.transform(F.col("tok"), lambda t: h32(t)))
-        .withColumn("sh", F.array_distinct(combine_shingles(F.col("th"), 3)))
+        .withColumn(
+            "th", F.expr(f"transform(tok, t -> {h32_sparksql('t')})")
+        )
+        .withColumn(
+            "sh",
+            F.expr(
+                f"array_distinct({combine_shingles_sparksql('th', 3)})"
+            ),
+        )
         .select("doc_id", "sh")
         .persist()
     )
@@ -253,20 +271,13 @@ def minhash_lsh_pairs(df: DataFrame, log_drops: bool = True) -> DataFrame:
     ).select(F.array_sort("ids").alias("ids"))
     cand = (
         buckets.select(
+            # single-parse form of the 2-level pair-expansion lambda
+            # (x = element, i = its index): same tree, one py4j call
             F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        # 2-arg higher-order lambda: arg 2 is the element index
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + 2, F.size("ids") - i - 1
-                            ),
-                            lambda y: F.struct(
-                                x.alias("id1"), y.alias("id2")
-                            ),
-                        ),
-                    )
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> named_struct('id1', x, 'id2', y))))"
                 )
             ).alias("p")
         )

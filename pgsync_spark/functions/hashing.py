@@ -41,6 +41,12 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def h32_sparksql(expr: str) -> str:
+    """Spark-SQL text form of h32 (same tree; see tokens for why the
+    single-parse forms exist)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def h32_sql(expr: str) -> str:
     return f"(('0x' || substring(md5({expr}), 1, 8))::BIGINT)"
 
@@ -55,6 +61,14 @@ def perm_sql(expr: str, i: int) -> str:
     return f"(({expr} * CAST({a} AS BIGINT) + {b}) % {MERSENNE_P})"
 
 
+def perm_sparksql(expr: str, i: int) -> str:
+    """Spark-SQL text form of perm. Literal typing mirrors F.lit:
+    a/b are < 2^31 (plain INT literals), MERSENNE_P needs the L
+    (bigint) suffix — the arithmetic promotes identically."""
+    a, b = perm_params(i)
+    return f"(({expr} * {a} + {b}) % {MERSENNE_P}L)"
+
+
 def round6(col: Column) -> Column:
     """Portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — pure IEEE double
     ops, bit-identical across engines. Engine-native round() differs:
@@ -67,11 +81,23 @@ def round6_sql(expr: str) -> str:
     return f"(floor(({expr}) * 1e6 + 0.5) / 1e6)"
 
 
-def tokens(col: Column) -> Column:
-    """Lowercased whitespace tokens, empties dropped."""
+def tokens(col) -> Column:
+    """Lowercased whitespace tokens, empties dropped.
+
+    A column NAME (string) takes the single-parse F.expr form — the
+    same filter/split/lower tree built with one py4j round-trip
+    instead of ~30 (lambda builders are the expensive part; measured
+    across the dedup/dsir/ccnet family builds)."""
+    if isinstance(col, str):
+        return F.expr(tokens_sparksql(col))
     return F.filter(
         F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
     )
+
+
+def tokens_sparksql(expr: str) -> str:
+    """Spark-SQL text form of tokens (same tree)."""
+    return f"filter(split(lower({expr}), '\\\\s+'), x -> x != '')"
 
 
 def tokens_sql(expr: str) -> str:
@@ -450,6 +476,18 @@ def combine_shingles(th: Column, k: int = 3) -> Column:
         return c
 
     return F.transform(F.sequence(F.lit(1), F.size(th) - (k - 1)), combine)
+
+
+def combine_shingles_sparksql(th: str, k: int = 3) -> str:
+    """Spark-SQL text form of combine_shingles (same tree: sequence +
+    element_at rolling mix; SHINGLE_P carries the L suffix to match
+    F.lit's LongType)."""
+    c = f"element_at({th}, i)"
+    for j in range(1, k):
+        c = f"(({c}) * {_MIX} + element_at({th}, i + {j})) % {SHINGLE_P}L"
+    return (
+        f"transform(sequence(1, size({th}) - {k - 1}), i -> {c})"
+    )
 
 
 def combine_shingles_sql(th: str, k: int = 3) -> str:

@@ -1470,7 +1470,7 @@ def token_length_quantiles(spark, sf_dir):
     rows-only — the plan shape (one partial-agg shuffle per lang) is
     identical."""
     df = Catalog(spark, sf_dir).df("documents")
-    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    n_tok = F.size(hashing.tokens("text")).cast("bigint")
     base = df.select("lang", n_tok.alias("n_tok"))
     pct = F.percentile(F.col("n_tok"), F.lit(list(_QUANTILES)))
     return base.groupBy("lang").agg(
@@ -1555,7 +1555,7 @@ def pack_sequences(spark, sf_dir):
     output, and at 1000 executors you raise PACK_SHARDS — the shape
     stays one window shuffle keyed by shard."""
     df = Catalog(spark, sf_dir).df("documents")
-    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    n_tok = F.size(hashing.tokens("text")).cast("bigint")
     d = df.select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
@@ -1583,7 +1583,7 @@ QPF_CUT = 0.10  # drop the bottom decile per source
 # type-token ratio (distinct/total tokens) — the deterministic quality
 # score shared by the percentile filter and the budget selector
 def _tt_score():
-    tok = hashing.tokens(F.col("text"))
+    tok = hashing.tokens("text")
     return F.size(F.array_distinct(tok)).cast("double") / F.nullif(
         F.size(tok), F.lit(0)
     )
@@ -1675,7 +1675,7 @@ def token_budget_select(spark, sf_dir):
         "doc_id",
         "source",
         (F.col("doc_id") % BUDGET_SHARDS).alias("shard"),
-        F.size(hashing.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.size(hashing.tokens("text")).cast("bigint").alias("n_tok"),
         _tt_score().alias("score"),
     )
     w = (
@@ -1731,7 +1731,7 @@ def text_repetition_stats(spark, sf_dir):
     chosen here because the bounded array form keeps the whole operator
     inside whole-stage codegen."""
     df = Catalog(spark, sf_dir).df("documents")
-    toks = hashing.tokens(F.col("text"))
+    toks = hashing.tokens("text")
     base = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     head = F.slice(F.col("toks"), 1, _REP_TOP_WINDOW)
     n_tok = F.size("toks").cast("bigint")
@@ -1863,7 +1863,7 @@ def source_corpus_stats(spark, sf_dir):
     weighting sources. One partial-agg shuffle keyed by source; token
     counting stays in codegen on the scan side."""
     df = Catalog(spark, sf_dir).df("documents")
-    n_tok = F.size(hashing.tokens(F.col("text"))).cast("bigint")
+    n_tok = F.size(hashing.tokens("text")).cast("bigint")
     return df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("bigint").alias("total_tokens"),
@@ -2215,7 +2215,7 @@ def _bm25_scored(df):
     the whole scorer is scan + broadcast + project, so it survives any
     corpus size (the classic explode→groupBy tf materializes |tokens|
     rows and shuffles them — this form never does)."""
-    toks = hashing.tokens(F.col("text"))
+    toks = hashing.tokens("text")
     per_doc = df.select(
         "doc_id",
         "lang",
@@ -3602,7 +3602,7 @@ def dsir_select(spark, sf_dir):
         "doc_id",
         "lang",
         "source",
-        F.explode(hashing.tokens(F.col("text"))).alias("term"),
+        F.explode(hashing.tokens("text")).alias("term"),
     )
     b = toks.select(
         "doc_id",
@@ -3704,7 +3704,7 @@ def _ccnet_scored(spark, sf_dir):
     unchanged — see ccnet_perplexity_buckets for the full story."""
     df = Catalog(spark, sf_dir).df("documents")
     docs = df.select(
-        "doc_id", "lang", hashing.tokens(F.col("text")).alias("t")
+        "doc_id", "lang", hashing.tokens("text").alias("t")
     ).filter(F.size("t") >= 2)
     bigrams = F.zip_with(
         F.expr("slice(t, 1, size(t) - 1)"),

@@ -220,6 +220,9 @@ class IncrementalEngine:
         # the full-sync combined checkpoint backs BOTH stores' initial
         # bases; released once each store compacts onto its own base
         self._shared_base: DataFrame | None = None
+        # (catalog.version, CompiledDoc) of the last full-corpus
+        # compile — see full_sync
+        self._full_plan: tuple | None = None
         # ops counters (the reference's status loop analog,
         # ref: pgsync/sync.py:2084-2112)
         self.stats = {
@@ -333,7 +336,21 @@ class IncrementalEngine:
 
     # -- full (initial) sync ------------------------------------------
     def full_sync(self) -> DataFrame:
-        compiled = TreeCompiler(self.catalog).compile(self.tree)
+        # the full-corpus compiled plan is engine state: the tree and
+        # catalog determine it entirely, so a re-sync against an
+        # unchanged catalog reuses the plan instead of paying the
+        # compiler's DataFrame-construction pass again (~0.4s of
+        # driver-side py4j work; guide §7.3). catalog.version bumps on
+        # every snapshot-view register/unregister, so a mid-stream
+        # re-sync against materialized snapshots always recompiles.
+        # Only the PLAN is memoized — materialize_tree below re-executes
+        # it from the current files on every call.
+        memo = self._full_plan
+        if memo is not None and memo[0] == self.catalog.version:
+            compiled = memo[1]
+        else:
+            compiled = TreeCompiler(self.catalog).compile(self.tree)
+            self._full_plan = (self.catalog.version, compiled)
         expected = set()
         for table, tuples in self._keys_by_table.items():
             for pks in tuples:

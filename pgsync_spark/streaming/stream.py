@@ -289,7 +289,7 @@ def start_dedup_stream(
 
             row = batch_df.agg(
                 F.percentile_approx(
-                    F.size(hashing.tokens(F.col("text"))), [0.5, 0.9]
+                    F.size(hashing.tokens("text")), [0.5, 0.9]
                 ).alias("q")
             ).first()
             if row and row["q"] is not None:
