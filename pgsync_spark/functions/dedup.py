@@ -338,24 +338,26 @@ def minhash_lsh_pairs_sql() -> str:
 
 def simhash(df: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: majority vote per bit over distinct-token
-    hashes (Charikar). Pure array expressions — no explode, no shuffle."""
-    tok = F.array_distinct(tokens(F.col("text")))
-    hashed = F.transform(tok, lambda t: h32(t))
-    base = df.select("doc_id", hashed.alias("h")).filter(F.size("h") > 0)
-    n = F.size("h")
-    def _bit_fn(b):
-        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+    hashes (Charikar). Pure array expressions — no explode, no shuffle.
+    Built as single-parse F.expr strings (same trees): the 32
+    bit-majority when/filter chains alone were ~1000 py4j calls of
+    construction per invocation (the cosine6 discipline)."""
+    from .hashing import h32_sparksql, tokens_sparksql
 
-    bits = [
-        F.when(
-            F.lit(2) * F.size(F.filter(F.col("h"), _bit_fn(b))) > n,
-            F.lit(2 ** b).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(32)
-    ]
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim + b
+    hashed = F.expr(
+        f"transform(array_distinct({tokens_sparksql('text')}), "
+        f"t -> {h32_sparksql('t')})"
+    )
+    base = df.select("doc_id", hashed.alias("h")).filter(F.size("h") > 0)
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN 2 * size(filter(h, x -> "
+            f"(shiftright(x, {b}) & 1) = 1)) > size(h) "
+            f"THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(32)
+        )
+    )
     return base.select("doc_id", sim.alias("simhash"))
 
 
