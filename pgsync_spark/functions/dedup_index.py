@@ -721,6 +721,8 @@ class _AppendOnlyIndex:
         plans then grow linearly in the part count (and compact()
         resets even that)."""
         self._check_epoch(epoch)
+        from pyspark.sql import Observation
+
         from .. import caching
 
         # ONE concurrent wave for the two independent survivor
@@ -730,10 +732,19 @@ class _AppendOnlyIndex:
         # computed once under the BlockManager's per-block locks, so
         # the second job reads the cache instead of redoing the
         # tokenize/band work. Serially each eager checkpoint was a
-        # full driver→scheduler round-trip per epoch.
-        keys, vals = caching.local_checkpoint_parallel([keys, vals])
-        n_keys = keys.count()
-        n_vals = vals.count()
+        # full driver→scheduler round-trip per epoch. The row counts
+        # each side's emptiness gate needs ride the checkpoint jobs
+        # themselves as Observations (the engine's process_batch
+        # discipline) — formerly two more driver round-trips per epoch.
+        obs_k, obs_v = Observation(), Observation()
+        keys, vals = caching.local_checkpoint_parallel(
+            [
+                keys.observe(obs_k, F.count(F.lit(1)).alias("n")),
+                vals.observe(obs_v, F.count(F.lit(1)).alias("n")),
+            ]
+        )
+        n_keys = int(obs_k.get["n"] or 0)
+        n_vals = int(obs_v.get["n"] or 0)
 
         # each side gates on ITS OWN emptiness (r7 review): the dedup
         # indexes keep keys/vals pairwise empty-or-not (no survivors →

@@ -156,8 +156,15 @@ class TreeCompiler:
         ]
         return [ColumnSpec(name=c, label=c) for c in cols]
 
-    def _base_df(self, node: Node, extra_cols: set[str]) -> tuple[DataFrame, list[ColumnSpec]]:
-        """Scan with explicit projection so column pruning reaches parquet."""
+    def _base_df(
+        self,
+        node: Node,
+        extra_cols: set[str],
+        extra_exprs: tuple[Column, ...] = (),
+    ) -> tuple[DataFrame, list[ColumnSpec]]:
+        """Scan with explicit projection so column pruning reaches
+        parquet. ``extra_exprs`` (the node's key-lineage arrays) ride
+        the same select — one analysis pass instead of two."""
         specs = self._columns_for(node)
         table_cols = set(self.catalog.columns(node.table))
         needed = set(extra_cols)
@@ -168,7 +175,7 @@ class TreeCompiler:
                 )
             needed.add(s.name)
         needed.update(self.catalog.primary_key(node.table, node))
-        df = self.catalog.df(node.table).select(*sorted(needed))
+        df = self.catalog.df(node.table).select(*sorted(needed), *extra_exprs)
         return df, specs
 
     def _payload_fields(self, node: Node, specs: list[ColumnSpec]) -> list[tuple[str, Column]]:
@@ -261,7 +268,35 @@ class TreeCompiler:
             child_extra.update(parent_cols)
             child_plans.append((ch, fk, parent_cols))
 
-        df, specs = self._base_df(node, extra | child_extra)
+        # own key lineage: one single-element array per PK column —
+        # attached in the base scan's own select (each DataFrame op is
+        # an eager JVM analysis pass; a withColumn chain paid one per
+        # key and a separate select one more)
+        keys_cols: dict[tuple[str, str], str] = {}
+        pks = self.catalog.primary_key(node.table, node)
+        key_exprs: list[Column] = []
+        for pk in pks:
+            kname = f"__k_{node.table}__{pk}__{next(self._ids)}"
+            key_exprs.append(F.array(F.col(pk)).alias(kname))
+            keys_cols[(node.table, pk)] = kname
+        if len(pks) > 1:
+            # composite-pk tuple key ("pk1|pk2" → "v1|v2"), built at ROW
+            # level so values stay paired. The lineage index matches old
+            # images against this single entry — per-column matching
+            # would be a massive superset (every doc sharing ONE pk
+            # component, e.g. all docs with a linenumber-1 lineitem).
+            # Excluded from _meta (reference parity) by plans/docs.py.
+            kname = f"__k_{node.table}__tuple__{next(self._ids)}"
+            key_exprs.append(
+                F.array(
+                    F.concat_ws("|", *[F.col(p).cast("string") for p in pks])
+                ).alias(kname)
+            )
+            keys_cols[(node.table, "|".join(pks))] = kname
+
+        df, specs = self._base_df(
+            node, extra | child_extra, extra_exprs=tuple(key_exprs)
+        )
         if node.parent is None and self.root_keys is not None:
             from ..operators.joins import maybe_broadcast
 
@@ -278,29 +313,6 @@ class TreeCompiler:
             df = df.filter(build_filters(self.root_filters, dict(df.dtypes)))
         fields = self._payload_fields(node, specs)
 
-        # own key lineage: one single-element array per PK column
-        keys_cols: dict[tuple[str, str], str] = {}
-        pks = self.catalog.primary_key(node.table, node)
-        for pk in pks:
-            kname = f"__k_{node.table}__{pk}__{next(self._ids)}"
-            df = df.withColumn(kname, F.array(F.col(pk)))
-            keys_cols[(node.table, pk)] = kname
-        if len(pks) > 1:
-            # composite-pk tuple key ("pk1|pk2" → "v1|v2"), built at ROW
-            # level so values stay paired. The lineage index matches old
-            # images against this single entry — per-column matching
-            # would be a massive superset (every doc sharing ONE pk
-            # component, e.g. all docs with a linenumber-1 lineitem).
-            # Excluded from _meta (reference parity) by plans/docs.py.
-            kname = f"__k_{node.table}__tuple__{next(self._ids)}"
-            df = df.withColumn(
-                kname,
-                F.array(
-                    F.concat_ws("|", *[F.col(p).cast("string") for p in pks])
-                ),
-            )
-            keys_cols[(node.table, "|".join(pks))] = kname
-
         # join each child's plan
         for ch, fk, parent_cols in child_plans:
             if isinstance(fk, list):  # multi-pair self-join (OR rule)
@@ -312,7 +324,11 @@ class TreeCompiler:
             for pc, jk in zip(parent_cols, plan.join_keys):
                 c = df[pc] == plan.df[jk]
                 cond = c if cond is None else (cond & c)
-            df = df.join(plan.df, cond, "left").drop(*plan.join_keys)
+            # join-key names are globally unique (__jk_<nid>_<i>) and
+            # every downstream projection is an explicit column list,
+            # so the former .drop(*join_keys) was a pure extra
+            # analysis pass — Catalyst prunes the unused columns
+            df = df.join(plan.df, cond, "left")
             fields.append((ch.name, F.col(plan.payload)))
             for key, colname in plan.keys_cols.items():
                 if key in keys_cols:

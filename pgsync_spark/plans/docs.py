@@ -51,6 +51,34 @@ def meta_column(compiled: CompiledDoc) -> F.Column:
     return F.struct(*meta_fields).alias("_meta")
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for embedding in a SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _meta_sql(compiled: CompiledDoc) -> str:
+    """``meta_column`` as ONE SQL fragment — the same Catalyst tree
+    (struct-of-structs of CASE WHEN size>0 THEN sorted-distinct arrays),
+    parsed once instead of built through dozens of py4j calls."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for (tbl, pk), colname in sorted(compiled.keys_cols.items()):
+        if "|" in pk:
+            continue
+        by_table.setdefault(tbl, []).append((pk, colname))
+    tables = []
+    for tbl in sorted(by_table):
+        pk_fields = []
+        for pk, colname in by_table[tbl]:
+            c = _bt(colname)
+            pk_fields.append(
+                f"CASE WHEN size({c}) > 0 THEN "
+                f"array_sort(array_distinct({c})) ELSE NULL END "
+                f"AS {_bt(pk)}"
+            )
+        tables.append("struct(" + ", ".join(pk_fields) + f") AS {_bt(tbl)}")
+    return "struct(" + ", ".join(tables) + ") AS _meta"
+
+
 def assemble_docs(
     compiled: CompiledDoc,
     include_meta: bool = True,
@@ -63,27 +91,50 @@ def assemble_docs(
     ``include_keys`` additionally carries each lineage key array
     (distinct, stringified) under its ``__k_*`` name, so one
     materialization of this projection serves both the doc store and
-    the lineage index."""
-    source_fields = [F.col(f"__f_{n}").alias(n) for n in compiled.field_names]
+    the lineage index.
+
+    The whole projection is ONE ``selectExpr`` parse: the incremental
+    engine pays this assembly per batch and the Column-by-Column form
+    was ~0.15s of driver-side py4j construction (guide §7.3). The SQL
+    fragments mirror the former Column expressions token-for-token
+    (struct field aliases, explicit ELSE NULL, map-typed to_json
+    options), so the analyzed tree — and the canonical JSON bytes the
+    oracles hash — are unchanged."""
     parts = []
     if include_meta:
-        parts.append(meta_column(compiled))
-    parts.extend(source_fields)
-    doc = F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
-    cols = [id_column(compiled.root_pks).alias("_id"), doc.alias("doc")]
-    routing = routing_column(compiled)
-    if routing is not None:
-        cols.append(routing)
+        parts.append(_meta_sql(compiled))
+    parts.extend(
+        f"{_bt('__f_' + n)} AS {_bt(n)}" for n in compiled.field_names
+    )
+    doc = (
+        "to_json(struct(" + ", ".join(parts) + "), "
+        "map('ignoreNullFields', 'false')) AS doc"
+    )
+    _id = (
+        "concat_ws('|', "
+        + ", ".join(f"cast({_bt(pk)} as string)" for pk in compiled.root_pks)
+        + ") AS _id"
+    )
+    cols = [_id, doc]
+    routing = compiled.tree.routing
+    if routing:
+        if routing not in compiled.field_names:
+            from .. import exc
+
+            raise exc.ColumnNotFoundError(
+                f"routing field {routing!r} is not a document field"
+            )
+        cols.append(f"cast({_bt('__f_' + routing)} as string) AS _routing")
     if include_pks:
-        cols.extend(F.col(pk) for pk in compiled.root_pks)
+        cols.extend(_bt(pk) for pk in compiled.root_pks)
     if include_keys:
         for (_tbl, _pk), colname in sorted(compiled.keys_cols.items()):
+            c = _bt(colname)
             cols.append(
-                F.transform(
-                    F.array_distinct(F.col(colname)), lambda x: x.cast("string")
-                ).alias(colname)
+                f"transform(array_distinct({c}), x -> cast(x as string)) "
+                f"AS {c}"
             )
-    return compiled.df.select(*cols)
+    return compiled.df.selectExpr(*cols)
 
 
 def routing_column(compiled: CompiledDoc) -> F.Column | None:

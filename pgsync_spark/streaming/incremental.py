@@ -206,6 +206,72 @@ class IncrementalEngine:
         self._schemas = self._declared_schemas(tree)
         self._base_remap = base_table_remap(tree)
         self._keys_by_table = self._lineage_keys(tree)
+        # per-batch Column trees that depend only on engine config
+        # (watched columns, schema scope, table inventory) are built
+        # ONCE here and reused every micro-batch — Columns are
+        # immutable unresolved expressions, so reuse across frames is
+        # exact, and rebuilding them was ~100s of py4j round-trips of
+        # driver-side construction per batch (guide §7.3)
+        self._scope_cond = self._event_scope()
+        self._keep_cond = self._keep_event()
+        self._remap_col = None
+        if self._base_remap:
+            expr = F.col("table")
+            for base, target in sorted(self._base_remap.items()):
+                expr = F.when(F.col("table") == base, F.lit(target)).otherwise(expr)
+            self._remap_col = expr
+        # _resolve_old_images' per-(table, pk-tuple) projection trees:
+        # (table, filter cond, select Columns) — one lineage-pair
+        # branch each, identical every batch
+        self._old_image_exprs: list[tuple[str, F.Column, list[F.Column]]] = []
+        for table, tuples in sorted(self._keys_by_table.items()):
+            for pks in tuples:
+                if len(pks) == 1:
+                    name = pks[0]
+                    val = F.col("old").getItem(pks[0])
+                else:
+                    # composite pk → tuple lineage entry; require every
+                    # pk component present (concat_ws skips nulls)
+                    name = "|".join(pks)
+                    present = F.lit(True)
+                    for p in pks:
+                        present = present & F.col("old").getItem(p).isNotNull()
+                    val = F.when(
+                        present,
+                        F.concat_ws(
+                            "|", *[F.col("old").getItem(p) for p in pks]
+                        ),
+                    )
+                self._old_image_exprs.append(
+                    (
+                        table,
+                        F.col("table") == table,
+                        [
+                            F.lit(table).alias("table"),
+                            F.lit(name).alias("pk_col"),
+                            val.cast("string").alias("pk_value"),
+                        ],
+                    )
+                )
+        self._stat_tables = sorted(self._schemas)
+        keep = self._keep_cond
+        self._stat_metrics = []
+        for i, t in enumerate(self._stat_tables):
+            is_t = F.col("table") == t
+            self._stat_metrics += [
+                F.sum(is_t.cast("int")).alias(f"n_{i}"),
+                F.max(F.when(is_t, F.col("txid"))).alias(f"mx_{i}"),
+                F.sum((is_t & keep).cast("int")).alias(f"na_{i}"),
+                F.sum(
+                    (is_t & F.col("op").isin(INSERT, UPDATE) & keep).cast("int")
+                ).alias(f"nn_{i}"),
+                F.sum(
+                    (is_t & F.col("op").isin(UPDATE, DELETE) & keep).cast("int")
+                ).alias(f"no_{i}"),
+                F.max(
+                    (is_t & (F.col("op") == TRUNCATE)).cast("int")
+                ).alias(f"nt_{i}"),
+            ]
         # doc store and lineage reverse index: base + batch-sized keyed
         # overlay (KeyedOverlay), so a batch's store maintenance costs
         # O(batch + overlay), never O(store). An earlier design
@@ -589,34 +655,11 @@ class IncrementalEngine:
         ``has_truncate=False`` (known from the batch stats aggregation)
         skips the truncate lineage pass entirely."""
         ev = events.filter(F.col("op").isin(UPDATE, DELETE))
-        branches = []
-        for table, tuples in sorted(self._keys_by_table.items()):
-            if old_tables is not None and table not in old_tables:
-                continue  # no old images for this table in the batch
-            for pks in tuples:
-                if len(pks) == 1:
-                    name = pks[0]
-                    val = F.col("old").getItem(pks[0])
-                else:
-                    # composite pk → tuple lineage entry; require every
-                    # pk component present (concat_ws skips nulls)
-                    name = "|".join(pks)
-                    present = F.lit(True)
-                    for p in pks:
-                        present = present & F.col("old").getItem(p).isNotNull()
-                    val = F.when(
-                        present,
-                        F.concat_ws(
-                            "|", *[F.col("old").getItem(p) for p in pks]
-                        ),
-                    )
-                branches.append(
-                    ev.filter(F.col("table") == table).select(
-                        F.lit(table).alias("table"),
-                        F.lit(name).alias("pk_col"),
-                        val.cast("string").alias("pk_value"),
-                    )
-                )
+        branches = [
+            ev.filter(cond).select(*cols)
+            for table, cond, cols in self._old_image_exprs
+            if old_tables is None or table in old_tables
+        ]
         if branches:
             pairs = branches[0]
             for b in branches[1:]:
@@ -684,8 +727,9 @@ class IncrementalEngine:
                 )
             _t = now
 
-        events = remap_tables(events, self._base_remap)
-        events = events.filter(self._event_scope())
+        if self._remap_col is not None:
+            events = events.withColumn("table", self._remap_col)
+        events = events.filter(self._scope_cond)
         if txmin is not None:
             events = events.filter(F.col("txid") >= txmin)
         if txmax is not None:
@@ -697,27 +741,12 @@ class IncrementalEngine:
         # scope filter bounds the table inventory, so the grouped
         # aggregation unrolls into per-table conditional aggregates) —
         # the former separate stats collect was a full extra driver
-        # round-trip per batch.
-        keep = self._keep_event()
-        tables = sorted(self._schemas)
+        # round-trip per batch. The metric Columns themselves are
+        # engine state (built once in __init__).
+        keep = self._keep_cond
+        tables = self._stat_tables
         obs = Observation()
-        metrics = []
-        for i, t in enumerate(tables):
-            is_t = F.col("table") == t
-            metrics += [
-                F.sum(is_t.cast("int")).alias(f"n_{i}"),
-                F.max(F.when(is_t, F.col("txid"))).alias(f"mx_{i}"),
-                F.sum((is_t & keep).cast("int")).alias(f"na_{i}"),
-                F.sum(
-                    (is_t & F.col("op").isin(INSERT, UPDATE) & keep).cast("int")
-                ).alias(f"nn_{i}"),
-                F.sum(
-                    (is_t & F.col("op").isin(UPDATE, DELETE) & keep).cast("int")
-                ).alias(f"no_{i}"),
-                F.max(
-                    (is_t & (F.col("op") == TRUNCATE)).cast("int")
-                ).alias(f"nt_{i}"),
-            ]
+        metrics = self._stat_metrics
         # coalesce before the checkpoint: a micro-batch is driver-bounded
         # (maxFilesPerTrigger / maxOffsetsPerTrigger), so 8 parse tasks
         # cover any configured batch size, and EVERY downstream job over
