@@ -304,23 +304,30 @@ class BM25Index(_AppendOnlyIndex):
                 for i, t in enumerate(terms)
             ]
         )
-        dfs = sl.agg(
+        # per-term document frequency derived FROM the candidate pivot:
+        # a doc holds at most one live posting per term (ingest groups
+        # per (doc, term); the CDC fold keeps one version), so
+        # count(sl rows with term=t) == count(cand rows with tf_t > 0)
+        # — identical df values, one full postings-slice scan saved
+        # (the former separate sl.agg() re-scanned every held posting).
+        # The window is a single-partition global sum over the tiny
+        # candidate set (the dsir_select histogram pattern).
+        wall = W.partitionBy()
+        cand = cand.select(
+            "*",
             *[
-                F.sum((F.col("term") == t).cast("long")).alias(f"df{i}")
-                for i, t in enumerate(terms)
-            ]
+                F.sum((F.col(f"tf{i}") > 0).cast("long"))
+                .over(wall)
+                .alias(f"df{i}")
+                for i in range(len(terms))
+            ],
         )
-        stats = (
-            vals.agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .crossJoin(dfs)
-            .withColumn(
-                "avgdl",
-                F.col("sum_dl").cast("double")
-                / F.col("n_docs").cast("double"),
-            )
+        stats = vals.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        ).withColumn(
+            "avgdl",
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
         )
         scored = cand.crossJoin(F.broadcast(stats))
 

@@ -371,13 +371,21 @@ class TreeCompiler:
             # Deterministic ordering: sort elements by their canonical JSON
             # rendering (binary UTF-8 compare — engine-independent). PK order
             # alone is not enough: synthetic data has duplicate child keys.
+            # The render happens INSIDE array_sort's comparator, so the
+            # aggregation collects (and the groupBy exchange ships) only
+            # the struct — the former carried (rendered JSON, struct)
+            # pairs, ~2x the shuffle bytes of the payload (guide §2.3),
+            # plus a strip pass. Ties (identical renders) are
+            # order-unobservable: the document output IS the rendering.
             pstruct = F.struct(*[c.alias(lbl) for lbl, c in fields])
-            inner = F.struct(
-                F.to_json(pstruct, {"ignoreNullFields": "false"}).alias("__s"),
-                pstruct.alias("__v"),
-            )
-            payload_agg = F.transform(
-                F.array_sort(F.collect_list(inner)), lambda x: x["__v"]
+            opts = {"ignoreNullFields": "false"}
+            payload_agg = F.array_sort(
+                F.collect_list(pstruct),
+                lambda x, y: F.when(
+                    F.to_json(x, opts) < F.to_json(y, opts), F.lit(-1)
+                )
+                .when(F.to_json(x, opts) > F.to_json(y, opts), F.lit(1))
+                .otherwise(F.lit(0)),
             ).alias(payload_name)
 
         aggs = [payload_agg]

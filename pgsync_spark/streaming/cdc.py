@@ -164,6 +164,54 @@ class TableMaterializer:
         # upper bound of overlay rows (accumulated event counts) — the
         # broadcast guard for the view's anti-join
         self._overlay_rows: dict[str, int] = {}
+        # per-table prebuilt Column trees for the LWW fold (dead/live
+        # projections, window spec) — they depend only on the table's
+        # schema, which truncate (limit(0)) and compact (re-checkpoint)
+        # both preserve, so they are built once per table instead of
+        # per batch (guide §7.3 driver-side construction)
+        self._fold_exprs: dict[str, tuple] = {}
+
+    def _fold_exprs_for(self, table: str, base: DataFrame) -> tuple:
+        """(pks, dead_cond, dead_sel, live_cond, live_sel, window) for
+        ``table`` — the event→overlay fold expressions, cached. The
+        dead/live selects fuse _typed_image's projection with the
+        overlay-shape projection (one Project; same resolved tree)."""
+        cached = self._fold_exprs.get(table)
+        if cached is not None:
+            return cached
+        flag = self.OVERLAY_FLAG
+        reserved = set(self.META_COLS) | {flag}
+        if reserved & set(base.columns):
+            raise exc.SchemaError(
+                f"table {table!r} has columns colliding with CDC "
+                f"metadata names {sorted(reserved & set(base.columns))}"
+            )
+        pks = list(self.catalog.primary_key(table))
+        dtypes = dict(base.dtypes)
+        meta = [F.col("txid").alias("__cdc_txid"), F.col("__cdc_seq")]
+        dead_sel = [
+            F.col("old").getItem(c).cast(dtypes[c]).alias(c)
+            if c in pks
+            else F.lit(None).cast(dtypes[c]).alias(c)
+            for c in base.columns
+        ] + [F.lit(False).alias(flag), *meta, F.lit(0).alias("__cdc_sub")]
+        live_sel = [
+            F.col("new").getItem(c).cast(dtypes[c]).alias(c)
+            for c in base.columns
+        ] + [F.lit(True).alias(flag), *meta, F.lit(1).alias("__cdc_sub")]
+        w = Window.partitionBy(*pks).orderBy(
+            *[F.col(c).desc() for c in self.META_COLS]
+        )
+        out = (
+            pks,
+            F.col("op").isin(UPDATE, DELETE),
+            dead_sel,
+            F.col("op").isin(INSERT, UPDATE),
+            live_sel,
+            w,
+        )
+        self._fold_exprs[table] = out
+        return out
 
     def _snapshot_view(self, table: str, pks: list[str]) -> DataFrame:
         base = self._base[table]
@@ -285,8 +333,6 @@ class TableMaterializer:
             if defer_release is not None
             else caching.release_local_checkpoint
         )
-        flag = self.OVERLAY_FLAG
-        order_cols = [F.col(c) for c in self.META_COLS]
         # phase 1 — build every touched table's merged overlay LAZILY
         pending: list[tuple[str, int, DataFrame, DataFrame | None]] = []
         for r in stats:
@@ -296,7 +342,9 @@ class TableMaterializer:
             snap = self.catalog.df(table)
             if table not in self._base:
                 self._base[table] = snap
-            pks = list(self.catalog.primary_key(table))
+            pks, dead_cond, dead_sel, live_cond, live_sel, w = (
+                self._fold_exprs_for(table, self._base[table])
+            )
             ev = events.filter(F.col("table") == table)
             prev = self._overlay.get(table)
             if has_trunc:
@@ -326,54 +374,15 @@ class TableMaterializer:
                     )
                     > F.col("__cut")
                 ).drop("__cut")
-            base = self._base[table]
-            reserved = set(self.META_COLS) | {flag}
-            if reserved & set(base.columns):
-                raise exc.SchemaError(
-                    f"table {table!r} has columns colliding with CDC "
-                    f"metadata names {sorted(reserved & set(base.columns))}"
-                )
-            dtypes = dict(base.dtypes)
-            meta_src = [
-                F.col("txid").alias("__cdc_txid"),
-                F.col("__cdc_seq"),
-            ]
             # key-action stream: dead(old pk) for UPDATE/DELETE, live(new
             # image) for INSERT/UPDATE. __cdc_sub breaks the tie inside
             # one UPDATE that keeps its key (the live image wins over
-            # the removal of the same key by the same event).
-            dead = _typed_image(
-                ev.filter(F.col("op").isin(UPDATE, DELETE)),
-                "old",
-                base,
-                pks,
-                extra=meta_src,
-            ).select(
-                *[
-                    F.col(c) if c in pks else F.lit(None).cast(dtypes[c]).alias(c)
-                    for c in base.columns
-                ],
-                F.lit(False).alias(flag),
-                F.col("__cdc_txid"),
-                F.col("__cdc_seq"),
-                F.lit(0).alias("__cdc_sub"),
-            )
-            live = _typed_image(
-                ev.filter(F.col("op").isin(INSERT, UPDATE)),
-                "new",
-                base,
-                base.columns,
-                extra=meta_src,
-            ).select(
-                *base.columns,
-                F.lit(True).alias(flag),
-                F.col("__cdc_txid"),
-                F.col("__cdc_seq"),
-                F.lit(1).alias("__cdc_sub"),
-            )
+            # the removal of the same key by the same event). All
+            # projection trees are prebuilt per table (_fold_exprs_for).
+            dead = ev.filter(dead_cond).select(*dead_sel)
+            live = ev.filter(live_cond).select(*live_sel)
             # one window shuffle over a batch-sized frame: last action
             # per key wins (LWW)
-            w = Window.partitionBy(*pks).orderBy(*[c.desc() for c in order_cols])
             delta = (
                 dead.unionByName(live)
                 .withColumn("__cdc_rn", F.row_number().over(w))
