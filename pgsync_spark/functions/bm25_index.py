@@ -331,20 +331,22 @@ class BM25Index(_AppendOnlyIndex):
         )
         scored = cand.crossJoin(F.broadcast(stats))
 
-        def term_micro(i: int):
-            return bm25_term_micro(
-                F.col(f"tf{i}"),
-                # a term absent from the whole held corpus has no df
-                # row: 0, like the one-shot scorer's sum over no hits
-                F.coalesce(F.col(f"df{i}"), F.lit(0).cast("long")),
-                F.col("n_docs"),
-                F.col("dl"),
-                F.col("avgdl"),
+        # a term absent from the whole held corpus has no df row: 0,
+        # like the one-shot scorer's sum over no hits. Single F.expr
+        # parse of the summed per-term contributions (same tree —
+        # bm25_term_micro is the shared text builder).
+        score = F.expr(
+            " + ".join(
+                bm25_term_micro(
+                    f"tf{i}",
+                    f"coalesce(df{i}, CAST(0 AS BIGINT))",
+                    "n_docs",
+                    "dl",
+                    "avgdl",
+                )
+                for i in range(len(terms))
             )
-
-        score = term_micro(0)
-        for i in range(1, len(terms)):
-            score = score + term_micro(i)
+        )
         top = (
             scored.select("doc_id", score.alias("score_micro"))
             .filter(F.col("score_micro") > 0)

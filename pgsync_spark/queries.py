@@ -1037,6 +1037,18 @@ def _hash_dim(text_col, i: int):
     return F.floor(x * 1e6 + 0.5).cast("bigint")
 
 
+def _hash_dim_sparksql(text_sql: str, i: int) -> str:
+    """Spark-SQL text form of _hash_dim (same tree — D-suffixed double
+    literals mirror the F.lit doubles; one parse replaces ~15 py4j
+    round-trips per dimension, guide §7.3)."""
+    h = (
+        f"CAST(conv(substring(md5(concat({text_sql}, '|{i}')), 1, 8), "
+        f"16, 10) AS BIGINT)"
+    )
+    x = f"2.0D * (({h}) / 4294967296.0D) - 1.0D"
+    return f"CAST(floor(({x}) * 1e6 + 0.5D) AS BIGINT)"
+
+
 from .plugin_examples import hash_embedding_sql as _hash_emb_sql
 
 
@@ -2162,37 +2174,31 @@ BM25_B = "0.75"
 BM25_ONE_MINUS_B = "0.25"
 
 
-def _eq_lit(t: str):
-    """One-arg lambda factory for F.filter — a two-parameter lambda
-    (e.g. the ``t=t`` default-capture idiom) would be interpreted by
-    PySpark as the (element, index) form and silently compare tokens
-    against the array INDEX."""
-    return lambda x: x == F.lit(t)
-
-
 def bm25_term_micro(tf, dfq, n_docs, dl, avgdl):
     """ONE query term's fixed-point BM25 contribution — floor-snapped
     idf micro-nats × tf normalization, floored to bigint BEFORE the
     cross-term sum (see _bm25_scored for why). This is the single
     expression tree both the one-shot scorer and BM25Index.topk build
     from: the bit-parity contract between them (the additivity oracle)
-    must not rest on two hand-synchronized copies."""
-    idf_micro = F.floor(
-        F.log(
-            F.lit(1.0) + (n_docs - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
-        )
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("bigint")
-    tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
-        tf
-        + F.lit(float(BM25_K1))
-        * (
-            F.lit(float(BM25_ONE_MINUS_B))
-            + F.lit(float(BM25_B)) * (dl / avgdl)
-        )
+    must not rest on two hand-synchronized copies.
+
+    Takes/returns Spark-SQL TEXT fragments (single-parse form — the
+    former per-term Column chain was ~70 py4j round-trips per term,
+    guide §7.3; callers F.expr the summed text once). The tree is
+    unchanged: D-suffixed double literals mirror the former F.lit
+    doubles (bare 0.5 would parse as DECIMAL — see cosine6), ln is
+    F.log's natural log, parenthesization preserves the exact IEEE
+    fold order the oracle's fixed-point floors depend on."""
+    idf_micro = (
+        f"CAST(floor(ln(1.0D + (({n_docs}) - ({dfq}) + 0.5D) / "
+        f"(({dfq}) + 0.5D)) * 1e6 + 0.5D) AS BIGINT)"
     )
-    return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
+    tfn = (
+        f"(({tf}) * {float(BM25_K1_PLUS_1)}D) / (({tf}) + {float(BM25_K1)}D "
+        f"* ({float(BM25_ONE_MINUS_B)}D + {float(BM25_B)}D "
+        f"* (({dl}) / ({avgdl}))))"
+    )
+    return f"CAST(floor({idf_micro} * ({tfn}) + 0.5D) AS BIGINT)"
 
 
 def _bm25_scored(df):
@@ -2215,14 +2221,17 @@ def _bm25_scored(df):
     the whole scorer is scan + broadcast + project, so it survives any
     corpus size (the classic explode→groupBy tf materializes |tokens|
     rows and shuffles them — this form never does)."""
-    toks = hashing.tokens("text")
-    per_doc = df.select(
+    ts = hashing.tokens_sparksql("text")
+    # single-parse per-doc projection (guide §7.3): size/filter trees
+    # identical to the former F.size(F.filter(toks, =t)) chain — the
+    # filter-lambda builders were ~30 py4j round-trips per term
+    per_doc = df.selectExpr(
         "doc_id",
         "lang",
         "source",
-        F.size(toks).alias("dl"),
+        f"size({ts}) AS dl",
         *[
-            F.size(F.filter(toks, _eq_lit(t))).alias(f"tf{i}")
+            f"size(filter({ts}, x -> x = '{t}')) AS tf{i}"
             for i, t in enumerate(BM25_QUERY_TERMS)
         ],
     )
@@ -2238,19 +2247,12 @@ def _bm25_scored(df):
     scored = per_doc.crossJoin(F.broadcast(stats)).withColumn(
         "avgdl", avgdl
     )
-
-    def term_micro(i: int):
-        return bm25_term_micro(
-            F.col(f"tf{i}"),
-            F.col(f"df{i}"),
-            F.col("n_docs"),
-            F.col("dl"),
-            F.col("avgdl"),
+    score = F.expr(
+        " + ".join(
+            bm25_term_micro(f"tf{i}", f"df{i}", "n_docs", "dl", "avgdl")
+            for i in range(len(BM25_QUERY_TERMS))
         )
-
-    score = term_micro(0)
-    for i in range(1, len(BM25_QUERY_TERMS)):
-        score = score + term_micro(i)
+    )
     return scored.select(
         "doc_id", "lang", "source", score.alias("score_micro")
     )
@@ -4024,11 +4026,15 @@ def hybrid_search_rrf(spark, sf_dir):
         .alias("lex_rank"),
     )
 
-    e = [
-        _hash_dim(F.col("text"), i).alias(f"e{i}")
-        for i in range(HYBRID_EMB_DIMS)
-    ]
-    emb = df.select("doc_id", *e)
+    # single-parse embedding projection (guide §7.3): the 8 _hash_dim
+    # Column chains measured ~0.9s of pure py4j construction per build
+    emb = df.selectExpr(
+        "doc_id",
+        *[
+            f"{_hash_dim_sparksql('text', i)} AS e{i}"
+            for i in range(HYBRID_EMB_DIMS)
+        ],
+    )
     dot = sum(
         (F.col(f"e{i}") * F.lit(q[i]).cast("bigint")
          for i in range(HYBRID_EMB_DIMS)),

@@ -991,3 +991,83 @@ def test_clear_trained_cache_retrains(spark):
     assert not _TRAINED_CACHE
     retrained = _ivf_trained_centroids(emb)
     assert retrained == real  # deterministic Lloyd, genuinely re-run
+
+
+def test_single_parse_scoring_trees_match_column_forms(spark):
+    """r13 optimization guard: bm25_term_micro and _hash_dim moved to
+    single-parse Spark-SQL text builders (driver-side construction
+    cost); the analyzed trees must stay canonically identical to the
+    documented Column-API forms — the fixed-point bit-parity contract
+    (oracle floors) rides on the exact IEEE fold order."""
+    from pyspark.sql import functions as F
+
+    from pgsync_spark.queries import (
+        BM25_K1,
+        BM25_K1_PLUS_1,
+        BM25_B,
+        BM25_ONE_MINUS_B,
+        _hash_dim,
+        _hash_dim_sparksql,
+        bm25_term_micro,
+    )
+
+    df = spark.range(3).selectExpr(
+        "CAST(id AS BIGINT) AS tf0",
+        "CAST(id + 1 AS BIGINT) AS df0",
+        "CAST(100 AS BIGINT) AS n_docs",
+        "CAST(10 AS BIGINT) AS dl",
+        "CAST(9.5 AS DOUBLE) AS avgdl",
+        "CAST(id AS STRING) AS text",
+    )
+
+    def column_term_micro(tf, dfq, n_docs, dl, avgdl):
+        # the pre-r13 Column-API tree, verbatim
+        idf_micro = F.floor(
+            F.log(
+                F.lit(1.0) + (n_docs - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint")
+        tfn = (tf * F.lit(float(BM25_K1_PLUS_1))) / (
+            tf
+            + F.lit(float(BM25_K1))
+            * (
+                F.lit(float(BM25_ONE_MINUS_B))
+                + F.lit(float(BM25_B)) * (dl / avgdl)
+            )
+        )
+        return F.floor(idf_micro * tfn + F.lit(0.5)).cast("bigint")
+
+    def same(a, b):
+        return (
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+
+    old_tm = df.select(
+        column_term_micro(
+            F.col("tf0"),
+            F.coalesce(F.col("df0"), F.lit(0).cast("long")),
+            F.col("n_docs"),
+            F.col("dl"),
+            F.col("avgdl"),
+        ).alias("s")
+    )
+    new_tm = df.select(
+        F.expr(
+            bm25_term_micro(
+                "tf0",
+                "coalesce(df0, CAST(0 AS BIGINT))",
+                "n_docs",
+                "dl",
+                "avgdl",
+            )
+        ).alias("s")
+    )
+    assert same(old_tm, new_tm)
+
+    old_hd = df.select(_hash_dim(F.col("text"), 3).alias("e"))
+    new_hd = df.selectExpr(f"{_hash_dim_sparksql('text', 3)} AS e")
+    assert same(old_hd, new_hd)
