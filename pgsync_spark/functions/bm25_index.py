@@ -209,10 +209,11 @@ class BM25Index(_AppendOnlyIndex):
                 # NULL text tokenizes as empty, never as a NULL toks
                 # whose size(-1/NULL) would silently poison sum_dl /
                 # avgdl for every later query — one malformed streamed
-                # record must not corrupt corpus stats
-                analyze(
-                    F.coalesce(F.col("text"), F.lit("")), self.analyzer
-                ).alias("toks"),
+                # record must not corrupt corpus stats. String arg →
+                # the single-parse analyze form (same tree).
+                analyze("coalesce(text, '')", self.analyzer).alias(
+                    "toks"
+                ),
                 "lang",
                 "source",
             )

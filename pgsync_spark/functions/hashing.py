@@ -193,8 +193,15 @@ def _check_analyzer(analyzer: str) -> None:
 
 
 def analyze(col: Column, analyzer: str = "whitespace") -> Column:
-    """Tokenize ``col`` with the named analyzer (array<string>)."""
+    """Tokenize ``col`` with the named analyzer (array<string>).
+
+    A column NAME / SQL-text fragment (string) takes the single-parse
+    F.expr form (same tree — see tokens); the stop-array and
+    filter/transform lambda builders are ~60 py4j round-trips per
+    construction, paid per ingest epoch on the Column path."""
     _check_analyzer(analyzer)
+    if isinstance(col, str):
+        return F.expr(analyze_sparksql(col, analyzer))
     if analyzer == "whitespace":
         return tokens(col)
     toks = F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
@@ -203,6 +210,23 @@ def analyze(col: Column, analyzer: str = "whitespace") -> Column:
         toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
     if analyzer == "standard_stem":
         toks = F.transform(toks, _stem_chain_spark)
+    return toks
+
+
+def analyze_sparksql(expr: str, analyzer: str = "whitespace") -> str:
+    """Spark-SQL text form of ``analyze`` (same tree)."""
+    _check_analyzer(analyzer)
+    if analyzer == "whitespace":
+        return tokens_sparksql(expr)
+    toks = f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}', 0)"
+    if analyzer in ("standard_stop", "standard_stem"):
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+        toks = f"filter({toks}, x -> NOT array_contains(array({lst}), x))"
+    if analyzer == "standard_stem":
+        inner = "x"
+        for pat, _, suf in _STEM_RULES:
+            inner = f"regexp_replace({inner}, '{pat}', '$1{suf}')"
+        toks = f"transform({toks}, x -> {inner})"
     return toks
 
 

@@ -1071,3 +1071,47 @@ def test_single_parse_scoring_trees_match_column_forms(spark):
     old_hd = df.select(_hash_dim(F.col("text"), 3).alias("e"))
     new_hd = df.selectExpr(f"{_hash_dim_sparksql('text', 3)} AS e")
     assert same(old_hd, new_hd)
+
+
+def test_analyze_single_parse_trees_match_column_forms(spark):
+    """r13: analyze() string fast path must build the identical tree
+    as the Column-API analyzer chain, for every analyzer (the frozen
+    index-vocabulary contract rides on token-for-token equality)."""
+    from pyspark.sql import functions as F
+
+    from pgsync_spark.functions.hashing import (
+        ANALYZERS,
+        STOPWORDS,
+        _STANDARD_RE,
+        _stem_chain_spark,
+        analyze,
+    )
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS text")
+
+    def column_analyze(col, analyzer):
+        # the pre-r13 Column-API chain, verbatim
+        if analyzer == "whitespace":
+            return F.filter(
+                F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")
+            )
+        toks = F.regexp_extract_all(F.lower(col), F.lit(_STANDARD_RE), 0)
+        if analyzer in ("standard_stop", "standard_stem"):
+            stop = F.array(*[F.lit(w) for w in STOPWORDS])
+            toks = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+        if analyzer == "standard_stem":
+            toks = F.transform(toks, _stem_chain_spark)
+        return toks
+
+    for an in ANALYZERS:
+        a = df.select(
+            column_analyze(F.coalesce(F.col("text"), F.lit("")), an).alias(
+                "t"
+            )
+        )
+        b = df.select(analyze("coalesce(text, \'\')", an).alias("t"))
+        assert (
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        ), an
