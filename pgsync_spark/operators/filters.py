@@ -73,6 +73,66 @@ def build_filters(clauses: list[dict], dtypes: dict[str, str] | None = None) -> 
     return functools.reduce(lambda a, b: a | b, ors)
 
 
+def _bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _spark_sql_str(s: str) -> str:
+    # backslash is an escape char in Spark SQL string literals (default
+    # escapedStringLiterals=false), so it needs doubling alongside quotes
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _spark_sql_lit(v) -> str:
+    """Render a Python value as the Spark SQL literal that parses to the
+    same typed Literal as ``F.lit(v)`` (int32-range ints → INT, larger →
+    BIGINT via L suffix, floats → DOUBLE via D suffix)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+    if isinstance(v, float):
+        return f"{v!r}D"
+    return _spark_sql_str(str(v))
+
+
+def _typed_eq_spark_sql(col: str, v, dtypes: dict[str, str] | None) -> str:
+    """``_typed_eq`` rendered as a Spark SQL fragment — branch-for-branch
+    the same predicate tree (pinned by the sqlgen parity tests), so the
+    one-SQL compile path (plans/sqlgen.py) filters identically."""
+    if dtypes is None or col not in dtypes:
+        return f"({_bt(col)} <=> {_spark_sql_lit(v)})"
+    dt = dtypes[col]
+    stringy = any(dt.startswith(s) for s in _STRINGY)
+    if isinstance(v, bool) and dt != "boolean":
+        return "FALSE"
+    if dt == "boolean" and not isinstance(v, (bool, str, type(None))):
+        return "FALSE"
+    if not isinstance(v, (str, type(None))) and stringy:
+        return "FALSE"
+    if isinstance(v, str) and not stringy:
+        typed = f"try_cast({_spark_sql_str(v)} AS {dt})"
+        return f"(({_bt(col)} <=> {typed}) AND ({typed} IS NOT NULL))"
+    return f"({_bt(col)} <=> {_spark_sql_lit(v)})"
+
+
+def filters_to_spark_sql(
+    clauses: list[dict], dtypes: dict[str, str] | None = None
+) -> str:
+    """``build_filters`` rendered as ONE Spark SQL predicate — the same
+    Catalyst tree parsed in a single pass (used by plans/sqlgen.py's
+    one-SQL compile). AND binds tighter than OR in both forms."""
+    if not clauses:
+        return "TRUE"
+    ors = []
+    for clause in clauses:
+        ands = [_typed_eq_spark_sql(k, v, dtypes) for k, v in clause.items()]
+        ors.append(" AND ".join(ands))
+    return " OR ".join(ors)
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"

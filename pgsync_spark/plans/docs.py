@@ -79,27 +79,17 @@ def _meta_sql(compiled: CompiledDoc) -> str:
     return "struct(" + ", ".join(tables) + ") AS _meta"
 
 
-def assemble_docs(
-    compiled: CompiledDoc,
+def assemble_exprs(
+    compiled,
     include_meta: bool = True,
     include_pks: bool = False,
     include_keys: bool = False,
-) -> DataFrame:
-    """Final (_id, doc[, *root_pks]) DataFrame with canonical compact
-    JSON docs. ``include_pks`` rides the typed root keys along in the
-    same projection (the incremental engine's doc store) — no re-join.
-    ``include_keys`` additionally carries each lineage key array
-    (distinct, stringified) under its ``__k_*`` name, so one
-    materialization of this projection serves both the doc store and
-    the lineage index.
-
-    The whole projection is ONE ``selectExpr`` parse: the incremental
-    engine pays this assembly per batch and the Column-by-Column form
-    was ~0.15s of driver-side py4j construction (guide §7.3). The SQL
-    fragments mirror the former Column expressions token-for-token
-    (struct field aliases, explicit ELSE NULL, map-typed to_json
-    options), so the analyzed tree — and the canonical JSON bytes the
-    oracles hash — are unchanged."""
+) -> list[str]:
+    """The assembly projection as SQL fragments — shared between
+    ``assemble_docs`` (selectExpr over a compiled DataFrame) and the
+    one-SQL generator (plans/sqlgen.py), so both paths are
+    token-for-token the same text. ``compiled`` needs only the
+    metadata fields (keys_cols, field_names, root_pks, tree)."""
     parts = []
     if include_meta:
         parts.append(_meta_sql(compiled))
@@ -134,7 +124,33 @@ def assemble_docs(
                 f"transform(array_distinct({c}), x -> cast(x as string)) "
                 f"AS {c}"
             )
-    return compiled.df.selectExpr(*cols)
+    return cols
+
+
+def assemble_docs(
+    compiled: CompiledDoc,
+    include_meta: bool = True,
+    include_pks: bool = False,
+    include_keys: bool = False,
+) -> DataFrame:
+    """Final (_id, doc[, *root_pks]) DataFrame with canonical compact
+    JSON docs. ``include_pks`` rides the typed root keys along in the
+    same projection (the incremental engine's doc store) — no re-join.
+    ``include_keys`` additionally carries each lineage key array
+    (distinct, stringified) under its ``__k_*`` name, so one
+    materialization of this projection serves both the doc store and
+    the lineage index.
+
+    The whole projection is ONE ``selectExpr`` parse: the incremental
+    engine pays this assembly per batch and the Column-by-Column form
+    was ~0.15s of driver-side py4j construction (guide §7.3). The SQL
+    fragments mirror the former Column expressions token-for-token
+    (struct field aliases, explicit ELSE NULL, map-typed to_json
+    options), so the analyzed tree — and the canonical JSON bytes the
+    oracles hash — are unchanged."""
+    return compiled.df.selectExpr(
+        *assemble_exprs(compiled, include_meta, include_pks, include_keys)
+    )
 
 
 def routing_column(compiled: CompiledDoc) -> F.Column | None:

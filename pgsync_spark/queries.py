@@ -22,7 +22,6 @@ from .functions import hashing
 from .functions.hashing import h32_sql, round6_sql
 from .operators.windows import bounded_rank_window
 from .operators.filters import build_filters, filters_to_sql
-from .plans.compiler import TreeCompiler
 from .plans.oracle import oracle_doc_sql
 from . import schemas
 
@@ -54,8 +53,15 @@ def catalog_for(spark: SparkSession, sf_dir: str) -> Catalog:
 
 def _denorm_fn(tree_name: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # one-SQL compile (plans/sqlgen.py): the identical Catalyst tree
+        # as TreeCompiler().compile_docs() — pinned by optimized-plan
+        # sameResult + byte parity in tests/test_sqlgen_parity.py — at
+        # one parse+analyze instead of ~50 eager DataFrame ops
+        from .plans.sqlgen import compile_assembled
+
         cat = Catalog(spark, sf_dir)
-        return TreeCompiler(cat).compile_docs(schemas.tree(tree_name))
+        df, _meta = compile_assembled(cat, schemas.tree(tree_name))
+        return df
 
     fn.__name__ = f"denorm_{tree_name}"
     return fn
@@ -610,10 +616,13 @@ _DENORM_FILTERS = [
 
 
 def denorm_orders_filtered(spark, sf_dir):
+    from .plans.sqlgen import compile_assembled
+
     cat = Catalog(spark, sf_dir)
-    return TreeCompiler(cat, root_filters=_DENORM_FILTERS).compile_docs(
-        schemas.tree("orders_lineitems")
+    df, _meta = compile_assembled(
+        cat, schemas.tree("orders_lineitems"), root_filters=_DENORM_FILTERS
     )
+    return df
 
 
 REGISTRY["denorm_orders_filtered"] = QueryDef(

@@ -46,7 +46,6 @@ from ..node import SYSTEM_COLUMNS, Node, Tree
 from ..operators.joins import maybe_broadcast
 from ..operators.overlay import KeyedOverlay
 from ..operators.overlay import apply_parallel as apply_overlays_parallel
-from ..plans.compiler import TreeCompiler
 from ..plans.docs import assemble_docs
 from .cdc import DELETE, INSERT, TRUNCATE, UPDATE, TableMaterializer, _typed_image
 
@@ -147,19 +146,22 @@ def lineage_df(combined: DataFrame, keys_cols: dict) -> DataFrame:
     )
 
 
-def materialize_tree(
-    compiled, count_obs: Observation | None = None
+def materialize_combined(
+    combined: DataFrame,
+    keys_cols: dict,
+    count_obs: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One-pass materialization of a compiled tree →
+    """One-pass materialization of a compiled+assembled combined frame
+    (doc JSON + typed root PKs + slim key arrays) →
     (docs, lineage, combined).
 
-    A single combined projection (doc JSON + typed root PKs + slim key
-    arrays) is localCheckpoint-ed eagerly, so the denormalization plan
-    runs exactly once; the doc store and the lineage index are lazy
-    projections over the checkpointed rows. Replaces a persist of the
-    wide pre-JSON frame + one eager checkpoint per store + one cache
-    scan per key column (measured ~2× on full_sync at sf0.1). On a
-    cluster the checkpoint is a Delta/parquet write; same shape.
+    The combined projection is localCheckpoint-ed eagerly, so the
+    denormalization plan runs exactly once; the doc store and the
+    lineage index are lazy projections over the checkpointed rows.
+    Replaces a persist of the wide pre-JSON frame + one eager
+    checkpoint per store + one cache scan per key column (measured
+    ~2× on full_sync at sf0.1). On a cluster the checkpoint is a
+    Delta/parquet write; same shape.
 
     ``combined`` is returned so the caller can release its blocks
     (caching.release_local_checkpoint) once both views have been
@@ -169,16 +171,32 @@ def materialize_tree(
     ``n_docs`` row count (combined has exactly one row per doc) — the
     caller reads it after this returns, instead of running a separate
     count() action."""
-    combined = assemble_docs(compiled, include_pks=True, include_keys=True)
     if count_obs is not None:
         combined = combined.observe(
             count_obs, F.count(F.lit(1)).alias("n_docs")
         )
+    else:
+        # a caller may pass a MEMOIZED plan (full_sync's compile memo);
+        # localCheckpoint on that same Dataset would reuse its first
+        # materialization's blocks — result caching across syncs, which
+        # the engine must never do (and once those blocks are released,
+        # the truncated lineage cannot recompute). A no-op alias forces
+        # a fresh QueryExecution/RDD per call; the SubqueryAlias is
+        # erased by the optimizer, so the executed plan is identical.
+        combined = combined.alias("__resync")
     combined = combined.localCheckpoint(eager=True)
     doc_cols = [c for c in combined.columns if not c.startswith("__k_")]
     docs = combined.select(*doc_cols)
-    lineage = lineage_df(combined, compiled.keys_cols)
+    lineage = lineage_df(combined, keys_cols)
     return docs, lineage, combined
+
+
+def materialize_tree(
+    compiled, count_obs: Observation | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """materialize_combined over a CompiledDoc (assembles first)."""
+    combined = assemble_docs(compiled, include_pks=True, include_keys=True)
+    return materialize_combined(combined, compiled.keys_cols, count_obs)
 
 
 class IncrementalEngine:
@@ -286,9 +304,14 @@ class IncrementalEngine:
         # the full-sync combined checkpoint backs BOTH stores' initial
         # bases; released once each store compacts onto its own base
         self._shared_base: DataFrame | None = None
-        # (catalog.version, CompiledDoc) of the last full-corpus
-        # compile — see full_sync
+        # (catalog.version, combined frame, keys_cols) of the last
+        # full-corpus compile — see full_sync
         self._full_plan: tuple | None = None
+        # engine-lifetime temp-view cache for the per-batch one-SQL
+        # compiles: unchanged snapshot views re-register zero times
+        from ..plans.sqlgen import ViewScope
+
+        self._view_scope = ViewScope(spark)
         # ops counters (the reference's status loop analog,
         # ref: pgsync/sync.py:2084-2112)
         self.stats = {
@@ -405,29 +428,40 @@ class IncrementalEngine:
         # the full-corpus compiled plan is engine state: the tree and
         # catalog determine it entirely, so a re-sync against an
         # unchanged catalog reuses the plan instead of paying the
-        # compiler's DataFrame-construction pass again (~0.4s of
-        # driver-side py4j work; guide §7.3). catalog.version bumps on
-        # every snapshot-view register/unregister, so a mid-stream
-        # re-sync against materialized snapshots always recompiles.
-        # Only the PLAN is memoized — materialize_tree below re-executes
-        # it from the current files on every call.
+        # compile pass again. catalog.version bumps on every
+        # snapshot-view register/unregister, so a mid-stream re-sync
+        # against materialized snapshots always recompiles. Only the
+        # PLAN is memoized — materialize_combined below re-executes it
+        # from the current files on every call. The compile itself is
+        # the one-SQL path (plans/sqlgen.py): one parse+analyze instead
+        # of ~50 eager DataFrame ops (~0.34s of driver-side py4j work;
+        # guide §7.3), byte-parity pinned by tests/test_sqlgen_parity.
         memo = self._full_plan
         if memo is not None and memo[0] == self.catalog.version:
-            compiled = memo[1]
+            combined_plan, keys_cols = memo[1], memo[2]
         else:
-            compiled = TreeCompiler(self.catalog).compile(self.tree)
-            self._full_plan = (self.catalog.version, compiled)
+            from ..plans.sqlgen import compile_assembled
+
+            combined_plan, cmeta = compile_assembled(
+                self.catalog,
+                self.tree,
+                include_pks=True,
+                include_keys=True,
+                scope=self._view_scope,
+            )
+            keys_cols = dict(cmeta.keys_cols)
+            self._full_plan = (self.catalog.version, combined_plan, keys_cols)
         expected = set()
         for table, tuples in self._keys_by_table.items():
             for pks in tuples:
                 expected.update((table, pk) for pk in pks)
                 if len(pks) > 1:
                     expected.add((table, "|".join(pks)))
-        assert set(compiled.keys_cols) == expected, (
+        assert set(keys_cols) == expected, (
             "lineage key inventory diverged from compiled keys: "
-            f"{sorted(set(compiled.keys_cols) ^ expected)}"
+            f"{sorted(set(keys_cols) ^ expected)}"
         )
-        docs, lineage, combined = materialize_tree(compiled)
+        docs, lineage, combined = materialize_combined(combined_plan, keys_cols)
         self._teardown_stores()
         self._docs_store = KeyedOverlay(
             docs, ["_id"], compact_every=self.STORE_COMPACT_EVERY
@@ -957,16 +991,24 @@ class IncrementalEngine:
         # it dedups root_keys itself)
         affected_keys = affected.select(*self.root_pks)
 
-        compiled = TreeCompiler(
-            self.catalog, root_keys=affected_keys, root_keys_rows=n_affected + n_new
-        ).compile(self.tree)
+        from ..plans.sqlgen import compile_assembled
+
+        combined_plan, cmeta = compile_assembled(
+            self.catalog,
+            self.tree,
+            root_keys=affected_keys,
+            root_keys_rows=n_affected + n_new,
+            include_pks=True,
+            include_keys=True,
+            scope=self._view_scope,
+        )
         # upsert + implicit delete: affected docs that did not recompute
         # (root row gone) simply don't come back (ref: _delete_op).
         # The recomputed-doc count rides the combined checkpoint via
         # observe — no separate count() action.
         count_obs = Observation()
-        new_docs, new_lineage, new_combined = materialize_tree(
-            compiled, count_obs=count_obs
+        new_docs, new_lineage, new_combined = materialize_combined(
+            combined_plan, cmeta.keys_cols, count_obs=count_obs
         )
         batch_tmp.append(new_combined)
         self.stats["recomputed_docs"] += int(count_obs.get["n_docs"])
