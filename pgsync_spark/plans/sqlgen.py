@@ -313,7 +313,9 @@ class SqlTreeCompiler:
 
     def _node_body(
         self, node: Node, extra: set[str]
-    ) -> tuple[str, list[ColumnSpec], list[tuple[str, str]], dict]:
+    ) -> tuple[str, list[ColumnSpec], list[tuple[str, str]], dict, list[str]]:
+        """Returns (sql, specs, field (label, expr) pairs, keys_cols,
+        output column order)."""
         child_extra: set[str] = set()
         child_plans: list[tuple[Node, object, list[str]]] = []
         for ch in node.children:
@@ -592,7 +594,7 @@ class SqlTreeCompiler:
             f"SELECT {', '.join(_bt(c) for c in sorted(tneeded))} "
             f"FROM {self.views[through]}"
         )
-        tsql, tcols = self._prefilter_child(
+        tsql, _tcols = self._prefilter_child(
             tsql, sorted(tneeded), list(fk_parent.child),
             list(fk_parent.parent), parent
         )
