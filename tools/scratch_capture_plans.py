@@ -14,7 +14,8 @@ TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(_REPO, "plans", "r13")
 os.makedirs(OUT, exist_ok=True)
 
 from pgsync_spark import get_spark  # noqa: E402
@@ -22,7 +23,7 @@ from pgsync_spark import caching  # noqa: E402
 from pgsync_spark.queries import REGISTRY  # noqa: E402
 
 # the bench's headline list is the judged surface
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 from bench import HEADLINE  # noqa: E402
 
 spark = get_spark("capture_plans")
