@@ -44,23 +44,44 @@ def _fk(cols, ref_table, ref_cols):
     return (tuple(cols), (ref_table, tuple(ref_cols)))
 
 
-# Session-scoped columnar READER-PLAN cache: (realpath, fmt, mtime_ns)
-# → the resolved base DataFrame. Resolving a parquet/orc path is
-# driver-side metadata work (DataSource resolution, file listing,
-# footer schema merge — ~0.1s per table here), and every query
-# invocation builds a fresh Catalog, so the same immutable testdata
-# tables were re-resolved per invocation (guide §6: file-listing
-# metadata is exactly what a session should cache across scans; table
-# formats with manifests exist to avoid this cost entirely). Only the
-# PLAN is cached — every action still scans the files — and the
-# mtime_ns key invalidates on any rewrite of the file/directory, so a
-# regenerated corpus under the same path resolves fresh. Keyed weakly
-# by SparkSession: a torn-down session's entries vanish with it.
+# Session-scoped columnar READER-PLAN cache: (realpath, fmt) →
+# (tree_mtime_ns, resolved base DataFrame). Resolving a parquet/orc
+# path is driver-side metadata work (DataSource resolution, file
+# listing, footer schema merge — ~0.1s per table here), and every
+# query invocation builds a fresh Catalog, so the same immutable
+# testdata tables were re-resolved per invocation (guide §6:
+# file-listing metadata is exactly what a session should cache across
+# scans; table formats with manifests exist to avoid this cost
+# entirely). Only the PLAN is cached — every action still scans the
+# files. Invalidation: the stored stamp is the MAX mtime_ns over the
+# path and every entry beneath it (one os.walk — proportional to the
+# file count, which is the same listing the reader itself performs),
+# so in-place rewrites of a nested part file and adds/removes inside
+# partition subdirectories both miss the cache; a stale entry is
+# REPLACED (the (realpath, fmt) key holds one value), never
+# accumulated. Assumes no writer mutates bytes while back-dating
+# mtimes. Keyed weakly by SparkSession: a torn-down session's entries
+# vanish with it.
 import weakref
 
 _READER_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _tree_mtime_ns(path: str) -> int:
+    """MAX st_mtime_ns over ``path`` and everything beneath it — the
+    reader-plan cache's change stamp (see _READER_PLANS)."""
+    m = os.stat(path).st_mtime_ns
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                n = os.stat(os.path.join(root, name)).st_mtime_ns
+            except OSError:
+                continue
+            if n > m:
+                m = n
+    return m
 
 
 # Default registry for /root/testdata tables (see TESTDATA.md).
@@ -295,13 +316,14 @@ class Catalog:
         if fmt in ("parquet", "orc"):
             # plan-cached across Catalog instances (see _READER_PLANS)
             try:
-                key = (os.path.realpath(path), fmt, os.stat(path).st_mtime_ns)
+                key = (os.path.realpath(path), fmt)
+                stamp = _tree_mtime_ns(path)
                 plans = _READER_PLANS.setdefault(self.spark, {})
                 cached = plans.get(key)
-                if cached is not None:
-                    return cached
+                if cached is not None and cached[0] == stamp:
+                    return cached[1]
             except OSError:
-                plans, key = None, None
+                plans, key, stamp = None, None, None
             if fmt == "parquet":
                 df = _restore_nano_timestamps(
                     self.spark.read.parquet(path), path
@@ -309,7 +331,7 @@ class Catalog:
             else:
                 df = self.spark.read.orc(path)
             if plans is not None:
-                plans[key] = df
+                plans[key] = (stamp, df)
             return df
         meta = self.tables.get(name)
         declared = meta.schema if meta else None

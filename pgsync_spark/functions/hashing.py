@@ -214,18 +214,27 @@ def analyze(col: Column, analyzer: str = "whitespace") -> Column:
 
 
 def analyze_sparksql(expr: str, analyzer: str = "whitespace") -> str:
-    """Spark-SQL text form of ``analyze`` (same tree)."""
+    """Spark-SQL text form of ``analyze`` (same tree). Every
+    interpolated constant goes through the _spark_sql_str escaper: the
+    current constants contain no quote/backslash (so the emitted text
+    is unchanged), but a future constant that does must not silently
+    diverge from the Column form (F.lit passes strings verbatim; a
+    raw single-quoted SQL literal processes escapes)."""
+    from ..operators.filters import _spark_sql_str as _sq
+
     _check_analyzer(analyzer)
     if analyzer == "whitespace":
         return tokens_sparksql(expr)
-    toks = f"regexp_extract_all(lower({expr}), '{_STANDARD_RE}', 0)"
+    toks = f"regexp_extract_all(lower({expr}), {_sq(_STANDARD_RE)}, 0)"
     if analyzer in ("standard_stop", "standard_stem"):
-        lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+        lst = ", ".join(_sq(w) for w in STOPWORDS)
         toks = f"filter({toks}, x -> NOT array_contains(array({lst}), x))"
     if analyzer == "standard_stem":
         inner = "x"
         for pat, _, suf in _STEM_RULES:
-            inner = f"regexp_replace({inner}, '{pat}', '$1{suf}')"
+            inner = (
+                f"regexp_replace({inner}, {_sq(pat)}, {_sq('$1' + suf)})"
+            )
         toks = f"transform({toks}, x -> {inner})"
     return toks
 

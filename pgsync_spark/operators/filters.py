@@ -83,17 +83,53 @@ def _spark_sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+class UnrenderableLiteral(ValueError):
+    """A filter value with no exact Spark SQL literal form (an int
+    outside bigint range — the L-suffixed rendering would not parse).
+    plans/sqlgen.py pre-checks with ``sql_renderable_filters`` and
+    routes such trees through the TreeCompiler Column path instead."""
+
+
+def sql_renderable_filters(clauses: list[dict] | None) -> bool:
+    """True when every filter value renders as an exact Spark SQL
+    literal (see UnrenderableLiteral)."""
+    for clause in clauses or []:
+        for v in clause.values():
+            if (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and not -(2**63) <= v < 2**63
+            ):
+                return False
+    return True
+
+
 def _spark_sql_lit(v) -> str:
     """Render a Python value as the Spark SQL literal that parses to the
     same typed Literal as ``F.lit(v)`` (int32-range ints → INT, larger →
-    BIGINT via L suffix, floats → DOUBLE via D suffix)."""
+    BIGINT via L suffix, floats → DOUBLE via D suffix; non-finite
+    doubles via a constant-folded CAST — 'infD'/'nanD' are parse
+    errors). Raises UnrenderableLiteral for out-of-bigint ints."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
-        return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+        if -(2**31) <= v < 2**31:
+            return str(v)
+        if -(2**63) <= v < 2**63:
+            return f"{v}L"
+        raise UnrenderableLiteral(
+            f"int {v} is outside bigint range — no Spark SQL literal "
+            "form; use the Column (TreeCompiler) path"
+        )
     if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return f"{v!r}D"
     return _spark_sql_str(str(v))
 

@@ -743,12 +743,18 @@ def compile_assembled(
     after analysis, so concurrent compiles never collide and nothing
     leaks into the session catalog.
     """
+    from ..operators.filters import sql_renderable_filters
+
     # root_keys + root_filters never co-occur on the hot paths (the
     # engine restricts by key, the queries filter literals); the
     # DataFrame analyzer's missing-ref restoration through a semi-join
     # is a plan shape sqlgen does not mirror, so that combo falls back
-    if not sql_expressible(catalog, tree) or (
-        root_keys is not None and root_filters
+    # — as does a filter value with no exact SQL literal rendering
+    # (out-of-bigint int: F.lit takes it, 'L'-suffixed text does not)
+    if (
+        not sql_expressible(catalog, tree)
+        or (root_keys is not None and root_filters)
+        or not sql_renderable_filters(root_filters)
     ):
         from .compiler import TreeCompiler
         from .docs import assemble_docs

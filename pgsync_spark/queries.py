@@ -2230,17 +2230,21 @@ def _bm25_scored(df):
     the whole scorer is scan + broadcast + project, so it survives any
     corpus size (the classic explode→groupBy tf materializes |tokens|
     rows and shuffles them — this form never does)."""
+    from .operators.filters import _spark_sql_str as _sq
+
     ts = hashing.tokens_sparksql("text")
     # single-parse per-doc projection (guide §7.3): size/filter trees
     # identical to the former F.size(F.filter(toks, =t)) chain — the
-    # filter-lambda builders were ~30 py4j round-trips per term
+    # filter-lambda builders were ~30 py4j round-trips per term.
+    # Terms ride through the _spark_sql_str escaper (no-op for the
+    # current constants) so the text form can never drift from F.lit.
     per_doc = df.selectExpr(
         "doc_id",
         "lang",
         "source",
         f"size({ts}) AS dl",
         *[
-            f"size(filter({ts}, x -> x = '{t}')) AS tf{i}"
+            f"size(filter({ts}, x -> x = {_sq(t)})) AS tf{i}"
             for i, t in enumerate(BM25_QUERY_TERMS)
         ],
     )

@@ -408,6 +408,14 @@ class IncrementalEngine:
             # a shared materializer (SyncRunner) outlives any one
             # engine; an owned one must not leak its snapshot blocks
             self.materializer.release()
+        # drop the compile-scope temp views too: without this, every
+        # engine leaked one view per tree table plus the __sg<N>_rk
+        # view (holding a strong ref to the last batch's root-keys
+        # frame) into the session catalog for the session's lifetime.
+        # Safe mid-lifecycle (full_sync tears down before swapping
+        # stores): the memoized full-corpus plan is already resolved,
+        # and the next per-batch compile lazily re-registers its views.
+        self._view_scope.release()
 
     def _maybe_release_shared(self) -> None:
         """Free the full-sync combined checkpoint once neither store's

@@ -179,6 +179,51 @@ def test_filters_to_spark_sql_matches_build_filters(spark):
         ), clauses
 
 
+def test_filters_spark_sql_nonfinite_literals(spark):
+    """inf/nan filter values must render as parseable SQL (the former
+    'infD'/'nanD' were parse errors) that constant-folds to the SAME
+    Literal the Column path's F.lit produces — optimized-plan
+    sameResult, r14 ADVICE item."""
+    from pgsync_spark.operators.filters import (
+        build_filters,
+        filters_to_spark_sql,
+    )
+
+    df = spark.range(3).selectExpr("CAST(id AS DOUBLE) AS d")
+    dtypes = dict(df.dtypes)
+    for v in (float("inf"), float("-inf"), float("nan")):
+        clauses = [{"d": v}]
+        a = df.filter(build_filters(clauses, dtypes))
+        b = df.filter(F.expr(filters_to_spark_sql(clauses, dtypes)))
+        assert (
+            a._jdf.queryExecution()
+            .optimizedPlan()
+            .sameResult(b._jdf.queryExecution().optimizedPlan())
+        ), v
+        assert a.count() == b.count() == 0
+
+
+def test_filters_out_of_bigint_falls_back(spark):
+    """An int filter value outside bigint range has no SQL literal
+    form (and F.lit rejects it too) — sql_renderable_filters must
+    flag it so compile_assembled routes through TreeCompiler instead
+    of emitting an unparseable 'L' literal; _spark_sql_lit raises the
+    typed error."""
+    import pytest as _pytest
+
+    from pgsync_spark.operators.filters import (
+        UnrenderableLiteral,
+        _spark_sql_lit,
+        sql_renderable_filters,
+    )
+
+    assert sql_renderable_filters([{"o_orderkey": 2**62}])
+    assert not sql_renderable_filters([{"o_orderkey": 2**63 + 5}])
+    assert sql_renderable_filters(None)
+    with _pytest.raises(UnrenderableLiteral):
+        _spark_sql_lit(2**63 + 5)
+
+
 def test_view_scope_reuses_unchanged_frames(spark):
     """ViewScope must re-register a table's view only when the frame
     object changes, and release() must drop everything it created."""
