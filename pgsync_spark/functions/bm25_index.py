@@ -57,7 +57,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ..operators.windows import bounded_rank_window
 
@@ -266,7 +265,89 @@ class BM25Index(_AppendOnlyIndex):
         fixed-point micro-nat arithmetic as queries._bm25_scored
         (floor-snapped idf per term, bigint per-term contributions),
         so results are bit-identical to one-shot scoring of the same
-        docs. Output: (doc_id, lang, source, score_micro, rank)."""
+        docs. Output: (doc_id, lang, source, score_micro, rank).
+
+        Construction: ONE spark.sql over memoized parts views (the
+        Column construction was 819 py4j round-trips per call — the
+        dominant cost of every serving/hybrid BM25 leg; guide §7.3).
+        The Column twin ``_topk_df`` stays as the parity reference
+        (tests/test_topk_sql_parity.py: sameResult + byte-equal
+        rows, CDC and no-CDC)."""
+        if self.keys is None or not terms:
+            # empty index, or a query whose every term was filtered
+            # away upstream (stopword removal): a typed empty result,
+            # not a Spark analysis crash over zero agg columns
+            return self.spark.createDataFrame(
+                [],
+                "doc_id bigint, lang string, source string, "
+                "score_micro bigint, rank int",
+            )
+        return self.spark.sql(self._topk_sql(terms, k))
+
+    def _topk_sql(self, terms: tuple[str, ...], k: int) -> str:
+        """The whole topk plan as ONE Spark SQL text — expression-
+        for-expression the Column form (_topk_df); shared subtrees
+        expanded textually, never as CTEs (see _AppendOnlyIndex
+        one-SQL notes). Terms ride through the _spark_sql_str escaper
+        so arbitrary query text can never break out of the literal."""
+        from ..operators.filters import _spark_sql_str as _sq
+        from ..queries import bm25_term_micro
+
+        kview, kcols = self._parts_view("keys")
+        vview, vcols = self._parts_view("vals")
+        bands = sorted({_band_of(t) for t in terms})
+        in_bands = ", ".join(str(b) for b in bands)
+        in_terms = ", ".join(_sq(t) for t in terms)
+        sl = (
+            f"(SELECT * FROM {kview} WHERE band IN ({in_bands}) "
+            f"AND term IN ({in_terms}))"
+        )
+        if self._has_cdc:
+            # CDC fold applied AFTER term pruning, exactly like the
+            # Column path: the anti/semi overlay joins run over the
+            # |terms|-band slice, never the whole postings corpus
+            sl = f"({self._cdc_live_sql(sl, kcols)})"
+            vsub = f"({self._cdc_live_sql(vview, vcols)})"
+        else:
+            vsub = vview
+        tfs = ",\n  ".join(
+            f"coalesce(max(CASE WHEN (term = {_sq(t)}) THEN tf END), "
+            f"CAST(0 AS BIGINT)) AS tf{i}"
+            for i, t in enumerate(terms)
+        )
+        cand = (
+            f"(SELECT doc_id, dl,\n  {tfs}\n  FROM {sl} "
+            f"GROUP BY doc_id, dl)"
+        )
+        dfs = ", ".join(
+            f"sum(CAST((tf{i} > 0) AS BIGINT)) AS df{i}"
+            for i in range(len(terms))
+        )
+        stats = f"""(SELECT * FROM (
+  SELECT n_docs, sum_dl, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+  FROM (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM {vsub}))
+  CROSS JOIN (SELECT {dfs} FROM {cand}))"""
+        score = " + ".join(
+            bm25_term_micro(
+                f"tf{i}",
+                f"coalesce(df{i}, CAST(0 AS BIGINT))",
+                "n_docs",
+                "dl",
+                "avgdl",
+            )
+            for i in range(len(terms))
+        )
+        top = f"""(SELECT doc_id, score_micro FROM (
+  SELECT /*+ BROADCAST(s) */ doc_id, {score} AS score_micro
+  FROM {cand} CROSS JOIN {stats} s)
+  WHERE score_micro > 0 ORDER BY score_micro DESC, doc_id LIMIT {k})"""
+        return f"""SELECT doc_id, lang, source, score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM (SELECT /*+ BROADCAST(t) */ v.doc_id, v.lang, v.source, t.score_micro
+      FROM (SELECT doc_id, lang, source FROM {vsub}) v JOIN {top} t USING (doc_id))"""
+
+    def _topk_df(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
+        """Column-API twin of _topk_sql (the parity reference)."""
         # the term expression lives with the one-shot scorer — ONE
         # tree for the bit-parity the oracle asserts, never two
         # hand-synchronized copies (import at call time: queries.py
@@ -311,24 +392,29 @@ class BM25Index(_AppendOnlyIndex):
         # count(sl rows with term=t) == count(cand rows with tf_t > 0)
         # — identical df values, one full postings-slice scan saved
         # (the former separate sl.agg() re-scanned every held posting).
-        # The window is a single-partition global sum over the tiny
-        # candidate set (the dsir_select histogram pattern).
-        wall = W.partitionBy()
-        cand = cand.select(
-            "*",
+        # The dfs ride the SAME one-row broadcast as the corpus stats
+        # (_bm25_scored's agg+crossJoin shape): a map-side-combined
+        # aggregate over the candidate set, NOT a W.partitionBy()
+        # window — that window funneled every candidate row through
+        # ONE partition, a straight-line serial stage whenever a query
+        # term is near-stopword-frequent at scale (guide §2.5).
+        dfs = cand.agg(
             *[
-                F.sum((F.col(f"tf{i}") > 0).cast("long"))
-                .over(wall)
-                .alias(f"df{i}")
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
                 for i in range(len(terms))
-            ],
+            ]
         )
-        stats = vals.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-        ).withColumn(
-            "avgdl",
-            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+        stats = (
+            vals.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .withColumn(
+                "avgdl",
+                F.col("sum_dl").cast("double")
+                / F.col("n_docs").cast("double"),
+            )
+            .crossJoin(dfs)
         )
         scored = cand.crossJoin(F.broadcast(stats))
 

@@ -79,6 +79,13 @@ DEFAULT_OVERLAY_CAP = 65536
 # table-level, not per-doc (see _AppendOnlyIndex.truncate).
 UPSERT_OPS = ("u", "c", "i", "r", "a")
 
+# per-instance temp-view name prefixes for the one-SQL topk path
+# (BM25Index/VectorIndex) — fresh per index so concurrent indexes in
+# one session never collide
+import itertools
+
+_AIDX_VIEW_IDS = itertools.count()
+
 
 def _fingerprint(sh):
     """md5 of the sorted hashed-shingle set: equal fingerprint <=>
@@ -177,6 +184,12 @@ class _AppendOnlyIndex:
         # epoch's val rows are ALL overlay rows, so the counter updates
         # before the manifest flip that persists it
         self._pending_overlay_delta = False
+        # one-SQL topk support: session temp views over the lazily
+        # unioned keys/vals parts, memoized on the parts LIST so an
+        # unchanged store re-registers nothing (see _parts_view);
+        # names are per-instance so concurrent indexes never collide
+        self._view_prefix = f"__aidx{next(_AIDX_VIEW_IDS)}"
+        self._topk_views: dict[str, tuple[tuple, str, list[str]]] = {}
 
     # -- occupancy-tracking hooks (no-ops here) -------------------------------
     #
@@ -1010,9 +1023,117 @@ class _AppendOnlyIndex:
         self._key_parts = [new_keys] if new_keys is not None else []
         self._val_parts = [new_vals] if new_vals is not None else []
 
+    # -- one-SQL topk plumbing (BM25Index / VectorIndex serving path) --------
+    #
+    # The Column-API topk constructions were the single largest
+    # remaining driver cost of the serving paths: every DataFrame op
+    # is an eager py4j round-trip plus a JVM analysis sweep (568
+    # round-trips per VectorIndex.topk, 819 per BM25Index.topk,
+    # cProfiled on this host — guide §7.3). The one-SQL form builds
+    # the whole query as TEXT (zero round-trips) over session temp
+    # views of the parts unions and submits ONE spark.sql. Parity with
+    # the Column twin (_topk_df, kept as the reference and the IVF
+    # subclass path) is pinned by tests/test_topk_sql_parity.py:
+    # optimized-plan sameResult + byte-equal rows, CDC and no-CDC.
+    #
+    # Text discipline (learned against sameResult): NO CTEs — a CTE
+    # referenced twice is inlined with alias-Project wrappers that
+    # survive canonicalization, while the Column path's reused plan
+    # objects deduplicate leaf ids with no extra node. Shared
+    # subtrees are expanded textually instead, exactly like the lazy
+    # Column plans duplicate them.
+
+    def _global_temp_db(self) -> str:
+        try:
+            return self.spark.conf.get(
+                "spark.sql.globalTempDatabase", "global_temp"
+            )
+        except Exception:  # noqa: BLE001
+            return "global_temp"
+
+    def _register_view(self, df: DataFrame, name: str) -> str:
+        """Register ``df`` as a GLOBAL temp view and return the
+        qualified name to reference in SQL text. Global, not session:
+        in foreachBatch the parts frames are bound to the stream's
+        CLONED SparkSession, whose session-temp-view catalog is
+        isolated from ``self.spark`` — a session view registered
+        there is invisible to the index's own spark.sql (found by
+        test_cdc_through_the_streaming_pipeline). The global-temp
+        catalog is application-shared, so every session sees it."""
+        df.createOrReplaceGlobalTempView(name)
+        return f"{self._global_temp_db()}.{name}"
+
+    def _parts_view(self, side: str) -> tuple[str, list[str]]:
+        """Register (memoized) the lazily-unioned keys/vals frame as a
+        global temp view; returns (qualified_name, columns).
+        Re-registers only when the parts list changed (append/compact/
+        truncate) — an unchanged store costs zero py4j calls here."""
+        parts = tuple(
+            self._key_parts if side == "keys" else self._val_parts
+        )
+        name = f"{self._view_prefix}_{side}"
+        cur = self._topk_views.get(side)
+        if (
+            cur is not None
+            and len(cur[0]) == len(parts)
+            and all(a is b for a, b in zip(cur[0], parts))
+        ):
+            return cur[1], cur[2]
+        df = reduce(DataFrame.unionByName, parts)
+        qname = self._register_view(df, name)
+        cols = df.columns
+        # the memoized tuple holds strong refs, so `is` identity above
+        # can never alias a released-and-reallocated frame
+        self._topk_views[side] = (parts, qname, cols)
+        return qname, cols
+
+    def _drop_topk_views(self) -> None:
+        names = [n for (_p, n, _c) in self._topk_views.values()]
+        names.extend(self._extra_view_names())
+        for qname in names:
+            try:
+                self.spark.catalog.dropGlobalTempView(
+                    qname.rsplit(".", 1)[-1]
+                )
+            except Exception:  # noqa: BLE001 — teardown best-effort
+                pass
+        self._topk_views.clear()
+
+    def _extra_view_names(self) -> list[str]:
+        """Subclass hook: extra per-instance temp views to drop."""
+        return []
+
+    def _cdc_live_sql(self, frame_sub: str, cols: list[str]) -> str:
+        """``_cdc_live(frame, _cdc_overlay(vals))`` as Spark SQL text
+        (same tree — the parity tests pin it). ``frame_sub`` is a
+        parenthesized subquery or view name; ``cols`` its columns.
+        Column order mirrors the Column path exactly: the keyed
+        semi/anti joins put the join key first and unionByName
+        realigns the semi branch to the anti branch's order."""
+        idc = self._ID_COL
+        vview, _vcols = self._parts_view("vals")
+        ordered = [idc] + [c for c in cols if c != idc]
+        fcols = ", ".join(f"f.{c}" for c in ordered)
+        ovl = (
+            f"SELECT {idc}, s.ver AS ver, s.op AS op FROM ("
+            f"SELECT {idc}, max(struct(ver, op)) AS s FROM {vview} "
+            f"WHERE op != 'a' GROUP BY {idc})"
+        )
+        dead = f"SELECT {idc} FROM ({ovl})"
+        alive = f"SELECT {idc}, ver FROM ({ovl}) WHERE op != 'd'"
+        return (
+            f"SELECT /*+ BROADCAST(d) */ {fcols} FROM {frame_sub} f "
+            f"LEFT ANTI JOIN ({dead}) d ON f.{idc} = d.{idc}\n"
+            f"UNION ALL\n"
+            f"SELECT /*+ BROADCAST(a) */ {fcols} FROM {frame_sub} f "
+            f"LEFT SEMI JOIN ({alive}) a "
+            f"ON f.{idc} = a.{idc} AND f.ver = a.ver"
+        )
+
     def close(self) -> None:
         from .. import caching
 
+        self._drop_topk_views()
         for f in self._key_parts + self._val_parts:
             # in-memory parts are eager localCheckpoints (blocks freed
             # via the RDD); loaded/compacted parts are persisted scans

@@ -364,6 +364,11 @@ class VectorIndex(_AppendOnlyIndex):
         finally:
             base.unpersist()
 
+    # the sign-LSH probe has an exact SQL text form; IVF's trained
+    # probe is an Arrow pass (ivf_assign_trained) and keeps the
+    # Column path
+    _SQL_TOPK = True
+
     def topk(
         self,
         queries: DataFrame,
@@ -383,11 +388,112 @@ class VectorIndex(_AppendOnlyIndex):
         width rows) broadcasts against the banded keys; candidate ids
         join vals by id for the exact re-rank — the corpus-sized
         frames are never shuffled, and with a store the keys scan is
-        band/bucket row-group-prunable."""
-        from .similarity import TOP_K, cosine6
+        band/bucket row-group-prunable.
+
+        Construction: ONE spark.sql over memoized parts views (the
+        Column construction was 568 py4j round-trips per call, the
+        dominant serving-path cost — guide §7.3); the Column twin
+        ``_topk_df`` stays as the IVF path and the parity reference
+        (tests/test_topk_sql_parity.py pins sameResult + bytes)."""
+        from .similarity import TOP_K
 
         if k is None:
             k = TOP_K
+        if self.keys is None:
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        if not self._SQL_TOPK:
+            return self._topk_df(queries, k, exclude_self)
+        qref = self._register_view(queries, f"{self._view_prefix}_q")
+        return self.spark.sql(self._topk_sql(qref, k, exclude_self))
+
+    def _extra_view_names(self) -> list[str]:
+        return [f"{self._view_prefix}_q"]
+
+    def _topk_sql(
+        self, qview: str, k: int, exclude_self: bool
+    ) -> str:
+        """The whole topk plan as ONE Spark SQL text — expression-
+        for-expression the Column form (_topk_df). Shared subtrees
+        (the query frame, the CDC overlay) are expanded textually,
+        never as CTEs (see _AppendOnlyIndex one-SQL notes)."""
+        from .similarity import (
+            N_BANDS,
+            PLANES_PER_BAND,
+            _dot_sparksql,
+            _norm_sparksql,
+            _probe_masks,
+        )
+
+        P = PLANES_PER_BAND
+        kview, kcols = self._parts_view("keys")
+        vview, vcols = self._parts_view("vals")
+        if self._has_cdc:
+            ksub = f"({self._cdc_live_sql(kview, kcols)})"
+            vsub = f"({self._cdc_live_sql(vview, vcols)})"
+        else:
+            ksub, vsub = kview, vview
+        q_sub = (
+            f"(SELECT CAST(query_id AS BIGINT) AS query_id, "
+            f"embedding AS qv FROM {qview})"
+        )
+        bands = ", ".join(
+            "0 + "
+            + " + ".join(
+                f"(CASE WHEN element_at(embedding, {b * P + i + 1}) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+                for i in range(P)
+            )
+            for b in range(N_BANDS)
+        )
+        bk = (
+            f"(SELECT vec_id, posexplode(array({bands})) AS (band, bucket) "
+            f"FROM (SELECT query_id AS vec_id, qv AS embedding FROM {q_sub}))"
+        )
+        if self.probe_hamming:
+            masks = _probe_masks(P, self.probe_hamming)
+            arr = (
+                "array("
+                + ", ".join(f"(bucket ^ {m})" for m in masks)
+                + ")"
+            )
+            probe = (
+                f"(SELECT query_id, band, explode({arr}) AS bucket "
+                f"FROM (SELECT vec_id AS query_id, band, bucket FROM {bk}))"
+            )
+        else:
+            probe = f"(SELECT vec_id AS query_id, band, bucket FROM {bk})"
+        self_pred = (
+            "\n  WHERE k.neighbor_id != p.query_id" if exclude_self else ""
+        )
+        cand = f"""(SELECT DISTINCT query_id, neighbor_id FROM (
+  SELECT /*+ BROADCAST(p) */ query_id, neighbor_id
+  FROM (SELECT vec_id AS neighbor_id, band, bucket FROM {ksub}) k
+  JOIN {probe} p USING (band, bucket){self_pred}))"""
+        c = (
+            f"{_dot_sparksql('qv', 'cv')} / "
+            f"({_norm_sparksql('qv')} * {_norm_sparksql('cv')})"
+        )
+        cos = f"(floor(({c}) * 1e6 + 0.5D) / 1e6)"
+        scored = f"""(SELECT /*+ BROADCAST(q) */ c.query_id, c.neighbor_id, {cos} AS cosine
+  FROM {cand} c
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS cv FROM {vsub}) v USING (neighbor_id)
+  JOIN {q_sub} q USING (query_id))"""
+        return f"""SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM {scored})
+WHERE rank <= {k}"""
+
+    def _topk_df(
+        self,
+        queries: DataFrame,
+        k: int,
+        exclude_self: bool = False,
+    ) -> DataFrame:
+        """Column-API twin of _topk_sql (the IVF path — its probe is
+        an Arrow pass — and the parity reference for the tests)."""
+        from .similarity import cosine6
+
         keys, vals = self.keys, self.vals
         if keys is None:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
@@ -465,6 +571,10 @@ class IVFVectorIndex(VectorIndex):
     Centroids are INDEX STATE: persisted in the manifest
     (_manifest_extra) and restored by load(), like BM25's analyzer —
     keys assigned under one codebook are unreadable under another."""
+
+    # the trained probe is an Arrow (mapInPandas) pass — no SQL text
+    # form exists, so IVF keeps the Column topk (_topk_df)
+    _SQL_TOPK = False
 
     def __init__(
         self,
