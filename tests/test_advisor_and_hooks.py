@@ -21,6 +21,7 @@ from conftest import SF_DIR
 # -- advisor ----------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_advisor_orders_full(spark):
     cat = Catalog(spark, SF_DIR)
     advice = analyze(cat, schemas.tree("orders_full"))

@@ -6,8 +6,10 @@ import os
 
 import bench
 from pgsync_spark.queries import REGISTRY, QueryDef
+import pytest
 
 
+@pytest.mark.slow
 def test_bench_isolates_broken_query(spark, monkeypatch, capsys, tmp_path):
     def boom(spark, sf_dir):
         raise RuntimeError("deliberately broken")

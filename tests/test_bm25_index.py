@@ -23,6 +23,7 @@ def _oneshot(spark):
     ]
 
 
+@pytest.mark.slow
 def test_incremental_matches_oneshot_across_restart_and_compact(
     spark, tmp_path
 ):
@@ -163,6 +164,7 @@ def test_stats_only_batch_still_counts_toward_n(spark, tmp_path):
     idx2.close()
 
 
+@pytest.mark.slow
 def test_bm25_index_through_the_streaming_pipeline(spark, tmp_path):
     """start_dedup_stream drives a BM25Index unchanged (empty
     decisions -> every doc accepted; same exactly-once epoch commits,
@@ -330,6 +332,7 @@ def test_cdc_update_delete_matches_post_cdc_oneshot(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_cdc_fold_at_compact_and_cold_reload(spark, tmp_path):
     """compact() physically folds the overlay (shadowed versions +
     tombstones dropped, everything back to op='a'), the answer is
@@ -561,6 +564,7 @@ def test_cdc_through_the_streaming_pipeline(spark, tmp_path):
     idx2.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 23])
 def test_bm25_cdc_fuzz_matches_oneshot(spark, seed):
     """Seeded random CDC lifecycle fuzz: interleaved bulk ingests,

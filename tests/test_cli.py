@@ -451,6 +451,7 @@ def test_cli_unknown_plugin_fails_at_startup(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cli_dedup_stream_drain(spark, tmp_path):
     """--dedup-stream end to end: two micro-batch files, cross-batch
     dup dropped, outputs + drift stats written, store-backed resume
@@ -808,6 +809,7 @@ def test_cli_dedup_stream_cdc_ops(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_cli_dedup_stream_cdc_ops_embedding(spark, tmp_path):
     """--cdc-ops with --dedup-index embedding: the vector stream
     carries op rows; an update swaps the blocking vector and a delete
@@ -864,6 +866,7 @@ def test_cli_dedup_stream_cdc_ops_embedding(spark, tmp_path):
     assert idx.ingest(vecs([(12, unit(1))])).count() == 0
     idx.close()
 
+@pytest.mark.slow
 def test_cli_bm25_store_engine_owned_index(spark, tmp_path):
     """--bm25-store: the sync CLI maintains an engine-owned BM25 index
     per tree — seeded from the initial sync, updated by the drained
@@ -1039,6 +1042,7 @@ def test_cli_dedup_stream_vector_index(spark, tmp_path):
     idx.close()
 
 
+@pytest.mark.slow
 def test_cli_bm25_store_string_pk_tree(spark, tmp_path):
     """--bm25-store over a STRING-PK tree: the CLI derives the
     HASH64_ID_EXPR identity automatically (the default BIGINT cast
@@ -1089,6 +1093,7 @@ def test_cli_bm25_store_string_pk_tree(spark, tmp_path):
     idx.close()
 
 
+@pytest.mark.slow
 def test_cli_vector_store_engine_owned_index(spark, tmp_path):
     """--vector-store: the sync CLI maintains an engine-owned ANN
     vector index per tree — seeded from the initial sync, updated by
@@ -1465,6 +1470,7 @@ def test_cli_ivf_cdc_ops_refuses_truncated_store(spark, tmp_path):
     ) == 2
 
 
+@pytest.mark.slow
 def test_cli_ann_rebuild_retrains_ivf_store(spark, tmp_path):
     """--ann-rebuild: retrain a committed IVF store over its live
     corpus as one atomic epoch — the manifest's codebook moves, the
@@ -1751,6 +1757,7 @@ def test_cli_ivf_sample_mod_dial(spark, tmp_path):
     ) == 2
 
 
+@pytest.mark.slow
 def test_cli_ann_frontier(spark, tmp_path):
     """--ann-frontier (r12): the operational nprobe frontier of a
     stored IVF index — five JSON lines with monotone candidate cost
@@ -1850,6 +1857,7 @@ def test_cli_ann_frontier(spark, tmp_path):
     assert lrecalls == sorted(lrecalls)
 
 
+@pytest.mark.slow
 def test_cli_ann_rebuild_when_fires_in_daemon(spark, tmp_path):
     """--ann-rebuild-when end to end through the CLI daemon: seed an
     engine-owned IVF store under the CLUSTERED featurizer, stream one

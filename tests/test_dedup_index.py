@@ -57,6 +57,7 @@ def test_dropped_docs_never_enter_index(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_store_backed_restart_resumes_index(spark, tmp_path):
     """Kill the process after two batches, load() from the store, and
     the third batch's decisions must match the uninterrupted run."""
@@ -184,6 +185,7 @@ def test_embedding_index_scaled_copy_rejected(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_streaming_dedup_ingestion(spark, tmp_path):
     """start_dedup_stream: JSON doc stream -> per-micro-batch index
     probe -> accepted docs + drop decisions in per-epoch dirs, index
@@ -360,6 +362,7 @@ def test_epoch_commit_is_atomic_and_replay_safe(spark, tmp_path):
     idx2.close()
 
 
+@pytest.mark.slow
 def test_streaming_replay_of_committed_epoch_rebuilds_outputs(
     spark, tmp_path
 ):
@@ -523,6 +526,7 @@ def test_streaming_drift_monitor(spark, tmp_path):
         assert json.load(f) == s1
 
 
+@pytest.mark.slow
 def test_compaction_collapses_segments_preserving_semantics(
     spark, tmp_path
 ):
@@ -588,6 +592,7 @@ def test_compaction_collapses_segments_preserving_semantics(
     idx2.close()
 
 
+@pytest.mark.slow
 def test_streaming_compact_every(spark, tmp_path):
     """compact_every through the wrapper: outputs identical to the
     uncompacted run, index state collapsed behind the scenes."""
@@ -954,6 +959,7 @@ def test_streaming_pre_filter_quality_gate(spark, tmp_path):
         idx.close()
 
 
+@pytest.mark.slow
 def test_pre_filter_survives_crash_replay(spark, tmp_path):
     """pre_filter × exactly-once replay: stored decisions cover only
     KEPT docs, so the replay path must re-apply the (deterministic)
@@ -1117,6 +1123,7 @@ def _cdc(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_minhash_cdc_delete_unblocks_future_dups(spark):
     """A deleted doc stops blocking: its exact copy arriving later is
     ACCEPTED (a removed doc is not grounds to drop new arrivals), and
@@ -1138,6 +1145,7 @@ def test_minhash_cdc_delete_unblocks_future_dups(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_minhash_cdc_update_swaps_blocking_version(spark):
     """After an update, the OLD text stops blocking and the NEW text
     blocks: the doc's identity persists, its content is current."""
@@ -1152,6 +1160,7 @@ def test_minhash_cdc_update_swaps_blocking_version(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_minhash_cdc_update_does_not_match_own_old_version(spark):
     """An update re-sending the SAME text must survive — the probe
     excludes the batch's own superseded versions (otherwise every
@@ -1166,6 +1175,7 @@ def test_minhash_cdc_update_does_not_match_own_old_version(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_minhash_cdc_update_into_dup_drops_and_tombstones(spark):
     """An update whose new text is a live doc's duplicate: decision
     (doc, dup_of) AND the doc leaves the corpus entirely — its old
@@ -1182,6 +1192,7 @@ def test_minhash_cdc_update_into_dup_drops_and_tombstones(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_minhash_cdc_compact_folds_and_reloads(spark, tmp_path):
     """compact() drops shadowed versions + tombstones physically; the
     folded store reloads with identical probe behavior and zero
@@ -1234,6 +1245,7 @@ def test_minhash_cdc_replay_and_batch_contract(spark, tmp_path):
     idx.close()
 
 
+@pytest.mark.slow
 def test_embedding_cdc_delete_update_semantics(spark):
     """EmbeddingIndex through the same lifecycle: delete unblocks,
     update swaps the blocking vector, a re-sent identical vector
@@ -1285,6 +1297,7 @@ def test_embedding_cdc_delete_update_semantics(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_minhash_cdc_through_streaming_pipeline(spark, tmp_path):
     """start_dedup_stream with the CDC schema drives
     MinHashIndex.apply_cdc: upserts probe/enter, deletes land in
@@ -1348,6 +1361,7 @@ def test_minhash_cdc_through_streaming_pipeline(spark, tmp_path):
     idx.close()
 
 
+@pytest.mark.slow
 def test_bulk_ingest_of_cdc_touched_id_raises(spark):
     """r8 review finding: an op='a' re-add of an id with CDC history
     would be invisible to the overlay fold and silently discarded at
@@ -1428,6 +1442,7 @@ def test_apply_cdc_null_op_is_upsert(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_rebind_does_not_resurrect_stale_versions(spark, tmp_path):
     """r8 review pass 2 (confirmed live pre-fix): compact used to keep
     real epoch numbers as ver, so a REBOUND stream reusing epoch 0
@@ -1475,6 +1490,7 @@ def test_storeless_rebind_also_resets_vers(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_bulk_reingest_still_self_blocked_on_cdc_index(spark):
     """r8 review pass 2: with CDC history present, a bulk ingest()
     re-containing a LIVE doc's id+text must still drop it as a dup of
@@ -1542,6 +1558,7 @@ def test_pre_filter_failing_update_tombstones_stale_version(
     assert [(r.doc_id, r.text) for r in rej] == [(1, "short")]
     idx.close()
 
+@pytest.mark.slow
 def test_apply_cdc_unknown_op_raises(spark):
     """r9 (r8 verdict parity gap a): the op contract is a closed
     vocabulary — an unrecognized op raises instead of silently
@@ -1648,6 +1665,7 @@ def test_truncate_decisions_reflect_cdc_overlay(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_overlay_cap_triggers_autocompact(spark, tmp_path):
     """r8 verdict item 4: a CDC burst between compact_every cadence
     points must not grow the broadcast fold unboundedly — the index

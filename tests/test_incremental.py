@@ -334,6 +334,7 @@ def test_maybe_broadcast_guard(spark):
     assert "hint" not in maybe_broadcast(small, known_rows=10**6)._jdf.queryExecution().logical().toString().lower()
 
 
+@pytest.mark.slow
 def test_bulk_batch_no_broadcast(spark, monkeypatch):
     """A batch touching most roots must not broadcast the affected-key
     set: with the limit forced low, the compiled recompute plan keeps a
@@ -487,6 +488,7 @@ def test_lww_delete_then_reinsert_lives(spark, engine):
     )
 
 
+@pytest.mark.slow
 def test_overlay_size_cap_triggers_compaction(spark, engine):
     """A batch that outgrows OVERLAY_ROW_CAP compacts immediately even
     though the apply cadence hasn't been reached — a run of large

@@ -61,6 +61,7 @@ def synced(spark):
     eng._teardown_stores()
 
 
+@pytest.mark.slow
 def test_cdc_keeps_engine_owned_index_in_sync(spark, synced):
     """INSERT + UPDATE + DELETE through process_batch: the maintained
     index's top-k must equal a one-shot index over the post-CDC
@@ -122,6 +123,7 @@ def test_cdc_keeps_engine_owned_index_in_sync(spark, synced):
     assert 7 not in {t[0] for t in got2}
 
 
+@pytest.mark.slow
 def test_replayed_batch_converges(spark, synced):
     """The maintainer is effect-idempotent: re-applying the same batch
     (foreachBatch's at-least-once replay mode) leaves queries
@@ -194,6 +196,7 @@ def test_seed_rejects_null_ids(spark):
     idx2.close()
 
 
+@pytest.mark.slow
 def test_maintainer_compact_cadence(spark):
     """r9 review pass 3: the compact_every branch needs unit coverage
     — two CDC applies at cadence 2 must collapse the index to one
@@ -269,6 +272,7 @@ def _qframe(spark, *texts):
     )
 
 
+@pytest.mark.slow
 def test_vector_maintainer_cdc_moves_vectors(spark):
     """INSERT + UPDATE + DELETE through process_batch: the maintained
     VectorIndex must equal a one-shot index over the post-CDC corpus,
@@ -399,6 +403,7 @@ def test_string_pk_tree_seeds_and_serves_via_hash_id(spark):
         eng._teardown_stores()
 
 
+@pytest.mark.slow
 def test_two_maintainers_one_engine(spark):
     """The hybrid deployment (engine_sync_hybrid_topk's topology):
     a BM25Index AND a VectorIndex registered as two doc_consumers on
@@ -461,6 +466,7 @@ def test_two_maintainers_one_engine(spark):
         eng._teardown_stores()
 
 
+@pytest.mark.slow
 def test_vector_maintainer_rebuild_policy(spark):
     """r11 verdict item 2: the --ann-rebuild-when policy as maintainer
     mechanics. Seed trains on 2 modes of the clustered featurizer;
@@ -607,6 +613,7 @@ def test_rebuild_policy_check_reads_zero_key_segments(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     """The incremental counters' contract end to end: exact on an
     ingest-only index, a gross upper envelope of the live counts
@@ -710,6 +717,7 @@ def test_occupancy_counters_reconcile_at_every_fold(spark, tmp_path):
     idx.close()
 
 
+@pytest.mark.slow
 def test_policy_confirms_crossing_before_firing(spark):
     """A stale-envelope crossing must NOT fire a rebuild: a run of
     single-doc updates shadows versions into one cell, inflating the
@@ -768,6 +776,7 @@ def test_policy_confirms_crossing_before_firing(spark):
     idx.close()
 
 
+@pytest.mark.slow
 def test_occupancy_counter_fuzz_seeded(spark, tmp_path):
     """Seeded random lifecycle fuzz over the incremental counters:
     arbitrary interleavings of CDC upserts (new + moved ids),

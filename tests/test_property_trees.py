@@ -112,6 +112,7 @@ def tree_configs(draw, depth=2):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(cfg=tree_configs())
 def test_random_tree_matches_oracle(spark, cfg):
     tree = parse_tree({"index": "prop", "nodes": cfg})
@@ -176,6 +177,7 @@ def _py_eq(colname, v, row):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(clauses=_clauses)
 def test_filter_fuzz_matches_python_model(spark, clauses):
     from pgsync_spark.operators.filters import build_filters
@@ -251,6 +253,7 @@ def _union_find_labels(edges):
         max_size=24,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """The pointer-doubling label propagation must agree with plain
     union-find on arbitrary graphs — chains, cliques, self-loops,

@@ -146,6 +146,7 @@ def test_connected_components_converged_is_quiet(spark, caplog):
     assert not any("did not converge" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_connected_components_pointer_doubling_round_budget(spark):
     """The O(log d) claim as a test, not a comment (VERDICT r5 item 7):
     a single chain of 100k nodes (diameter 100k) must converge inside
@@ -549,6 +550,7 @@ def test_quality_classifier_semantics_and_plan(spark):
     assert s[1] == s[2]
 
 
+@pytest.mark.slow
 def test_ccnet_sampled_thresholds_agreement_and_plan(spark):
     """The 100 TB CCNet path (ccnet_perplexity_buckets_sampled: fit
     per-lang tercile thresholds on a deterministic hash-sample, assign
@@ -610,6 +612,7 @@ def test_ccnet_sampled_thresholds_agreement_and_plan(spark):
     assert final.count("Exchange hashpartitioning") <= 4, final
 
 
+@pytest.mark.slow
 def test_ann_recall_eval_semantics(spark):
     """Recall rows are complete and internally consistent: one row per
     (query, method), hits bounded by k, recall = hits/k, and IVF
@@ -681,6 +684,7 @@ def test_global_windows_use_bounded_chokepoint():
     )
 
 
+@pytest.mark.slow
 def test_clustered_recall_orderings(spark):
     """r11 verdict item 1: on the mixture-of-centers corpus the
     recall eval measures SEMANTIC recall, and training must buy what
@@ -712,6 +716,7 @@ def test_clustered_recall_orderings(spark):
     assert tot["lsh_multiprobe2"] >= tot["lsh_multiprobe"], tot
 
 
+@pytest.mark.slow
 def test_probe_cost_frontier_shapes(spark):
     """The nprobe frontier carries the mode story as a CURVE: on the
     clustered corpus the query's mode is found immediately (recall
@@ -749,6 +754,7 @@ def test_probe_cost_frontier_shapes(spark):
     assert hr[4] < 0.9, hr
 
 
+@pytest.mark.slow
 def test_semantic_dedup_ivf_is_mode_local(spark):
     """The faithful SemDeDup (k-means cells, dedup within cells)
     keeps decisions mode-local where the banded-LSH variant's
@@ -812,6 +818,7 @@ def test_corpus_drift_kl_semantics(spark):
         assert r["kl"] < math.log(DRIFT_BATCHES) - 1e-6
 
 
+@pytest.mark.slow
 def test_training_shard_export_sink(spark, tmp_path):
     """write_training_shards: manifest totals match the corpus, every
     shard respects the budget within one-doc overrun, files on disk
@@ -930,6 +937,7 @@ def test_pq_encode_rejects_zero_norm_vectors(spark):
         pq_encode(df).collect()
 
 
+@pytest.mark.slow
 def test_trained_pq_codebook_beats_hash_codebook(spark):
     """r7 verdict item 6 'done' criterion: at sf0.01 (enough sample to
     fit 16 centroids/subspace) the Lloyd-trained codebook's recall

@@ -85,6 +85,7 @@ def _batch(spark, runner):
     )
 
 
+@pytest.mark.slow
 def test_both_indices_match_full_recompute(spark, runner):
     runner.process_batch(_batch(spark, runner))
     for schema_name, idx in TREES.items():
@@ -175,6 +176,7 @@ def test_runner_from_config(spark, tmp_path):
     assert r.engines["orders_idx"].stats["events"] == 0
 
 
+@pytest.mark.slow
 def test_runner_streams_one_feed_into_both_indices(spark, runner, tmp_path):
     """readStream → foreachBatch(runner.process_batch): ONE JSON event
     feed drives BOTH indices end to end; each converges to its own full

@@ -15,8 +15,10 @@ from pgsync_spark.streaming import IncrementalEngine
 from pgsync_spark.streaming.stream import start_cdc_stream
 
 from conftest import SF_DIR
+import pytest
 
 
+@pytest.mark.slow
 def test_cdc_stream_files(spark):
     """JSON files → readStream → foreachBatch(process_batch): docs
     converge to full recompute, offsets checkpointed."""
@@ -121,6 +123,7 @@ def test_index_mapping_generation(spark):
     assert props["lineitems"]["properties"]["l_quantity"] == {"type": "double"}
 
 
+@pytest.mark.slow
 def test_docstore_save_restore_resume(spark, tmp_path):
     """Persist engine state, restore into a fresh engine, resume with a
     new batch — result equals a full recompute (restart durability)."""
@@ -159,6 +162,7 @@ def test_docstore_save_restore_resume(spark, tmp_path):
     assert store._current() == 2
 
 
+@pytest.mark.slow
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Watermarked tumbling-window aggregation over the events table
     driven as a stream — the §2.7 'available for free' window semantics,
@@ -204,6 +208,7 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-user totals accumulate ACROSS
     micro-batches (state persists between epochs)."""
@@ -247,6 +252,7 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got.count() == expect.count()
 
 
+@pytest.mark.slow
 def test_debezium_envelope_to_cdc(spark):
     """Debezium JSON (PG schema field or MySQL db field) maps onto the
     CDC schema and drives process_batch end to end."""
@@ -283,6 +289,7 @@ def test_debezium_envelope_to_cdc(spark):
     assert eng.docs.select("_id", "doc").subtract(full).count() == 0
 
 
+@pytest.mark.slow
 def test_streaming_session_window(spark, tmp_path):
     """session_window (30-min gap) over the events stream — the
     streaming twin of the batch events_sessionize operator: same gap
@@ -337,6 +344,7 @@ def test_streaming_session_window(spark, tmp_path):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_docstore_restores_snapshots_into_fresh_catalog(spark, tmp_path):
     """Restart durability for the BRONZE layer: after save, a fresh
     engine over a FRESH catalog (simulating a new session) must see the

@@ -4,6 +4,7 @@ from pgsync_spark import Catalog, TreeCompiler, schemas
 from pgsync_spark.node import parse_tree
 from pgsync_spark.streaming import IncrementalEngine, payloads_from_rows
 from conftest import SF_DIR
+import pytest
 
 TREE = {
     "index": "nations_by_name",
@@ -22,6 +23,7 @@ TREE = {
     },
 }
 
+@pytest.mark.slow
 def test_string_pk_full_and_incremental(spark):
     tree = parse_tree(TREE)
     eng = IncrementalEngine(spark, tree, Catalog(spark, SF_DIR))

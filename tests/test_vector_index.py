@@ -38,6 +38,7 @@ def _oneshot(spark, corpus, queries):
     return out
 
 
+@pytest.mark.slow
 def test_split_invariance_across_restart_and_compact(spark, tmp_path):
     """Build across two processes (close + load between batches),
     query, compact — every stage answers identically to a one-shot
@@ -406,6 +407,7 @@ def _ivf_mut_corpus(emb):
     )
 
 
+@pytest.mark.slow
 def test_ivf_rebuild_equals_fresh_build_and_survives_restart(
     spark, tmp_path
 ):
@@ -484,6 +486,7 @@ def test_ivf_rebuild_equals_fresh_build_and_survives_restart(
     idx2.close()
 
 
+@pytest.mark.slow
 def test_ivf_rebuild_crash_before_flip_leaves_old_geometry(
     spark, tmp_path, monkeypatch
 ):
@@ -602,6 +605,7 @@ def test_ivf_topk_plan_shape_after_rebuild(spark):
     idx.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", ["lsh", "ivf"])
 @pytest.mark.parametrize("seed", [11, 29])
 def test_vector_cdc_fuzz_matches_oneshot(spark, family, seed):
@@ -790,6 +794,7 @@ def test_ivf_sample_mod_is_training_state(spark, tmp_path):
         IVFVectorIndex(spark, sample_mod=0)
 
 
+@pytest.mark.slow
 def test_ivf_rebuild_improves_recall_on_clustered_drift(spark):
     """r11 verdict item 1, rebuild half: on the mixture-of-centers
     corpus, a codebook trained on a 2-mode seed serves the 8 modes
