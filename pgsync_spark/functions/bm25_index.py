@@ -320,13 +320,13 @@ class BM25Index(_AppendOnlyIndex):
             f"GROUP BY doc_id, dl)"
         )
         dfs = ", ".join(
-            f"sum(CAST((tf{i} > 0) AS BIGINT)) AS df{i}"
-            for i in range(len(terms))
+            f"sum(CAST(((term = {_sq(t)}) AND (tf > 0)) AS BIGINT)) AS df{i}"
+            for i, t in enumerate(terms)
         )
         stats = f"""(SELECT * FROM (
   SELECT n_docs, sum_dl, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
   FROM (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM {vsub}))
-  CROSS JOIN (SELECT {dfs} FROM {cand}))"""
+  CROSS JOIN (SELECT {dfs} FROM {sl}))"""
         score = " + ".join(
             bm25_term_micro(
                 f"tf{i}",
@@ -386,22 +386,27 @@ FROM (SELECT /*+ BROADCAST(t) */ v.doc_id, v.lang, v.source, t.score_micro
                 for i, t in enumerate(terms)
             ]
         )
-        # per-term document frequency derived FROM the candidate pivot:
+        # per-term document frequency straight off the pruned slice:
         # a doc holds at most one live posting per term (ingest groups
         # per (doc, term); the CDC fold keeps one version), so
-        # count(sl rows with term=t) == count(cand rows with tf_t > 0)
-        # — identical df values, one full postings-slice scan saved
-        # (the former separate sl.agg() re-scanned every held posting).
-        # The dfs ride the SAME one-row broadcast as the corpus stats
-        # (_bm25_scored's agg+crossJoin shape): a map-side-combined
-        # aggregate over the candidate set, NOT a W.partitionBy()
-        # window — that window funneled every candidate row through
-        # ONE partition, a straight-line serial stage whenever a query
-        # term is near-stopword-frequent at scale (guide §2.5).
-        dfs = cand.agg(
+        # count(sl rows with term=t AND tf>0) == count(cand rows with
+        # tf_t > 0) — identical df values. The dfs ride the SAME
+        # one-row broadcast as the corpus stats (_bm25_scored's
+        # agg+crossJoin shape): a map-side-combined aggregate, NOT a
+        # W.partitionBy() window (that window funneled every candidate
+        # row through ONE partition — a serial stage whenever a term
+        # is near-stopword-frequent at scale, guide §2.5) and NOT an
+        # agg over cand (a second evaluation of the groupBy pivot =
+        # the slice shuffled twice per query; aggregating the slice
+        # itself is partial-agg + a 1-row merge, no shuffle).
+        dfs = sl.agg(
             *[
-                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-                for i in range(len(terms))
+                F.sum(
+                    ((F.col("term") == t) & (F.col("tf") > 0)).cast(
+                        "long"
+                    )
+                ).alias(f"df{i}")
+                for i, t in enumerate(terms)
             ]
         )
         stats = (
