@@ -78,16 +78,23 @@ def _norm_sparksql(a: str) -> str:
     )
 
 
+def cosine6_sparksql(a: str, b: str) -> str:
+    """Spark-SQL text of round6(cosine(a, b)) — the fragment cosine6
+    parses, exposed so one-SQL query texts (the recall-eval fast path)
+    embed the identical expression. D suffixes: plain 0.5 would parse
+    as DECIMAL in Spark SQL; the Column form uses F.lit doubles, and
+    the tree must not differ."""
+    c = f"{_dot_sparksql(a, b)} / ({_norm_sparksql(a)} * {_norm_sparksql(b)})"
+    return f"(floor(({c}) * 1e6 + 0.5D) / 1e6)"
+
+
 def cosine6(a: str, b: str) -> F.Column:
     """round6(cosine(a, b)) over two array COLUMN NAMES as ONE parsed
     expression — bit-identical to the Column-API construction
     round6(_dot(a, b) / (_norm(a) * _norm(b))) (identical Catalyst
     tree: same fold order, same IEEE ops), built with a single py4j
     call instead of ~100."""
-    c = f"{_dot_sparksql(a, b)} / ({_norm_sparksql(a)} * {_norm_sparksql(b)})"
-    # D suffixes: plain 0.5 would parse as DECIMAL in Spark SQL; the
-    # Column form uses F.lit doubles, and the tree must not differ
-    return F.expr(f"(floor(({c}) * 1e6 + 0.5D) / 1e6)")
+    return F.expr(cosine6_sparksql(a, b))
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -141,6 +148,16 @@ def ann_bruteforce_topk_sql() -> str:
     """
 
 
+def _bucket_sparksql(col: str) -> str:
+    """Spark-SQL text of the sign-LSH bucket expression (the fragment
+    _bucket parses; shared with the one-SQL recall-eval path)."""
+    return "0 + " + " + ".join(
+        f"(CASE WHEN element_at({col}, {i + 1}) >= 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+
+
 def _bucket(col) -> F.Column:
     """Sign-of-leading-dims LSH bucket: bit i = (v[i] >= 0).
 
@@ -149,14 +166,7 @@ def _bucket(col) -> F.Column:
     instead of ~50 (see cosine6). Column inputs keep the chain form.
     """
     if isinstance(col, str):
-        return F.expr(
-            "0 + "
-            + " + ".join(
-                f"(CASE WHEN element_at({col}, {i + 1}) >= 0 "
-                f"THEN {2 ** i} ELSE 0 END)"
-                for i in range(N_PLANES)
-            )
-        )
+        return F.expr(_bucket_sparksql(col))
     b = F.lit(0)
     for i in range(N_PLANES):
         b = b + F.when(F.element_at(col, i + 1) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
@@ -1086,13 +1096,15 @@ def cdc_semantic_probe_sql(probe_hamming: int = PROBE_HAMMING) -> str:
     """
 
 
-def ann_recall_eval(df: DataFrame) -> DataFrame:
-    """Recall@k of each approximate index (LSH bucket probe, IVF
-    nprobe) against the exact brute-force neighbors — the evaluation
-    loop every ANN deployment runs before trusting an index (the
-    reference stack measures its search quality the same way, ref:
-    pgsync/search_client.py search read-backs). Output one row per
-    (query, method): hits among the exact top-k and recall = hits/k.
+def _recall_eval_df(df: DataFrame) -> DataFrame:
+    """Column-API twin of the one-SQL recall eval (parity reference
+    and fallback — see ann_recall_eval). Recall@k of each approximate
+    index (LSH bucket probe, IVF nprobe) against the exact brute-force
+    neighbors — the evaluation loop every ANN deployment runs before
+    trusting an index (the reference stack measures its search quality
+    the same way, ref: pgsync/search_client.py search read-backs).
+    Output one row per (query, method): hits among the exact top-k and
+    recall = hits/k.
 
     Scale shape: this is offline QC over a sampled query set, not a
     serving path — three corpus scans (exact, lsh, ivf), each keeping
@@ -1132,11 +1144,14 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         # ONE codebook collect + ADC-table build + persisted codes
         # frame feeds both PQ methods (r7 advice: each re-collected
         # and re-persisted identical state); the eval result owns the
-        # cache. Same sharing for the trained twins.
-        pq = _pq_artifacts(df)
+        # cache. Same sharing for the trained twins. The query and
+        # codebook rows arrive in one fused collect
+        # (_pq_query_codebook_rows).
+        qcb = _pq_query_codebook_rows(df)
+        pq = _pq_artifacts(df, rows=qcb)
         held.append(pq[3])
         scoped.append(pq[2])
-        pqt = _pq_trained_artifacts(df)
+        pqt = _pq_trained_artifacts(df, qrows=qcb[0])
         held.append(pqt[3])
         scoped.append(pqt[2])
         # ONE corpus cell-ranking window shared by all three IVF legs
@@ -1236,6 +1251,240 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
         caching.adopt(out, mdf)
     # [3] is each shared codes cache; [2] the encode frame whose
     # scope (if any) rides along
+    caching.adopt(out, pq[2])
+    caching.adopt(out, pqt[2])
+    return caching.owned(out, held)
+
+
+# -- one-SQL recall eval (guide §7.3 — the §16/topk-SQL pattern at
+# eval scope). The Column construction of the 10 method legs + tail
+# was ~6,200 py4j round-trips (~2.2s of pure driver time at this
+# host's ~0.35ms/call floor — the metric's dominant cost at sf0.1);
+# the text form builds the identical query in one JVM parse over temp
+# views of the artifact frames. _recall_eval_df stays as the parity
+# reference (tests/test_recall_eval_sql_parity.py) and fallback.
+_SQL_RECALL_EVAL = True
+
+
+def _rank_leg_sql(src: str, score: str, order: str) -> str:
+    """(query_id, neighbor_id) of a leg's per-query top-k: score the
+    (qv, cv | __qt, codes) pairs of ``src``, rank per query, keep
+    rank <= TOP_K — the shared window tail every Column leg ends
+    with."""
+    scored = f"(SELECT query_id, neighbor_id, {score} FROM {src})"
+    return (
+        f"(SELECT query_id, neighbor_id FROM (SELECT query_id, "
+        f"neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY {order}) AS rank FROM {scored}) "
+        f"WHERE rank <= {TOP_K})"
+    )
+
+
+def _bruteforce_sparksql(E: str) -> str:
+    """ann_bruteforce_topk as Spark-SQL text over the ``E`` view —
+    expression-for-expression the Column form."""
+    cos = cosine6_sparksql("qv", "cv")
+    src = f"""(SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id, q.qv, c.cv
+  FROM (SELECT vec_id AS neighbor_id, embedding AS cv FROM {E}) c
+  CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv FROM {E}
+              WHERE vec_id < {N_QUERIES}) q
+  WHERE c.neighbor_id != q.query_id)"""
+    return _rank_leg_sql(src, f"{cos} AS cosine", "cosine DESC, neighbor_id")
+
+
+def _ivf_ranked_sparksql(E: str) -> str:
+    """_ivf_ranked as Spark-SQL text over the ``E`` view (the shared
+    per-vector cell ranking the eval persists once)."""
+    cos = cosine6_sparksql("embedding", "cv")
+    cent = (
+        f"(SELECT vec_id AS cell_id, embedding AS cv FROM {E} "
+        f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS})"
+    )
+    scores = f"""(SELECT /*+ BROADCAST(c) */ e.vec_id, c.cell_id, {cos} AS cos
+  FROM (SELECT vec_id, embedding FROM {E}) e CROSS JOIN {cent} c)"""
+    return (
+        f"SELECT vec_id, cell_id, cos, ROW_NUMBER() OVER ("
+        f"PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn "
+        f"FROM {scores}"
+    )
+
+
+def _recall_eval_sparksql(
+    E: str, X: str, R: str, T: str,
+    C: str, TC: str, QF: str, TQF: str,
+) -> str:
+    """The whole recall eval as ONE Spark SQL text over views of the
+    artifact frames: E = corpus, X = persisted exact pairs, R/T =
+    persisted hash/trained cell rankings, C/TC = persisted hash/
+    trained PQ codes, QF/TQF = the broadcast ADC query frames.
+    Shared subtrees are expanded textually, never as CTEs (the
+    one-SQL discipline from plans/sqlgen.py and the index topk)."""
+    cos = cosine6_sparksql("qv", "cv")
+
+    def lsh_leg(hamming: int | None) -> str:
+        bucketed = (
+            f"(SELECT vec_id, embedding, "
+            f"{_bucket_sparksql('embedding')} AS bucket FROM {E})"
+        )
+        q = (
+            f"(SELECT vec_id AS query_id, embedding AS qv, bucket AS qb "
+            f"FROM {bucketed} WHERE vec_id < {N_QUERIES})"
+        )
+        if hamming is None:
+            probes = f"(SELECT query_id, qv, qb AS pb FROM {q})"
+        else:
+            arr = ", ".join(
+                f"(qb ^ {m})" for m in _probe_masks(N_PLANES, hamming)
+            )
+            probes = (
+                f"(SELECT query_id, qv, explode(array({arr})) AS pb "
+                f"FROM {q})"
+            )
+        src = f"""(SELECT /*+ BROADCAST(p) */ p.query_id, c.neighbor_id, p.qv, c.cv
+  FROM (SELECT vec_id AS neighbor_id, embedding AS cv, bucket AS cb FROM {bucketed}) c
+  JOIN {probes} p ON c.cb = p.pb AND c.neighbor_id != p.query_id)"""
+        return _rank_leg_sql(
+            src, f"{cos} AS cosine", "cosine DESC, neighbor_id"
+        )
+
+    def ivf_cand(ranked: str) -> str:
+        return f"""(SELECT query_id, neighbor_id FROM
+  (SELECT vec_id AS query_id, cell_id FROM {ranked}
+   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}) p
+  JOIN (SELECT vec_id AS neighbor_id, cell_id FROM {ranked} WHERE rn = 1) a
+  USING (cell_id)
+  WHERE neighbor_id != query_id)"""
+
+    def ivf_leg(ranked: str) -> str:
+        src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, qv, cv
+  FROM {ivf_cand(ranked)} c
+  JOIN (SELECT vec_id AS query_id, embedding AS qv FROM {E}
+        WHERE vec_id < {N_QUERIES}) q USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS cv FROM {E}) n
+  USING (neighbor_id))"""
+        return _rank_leg_sql(
+            src, f"{cos} AS cosine", "cosine DESC, neighbor_id"
+        )
+
+    adc = " + ".join(
+        f"element_at(element_at(__qt, {m + 1}), "
+        f"(element_at(codes, {m + 1}) + 1))"
+        for m in range(PQ_M)
+    )
+
+    def adc_leg(codes: str, qf: str, cand: str | None) -> str:
+        if cand is None:
+            src = f"""(SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id, q.__qt, c.codes
+  FROM {codes} c CROSS JOIN {qf} q
+  WHERE c.neighbor_id != q.query_id)"""
+        else:
+            src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, __qt, codes
+  FROM {cand} c
+  JOIN {codes} k USING (neighbor_id)
+  JOIN {qf} q USING (query_id))"""
+        return _rank_leg_sql(
+            src, f"{adc} AS adc_micro", "adc_micro, neighbor_id"
+        )
+
+    # method order mirrors the Column form's `methods` tuple
+    legs = (
+        ("ivf", ivf_leg(R)),
+        ("ivf_trained", ivf_leg(T)),
+        ("lsh", lsh_leg(None)),
+        ("lsh_multiprobe", lsh_leg(PROBE_HAMMING)),
+        ("lsh_multiprobe2", lsh_leg(2)),
+        ("pq_adc", adc_leg(C, QF, None)),
+        ("pq_adc_trained", adc_leg(TC, TQF, None)),
+        ("ivfpq_trained", adc_leg(TC, TQF, ivf_cand(R))),
+        ("ivfpq_fully_trained", adc_leg(TC, TQF, ivf_cand(T))),
+        ("ivfpq", adc_leg(C, QF, ivf_cand(R))),
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, '{m}' AS method FROM {leg}"
+        for m, leg in legs
+    )
+    hits = f"""(SELECT /*+ BROADCAST(x) */ query_id, method, count(1) AS n_hits
+  FROM ({union}) u JOIN {X} x USING (query_id, neighbor_id)
+  GROUP BY query_id, method)"""
+    vals = ", ".join(f"('{m}')" for m, _ in legs)
+    spine = f"""((SELECT DISTINCT query_id FROM {X}) CROSS JOIN
+  (SELECT method FROM VALUES {vals} AS m(method)))"""
+    nh = "CAST(COALESCE(n_hits, 0) AS BIGINT)"
+    recall = f"(floor(({nh} / 10.0D) * 1e6 + 0.5D) / 1e6)"
+    return f"""SELECT /*+ BROADCAST(h) */ query_id, method, {nh} AS n_hits, {recall} AS recall
+FROM {spine} s LEFT JOIN {hits} h USING (query_id, method)"""
+
+
+def ann_recall_eval(df: DataFrame) -> DataFrame:
+    """Recall@k of each approximate index against the exact brute-force
+    neighbors — see _recall_eval_df for the full operator contract.
+    Construction is ONE spark.sql over temp views of the artifact
+    frames (the Column form was ~6,200 py4j round-trips per build —
+    the metric's dominant cost); artifacts (codebook collects, Lloyd
+    training, the persisted exact/ranked/codes frames) are built
+    exactly as before, and the executed values are pinned row-for-row
+    to the Column twin by tests/test_recall_eval_sql_parity.py plus
+    the DuckDB oracle gate."""
+    if not _SQL_RECALL_EVAL:
+        return _recall_eval_df(df)
+    from .. import caching
+
+    spark = df.sparkSession
+
+    # FIXED view names, createOrReplaceTempView, never dropped: ONE
+    # bounded set per session, replaced on the next eval (the index
+    # topk's memoized-views discipline). dropTempView is NOT an
+    # option here — dropping a view whose definition is a persisted
+    # frame's plan UNCACHES that frame (CacheManager cascade), which
+    # silently made every leg recompute its artifact subtree inline
+    # (measured: 17 InMemoryTableScans → 0). Replacement does not
+    # uncache (probed; pinned by the parity test's plan check).
+    def view(frame: DataFrame, name: str) -> str:
+        vname = f"__recall_{name}"
+        frame.createOrReplaceTempView(vname)
+        return vname
+
+    held: list[DataFrame] = []
+    scoped: list[DataFrame] = []
+    try:
+        E = view(df, "emb")
+        exact = (
+            spark.sql(f"SELECT query_id, neighbor_id FROM "
+                      f"{_bruteforce_sparksql(E)}")
+            .persist()
+        )
+        held.append(exact)
+        qcb = _pq_query_codebook_rows(df)
+        pq = _pq_artifacts(df, rows=qcb)
+        held.append(pq[3])
+        scoped.append(pq[2])
+        pqt = _pq_trained_artifacts(df, qrows=qcb[0])
+        held.append(pqt[3])
+        scoped.append(pqt[2])
+        ranked = spark.sql(_ivf_ranked_sparksql(E)).persist()
+        held.append(ranked)
+        tranked = ivf_assign_trained(df).persist()
+        held.append(tranked)
+        qf, _qt = _adc_query_frame(spark, pq[1])
+        tqf, _tqt = _adc_query_frame(spark, pqt[1])
+        out = spark.sql(
+            _recall_eval_sparksql(
+                E=E,
+                X=view(exact, "exact"),
+                R=view(ranked, "ranked"),
+                T=view(tranked, "tranked"),
+                C=view(pq[3], "codes"),
+                TC=view(pqt[3], "tcodes"),
+                QF=view(qf, "qf"),
+                TQF=view(tqf, "tqf"),
+            )
+        )
+    except BaseException:
+        for s in scoped:
+            caching.release(s)
+        for f in held:
+            f.unpersist()
+        raise
     caching.adopt(out, pq[2])
     caching.adopt(out, pqt[2])
     return caching.owned(out, held)
@@ -1536,22 +1785,49 @@ def _normalized_sql(col: str) -> str:
     )
 
 
-def _pq_centroids(df: DataFrame) -> list[list[list[float]]]:
+def _pq_query_codebook_rows(df: DataFrame):
+    """ONE bounded collect of the normalized query AND PQ-codebook
+    rows — (query_rows, codebook_rows), each (vec_id, nv). The
+    recall eval's warm construction paid three separate collect
+    actions for these ≤ N_QUERIES + PQ_KS rows (codebook + the same
+    query rows once per ADC table builder); per-row values are
+    identical under the fused predicate, only the scan's filter
+    differs (guide §1.2: remove redundant passes first)."""
+    rows = (
+        df.filter(
+            (F.col("vec_id") < N_QUERIES)
+            | (
+                (F.col("vec_id") >= PQ_CB_START)
+                & (F.col("vec_id") < PQ_CB_START + PQ_KS)
+            )
+        )
+        .select("vec_id", _normalized_expr("embedding").alias("nv"))
+        .collect()
+    )
+    qrows = [r for r in rows if r["vec_id"] < N_QUERIES]
+    cbrows = [r for r in rows if r["vec_id"] >= PQ_CB_START]
+    return qrows, cbrows
+
+
+def _pq_centroids(df: DataFrame, rows=None) -> list[list[list[float]]]:
     """[m][c] -> the 8 normalized-double components of sub-centroid c
     in subspace m, collected from the codebook rows (PQ_KS rows — the
     same bounded codebook-sized collect as the shard-manifest
     read-back; the values become plan literals, so encode runs
     in-scan with zero exchanges). Collecting the NORMALIZED doubles
     from the engine guarantees the literals are bit-identical to what
-    the oracle derives in SQL."""
-    rows = (
-        df.filter(
-            (F.col("vec_id") >= PQ_CB_START)
-            & (F.col("vec_id") < PQ_CB_START + PQ_KS)
+    the oracle derives in SQL. ``rows``: prefetched codebook rows
+    from _pq_query_codebook_rows (one collect shared across the
+    artifact builders)."""
+    if rows is None:
+        rows = (
+            df.filter(
+                (F.col("vec_id") >= PQ_CB_START)
+                & (F.col("vec_id") < PQ_CB_START + PQ_KS)
+            )
+            .select("vec_id", _normalized_expr("embedding").alias("nv"))
+            .collect()
         )
-        .select("vec_id", _normalized_expr("embedding").alias("nv"))
-        .collect()
-    )
     by_id = {r["vec_id"]: r["nv"] for r in rows}
     if len(by_id) != PQ_KS:
         raise ValueError(
@@ -1729,7 +2005,7 @@ def pq_encode_sql() -> str:
 
 
 def _adc_tables_micro(
-    df: DataFrame, cents: list[list[list[float]]]
+    df: DataFrame, cents: list[list[list[float]]], rows=None
 ) -> dict[int, list[list[int]]]:
     """The classic PQ serving step: per QUERY, the full distance table
     — tables[query_id][m][c] = micro-L2² between the query's subvector
@@ -1742,12 +2018,14 @@ def _adc_tables_micro(
     sf0.1; this is why real PQ implementations precompute tables).
     Python floats ARE IEEE doubles and the loop mirrors the engine's
     left-to-right fold exactly, so the tables are bit-identical to
-    what the oracle derives in SQL."""
-    rows = (
-        df.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", _normalized_expr("embedding").alias("nv"))
-        .collect()
-    )
+    what the oracle derives in SQL. ``rows``: prefetched query rows
+    (see _pq_query_codebook_rows)."""
+    if rows is None:
+        rows = (
+            df.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", _normalized_expr("embedding").alias("nv"))
+            .collect()
+        )
     tables: dict[int, list[list[int]]] = {}
     for r in rows:
         nv = r["nv"]
@@ -1774,16 +2052,20 @@ def _dist2_micro_py(a: list[float], b: list[float]) -> int:
     return math.floor(acc * 1e6 + 0.5)
 
 
-def _pq_artifacts(df: DataFrame):
+def _pq_artifacts(df: DataFrame, rows=None):
     """The shared PQ serving state — (cents, tables, enc, codes):
     codebook collect, per-query ADC tables, the encode frame, and the
     persisted 4-byte codes (persisted BEFORE any query crossJoin — the
     encode argmin would otherwise re-evaluate per (doc × query) OUTPUT
     row). ann_recall_eval computes this ONCE and hands it to both
     pq_adc and ivfpq (r7 advice: each method re-collected the codebook
-    and ADC tables and persisted its own identical codes frame)."""
-    cents = _pq_centroids(df)
-    tables = _AdcTables(_adc_tables_micro(df, cents))
+    and ADC tables and persisted its own identical codes frame).
+    ``rows``: a prefetched (qrows, cbrows) pair from
+    _pq_query_codebook_rows — the eval fuses the three bounded
+    collects into one."""
+    qrows, cbrows = rows if rows is not None else (None, None)
+    cents = _pq_centroids(df, rows=cbrows)
+    tables = _AdcTables(_adc_tables_micro(df, cents, rows=qrows))
     enc = pq_encode(df, cents)
     codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
@@ -2210,18 +2492,20 @@ def pq_encode_trained(
 
 
 def _adc_tables_trained(
-    df: DataFrame, cents: list[list[list[int]]]
+    df: DataFrame, cents: list[list[list[int]]], rows=None
 ) -> dict[int, list[list[int]]]:
     """Per-query ADC tables under the trained codebook — pure int64
     (quantized query subvector vs integer centroids), driver-side,
-    bounded by N_QUERIES like _adc_tables_micro."""
+    bounded by N_QUERIES like _adc_tables_micro. ``rows``: prefetched
+    query rows (see _pq_query_codebook_rows)."""
     import numpy as np
 
-    rows = (
-        df.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", _normalized_expr("embedding").alias("nv"))
-        .collect()
-    )
+    if rows is None:
+        rows = (
+            df.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", _normalized_expr("embedding").alias("nv"))
+            .collect()
+        )
     ca = np.asarray(cents, dtype=np.int64)
     tables: dict[int, list[list[int]]] = {}
     for r in rows:
@@ -2244,12 +2528,13 @@ def _adc_tables_trained(
     return tables
 
 
-def _pq_trained_artifacts(df: DataFrame):
+def _pq_trained_artifacts(df: DataFrame, qrows=None):
     """(cents, tables, enc, codes) under the trained codebook — the
     trained twin of _pq_artifacts, shared the same way by
-    ann_recall_eval."""
+    ann_recall_eval. ``qrows``: prefetched query rows (see
+    _pq_query_codebook_rows)."""
     cents = _pq_trained_centroids(df)
-    tables = _AdcTables(_adc_tables_trained(df, cents))
+    tables = _AdcTables(_adc_tables_trained(df, cents, rows=qrows))
     enc = pq_encode_trained(df, cents)
     codes = enc.select(
         F.col("vec_id").alias("neighbor_id"), "codes"
