@@ -111,9 +111,9 @@ def _norm_sql(a: str) -> str:
     )
 
 
-def ann_bruteforce_topk(df: DataFrame) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector, deterministic
-    tiebreak (score desc, neighbor id asc)."""
+def _bruteforce_topk_df(df: DataFrame) -> DataFrame:
+    """Column-API twin of the one-SQL ann_bruteforce_topk (parity
+    reference and the _recall_eval_df building block)."""
     q = df.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -132,6 +132,21 @@ def ann_bruteforce_topk(df: DataFrame) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_bruteforce_topk(df: DataFrame) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector, deterministic
+    tiebreak (score desc, neighbor id asc). Construction is one
+    spark.sql over a view of ``df`` (guide §7.3 — the recall-eval
+    one-SQL discipline; ~320 py4j round-trips saved per build); values
+    pinned to the Column twin and the DuckDB oracle."""
+    if not _SQL_ANN:
+        return _bruteforce_topk_df(df)
+    df.createOrReplaceTempView("__annq_emb")
+    return df.sparkSession.sql(
+        f"SELECT query_id, neighbor_id, cosine, rank FROM "
+        f"{_bruteforce_sparksql('__annq_emb', full=True)}"
     )
 
 
@@ -1130,7 +1145,7 @@ def _recall_eval_df(df: DataFrame) -> DataFrame:
     # consumer (the caching.py multi-consumer discipline); it is
     # N_QUERIES * TOP_K rows, so every downstream join broadcasts it
     exact = (
-        ann_bruteforce_topk(df).select("query_id", "neighbor_id").persist()
+        _bruteforce_topk_df(df).select("query_id", "neighbor_id").persist()
     )
     qids = exact.select("query_id").distinct()
     # every shared cache built below is tracked so a failure in ANY
@@ -1265,22 +1280,34 @@ def _recall_eval_df(df: DataFrame) -> DataFrame:
 # reference (tests/test_recall_eval_sql_parity.py) and fallback.
 _SQL_RECALL_EVAL = True
 
+# same dial for the standalone ANN registry queries' one-SQL fast
+# paths (bruteforce / ivf_trained / pq_adc / pq_adc_trained / ivfpq):
+# each keeps its Column twin for the parity tests, and every internal
+# shared-artifact call (_recall_eval_df's methods tuple, trained
+# variants passing shared=) stays on the Column path.
+_SQL_ANN = True
 
-def _rank_leg_sql(src: str, score: str, order: str) -> str:
-    """(query_id, neighbor_id) of a leg's per-query top-k: score the
-    (qv, cv | __qt, codes) pairs of ``src``, rank per query, keep
-    rank <= TOP_K — the shared window tail every Column leg ends
-    with."""
+
+def _rank_leg_sql(src: str, score: str, order: str, full: bool = False) -> str:
+    """A leg's per-query top-k: score the (qv, cv | __qt, codes) pairs
+    of ``src``, rank per query, keep rank <= TOP_K — the shared window
+    tail every Column leg ends with. ``full`` keeps the score and rank
+    columns (the standalone registry queries' output contract); the
+    eval's union projects (query_id, neighbor_id) only."""
     scored = f"(SELECT query_id, neighbor_id, {score} FROM {src})"
+    sname = score.rsplit(" AS ", 1)[1]
+    proj = f"query_id, neighbor_id, {sname}, rank" if full else (
+        "query_id, neighbor_id"
+    )
     return (
-        f"(SELECT query_id, neighbor_id FROM (SELECT query_id, "
-        f"neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"(SELECT {proj} FROM (SELECT query_id, "
+        f"neighbor_id, {sname}, ROW_NUMBER() OVER (PARTITION BY query_id "
         f"ORDER BY {order}) AS rank FROM {scored}) "
         f"WHERE rank <= {TOP_K})"
     )
 
 
-def _bruteforce_sparksql(E: str) -> str:
+def _bruteforce_sparksql(E: str, full: bool = False) -> str:
     """ann_bruteforce_topk as Spark-SQL text over the ``E`` view —
     expression-for-expression the Column form."""
     cos = cosine6_sparksql("qv", "cv")
@@ -1289,7 +1316,9 @@ def _bruteforce_sparksql(E: str) -> str:
   CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv FROM {E}
               WHERE vec_id < {N_QUERIES}) q
   WHERE c.neighbor_id != q.query_id)"""
-    return _rank_leg_sql(src, f"{cos} AS cosine", "cosine DESC, neighbor_id")
+    return _rank_leg_sql(
+        src, f"{cos} AS cosine", "cosine DESC, neighbor_id", full=full
+    )
 
 
 def _ivf_ranked_sparksql(E: str) -> str:
@@ -1309,6 +1338,110 @@ def _ivf_ranked_sparksql(E: str) -> str:
     )
 
 
+def _lsh_leg_sparksql(E: str, hamming: int | None, full: bool = False) -> str:
+    """An LSH probe leg as Spark-SQL text over the ``E`` view
+    (hamming None = single-probe; 1/2 = multi-probe widths)."""
+    bucketed = (
+        f"(SELECT vec_id, embedding, "
+        f"{_bucket_sparksql('embedding')} AS bucket FROM {E})"
+    )
+    q = (
+        f"(SELECT vec_id AS query_id, embedding AS qv, bucket AS qb "
+        f"FROM {bucketed} WHERE vec_id < {N_QUERIES})"
+    )
+    if hamming is None:
+        probes = f"(SELECT query_id, qv, qb AS pb FROM {q})"
+    else:
+        arr = ", ".join(
+            f"(qb ^ {m})" for m in _probe_masks(N_PLANES, hamming)
+        )
+        probes = (
+            f"(SELECT query_id, qv, explode(array({arr})) AS pb "
+            f"FROM {q})"
+        )
+    src = f"""(SELECT /*+ BROADCAST(p) */ p.query_id, c.neighbor_id, p.qv, c.cv
+  FROM (SELECT vec_id AS neighbor_id, embedding AS cv, bucket AS cb FROM {bucketed}) c
+  JOIN {probes} p ON c.cb = p.pb AND c.neighbor_id != p.query_id)"""
+    return _rank_leg_sql(
+        src,
+        f"{cosine6_sparksql('qv', 'cv')} AS cosine",
+        "cosine DESC, neighbor_id",
+        full=full,
+    )
+
+
+def _ivf_cand_sparksql(ranked: str) -> str:
+    """_ivf_candidates as Spark-SQL text over a (vec_id, cell_id, rn)
+    ranking view or subquery expression."""
+    return f"""(SELECT query_id, neighbor_id FROM
+  (SELECT vec_id AS query_id, cell_id FROM {ranked}
+   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}) p
+  JOIN (SELECT vec_id AS neighbor_id, cell_id FROM {ranked} WHERE rn = 1) a
+  USING (cell_id)
+  WHERE neighbor_id != query_id)"""
+
+
+def _ivf_leg_sparksql(E: str, ranked: str, full: bool = False) -> str:
+    """IVF candidates + exact-cosine re-rank as Spark-SQL text."""
+    src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, qv, cv
+  FROM {_ivf_cand_sparksql(ranked)} c
+  JOIN (SELECT vec_id AS query_id, embedding AS qv FROM {E}
+        WHERE vec_id < {N_QUERIES}) q USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS cv FROM {E}) n
+  USING (neighbor_id))"""
+    return _rank_leg_sql(
+        src,
+        f"{cosine6_sparksql('qv', 'cv')} AS cosine",
+        "cosine DESC, neighbor_id",
+        full=full,
+    )
+
+
+def _adc_micro_sparksql() -> str:
+    """_adc_micro as Spark-SQL text (__qt lookups over codes)."""
+    return " + ".join(
+        f"element_at(element_at(__qt, {m + 1}), "
+        f"(element_at(codes, {m + 1}) + 1))"
+        for m in range(PQ_M)
+    )
+
+
+def _adc_leg_sparksql(
+    codes: str, qf: str, cand: str | None, full: bool = False
+) -> str:
+    """A PQ-ADC leg as Spark-SQL text: all candidates (cand None —
+    pq_adc) or an IVF-pruned candidate set (ivfpq) scored by the 8
+    table lookups."""
+    if cand is None:
+        src = f"""(SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id, q.__qt, c.codes
+  FROM {codes} c CROSS JOIN {qf} q
+  WHERE c.neighbor_id != q.query_id)"""
+    else:
+        src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, __qt, codes
+  FROM {cand} c
+  JOIN {codes} k USING (neighbor_id)
+  JOIN {qf} q USING (query_id))"""
+    return _rank_leg_sql(
+        src,
+        f"{_adc_micro_sparksql()} AS adc_micro",
+        "adc_micro, neighbor_id",
+        full=full,
+    )
+
+
+def _adc_topk_sql(spark, codes: DataFrame, qf: DataFrame, cand=None):
+    """Shared one-SQL constructor for the standalone PQ-family topk
+    queries: views over the persisted codes frame and the broadcast
+    query-table frame, one spark.sql of the ADC leg (full output).
+    ``cand``: optional candidate-set SQL text (ivfpq pruning)."""
+    codes.createOrReplaceTempView("__annq_codes")
+    qf.createOrReplaceTempView("__annq_qf")
+    return spark.sql(
+        "SELECT query_id, neighbor_id, adc_micro, rank FROM "
+        + _adc_leg_sparksql("__annq_codes", "__annq_qf", cand, full=True)
+    )
+
+
 def _recall_eval_sparksql(
     E: str, X: str, R: str, T: str,
     C: str, TC: str, QF: str, TQF: str,
@@ -1319,85 +1452,19 @@ def _recall_eval_sparksql(
     trained PQ codes, QF/TQF = the broadcast ADC query frames.
     Shared subtrees are expanded textually, never as CTEs (the
     one-SQL discipline from plans/sqlgen.py and the index topk)."""
-    cos = cosine6_sparksql("qv", "cv")
-
-    def lsh_leg(hamming: int | None) -> str:
-        bucketed = (
-            f"(SELECT vec_id, embedding, "
-            f"{_bucket_sparksql('embedding')} AS bucket FROM {E})"
-        )
-        q = (
-            f"(SELECT vec_id AS query_id, embedding AS qv, bucket AS qb "
-            f"FROM {bucketed} WHERE vec_id < {N_QUERIES})"
-        )
-        if hamming is None:
-            probes = f"(SELECT query_id, qv, qb AS pb FROM {q})"
-        else:
-            arr = ", ".join(
-                f"(qb ^ {m})" for m in _probe_masks(N_PLANES, hamming)
-            )
-            probes = (
-                f"(SELECT query_id, qv, explode(array({arr})) AS pb "
-                f"FROM {q})"
-            )
-        src = f"""(SELECT /*+ BROADCAST(p) */ p.query_id, c.neighbor_id, p.qv, c.cv
-  FROM (SELECT vec_id AS neighbor_id, embedding AS cv, bucket AS cb FROM {bucketed}) c
-  JOIN {probes} p ON c.cb = p.pb AND c.neighbor_id != p.query_id)"""
-        return _rank_leg_sql(
-            src, f"{cos} AS cosine", "cosine DESC, neighbor_id"
-        )
-
-    def ivf_cand(ranked: str) -> str:
-        return f"""(SELECT query_id, neighbor_id FROM
-  (SELECT vec_id AS query_id, cell_id FROM {ranked}
-   WHERE rn <= {IVF_NPROBE} AND vec_id < {N_QUERIES}) p
-  JOIN (SELECT vec_id AS neighbor_id, cell_id FROM {ranked} WHERE rn = 1) a
-  USING (cell_id)
-  WHERE neighbor_id != query_id)"""
-
-    def ivf_leg(ranked: str) -> str:
-        src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, qv, cv
-  FROM {ivf_cand(ranked)} c
-  JOIN (SELECT vec_id AS query_id, embedding AS qv FROM {E}
-        WHERE vec_id < {N_QUERIES}) q USING (query_id)
-  JOIN (SELECT vec_id AS neighbor_id, embedding AS cv FROM {E}) n
-  USING (neighbor_id))"""
-        return _rank_leg_sql(
-            src, f"{cos} AS cosine", "cosine DESC, neighbor_id"
-        )
-
-    adc = " + ".join(
-        f"element_at(element_at(__qt, {m + 1}), "
-        f"(element_at(codes, {m + 1}) + 1))"
-        for m in range(PQ_M)
-    )
-
-    def adc_leg(codes: str, qf: str, cand: str | None) -> str:
-        if cand is None:
-            src = f"""(SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id, q.__qt, c.codes
-  FROM {codes} c CROSS JOIN {qf} q
-  WHERE c.neighbor_id != q.query_id)"""
-        else:
-            src = f"""(SELECT /*+ BROADCAST(q) */ query_id, neighbor_id, __qt, codes
-  FROM {cand} c
-  JOIN {codes} k USING (neighbor_id)
-  JOIN {qf} q USING (query_id))"""
-        return _rank_leg_sql(
-            src, f"{adc} AS adc_micro", "adc_micro, neighbor_id"
-        )
-
     # method order mirrors the Column form's `methods` tuple
     legs = (
-        ("ivf", ivf_leg(R)),
-        ("ivf_trained", ivf_leg(T)),
-        ("lsh", lsh_leg(None)),
-        ("lsh_multiprobe", lsh_leg(PROBE_HAMMING)),
-        ("lsh_multiprobe2", lsh_leg(2)),
-        ("pq_adc", adc_leg(C, QF, None)),
-        ("pq_adc_trained", adc_leg(TC, TQF, None)),
-        ("ivfpq_trained", adc_leg(TC, TQF, ivf_cand(R))),
-        ("ivfpq_fully_trained", adc_leg(TC, TQF, ivf_cand(T))),
-        ("ivfpq", adc_leg(C, QF, ivf_cand(R))),
+        ("ivf", _ivf_leg_sparksql(E, R)),
+        ("ivf_trained", _ivf_leg_sparksql(E, T)),
+        ("lsh", _lsh_leg_sparksql(E, None)),
+        ("lsh_multiprobe", _lsh_leg_sparksql(E, PROBE_HAMMING)),
+        ("lsh_multiprobe2", _lsh_leg_sparksql(E, 2)),
+        ("pq_adc", _adc_leg_sparksql(C, QF, None)),
+        ("pq_adc_trained", _adc_leg_sparksql(TC, TQF, None)),
+        ("ivfpq_trained", _adc_leg_sparksql(TC, TQF, _ivf_cand_sparksql(R))),
+        ("ivfpq_fully_trained",
+         _adc_leg_sparksql(TC, TQF, _ivf_cand_sparksql(T))),
+        ("ivfpq", _adc_leg_sparksql(C, QF, _ivf_cand_sparksql(R))),
     )
     union = "\nUNION ALL\n".join(
         f"SELECT query_id, neighbor_id, '{m}' AS method FROM {leg}"
@@ -2083,16 +2150,26 @@ def ann_pq_adc_topk(df: DataFrame, shared=None) -> DataFrame:
     output ranks are directly recall-comparable to the exact
     baseline. Corpus side: the encoded frame never shuffles (the
     query-table frame broadcasts; per-query top-k is the brute-force
-    window shape over 4-byte codes instead of 256-byte vectors)."""
-    cents, tables, enc, codes = shared or _pq_artifacts(df)
+    window shape over 4-byte codes instead of 256-byte vectors).
+
+    Standalone construction (shared None) is one spark.sql over views
+    of the codes/query-table frames (guide §7.3 — the recall-eval
+    one-SQL discipline); shared-artifact callers keep the Column
+    path."""
+    cents, tables, enc, codes = shared or _pq_artifacts(
+        df, rows=_pq_query_codebook_rows(df)
+    )
     qf, qt = _adc_query_frame(df.sparkSession, tables)
-    pairs = codes.crossJoin(F.broadcast(qf)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
-    )
-    out = _adc_rank(scored)
+    if shared is None and _SQL_ANN:
+        out = _adc_topk_sql(df.sparkSession, codes, qf, cand=None)
+    else:
+        pairs = codes.crossJoin(F.broadcast(qf)).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = pairs.select(
+            "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
+        )
+        out = _adc_rank(scored)
     if shared is not None:
         return out  # the caller owns the shared artifacts' lifetime
     from ..caching import adopt, owned
@@ -2221,15 +2298,34 @@ def ann_ivfpq_topk(df: DataFrame, shared=None, ranked=None) -> DataFrame:
     compressed scoring). Same engine-exact discipline throughout
     (deterministic codebooks, integer micro distances, rounded-cosine
     cell ranks), so the oracle is a full value match."""
-    cents, tables, enc, codes = shared or _pq_artifacts(df)
-    cand = _ivf_candidates(ranked if ranked is not None else _ivf_ranked(df))
-    qf, qt = _adc_query_frame(df.sparkSession, tables)
-    scored = (
-        cand.join(codes, "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select("query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro"))
+    standalone = shared is None and ranked is None
+    cents, tables, enc, codes = shared or _pq_artifacts(
+        df, rows=_pq_query_codebook_rows(df)
     )
-    out = _adc_rank(scored)
+    qf, qt = _adc_query_frame(df.sparkSession, tables)
+    if standalone and _SQL_ANN:
+        # the unpersisted cell-ranking subtree is expanded textually
+        # twice inside the candidate join, exactly as the lazy Column
+        # plan duplicates it (assign + qprobe consumers)
+        df.createOrReplaceTempView("__annq_emb")
+        out = _adc_topk_sql(
+            df.sparkSession,
+            codes,
+            qf,
+            cand=_ivf_cand_sparksql(f"({_ivf_ranked_sparksql('__annq_emb')})"),
+        )
+    else:
+        cand = _ivf_candidates(
+            ranked if ranked is not None else _ivf_ranked(df)
+        )
+        scored = (
+            cand.join(codes, "neighbor_id")
+            .join(F.broadcast(qf), "query_id")
+            .select(
+                "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
+            )
+        )
+        out = _adc_rank(scored)
     if shared is not None:
         return out  # the caller owns the shared artifacts' lifetime
     from ..caching import adopt, owned
@@ -2549,15 +2645,20 @@ def ann_pq_adc_trained_topk(df: DataFrame, shared=None) -> DataFrame:
     the oracle replays training bit-for-bit. ann_recall_eval prices
     this against the hash-codebook form — the measured value of
     training, at zero serving-cost difference."""
-    cents, tables, enc, codes = shared or _pq_trained_artifacts(df)
+    cents, tables, enc, codes = shared or _pq_trained_artifacts(
+        df, qrows=_pq_query_codebook_rows(df)[0]
+    )
     qf, qt = _adc_query_frame(df.sparkSession, tables)
-    pairs = codes.crossJoin(F.broadcast(qf)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
-    )
-    out = _adc_rank(scored)
+    if shared is None and _SQL_ANN:
+        out = _adc_topk_sql(df.sparkSession, codes, qf, cand=None)
+    else:
+        pairs = codes.crossJoin(F.broadcast(qf)).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = pairs.select(
+            "query_id", "neighbor_id", _adc_micro(qt).alias("adc_micro")
+        )
+        out = _adc_rank(scored)
     if shared is not None:
         return out  # the caller owns the shared artifacts' lifetime
     from ..caching import adopt, owned
@@ -2991,6 +3092,19 @@ def ann_ivf_trained_topk(
         # persists its internally-computed ranking (r9 advice)
         ranked = ivf_assign_trained(df).persist()
         extra.append(ranked)
+        if _SQL_ANN:
+            # standalone construction: one spark.sql over views of the
+            # corpus and the persisted trained ranking (guide §7.3)
+            spark = df.sparkSession
+            df.createOrReplaceTempView("__annq_emb")
+            ranked.createOrReplaceTempView("__annq_tranked")
+            out = spark.sql(
+                "SELECT query_id, neighbor_id, cosine, rank FROM "
+                + _ivf_leg_sparksql("__annq_emb", "__annq_tranked", full=True)
+            )
+            from ..caching import owned
+
+            return owned(out, extra)
     out = _ivf_exact_rerank(df, _ivf_candidates(ranked))
     if extra:
         from ..caching import owned

@@ -89,6 +89,42 @@ def test_recall_eval_views_bounded(spark):
     assert len(fixed) == 8, sorted(fixed)
 
 
+def test_standalone_ann_sql_fast_paths_match_column(spark):
+    """Each standalone ANN registry query's one-SQL construction
+    returns byte-equal rows and identical schema vs its Column form
+    (_SQL_ANN off)."""
+    import pytest
+
+    df = Catalog(spark, SF_DIR).df("embeddings")
+    fns = (
+        S.ann_bruteforce_topk,
+        S.ann_ivf_trained_topk,
+        S.ann_pq_adc_topk,
+        S.ann_pq_adc_trained_topk,
+        S.ann_ivfpq_topk,
+    )
+    for fn in fns:
+        assert S._SQL_ANN, "flag must default on"
+        a = fn(df)
+        try:
+            rows_sql = _rows(a)
+            schema_sql = [(f.name, f.dataType) for f in a.schema.fields]
+        finally:
+            caching.release(a)
+        S._SQL_ANN = False
+        try:
+            b = fn(df)
+            try:
+                assert schema_sql == [
+                    (f.name, f.dataType) for f in b.schema.fields
+                ], fn.__name__
+                assert rows_sql == _rows(b), fn.__name__
+            finally:
+                caching.release(b)
+        finally:
+            S._SQL_ANN = True
+
+
 def test_recall_eval_clustered_parity(spark):
     corpus = S.clustered_corpus(
         Catalog(spark, SF_DIR).df("embeddings")
