@@ -2271,6 +2271,51 @@ def _bm25_scored(df):
     )
 
 
+# one-SQL construction dial for the lexical/hybrid retrieval registry
+# queries (text_bm25_topk, hybrid_search_rrf): the Column forms stay
+# as parity references (tests/test_recall_eval_sql_parity.py pins
+# byte-equal rows), mirroring functions/similarity._SQL_ANN.
+_SQL_TEXTQ = True
+
+
+def _bm25_scored_sparksql(D: str) -> str:
+    """_bm25_scored as Spark-SQL text over a documents view ``D`` —
+    expression-for-expression the Column form (same tokens fragment,
+    same stats aggregate, same broadcast fold, same bm25_term_micro
+    score text). One spark.sql parse instead of the per-call
+    selectExpr/agg/crossJoin chain (guide §7.3)."""
+    from .operators.filters import _spark_sql_str as _sq
+
+    ts = hashing.tokens_sparksql("text")
+    tf_cols = ", ".join(
+        f"size(filter({ts}, x -> x = {_sq(t)})) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CAST((tf{i} > 0) AS BIGINT)) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    score = " + ".join(
+        bm25_term_micro(f"tf{i}", f"df{i}", "n_docs", "dl", "avgdl")
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    per_doc = (
+        f"(SELECT doc_id, lang, source, size({ts}) AS dl, {tf_cols} "
+        f"FROM {D})"
+    )
+    stats = (
+        f"(SELECT count(1) AS n_docs, sum(dl) AS sum_dl, {df_cols} "
+        f"FROM {per_doc})"
+    )
+    scored = f"""(SELECT /*+ BROADCAST(s) */ p.*, s.*,
+  CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+  FROM {per_doc} p CROSS JOIN {stats} s)"""
+    return (
+        f"SELECT doc_id, lang, source, ({score}) AS score_micro "
+        f"FROM {scored}"
+    )
+
+
 def _bm25_scored_sql(
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     analyzer: str = "whitespace",
@@ -2335,7 +2380,26 @@ def text_bm25_topk(spark, sf_dir):
     Scale shape (see _bm25_scored): zero corpus shuffles — tf in-scan,
     one 1-row stats broadcast, and the global top-10 is TakeOrdered
     (per-partition heaps merged on the driver), not a global sort.
-    The rank window runs on the 10 surviving rows."""
+    The rank window runs on the 10 surviving rows.
+
+    Construction is one spark.sql over a documents view (_SQL_TEXTQ;
+    guide §7.3); _text_bm25_topk_df is the Column parity twin."""
+    if not _SQL_TEXTQ:
+        return _text_bm25_topk_df(spark, sf_dir)
+    df = Catalog(spark, sf_dir).df("documents")
+    df.createOrReplaceTempView("__docq_docs")
+    return spark.sql(
+        f"""SELECT doc_id, lang, source, score_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM (SELECT doc_id, lang, source, score_micro
+      FROM ({_bm25_scored_sparksql('__docq_docs')})
+      WHERE score_micro > 0
+      ORDER BY score_micro DESC, doc_id LIMIT 10)"""
+    )
+
+
+def _text_bm25_topk_df(spark, sf_dir):
+    """Column-API twin of text_bm25_topk (parity reference)."""
     scored = _bm25_scored(Catalog(spark, sf_dir).df("documents"))
     top = (
         scored.filter(F.col("score_micro") > 0)
@@ -4021,7 +4085,65 @@ def hybrid_search_rrf(spark, sf_dir):
     partition); the fusion join runs on 50+50 rows. The semantic leg
     here is brute-force cosine in-scan (zero shuffles); at index scale
     the ann_ivf_topk / ann_lsh_topk operators supply the same
-    (doc_id, cos) contract from a pruned candidate set."""
+    (doc_id, cos) contract from a pruned candidate set.
+
+    Construction is one spark.sql over a documents view (_SQL_TEXTQ;
+    guide §7.3 — ~1,800 py4j round-trips on the Column path);
+    _hybrid_search_rrf_df is the Column parity twin."""
+    if not _SQL_TEXTQ:
+        return _hybrid_search_rrf_df(spark, sf_dir)
+    df = Catalog(spark, sf_dir).df("documents")
+    df.createOrReplaceTempView("__docq_docs")
+    q = _hybrid_query_vec()
+    nq = float(sum(v * v for v in q))
+    rrf_k = f"{float(HYBRID_RRF_K)!r}D"
+    lex = f"""(SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+  FROM (SELECT doc_id, score_micro
+        FROM ({_bm25_scored_sparksql('__docq_docs')})
+        WHERE score_micro > 0
+        ORDER BY score_micro DESC, doc_id LIMIT {HYBRID_CAND_K}))"""
+    emb = (
+        "(SELECT doc_id, "
+        + ", ".join(
+            f"{_hash_dim_sparksql('text', i)} AS e{i}"
+            for i in range(HYBRID_EMB_DIMS)
+        )
+        + " FROM __docq_docs)"
+    )
+    dot = "CAST(0 AS BIGINT)" + "".join(
+        f" + (e{i} * CAST({q[i]} AS BIGINT))" for i in range(HYBRID_EMB_DIMS)
+    )
+    nd = "CAST(0 AS BIGINT)" + "".join(
+        f" + (e{i} * e{i})" for i in range(HYBRID_EMB_DIMS)
+    )
+    sem = f"""(SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS sem_rank
+  FROM (SELECT doc_id, cos_sim
+        FROM (SELECT doc_id,
+              CAST(({dot}) AS DOUBLE) /
+              (sqrt(CAST(({nd}) AS DOUBLE)) * sqrt({nq!r}D)) AS cos_sim
+              FROM {emb})
+        ORDER BY cos_sim DESC, doc_id LIMIT {HYBRID_CAND_K}))"""
+
+    def leg(rank_col: str) -> str:
+        return (
+            f"COALESCE(CAST(floor(1e9 / ({rrf_k} + {rank_col}) + 0.5D) "
+            f"AS BIGINT), CAST(0 AS BIGINT))"
+        )
+
+    return spark.sql(
+        f"""SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+FROM (SELECT doc_id, lex_rank, sem_rank,
+             ({leg('lex_rank')} + {leg('sem_rank')}) AS rrf_micro
+      FROM {lex} l FULL OUTER JOIN {sem} s USING (doc_id)
+      ORDER BY rrf_micro DESC, doc_id LIMIT {HYBRID_TOP_N})"""
+    )
+
+
+def _hybrid_search_rrf_df(spark, sf_dir):
+    """Column-API twin of hybrid_search_rrf (parity reference)."""
     df = Catalog(spark, sf_dir).df("documents")
     q = _hybrid_query_vec()
 

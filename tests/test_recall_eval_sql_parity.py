@@ -125,6 +125,30 @@ def test_standalone_ann_sql_fast_paths_match_column(spark):
             S._SQL_ANN = True
 
 
+def test_lexical_hybrid_sql_fast_paths_match_column(spark):
+    """text_bm25_topk and hybrid_search_rrf one-SQL constructions
+    return byte-equal rows and identical schema vs their Column
+    twins."""
+    import pgsync_spark.queries as Q
+
+    pairs = (
+        (Q.text_bm25_topk, Q._text_bm25_topk_df),
+        (Q.hybrid_search_rrf, Q._hybrid_search_rrf_df),
+    )
+    for sqlfn, colfn in pairs:
+        assert Q._SQL_TEXTQ, "flag must default on"
+        a = sqlfn(spark, SF_DIR)
+        b = colfn(spark, SF_DIR)
+        try:
+            assert [(f.name, f.dataType) for f in a.schema.fields] == [
+                (f.name, f.dataType) for f in b.schema.fields
+            ], sqlfn.__name__
+            assert _rows(a) == _rows(b), sqlfn.__name__
+        finally:
+            caching.release(a)
+            caching.release(b)
+
+
 def test_recall_eval_clustered_parity(spark):
     corpus = S.clustered_corpus(
         Catalog(spark, SF_DIR).df("embeddings")

@@ -1,0 +1,31 @@
+"""Scratch: capture plans/r14 before/after for text_bm25_topk and
+hybrid_search_rrf (before = Column via _SQL_TEXTQ off)."""
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+OUT = os.path.join(_REPO, "plans", "r14")
+
+from pgsync_spark import caching, get_spark  # noqa: E402
+import pgsync_spark.queries as Q  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_spark("capture-textq-plans")
+
+
+def fmt(d):
+    return d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+
+for name in ("text_bm25_topk", "hybrid_search_rrf"):
+    fn = Q.REGISTRY[name].fn
+    for flag, tag in ((False, "before"), (True, "after")):
+        Q._SQL_TEXTQ = flag
+        d = fn(spark, SF)
+        with open(os.path.join(OUT, f"{name}_{tag}.txt"), "w") as f:
+            f.write(fmt(d))
+        caching.release(d)
+Q._SQL_TEXTQ = True
+print("captured")
