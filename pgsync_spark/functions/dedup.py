@@ -43,6 +43,7 @@ from .hashing import (
     round6,
     round6_sql,
     tokens,
+    tokens_sparksql,
     tokens_sql,
 )
 
@@ -724,14 +725,18 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
     splits; reassembly is one doc_id-keyed agg (unique key, no skew).
     One md5 per span (~1/k of the per-token hashing the minhash
     family already pays), oracle-portable."""
-    tok = tokens(F.col("text"))
+    # single-parse construction throughout (guide §7.3 — the Column
+    # lambda chains were ~620 py4j round-trips, most of the benched
+    # metric's cost at sf0.1); trees unchanged, oracle pins the values
     base = (
-        df.select("doc_id", tok.alias("tok"))
-        .withColumn("n_tok", F.size("tok"))
+        df.selectExpr("doc_id", f"{tokens_sparksql('text')} AS tok")
+        .selectExpr("doc_id", "tok", "size(tok) AS n_tok")
         # SQL `div` = exact integer division on longs, matching the
         # oracle's `//` for any n_tok (float `/`+cast is only exact
         # below 2^53 and fragile under ANSI/decimal config changes)
-        .withColumn("n_spans", F.expr(f"(n_tok + {k - 1}) div {k}"))
+        .selectExpr(
+            "doc_id", "tok", "n_tok", f"(n_tok + {k - 1}) div {k} AS n_spans"
+        )
     )
     # spans feed THREE consumers (winners agg, the kept join's probe
     # side, reassembly); persist so the corpus tokenizes once for them
@@ -740,35 +745,28 @@ def dedup_spans_global(df: DataFrame, k: int = K_SPAN) -> DataFrame:
     # symmetrization and the sign-LSH keys frame already fixed)
     spans = (
         base.filter(F.col("n_tok") > 0)
-        .select(
+        .selectExpr(
             "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int")),
-                    lambda i: F.array_join(
-                        F.slice(F.col("tok"), i * k + 1, k), " "
-                    ),
-                )
-            ).alias("pos", "span_text"),
+            "posexplode(transform(sequence(0, CAST(n_spans - 1 AS INT)), "
+            f"i -> array_join(slice(tok, i * {k} + 1, {k}), ' '))) "
+            "AS (pos, span_text)",
         )
-        .withColumn("h", F.md5("span_text"))
+        .selectExpr("doc_id", "pos", "span_text", "md5(span_text) AS h")
         .persist()
     )
     winners = spans.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w")
+        F.expr("min(struct(doc_id, pos)) AS w")
     )
     kept = spans.join(winners, "h").filter(
-        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+        F.expr("doc_id = w.doc_id AND pos = w.pos")
     )
     rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "span_text"))),
-                lambda s: s["span_text"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, span_text))), s -> s.span_text), ' ') "
+            "AS clean_text"
+        ),
+        F.expr("count(1) AS n_kept"),
     )
     out = base.select("doc_id", "n_spans").join(rebuilt, "doc_id", "left").select(
         "doc_id",

@@ -28,24 +28,29 @@ def text_stats(df: DataFrame) -> DataFrame:
     quality = 0.4·min(1, n/100) + 0.3·uniq_ratio + 0.3·min(1, avg_len/8)
     — all double arithmetic with a fixed evaluation order so the oracle
     reproduces it bit-for-bit.
-    """
-    tok = tokens(F.col("text"))
-    n = F.size(tok).cast("double")
-    uniq = F.size(F.array_distinct(tok)).cast("double")
-    avg_len = F.aggregate(
-        tok, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
-    ) / F.nullif(n, F.lit(0.0))
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
-        + F.lit(0.3) * (uniq / F.nullif(n, F.lit(0.0)))
-        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+
+    Single-parse construction (guide §7.3; D-suffixed double literals
+    mirror the former F.lit doubles — see cosine6)."""
+    from .hashing import tokens_sparksql
+
+    ts = tokens_sparksql("text")
+    n = f"CAST(size({ts}) AS DOUBLE)"
+    uniq = f"CAST(size(array_distinct({ts})) AS DOUBLE)"
+    avg_len = (
+        f"aggregate({ts}, 0.0D, (acc, x) -> acc + "
+        f"CAST(length(x) AS DOUBLE)) / nullif({n}, 0.0D)"
     )
-    return df.select(
+    quality = (
+        f"0.4D * least(1.0D, {n} / 100.0D) "
+        f"+ 0.3D * ({uniq} / nullif({n}, 0.0D)) "
+        f"+ 0.3D * least(1.0D, ({avg_len}) / 8.0D)"
+    )
+    return df.selectExpr(
         "doc_id",
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_uniq_tokens"),
-        round6(avg_len).alias("avg_token_len"),
-        round6(quality).alias("quality"),
+        f"size({ts}) AS n_tokens",
+        f"size(array_distinct({ts})) AS n_uniq_tokens",
+        f"(floor(({avg_len}) * 1e6 + 0.5D) / 1e6) AS avg_token_len",
+        f"(floor(({quality}) * 1e6 + 0.5D) / 1e6) AS quality",
     )
 
 
@@ -229,31 +234,32 @@ QC_WEIGHTS_MILLI = _qc_weights_milli()
 def quality_classifier(df: DataFrame) -> DataFrame:
     """Per-doc classifier score + keep decision. Exact BIGINT weight
     sum; the mean is one int/int double division (identical IEEE
-    result in both engines), rounded for the compare."""
-    w = F.array(*[F.lit(x) for x in QC_WEIGHTS_MILLI])
-    tok = tokens(F.col("text"))
-    total = F.aggregate(
-        F.transform(
-            tok,
-            lambda t: F.element_at(
-                w, (h32(t) % F.lit(QC_DIM) + F.lit(1)).cast("int")
-            ).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    result in both engines), rounded for the compare.
+
+    Single-parse construction (guide §7.3): the 256-weight literal
+    array alone was ~260 py4j round-trips per build (~1,400 with the
+    fold lambdas — ~60% of the benched metric at sf0.1); one
+    selectExpr parse builds the same expressions in-JVM. D-suffixed
+    double literals mirror the former F.lit doubles (see cosine6)."""
+    from .hashing import h32_sparksql, tokens_sparksql
+
+    w = "array(" + ", ".join(str(x) for x in QC_WEIGHTS_MILLI) + ")"
+    ts = tokens_sparksql("text")
+    total = (
+        f"aggregate(transform({ts}, t -> CAST(element_at({w}, "
+        f"CAST((({h32_sparksql('t')} % {QC_DIM}) + 1) AS INT)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    n = F.size(tok)
-    score = round6(
-        total.cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+    score = (
+        f"(floor((CAST({total} AS DOUBLE) / "
+        f"nullif(CAST(size({ts}) AS DOUBLE), 0.0D)) * 1e6 + 0.5D) / 1e6)"
     )
-    return df.select(
+    return df.selectExpr(
         "doc_id",
         "lang",
-        n.alias("n_tokens"),
-        score.alias("score_milli"),
-        F.coalesce(
-            score >= F.lit(QC_KEEP_MILLI), F.lit(False)
-        ).alias("keep"),
+        f"size({ts}) AS n_tokens",
+        f"{score} AS score_milli",
+        f"COALESCE(({score}) >= {QC_KEEP_MILLI!r}D, false) AS keep",
     )
 
 

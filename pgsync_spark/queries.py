@@ -1750,29 +1750,29 @@ def text_repetition_stats(spark, sf_dir):
     doc, so it is bounded to the doc head; at 100 TB the unbounded
     variant is the explode + per-doc groupBy form (one shuffle) —
     chosen here because the bounded array form keeps the whole operator
-    inside whole-stage codegen."""
+    inside whole-stage codegen.
+
+    Single-parse construction (guide §7.3; trees unchanged, oracle
+    pins the values)."""
     df = Catalog(spark, sf_dir).df("documents")
-    toks = hashing.tokens("text")
-    base = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
-    head = F.slice(F.col("toks"), 1, _REP_TOP_WINDOW)
-    n_tok = F.size("toks").cast("bigint")
-    n_uniq = F.size(F.array_distinct("toks")).cast("bigint")
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(head),
-            lambda x: F.size(F.filter(head, lambda y: y == x)),
-        )
+    base = df.selectExpr(
+        "doc_id", f"{hashing.tokens_sparksql('text')} AS toks"
+    ).filter(F.size("toks") > 0)
+    head = f"slice(toks, 1, {_REP_TOP_WINDOW})"
+    top_cnt = (
+        f"array_max(transform(array_distinct({head}), "
+        f"x -> size(filter({head}, y -> y = x))))"
     )
-    return base.select(
+    return base.selectExpr(
         "doc_id",
-        n_tok.alias("n_tok"),
-        n_uniq.alias("n_uniq"),
-        hashing.round6(
-            F.lit(1.0) - n_uniq.cast("double") / n_tok.cast("double")
-        ).alias("dup_token_ratio"),
-        hashing.round6(
-            top_cnt.cast("double") / F.size(head).cast("double")
-        ).alias("top_token_frac"),
+        "CAST(size(toks) AS BIGINT) AS n_tok",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq",
+        "(floor((1.0D - CAST(CAST(size(array_distinct(toks)) AS BIGINT) "
+        "AS DOUBLE) / CAST(CAST(size(toks) AS BIGINT) AS DOUBLE)) "
+        "* 1e6 + 0.5D) / 1e6) AS dup_token_ratio",
+        f"(floor((CAST({top_cnt} AS DOUBLE) / "
+        f"CAST(size({head}) AS DOUBLE)) * 1e6 + 0.5D) / 1e6) "
+        f"AS top_token_frac",
     )
 
 
@@ -3675,7 +3675,52 @@ def dsir_select(spark, sf_dir):
     shuffle is the doc_id weight aggregation — unavoidable and
     perfectly uniform; lang/source ride through the explode (columnar,
     dictionary-encoded) so no second corpus-sized join is needed to
-    re-attach them."""
+    re-attach them.
+
+    Construction is one spark.sql over a documents view (_SQL_TEXTQ;
+    guide §7.3 — the bucketed subtree is expanded textually twice,
+    exactly as the lazy Column plan duplicates it for the histogram
+    and the weight sides); _dsir_select_df is the Column twin."""
+    if not _SQL_TEXTQ:
+        return _dsir_select_df(spark, sf_dir)
+    from .operators.filters import _spark_sql_str as _sq
+
+    df = Catalog(spark, sf_dir).df("documents")
+    df.createOrReplaceTempView("__docq_docs")
+    ts = hashing.tokens_sparksql("text")
+    b = (
+        f"(SELECT doc_id, lang, source, "
+        f"({hashing.h32_sparksql('term')} % {DSIR_BUCKETS}) AS bucket FROM "
+        f"(SELECT doc_id, lang, source, explode({ts}) AS term "
+        f"FROM __docq_docs))"
+    )
+    bc = (
+        f"(SELECT bucket, count(1) AS r_b, "
+        f"sum(CAST((lang = {_sq(DSIR_TARGET_LANG)}) AS BIGINT)) AS t_b "
+        f"FROM {b} GROUP BY bucket)"
+    )
+    lr = (
+        f"(SELECT bucket, CAST(floor(ln("
+        f"((t_b + 1.0D) * (sum(r_b) OVER () + {float(DSIR_BUCKETS)!r}D)) / "
+        f"((r_b + 1.0D) * (sum(t_b) OVER () + {float(DSIR_BUCKETS)!r}D))"
+        f") * 1e6 + 0.5D) AS BIGINT) AS lr_micro FROM {bc})"
+    )
+    w = (
+        f"(SELECT /*+ BROADCAST(l) */ doc_id, lang, source, "
+        f"sum(lr_micro) AS weight_micro "
+        f"FROM {b} bb JOIN {lr} l USING (bucket) "
+        f"GROUP BY doc_id, lang, source)"
+    )
+    return spark.sql(
+        f"""SELECT doc_id, lang, source, weight_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id) AS INT) AS rank
+FROM (SELECT doc_id, lang, source, weight_micro FROM {w}
+      ORDER BY weight_micro DESC, doc_id LIMIT {DSIR_SELECT_N})"""
+    )
+
+
+def _dsir_select_df(spark, sf_dir):
+    """Column-API twin of dsir_select (parity reference)."""
     df = Catalog(spark, sf_dir).df("documents")
     toks = df.select(
         "doc_id",
@@ -3774,6 +3819,43 @@ _CCNET_CE_SQL = f"""WITH docs AS (
                  CAST(sum(cost_micro) // count(*) AS BIGINT) AS ce_micro
           FROM cost GROUP BY doc_id, lang
         )"""
+
+
+def _ccnet_scored_sparksql(D: str) -> str:
+    """_ccnet_scored as Spark-SQL text over a documents view ``D`` —
+    expression-for-expression the Column form (one spark.sql parse for
+    both bucket assigners' fast paths; guide §7.3)."""
+    from .operators.filters import _spark_sql_str as _sq
+
+    ts = hashing.tokens_sparksql("text")
+    docs = (
+        f"(SELECT doc_id, lang, t FROM "
+        f"(SELECT doc_id, lang, {ts} AS t FROM {D}) WHERE size(t) >= 2)"
+    )
+    b = (
+        f"(SELECT doc_id, lang, "
+        f"({hashing.h32_sparksql('bg')} % {PPL_BUCKETS}) AS bucket FROM "
+        f"(SELECT doc_id, lang, explode(zip_with("
+        f"slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        f"(a, b) -> concat_ws(' ', a, b))) AS bg FROM {docs}))"
+    )
+    rc = (
+        f"(SELECT bucket, count(1) AS c_b FROM {b} "
+        f"WHERE lang = {_sq(PPL_REF_LANG)} GROUP BY bucket)"
+    )
+    dom = f"(SELECT CAST(id AS BIGINT) AS bucket FROM range({PPL_BUCKETS}))"
+    cost = (
+        f"(SELECT bucket, CAST(floor(ln("
+        f"CAST((sum(COALESCE(c_b, 0)) OVER () + {PPL_BUCKETS}) AS DOUBLE) "
+        f"/ (COALESCE(c_b, 0) + 1.0D)) * 1e6 + 0.5D) AS BIGINT) "
+        f"AS cost_micro FROM {dom} d LEFT JOIN {rc} r USING (bucket))"
+    )
+    return (
+        f"(SELECT doc_id, lang, CAST(tm div nb AS BIGINT) AS ce_micro FROM "
+        f"(SELECT /*+ BROADCAST(c) */ doc_id, lang, "
+        f"sum(cost_micro) AS tm, count(1) AS nb "
+        f"FROM {b} bb JOIN {cost} c USING (bucket) GROUP BY doc_id, lang))"
+    )
 
 
 def _ccnet_scored(spark, sf_dir):
@@ -3879,7 +3961,26 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     deliberate trade for positionally-exact terciles at test SF; the
     100 TB default is ccnet_perplexity_buckets_sampled below (CCNet's
     own method: fit thresholds on a sample, assign by comparison),
-    which shares the scored frame and drops the corpus window."""
+    which shares the scored frame and drops the corpus window.
+
+    Construction is one spark.sql over a documents view (_SQL_TEXTQ;
+    guide §7.3); _ccnet_perplexity_buckets_df is the Column twin."""
+    if not _SQL_TEXTQ:
+        return _ccnet_perplexity_buckets_df(spark, sf_dir)
+    df = Catalog(spark, sf_dir).df("documents")
+    df.createOrReplaceTempView("__docq_docs")
+    nt = "ntile(3) OVER (PARTITION BY lang ORDER BY ce_micro, doc_id)"
+    return spark.sql(
+        f"""SELECT doc_id, lang, ce_micro,
+  CASE WHEN {nt} = 1 THEN 'head' WHEN {nt} = 2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM {_ccnet_scored_sparksql('__docq_docs')}"""
+    )
+
+
+def _ccnet_perplexity_buckets_df(spark, sf_dir):
+    """Column-API twin of ccnet_perplexity_buckets (parity
+    reference)."""
     ce = _ccnet_scored(spark, sf_dir)
     n = F.ntile(3).over(W.partitionBy("lang").orderBy("ce_micro", "doc_id"))
     return ce.select(
@@ -3958,7 +4059,46 @@ def ccnet_perplexity_buckets_sampled(spark, sf_dir):
     sample holds >= 1 doc per language (test-asserted at sf0.01).
     Assignment agreement vs the exact terciles is >= 95% at sf0.01
     (test-asserted); the residual is boundary docs whose sampled
-    threshold sits a few ranks off the exact tercile edge."""
+    threshold sits a few ranks off the exact tercile edge.
+
+    Construction is one spark.sql over a documents view (_SQL_TEXTQ;
+    the scored subtree is expanded textually twice, exactly as the
+    lazy Column plan duplicates it for the sample and the corpus
+    sides); _ccnet_perplexity_buckets_sampled_df is the Column twin."""
+    if not _SQL_TEXTQ:
+        return _ccnet_perplexity_buckets_sampled_df(spark, sf_dir)
+    df = Catalog(spark, sf_dir).df("documents")
+    df.createOrReplaceTempView("__docq_docs")
+    ce = _ccnet_scored_sparksql("__docq_docs")
+    h = hashing.h32_sparksql("CAST(doc_id AS STRING)")
+    s = (
+        f"(SELECT lang, ce_micro, doc_id FROM {ce} "
+        f"WHERE ({h} % {PPL_SAMPLE_MOD}) = 0)"
+    )
+    r = (
+        f"(SELECT lang, ce_micro, ROW_NUMBER() OVER ("
+        f"PARTITION BY lang ORDER BY ce_micro, doc_id) AS rn, "
+        f"count(1) OVER (PARTITION BY lang) AS n FROM {s})"
+    )
+    th = (
+        f"(SELECT lang, "
+        f"max(CASE WHEN rn <= CAST((n + 2) div 3 AS BIGINT) "
+        f"THEN ce_micro END) AS t1, "
+        f"max(CASE WHEN rn <= CAST((2 * n + 2) div 3 AS BIGINT) "
+        f"THEN ce_micro END) AS t2 FROM {r} GROUP BY lang)"
+    )
+    return spark.sql(
+        f"""SELECT /*+ BROADCAST(t) */ doc_id, lang, ce_micro,
+  CASE WHEN ce_micro <= t1 THEN 'head'
+       WHEN ce_micro <= t2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM {ce} LEFT JOIN {th} t USING (lang)"""
+    )
+
+
+def _ccnet_perplexity_buckets_sampled_df(spark, sf_dir):
+    """Column-API twin of ccnet_perplexity_buckets_sampled (parity
+    reference)."""
     ce = _ccnet_scored(spark, sf_dir)
     s = ce.filter(
         hashing.h32(F.col("doc_id").cast("string"))

@@ -134,6 +134,12 @@ def test_lexical_hybrid_sql_fast_paths_match_column(spark):
     pairs = (
         (Q.text_bm25_topk, Q._text_bm25_topk_df),
         (Q.hybrid_search_rrf, Q._hybrid_search_rrf_df),
+        (Q.ccnet_perplexity_buckets, Q._ccnet_perplexity_buckets_df),
+        (
+            Q.ccnet_perplexity_buckets_sampled,
+            Q._ccnet_perplexity_buckets_sampled_df,
+        ),
+        (Q.dsir_select, Q._dsir_select_df),
     )
     for sqlfn, colfn in pairs:
         assert Q._SQL_TEXTQ, "flag must default on"
