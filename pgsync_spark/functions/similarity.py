@@ -1477,7 +1477,7 @@ def _recall_eval_sparksql(
     spine = f"""((SELECT DISTINCT query_id FROM {X}) CROSS JOIN
   (SELECT method FROM VALUES {vals} AS m(method)))"""
     nh = "CAST(COALESCE(n_hits, 0) AS BIGINT)"
-    recall = f"(floor(({nh} / 10.0D) * 1e6 + 0.5D) / 1e6)"
+    recall = f"(floor(({nh} / {float(TOP_K)!r}D) * 1e6 + 0.5D) / 1e6)"
     return f"""SELECT /*+ BROADCAST(h) */ query_id, method, {nh} AS n_hits, {recall} AS recall
 FROM {spine} s LEFT JOIN {hits} h USING (query_id, method)"""
 
@@ -1506,6 +1506,10 @@ def ann_recall_eval(df: DataFrame) -> DataFrame:
     # silently made every leg recompute its artifact subtree inline
     # (measured: 17 InMemoryTableScans → 0). Replacement does not
     # uncache (probed; pinned by the parity test's plan check).
+    # Assumes single-threaded query CONSTRUCTION per session (true of
+    # the bench, the oracle harness and the engine): spark.sql
+    # analyzes eagerly, so the views only need to be stable between
+    # registration and the sql() call in this function.
     def view(frame: DataFrame, name: str) -> str:
         vname = f"__recall_{name}"
         frame.createOrReplaceTempView(vname)
@@ -2645,9 +2649,7 @@ def ann_pq_adc_trained_topk(df: DataFrame, shared=None) -> DataFrame:
     the oracle replays training bit-for-bit. ann_recall_eval prices
     this against the hash-codebook form — the measured value of
     training, at zero serving-cost difference."""
-    cents, tables, enc, codes = shared or _pq_trained_artifacts(
-        df, qrows=_pq_query_codebook_rows(df)[0]
-    )
+    cents, tables, enc, codes = shared or _pq_trained_artifacts(df)
     qf, qt = _adc_query_frame(df.sparkSession, tables)
     if shared is None and _SQL_ANN:
         out = _adc_topk_sql(df.sparkSession, codes, qf, cand=None)

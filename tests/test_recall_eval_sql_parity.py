@@ -93,8 +93,6 @@ def test_standalone_ann_sql_fast_paths_match_column(spark):
     """Each standalone ANN registry query's one-SQL construction
     returns byte-equal rows and identical schema vs its Column form
     (_SQL_ANN off)."""
-    import pytest
-
     df = Catalog(spark, SF_DIR).df("embeddings")
     fns = (
         S.ann_bruteforce_topk,
